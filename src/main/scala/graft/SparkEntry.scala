@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{CoreQueries, EventQueries, LlmQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * One `queries` entry per implemented operator (SURVEY.md §2 coverage);
+  * each SQL-expressible entry has a DuckDB oracle in [[oracleSql]]
+  * (differential correctness, same philosophy as the reference's e2e
+  * harness diffing [R: test/e2e/pig/]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * PigMix-L3 analog: scan → join → join → group → aggregate (the spork
+    * core loop, SURVEY.md §7.1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.queries("q03_join_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries ++ EventQueries.queries ++ LlmQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Entries absent here (q26_sample,
+    * q32_simhash, q42_ann_ivf) are hash-based or nondeterministic by
+    * nature → driver records the weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracleSql ++ EventQueries.oracleSql ++ LlmQueries.oracleSql
 }

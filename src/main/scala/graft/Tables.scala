@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session + table-loading helpers shared by the whole engine.
+  *
+  * Design notes (SURVEY.md §4.2, §7): we lean on Catalyst/AQE instead of
+  * hand-scheduling — adaptive execution (incl. skew-join handling, the
+  * analog of the reference's skewed join support
+  * [R: src/org/apache/pig/backend/hadoop/executionengine/physicalLayer/relationalOperators/POSkewedJoin.java])
+  * is enabled centrally here.
+  */
+object Graft {
+
+  /** Common engine configuration, applied to any SparkSession builder.
+    *
+    *  - ANSI off: Pig arithmetic wraps on int overflow and yields null on
+    *    bad casts rather than erroring (SURVEY.md §2.1 gotchas).
+    *  - AQE + skew-join: replaces the reference's sampling-based skewed
+    *    join with runtime re-planning.
+    *  - nanosAsLong: the `events` table ships as parquet timestamp[ns],
+    *    which Spark has no native type for; we read the raw int64 and
+    *    normalize in [[Tables.load]].
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  /** Local session for tests/tools. */
+  def localSession(cpus: Int = 4, appName: String = "graft"): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Uniform access to the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Mirrors the reference's `LOAD` with a self-describing format
+  * [R: src/org/apache/pig/newplan/logical/relational/LOLoad.java]:
+  * schema-on-read from parquet, plus per-table normalization quirks.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one table from an sf directory. `events.ts` (parquet
+    * timestamp[ns], no Spark equivalent) is normalized to a
+    * session-UTC TimestampType truncated to microseconds — the same
+    * truncation DuckDB applies, so oracle comparisons line up.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    name match {
+      case "events" =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+}

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dsl.PigFunctions.roundCompat
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`). Additions beyond the reference's surface
+  * (which has no vector ops) for the training-data-pipeline north star.
+  *
+  * All vector math is array-HOF based (codegen'd, no UDFs). Dot products
+  * accumulate left-to-right in double precision — a fixed order, so
+  * results are reproducible across partitionings and match a sequential
+  * oracle bit-for-bit.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe for zero vectors (→ null, like Pig
+    * division by zero — SURVEY.md §2.1 gotchas). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(null)).otherwise(dot(a, b) / d)
+  }
+
+  /** Brute-force cosine top-k: every query row against every corpus row,
+    * then a per-query window top-k. The cross join broadcasts the
+    * smaller side (queries); the window partitions by query id so the
+    * top-k never funnels through one task. This is the exact baseline
+    * the ANN variants are measured against.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     queryId: String, corpusId: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        roundCompat(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: an integer-only
+    * formula (multiplicative hashing, exactly reproducible in any SQL
+    * engine) mapped to [-1, 1] in steps of 1e-3.
+    * component(j, i) = (((j*64+i) * 2654435761) mod 1000003 mod 2001 - 1000) / 1000
+    */
+  def planeComponent(j: Column, i: Column): Column =
+    ((pmod(pmod((j * 64 + i) * lit(2654435761L), lit(1000003L)), lit(2001L)) - 1000L)
+      .cast("double") / 1000.0)
+
+  /** Sign-LSH bucket id over `planes` deterministic hyperplanes: bit j =
+    * sign(v · h_j). Same-bucket vectors are candidate neighbors. */
+  def lshBucket(v: Column, planes: Int = 8): Column =
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, j) => {
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast("double") * planeComponent(j, i)),
+        lit(0.0), (a, x) => a + x)
+      acc + when(d > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)
+    })
+
+  /** LSH-bucketed ANN top-k: exact cosine, but only within the query's
+    * bucket — the scale path (bucket count grows 2^planes, so each
+    * bucket's cross product stays bounded). Recall is approximate by
+    * construction; increase `planes` ↓ cost / ↓ recall.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              queryId: String, corpusId: String, vecCol: String,
+              k: Int, planes: Int = 8): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        roundCompat(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** IVF-style ANN: corpus quantized to coarse cells (the LSH bucket
+    * doubles as the inverted-file cell id); queries probe their own cell
+    * plus `nprobe-1` sibling cells (bit flips) for better recall.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              queryId: String, corpusId: String, vecCol: String,
+              k: Int, planes: Int = 6, nprobe: Int = 3): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes).as("cell"))
+    // probe cells: own bucket plus single-bit flips (deterministic order)
+    val probes = transform(sequence(lit(0), lit(nprobe - 1)), p =>
+      when(p === 0, lshBucket(col(vecCol), planes))
+        .otherwise(lshBucket(col(vecCol), planes).bitwiseXOR(call_function("shiftleft", lit(1L), p - 1))))
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+      explode(probes).as("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        roundCompat(cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dsl.PigFunctions.roundCompat
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All deterministic
+  * column compositions (codegen'd, reproducible in any SQL engine).
+  */
+object Text {
+
+  private val Mod = 2147483647L // 2^31 - 1, keeps the rolling hash in range
+
+  /** Whitespace token array. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(words(text)).cast("long")
+
+  /** BPE-ish token estimate: word-ish runs, digit runs, and individual
+    * non-alphanumeric symbols each count as one token — the classic
+    * ~4-chars-per-token regex estimate used before real tokenizers.
+    */
+  def tokenCountRegex(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Heuristic language ID from marker-token hits; deterministic
+    * tie-break by fixed language order. A real system would use n-gram
+    * profiles; the heuristic is the SQL-expressible stand-in with the
+    * same pipeline shape (per-row scoring → argmax).
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val ws = words(text)
+    def hits(markers: Seq[String]): Column =
+      size(filter(ws, w => markers.map(m => w === m).reduce(_ || _)))
+    val en = hits(Seq("the", "a", "of", "and"))
+    val es = hits(Seq("el", "la", "los", "de"))
+    val fr = hits(Seq("le", "la", "les", "des"))
+    val de = hits(Seq("der", "die", "das", "und"))
+    when(en >= es && en >= fr && en >= de, "en")
+      .when(es >= fr && es >= de, "es")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+  }
+
+  /** Quality score in [0,1]: blends type-token ratio, mean word length
+    * (clamped to [0,8]/8), and a length prior. Weights fixed;
+    * deterministic per-row arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val ws = words(text)
+    val n = size(ws).cast("double")
+    val ttr = size(array_distinct(ws)).cast("double") / n
+    val meanLen = least(length(text).cast("double") / n, lit(8.0)) / 8.0
+    val lengthPrior = least(n / 100.0, lit(1.0))
+    roundCompat(ttr * 0.4 + meanLen * 0.3 + lengthPrior * 0.3, 4)
+  }
+
+  /** Stopword ratio against a fixed small list. */
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(text)
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    roundCompat(size(filter(ws, w => stop.map(s => w === s).reduce(_ || _)))
+      .cast("double") / size(ws), 4)
+  }
+
+  /** Polynomial rolling hash of the whole text (mod 2^31-1, base 31) —
+    * a deterministic document fingerprint computable in plain SQL.
+    * h = fold over characters: h*31 + codepoint (mod M).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (h, c) => pmod(h * 31L + ascii(c), lit(Mod)))
+
+  /** Winnowing-style shingle fingerprint: minimum rolling hash over the
+    * document's k-word shingles — robust to local edits, used for
+    * near-dup candidate keys.
+    */
+  def shingleFingerprint(text: Column, k: Int = 5): Column =
+    array_min(transform(Dedup.shingles(text, k),
+      s => aggregate(split(s, ""), lit(0L),
+        (h, c) => pmod(h * 31L + ascii(c), lit(Mod)))))
+
+  /** Per-document analysis record: one pass producing the standard text
+    * statistics (used by quality filtering pipelines). */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      tokenCountWs(t).as("n_tokens_ws"),
+      tokenCountRegex(t).as("n_tokens_re"),
+      length(t).cast("long").as("n_chars"),
+      langIdHeuristic(t).as("lang_pred"),
+      qualityScore(t).as("quality"),
+      stopwordRatio(t).as("stopword_ratio"),
+      fingerprint(t).as("fingerprint"))
+  }
+
+  /** TF-IDF over the corpus: classic two-aggregation pipeline (term
+    * frequencies per doc, document frequencies per term, log-idf join).
+    * Returns (doc, term, tf, df, tfidf).
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nDocs = df.count() // corpus size: one scalar action, then broadcast-folded
+    val terms = df.select(col(idCol).as("doc"), explode(words(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .select(col("doc"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** RANK rel [BY keys [DENSE]] — global rank column (SURVEY.md §2.1 #16,
+  * [R: …/relationalOperators/PORank.java, POCounter.java]).
+  *
+  * The reference computes per-partition counts then adds prefix offsets
+  * (two passes). A naive Spark translation — `row_number() over (ORDER
+  * BY …)` with no PARTITION BY — collapses everything onto ONE task,
+  * which is exactly the bottleneck we must not have at 100 TB. We keep
+  * the reference's 2-pass shape but on Spark primitives:
+  *
+  *   1. range-repartition + local sort on the rank keys (same machinery
+  *      as ORDER BY: sampled RangePartitioner),
+  *   2. `zipWithIndex`-style per-partition offsets (one tiny job that
+  *      counts partitions, then a map embedding the running offset).
+  *
+  * Both passes are fully parallel; no single-reducer stage.
+  */
+object Rank {
+
+  /** Dense global row number (1-based) by sort keys: RANK rel BY keys
+    * with unique keys, or bare RANK over a caller-defined canonical
+    * order (bare-RANK "file order" has no distributed meaning — callers
+    * must supply a deterministic key; SURVEY.md §7.4 #3).
+    */
+  def rowNumber(df: DataFrame, sortCols: Seq[Column],
+                as: String = "rank"): DataFrame = {
+    val sorted = df.orderBy(sortCols: _*) // Exchange(RangePartitioning) + local sort
+    val schema = StructType(sorted.schema.fields :+ StructField(as, LongType, nullable = false))
+    val withIdx = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(withIdx, schema)
+  }
+
+  /** RANK rel BY keys — standard competition rank (ties share the
+    * minimum row number; gaps after ties). Scalable: row numbers from
+    * the 2-pass pipeline, then per-key min broadcast back. When the
+    * number of distinct rank keys is small this join broadcasts; AQE
+    * decides otherwise.
+    */
+  def rank(df: DataFrame, keyCols: Seq[String], ascending: Boolean = true,
+           as: String = "rank"): DataFrame = {
+    val sortCols = keyCols.map(c => if (ascending) col(c).asc else col(c).desc)
+    val rn = rowNumber(df, sortCols, "_rn")
+    val mins = rn.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(min("_rn").as(as))
+    rn.join(mins, keyCols, "inner").drop("_rn")
+  }
+
+  /** DENSE rank by keys — rank over the distinct key set (small), joined
+    * back: distinct keys → sorted → row-numbered → broadcast join. */
+  def denseRank(df: DataFrame, keyCols: Seq[String], ascending: Boolean = true,
+                as: String = "rank"): DataFrame = {
+    val keys = df.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+    val sortCols = keyCols.map(c => if (ascending) col(c).asc else col(c).desc)
+    val ranked = rowNumber(keys, sortCols, as)
+    df.join(broadcast(ranked), keyCols, "inner")
+  }
+}

@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, Text}
+
+/** Training-data-pipeline t2 queries: dedup family, similarity search,
+  * text analysis, multimodal plumbing. Oracles are plain SQL
+  * re-derivations of the same deterministic math (integer hashes and
+  * fixed-order float folds), so hash-compare is exact.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  /** documents ∪ mutated copies (first 3 words dropped, id+1e6, every
+    * 10th doc) — a corpus with guaranteed near-duplicates at every sf,
+    * derived identically in the oracle.
+    */
+  private def derivedDocs(d: DataFrame): DataFrame = {
+    val mutated = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 4, 1000000)).as("text"))
+    d.select(col("doc_id"), col("text")).union(mutated)
+  }
+
+  private val derivedDocsSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000 AS doc_id,
+              array_to_string(string_split(text, ' ')[4:], ' ') AS text
+       FROM documents WHERE doc_id % 10 = 0"""
+
+  /** 3-word shingle rows (doc_id, s) in SQL, mirroring Dedup.shingles. */
+  private def shingleRowsSql(docsExpr: String) =
+    s"""SELECT doc_id, UNNEST(list_distinct(
+          CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [text] END)) AS s
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM ($docsExpr))"""
+
+  /** Deterministic hyperplane literal for the SQL oracle — the same
+    * integer formula as [[Similarity.planeComponent]]. */
+  private def planeLit(j: Int): String = (0 until 64).map { i =>
+    val m = ((j * 64 + i).toLong * 2654435761L) % 1000003L
+    ((m % 2001L - 1000L).toDouble / 1000.0).toString
+  }.mkString("[", ", ", "]")
+
+  private def bucketSql(planes: Int): String =
+    (0 until planes).map { j =>
+      s"(CASE WHEN list_dot_product(e, ${planeLit(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val queries: Map[String, Q] = Map(
+
+    // exact dedup: per-text keeper + copy count
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
+        .select(col("keeper_id"), col("n_copies"))
+        .orderBy(col("keeper_id"))
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified (r=2, b=32 →
+    // recall ≈ 1 for J ≥ 0.6, so the exhaustive oracle matches)
+    "q31_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLsh(derivedDocs(t(s, dir, "documents")), "doc_id", "text",
+          shingleK = 3, numHashes = 64, bands = 32, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash fingerprints (hash-based: rows-only check; pair logic unit-tested)
+    "q32_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exhaustive n-gram Jaccard within a blocking key
+    "q33_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(derivedDocs(t(s, dir, "documents"))
+          .withColumn("blk", pmod(col("doc_id"), lit(20))),
+          "doc_id", "text", "blk", k = 3, minJaccard = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // brute-force cosine top-k (the ANN exactness baseline)
+    "q34_cosine_topk" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(v.filter(col("vec_id") < 10), v,
+          "vec_id", "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // heuristic language ID (marker-token argmax)
+    "q35_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          Text.langIdHeuristic(col("text")).as("lang_pred"),
+          size(filter(split(col("text"), " "),
+            w => w === "the" || w === "a" || w === "of" || w === "and"))
+            .cast("long").as("n_en_markers"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality scoring (ttr / word-length / length-prior blend)
+    "q36_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          Text.qualityScore(col("text")).as("quality"),
+          Text.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token counting (whitespace + BPE-ish regex) per source
+    "q37_token_counts" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("source"))
+        .agg(sum(Text.tokenCountWs(col("text"))).as("sum_ws_tokens"),
+          sum(Text.tokenCountRegex(col("text"))).as("sum_re_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // document fingerprinting (rolling polynomial hash)
+    "q38_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LSH-bucketed ANN top-k (deterministic hyperplanes)
+    "q39_ann_lsh" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.lshTopK(v.filter(col("vec_id") < 10), v,
+          "vec_id", "vec_id", "embedding", k = 5, planes = 6)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // IVF-style multi-probe ANN (approximate; rows-only check)
+    "q42_ann_ivf" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.ivfTopK(v.filter(col("vec_id") < 10), v,
+          "vec_id", "vec_id", "embedding", k = 5, planes = 6, nprobe = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // multimodal: pack → batched feature extraction (decode STUB)
+    "q40_multimodal" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Multimodal.extractFeatures(Multimodal.pack(d, "doc_id", "text"))
+        .orderBy(col("media_id"))
+    }),
+
+    // multimodal: frame sampling over binary payloads
+    "q41_frame_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Multimodal.sampleFrames(Multimodal.pack(d, "doc_id", "text"),
+          frameBytes = 256, everyN = 4)
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame")).as("frame_len"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // embedding near-dup via shared LSH bucket + cosine threshold
+    "q43_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, planes = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keeper_id""",
+    "q31_dedup_minhash" ->
+      s"""WITH sh AS (${shingleRowsSql(derivedDocsSql)}),
+          cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT id_a, id_b, i / (ca.c + cb.c - i) AS jaccard
+          FROM inter
+          JOIN cnt ca ON ca.doc_id = id_a
+          JOIN cnt cb ON cb.doc_id = id_b
+          WHERE i / (ca.c + cb.c - i) >= 0.6
+          ORDER BY id_a, id_b""",
+    "q33_ngram_jaccard" ->
+      s"""WITH docs AS (SELECT doc_id, text, doc_id % 20 AS blk FROM ($derivedDocsSql)),
+          sh AS (SELECT doc_id, UNNEST(list_distinct(
+                   CASE WHEN len(w) >= 3
+                        THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                        ELSE [text] END)) AS s
+                 FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM docs)),
+          cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+          blks AS (SELECT doc_id, blk FROM docs),
+          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                    FROM sh a JOIN blks ba ON a.doc_id = ba.doc_id
+                    JOIN sh b JOIN blks bb ON b.doc_id = bb.doc_id
+                      ON a.s = b.s AND a.doc_id < b.doc_id AND ba.blk = bb.blk
+                    GROUP BY 1, 2)
+          SELECT id_a, id_b, i / (ca.c + cb.c - i) AS jaccard
+          FROM inter
+          JOIN cnt ca ON ca.doc_id = id_a
+          JOIN cnt cb ON cb.doc_id = id_b
+          WHERE i / (ca.c + cb.c - i) >= 0.3
+          ORDER BY id_a, id_b""",
+    "q34_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT * FROM v WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               FLOOR((list_dot_product(q.e, c.e) /
+                 (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(c.e, c.e))))
+                 * 1000000 + 0.5) / 1000000 AS cosine
+               FROM q CROSS JOIN v c WHERE q.vec_id <> c.vec_id),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
+         SELECT query_id, neighbor_id, cosine, rk FROM r WHERE rk <= 5
+         ORDER BY query_id, rk""",
+    "q35_lang_id" ->
+      """SELECT doc_id,
+         CASE WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+              WHEN es >= fr AND es >= de THEN 'es'
+              WHEN fr >= de THEN 'fr' ELSE 'de' END AS lang_pred,
+         en AS n_en_markers
+         FROM (SELECT doc_id,
+           len(list_filter(string_split(text,' '), w -> w='the' OR w='a' OR w='of' OR w='and')) AS en,
+           len(list_filter(string_split(text,' '), w -> w='el' OR w='la' OR w='los' OR w='de')) AS es,
+           len(list_filter(string_split(text,' '), w -> w='le' OR w='la' OR w='les' OR w='des')) AS fr,
+           len(list_filter(string_split(text,' '), w -> w='der' OR w='die' OR w='das' OR w='und')) AS de
+           FROM documents)
+         ORDER BY doc_id""",
+    "q36_quality" ->
+      """SELECT doc_id,
+         FLOOR(((lnd / n) * 0.4
+           + (LEAST(LENGTH(text)::DOUBLE / n, 8.0) / 8.0) * 0.3
+           + LEAST(n / 100.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality,
+         FLOOR((nstop / n) * 10000 + 0.5) / 10000 AS stopword_ratio
+         FROM (SELECT doc_id, text,
+           len(string_split(text,' '))::DOUBLE AS n,
+           len(list_distinct(string_split(text,' ')))::DOUBLE AS lnd,
+           len(list_filter(string_split(text,' '),
+             w -> w='the' OR w='a' OR w='of' OR w='and' OR w='to' OR w='in'))::DOUBLE AS nstop
+           FROM documents)
+         ORDER BY doc_id""",
+    "q37_token_counts" ->
+      """SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_re_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q38_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> ord(c))),
+           (h, c) -> (h * 31 + c) % 2147483647)::BIGINT AS fp
+         FROM documents ORDER BY doc_id""",
+    "q39_ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          b AS (SELECT vec_id, e, ${bucketSql(6)} AS bucket FROM v),
+          q AS (SELECT * FROM b WHERE vec_id < 10),
+          s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                FLOOR((list_dot_product(q.e, c.e) /
+                  (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(c.e, c.e))))
+                  * 1000000 + 0.5) / 1000000 AS cosine
+                FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
+          SELECT query_id, neighbor_id, cosine, rk FROM r WHERE rk <= 5
+          ORDER BY query_id, rk""",
+    "q40_multimodal" ->
+      """SELECT doc_id AS media_id,
+         LENGTH(text)::BIGINT AS n_bytes,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> ord(c))),
+           (h, c) -> (h * 31 + c) % 2147483647)::BIGINT AS checksum,
+         list_transform(range(0, 16),
+           b -> len(list_filter(string_split(text, ''), c -> ord(c) // 16 = b))::BIGINT) AS histogram,
+         CAST(GREATEST(1, FLOOR(SQRT(LENGTH(text)))) AS INTEGER) AS width,
+         CAST(GREATEST(1, LENGTH(text) // GREATEST(1, CAST(FLOOR(SQRT(LENGTH(text))) AS BIGINT))) AS INTEGER) AS height
+         FROM documents ORDER BY media_id""",
+    "q41_frame_sample" ->
+      """SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+         CAST(LEAST(256, len - frame_idx * 256) AS INTEGER) AS frame_len
+         FROM (SELECT doc_id AS media_id, LENGTH(text) AS len,
+               UNNEST(list_filter(range(0, (LENGTH(text) - 1) // 256 + 1),
+                 i -> i % 4 = 0)) AS frame_idx
+               FROM documents)
+         ORDER BY media_id, frame_idx""",
+    "q43_embed_neardup" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          b AS (SELECT vec_id, e, ${bucketSql(8)} AS bucket FROM v),
+          s AS (SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+                FLOOR((list_dot_product(a.e, bb.e) /
+                  (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(bb.e, bb.e))))
+                  * 1000000 + 0.5) / 1000000 AS cosine
+                FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+          SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
+          ORDER BY id_a, id_b"""
+  )
+}
