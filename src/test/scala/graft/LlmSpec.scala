@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, Text}
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val got = Dedup.exact(d, Seq("text"), "doc_id")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingleSet produces distinct k-grams; short docs collapse to whole text") {
+    assert(Dedup.shingleSet("a b c d", 3).toSeq == Seq("a b c", "b c d"))
+    assert(Dedup.shingleSet("a b a b a b", 3).toSeq == Seq("a b a", "b a b"))
+    assert(Dedup.shingleSet("a b", 3).toSeq == Seq("a b"))
+  }
+
+  test("shingles Column twin agrees with the JVM kernel") {
+    val d = docs(1L -> "a b c d e", 2L -> "x y")
+    val viaCol = d.select(Dedup.shingles($"text", 3)).collect().map(_.getSeq[String](0).toSet)
+    val viaJvm = d.collect().map(r => Dedup.shingleSet(r.getString(1), 3).toSet)
+    assert(viaCol.toSeq == viaJvm.toSeq)
+  }
+
+  test("minhashLsh finds exact and near duplicates with correct jaccard") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (3 to 40).map(i => s"w$i").mkString(" ") // drop first 2 words
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> near, 4L -> other)
+    val got = Dedup.minhashLsh(d, "doc_id", "text", 3, 64, 32, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((2L, 3L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    val j12 = Dedup.minhashLsh(d, "doc_id", "text", 3, 64, 32, 0.5)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("jaccard").as[Double].head()
+    assert(j12 == 1.0)
+  }
+
+  test("simhashPairs finds identical docs at hamming 0") {
+    val txt = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = docs(1L -> txt, 2L -> txt, 3L -> (1 to 30).map(i => s"q$i").mkString(" "))
+    val got = Dedup.simhashPairs(d, "doc_id", "text", 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0))
+  }
+
+  test("ngramJaccard computes the exact set jaccard within blocks") {
+    // doc1 shingles {a b c, b c d}; doc2 {b c d, c d e} → J = 1/3
+    val d = Seq((1L, "a b c d", "blk"), (2L, "b c d e", "blk"),
+      (3L, "a b c d", "other")).toDF("doc_id", "text", "src")
+    val got = Dedup.ngramJaccard(d, "doc_id", "text", "src", 3, 0.0)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0 / 3.0)))
+  }
+
+  test("embeddingNearDup pairs identical vectors at cosine 1") {
+    val v = Array.tabulate(64)(i => (math.sin(i) / 4).toFloat)
+    val w = Array.tabulate(64)(i => (math.cos(i * 3 + 1) / 4).toFloat)
+    val d = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(d, "vec_id", "embedding", 0.99, 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Array[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+
+  test("cosine: identical → 1, orthogonal → 0, zero vector → null") {
+    val a = Array(1f, 0f); val b = Array(0f, 1f); val z = Array(0f, 0f)
+    val df = Seq((a, a), (a, b), (a, z)).toDF("x", "y")
+    val got = col0(df.select(Similarity.cosine($"x", $"y")))
+    assert(got == Seq(1.0, 0.0, null))
+  }
+
+  test("bruteForceTopK returns k neighbors ranked by cosine desc") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val close = base.map(x => x * 2f) // same direction → cosine 1
+    val far = Array.tabulate(8)(i => if (i == 0) 1f else 0f)
+    val d = vecs(0L -> base, 1L -> close, 2L -> far, 3L -> base.map(-_))
+    val got = Similarity.bruteForceTopK(d.filter($"vec_id" === 0), d,
+        "vec_id", "vec_id", "embedding", 2)
+      .select("neighbor_id", "rk").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1), (2L, 2))) // close first, negative last
+  }
+
+  test("lshBucket is deterministic and groups identical vectors") {
+    val v = Array.tabulate(64)(i => (math.sin(i) / 4).toFloat)
+    val d = vecs(1L -> v, 2L -> v)
+    val buckets = col0(d.select(Similarity.lshBucket($"embedding", 8))).distinct
+    assert(buckets.size == 1)
+  }
+
+  test("lshTopK finds the identical-vector neighbor (same bucket by construction)") {
+    val v = Array.tabulate(64)(i => (math.cos(i) / 4).toFloat)
+    val w = Array.tabulate(64)(i => (math.sin(i * 7 + 2) / 4).toFloat)
+    val d = vecs(1L -> v, 2L -> v, 3L -> w)
+    val got = Similarity.lshTopK(d.filter($"vec_id" === 1), d,
+        "vec_id", "vec_id", "embedding", 1, 6)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("ivfTopK probes sibling cells and never returns self") {
+    val rnd = new scala.util.Random(3)
+    val d = vecs((0L to 20L).map(i =>
+      i -> Array.fill(64)((rnd.nextGaussian() / 8).toFloat)): _*)
+    val got = Similarity.ivfTopK(d.filter($"vec_id" < 3), d,
+      "vec_id", "vec_id", "embedding", 3, 6, 3)
+    assert(got.filter($"query_id" === $"neighbor_id").count() == 0)
+    assert(got.count() > 0)
+  }
+}
+
+class TextSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("token counts: whitespace vs regex (punctuation splits)") {
+    val df = Seq("hello world, it's 42").toDF("text")
+    assert(col0(df.select(Text.tokenCountWs($"text"))) == Seq(4L))
+    // hello | world | , | it | ' | s | 42 → 7
+    assert(col0(df.select(Text.tokenCountRegex($"text"))) == Seq(7L))
+  }
+
+  test("langId picks the language with most marker hits") {
+    val df = Seq("the cat and the dog", "el gato de la casa", "der hund und die katze")
+      .toDF("text")
+    assert(col0(df.select(Text.langIdHeuristic($"text"))) == Seq("en", "es", "de"))
+  }
+
+  test("quality score stays in [0,1] and rewards diverse long docs") {
+    val low = "a a a a a"
+    val high = (1 to 120).map(i => s"w$i").mkString(" ")
+    val df = Seq(low, high).toDF("text")
+    val Seq(ql, qh) = col0(df.select(Text.qualityScore($"text"))).map(_.asInstanceOf[Double])
+    assert(ql >= 0.0 && qh <= 1.0 && qh > ql)
+  }
+
+  test("fingerprint equals the driver-side polynomial hash") {
+    val s = "abc xyz"
+    def poly(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+    val df = Seq(s).toDF("text")
+    assert(col0(df.select(Text.fingerprint($"text"))) == Seq(poly(s)))
+  }
+
+  test("tfidf: rarer terms score higher") {
+    val df = Seq((1L, "apple banana"), (2L, "apple cherry")).toDF("doc_id", "text")
+    val scores = Text.tfidf(df, "doc_id", "text")
+      .select("term", "tfidf").as[(String, Double)].collect().toMap
+    assert(scores("apple") == 0.0 && scores("banana") > 0.0)
+  }
+}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.pack(
+    Seq((1L, "hello world"), (2L, "x" * 600)).toDF("doc_id", "text"), "doc_id", "text")
+
+  test("pack produces binary payload with typed metadata") {
+    val r = media.orderBy("media_id").collect()(0)
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == "hello world")
+    assert(r.getStruct(2).getAs[String]("kind") == "image")
+    assert(r.getStruct(2).getAs[Long]("n_bytes") == 11L)
+  }
+
+  test("extractFeatures is deterministic and batch-driven") {
+    val f1 = Multimodal.extractFeatures(media, batchSize = 1).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media, batchSize = 64).orderBy("media_id").collect()
+    assert(f1.toSeq == f2.toSeq) // batch size must not change results
+    assert(f1(0).getAs[Long]("n_bytes") == 11L)
+  }
+
+  test("sampleFrames keeps every Nth fixed-size frame") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 100, everyN = 2)
+      .filter($"media_id" === 2L)
+      .select("frame_idx").as[Int].collect().toSeq.sorted
+    assert(frames == Seq(0, 2, 4)) // 600 bytes → frames 0..5, every 2nd
+  }
+}

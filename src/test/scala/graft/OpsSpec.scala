@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.Rank
+
+/** 2-pass global rank vs the single-partition window reference. */
+class RankSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val df = {
+    val rnd = new scala.util.Random(7)
+    (1 to 500).map(i => (i, rnd.nextInt(50))).toDF("id", "score")
+  }
+
+  test("rowNumber matches window row_number over the same total order") {
+    val got = Rank.rowNumber(df, Seq($"score".desc, $"id".asc), "rn")
+      .select("id", "rn").as[(Int, Long)].collect().toMap
+    val want = df.select($"id",
+        row_number().over(Window.orderBy($"score".desc, $"id".asc)).cast("long"))
+      .as[(Int, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("rank matches window rank (ties share min row number, with gaps)") {
+    val got = Rank.rank(df, Seq("score"), ascending = false, "rnk")
+      .select("id", "rnk").as[(Int, Long)].collect().toMap
+    val want = df.select($"id",
+        rank().over(Window.orderBy($"score".desc)).cast("long"))
+      .as[(Int, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("denseRank matches window dense_rank") {
+    val got = Rank.denseRank(df, Seq("score"), ascending = true, "drk")
+      .select("id", "drk").as[(Int, Long)].collect().toMap
+    val want = df.select($"id",
+        dense_rank().over(Window.orderBy($"score".asc)).cast("long"))
+      .as[(Int, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("rowNumber plan has no single-partition window exchange") {
+    val plan = Rank.rowNumber(df, Seq($"score".asc, $"id".asc), "rn")
+      .queryExecution.logical.toString
+    assert(!plan.toLowerCase.contains("window"))
+  }
+}

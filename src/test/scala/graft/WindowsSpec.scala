@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.events.Windows
+
+class WindowsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    (1L, ts("2024-01-01 00:05:00"), 1.0),
+    (1L, ts("2024-01-01 00:20:00"), 2.0),
+    (1L, ts("2024-01-01 01:10:00"), 3.0), // > 30 min gap → new session
+    (2L, ts("2024-01-01 00:59:59"), 4.0)
+  ).toDF("user_id", "ts", "value")
+
+  test("tumbling windows bucket by event time") {
+    val got = Windows.tumbling(events, "ts", "1 hour", Seq.empty,
+        Seq(count(lit(1)).as("n")))
+      .select($"window_start".cast("string"), $"n").as[(String, Long)]
+      .collect().toMap
+    assert(got == Map("2024-01-01 00:00:00" -> 3L, "2024-01-01 01:00:00" -> 1L))
+  }
+
+  test("sliding windows place each event in size/slide windows") {
+    val one = Seq((1L, ts("2024-01-01 00:40:00"))).toDF("id", "ts")
+    val got = Windows.sliding(one, "ts", "1 hour", "30 minutes", Seq.empty,
+        Seq(count(lit(1)).as("n")))
+      .select($"window_start".cast("string")).as[String].collect().toSet
+    assert(got == Set("2024-01-01 00:00:00", "2024-01-01 00:30:00"))
+  }
+
+  test("session windows merge by gap; end = last event + gap") {
+    val got = Windows.session(events, "ts", "30 minutes", Seq($"user_id"),
+        Seq(count(lit(1)).as("n")))
+      .select($"user_id", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01 00:05:00", "2024-01-01 00:50:00", 2L),
+      (1L, "2024-01-01 01:10:00", "2024-01-01 01:40:00", 1L),
+      (2L, "2024-01-01 00:59:59", "2024-01-01 01:29:59", 1L)))
+  }
+
+  test("streaming tumbling aggregation with watermark runs end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = Windows.streamingTumbling(
+      input.toDF().toDF("ts", "value"), "ts", "1 hour", "10 minutes",
+      Seq.empty, Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((ts("2024-01-01 00:05:00"), 1.0), (ts("2024-01-01 00:55:00"), 2.0))
+      q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .select($"window_start".cast("string"), $"n").as[(String, Long)]
+        .collect().toMap
+      assert(got == Map("2024-01-01 00:00:00" -> 2L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops later duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val dedup = Windows.streamingDedup(
+      input.toDF().toDF("event_id", "ts"), "ts", "1 hour", Seq("event_id"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:01:00")),
+        (2L, ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+}
