@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, EventQueries, LlmQueries}
+import graft.queries.{CoreQueries, EventQueries, LlmQueries, PigQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ EventQueries.queries ++ LlmQueries.queries
+    CoreQueries.queries ++ EventQueries.queries ++ LlmQueries.queries ++ PigQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Entries absent here (q26_sample,
@@ -29,5 +29,5 @@ object SparkEntry {
     * nature → driver records the weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ EventQueries.oracleSql ++ LlmQueries.oracleSql
+    CoreQueries.oracleSql ++ EventQueries.oracleSql ++ LlmQueries.oracleSql ++ PigQueries.oracleSql
 }

@@ -52,6 +52,22 @@ object Rank {
     rn.join(mins, keyCols, "inner").drop("_rn")
   }
 
+  /** General RANK BY with per-key directions (compiler entry point):
+    * sortCols define the total preorder, keyNames the tie-grouping
+    * columns (the same keys, already materialized as columns).
+    */
+  def rankBy(df: DataFrame, sortCols: Seq[Column], keyNames: Seq[String],
+             dense: Boolean, as: String): DataFrame =
+    if (!dense) {
+      val rn = rowNumber(df, sortCols, "_rn")
+      val mins = rn.groupBy(keyNames.map(col).toIndexedSeq: _*).agg(min("_rn").as(as))
+      rn.join(mins, keyNames, "inner").drop("_rn")
+    } else {
+      val keys = df.select(keyNames.map(col).toIndexedSeq: _*).distinct()
+      val ranked = rowNumber(keys, sortCols, as)
+      df.join(broadcast(ranked), keyNames, "inner")
+    }
+
   /** DENSE rank by keys — rank over the distinct key set (small), joined
     * back: distinct keys → sorted → row-numbered → broadcast join. */
   def denseRank(df: DataFrame, keyCols: Seq[String], ascending: Boolean = true,

@@ -1,0 +1,69 @@
+package graft.piglatin
+
+/** AST for the Pig Latin subset (SURVEY.md §2.1; grammar reference
+  * [R: src/org/apache/pig/parser/QueryParser.g]). The subset covers the
+  * relational statements and expression forms the reference's e2e tests
+  * exercise; macros/%declare/NATIVE/STREAM-DEFINE are out of scope
+  * (documented in Compiler).
+  */
+object Ast {
+
+  // ---------------------------------------------------------------- schema
+  final case class FieldDef(name: String, typ: Option[String])
+
+  // ------------------------------------------------------------ expressions
+  sealed trait Expr
+  final case class Lit(value: Any) extends Expr
+  case object NullLit extends Expr
+  final case class FieldRef(name: String) extends Expr            // name or a::b
+  final case class PosRef(index: Int) extends Expr                // $0
+  case object Star extends Expr                                   // *
+  final case class Deref(base: Expr, field: String) extends Expr  // rel.f / t.f
+  final case class MapLookup(base: Expr, key: String) extends Expr // m#'k'
+  final case class FuncCall(name: String, args: List[Expr]) extends Expr
+  final case class Neg(e: Expr) extends Expr
+  final case class Arith(op: String, l: Expr, r: Expr) extends Expr // + - * / %
+  final case class Cmp(op: String, l: Expr, r: Expr) extends Expr   // == != < <= > >= matches
+  final case class And(l: Expr, r: Expr) extends Expr
+  final case class Or(l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr
+  final case class BinCond(c: Expr, t: Expr, f: Expr) extends Expr  // c ? a : b
+  final case class CaseWhen(branches: List[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
+  final case class CastE(typ: String, e: Expr) extends Expr         // (int)x
+
+  // -------------------------------------------------------------- operators
+  final case class GenItem(expr: Expr, alias: Option[String], flatten: Boolean)
+
+  sealed trait RelOp
+  final case class Load(path: String, using: Option[FuncCall],
+                        schema: Option[List[FieldDef]]) extends RelOp
+  final case class FilterOp(input: String, cond: Expr) extends RelOp
+  final case class ForeachOp(input: String, gens: List[GenItem]) extends RelOp
+  final case class GroupOp(inputs: List[(String, List[Expr])], all: Boolean) extends RelOp
+  final case class JoinOp(inputs: List[(String, List[Expr])],
+                          outer: Option[String],   // LEFT/RIGHT/FULL
+                          using: Option[String]) extends RelOp // replicated/skewed/merge
+  final case class CrossOp(inputs: List[String]) extends RelOp
+  final case class OrderOp(input: String, keys: List[(Expr, Boolean)]) extends RelOp
+  final case class RankOp(input: String, keys: List[(Expr, Boolean)],
+                          dense: Boolean) extends RelOp
+  final case class LimitOp(input: String, n: Expr) extends RelOp
+  final case class DistinctOp(input: String) extends RelOp
+  final case class UnionOp(inputs: List[String], onSchema: Boolean) extends RelOp
+  final case class SampleOp(input: String, p: Double) extends RelOp
+  final case class AliasRef(input: String) extends RelOp // B = A;
+
+  // -------------------------------------------------------------- statements
+  sealed trait Stmt
+  final case class Assign(alias: String, op: RelOp) extends Stmt
+  final case class SplitStmt(input: String,
+                             branches: List[(String, Expr)],
+                             otherwise: Option[String]) extends Stmt
+  final case class StoreStmt(alias: String, path: String,
+                             using: Option[FuncCall]) extends Stmt
+  final case class DumpStmt(alias: String) extends Stmt
+  final case class DescribeStmt(alias: String) extends Stmt
+  final case class ExplainStmt(alias: String) extends Stmt
+  final case class AssertStmt(alias: String, cond: Expr, msg: Option[String]) extends Stmt
+}

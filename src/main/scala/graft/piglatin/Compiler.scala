@@ -1,0 +1,571 @@
+package graft.piglatin
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.dsl.{PigFunctions => PF}
+import graft.ops.Rank
+import Ast._
+
+/** Pig Latin → DataFrame compiler: the front-end that makes this engine
+  * a drop-in for the reference's user surface (SURVEY.md §3 lifecycle:
+  * parse → compile per statement → lazy until STORE/DUMP, exactly like
+  * `PigServer.registerQuery` [R: src/org/apache/pig/PigServer.java]).
+  *
+  * Supported subset: LOAD (PigStorage/TextLoader/JsonLoader/parquet) AS
+  * schema, STORE, FILTER, FOREACH..GENERATE (+FLATTEN, AS), GROUP/
+  * COGROUP [ALL], JOIN (inner/outer, USING 'replicated'|'skewed'|
+  * 'merge'), CROSS, ORDER BY, RANK [BY .. DENSE], LIMIT, DISTINCT,
+  * UNION [ONSCHEMA], SPLIT, SAMPLE, DISTINCT, ASSERT, DUMP/DESCRIBE/
+  * EXPLAIN, expressions (arith/bool/compare/MATCHES/IS NULL/bincond/
+  * CASE/casts/map-lookup/positional $n/builtin functions).
+  * Out of scope (documented per SURVEY.md §7.3): macros, %declare,
+  * STREAM DEFINE-ships, NATIVE-MR, nested FOREACH blocks, scripting UDFs.
+  *
+  * The GROUP→FOREACH aggregate fusion happens here: a FOREACH over a
+  * grouped relation whose generators are group keys / algebraic
+  * aggregates compiles straight to `groupBy().agg()` — Spark then runs
+  * partial/final aggregation, which is the reference's combiner
+  * optimization [R: …/mapReduceLayer/CombinerOptimizer.java] for free.
+  */
+final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
+
+  /** A compiled relation: the DataFrame plus (if it came from GROUP) the
+    * pre-group lineage needed for aggregate fusion.
+    */
+  private final case class RelInfo(
+      df: () => DataFrame, // lazy: bag materialization only if referenced
+      grouped: Option[GroupInfo] = None)
+
+  private final case class GroupInfo(
+      pre: DataFrame,              // join of the cogrouped inputs' rows (unary: the input)
+      keyCols: Seq[(Column, String)], // key expr → output name ("group" or group.field)
+      bagAliases: Seq[String])     // bag column names (one per input alias)
+
+  private val env = mutable.LinkedHashMap[String, RelInfo]()
+
+  def relation(alias: String): DataFrame =
+    env.getOrElse(alias, sys.error(s"unknown alias $alias")).df()
+
+  def aliases: Seq[String] = env.keys.toSeq
+
+  def run(script: String): PigEngine = {
+    val stmts = Parser.parse(script).fold(e => sys.error(s"parse error: $e"), identity)
+    stmts.foreach(exec)
+    this
+  }
+
+  // ------------------------------------------------------------- statements
+
+  private def exec(stmt: Stmt): Unit = stmt match {
+    case Assign(alias, op) => env(alias) = compileOp(alias, op)
+    case SplitStmt(in, branches, otherwise) =>
+      val parent = relation(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val conds = branches.map { case (_, c) => compileExpr(parent, c) }
+      branches.zip(conds).foreach { case ((a, _), c) =>
+        env(a) = RelInfo(() => parent.filter(c))
+      }
+      otherwise.foreach { a =>
+        env(a) = RelInfo(() => parent.filter(!conds.reduce(_ || _)))
+      }
+    case StoreStmt(alias, path, using) =>
+      val df = relation(alias)
+      val target = resolvePath(path)
+      using.map(_.name.toLowerCase) match {
+        case Some("pigstorage") =>
+          val sep = using.get.args.headOption.collect { case Lit(s: String) => s }.getOrElse("\t")
+          df.write.mode("overwrite").option("sep", sep).csv(target)
+        case Some("jsonstorage") => df.write.mode("overwrite").json(target)
+        case _ => df.write.mode("overwrite").parquet(target)
+      }
+    case DumpStmt(alias) => relation(alias).show(100, truncate = false)
+    case DescribeStmt(alias) => println(s"$alias: ${relation(alias).schema.simpleString}")
+    case ExplainStmt(alias) => relation(alias).explain("formatted")
+    case AssertStmt(alias, cond, msg) =>
+      val df = relation(alias)
+      if (!df.filter(!coalesce(compileExpr(df, cond), lit(false))).isEmpty)
+        throw new IllegalStateException(s"ASSERT $alias failed: ${msg.getOrElse("")}")
+  }
+
+  // -------------------------------------------------------------- operators
+
+  private def compileOp(alias: String, op: RelOp): RelInfo = op match {
+    case Load(path, using, schema) => RelInfo(() => load(path, using, schema))
+
+    case FilterOp(in, cond) =>
+      val d = relation(in); RelInfo(() => d.filter(compileExpr(d, cond)))
+
+    case ForeachOp(in, gens) => compileForeach(in, gens)
+
+    case GroupOp(inputs, all) => compileGroup(inputs, all)
+
+    case JoinOp(inputs, outer, using) =>
+      RelInfo(() => compileJoin(inputs, outer, using))
+
+    case CrossOp(ins) =>
+      RelInfo(() => ins.map(relation).reduce(_ crossJoin _))
+
+    case OrderOp(in, keys) =>
+      val d = relation(in)
+      RelInfo(() => d.orderBy(keys.map { case (e, asc) =>
+        val c = compileExpr(d, e); if (asc) c.asc else c.desc
+      }: _*))
+
+    case RankOp(in, Nil, _) =>
+      // bare RANK: 1-based row number in the relation's current order
+      RelInfo(() => Rank.rowNumber(relation(in), Nil, s"rank_$in"))
+
+    case RankOp(in, keys, dense) => RelInfo(() => {
+      val d = relation(in)
+      val tmp = keys.zipWithIndex.map { case ((e, _), i) => (s"_rk$i", compileExpr(d, e)) }
+      val withKeys = tmp.foldLeft(d) { case (acc, (n, c)) => acc.withColumn(n, c) }
+      val sortCols = tmp.zip(keys).map { case ((n, _), (_, asc)) =>
+        if (asc) col(n).asc else col(n).desc }
+      Rank.rankBy(withKeys, sortCols, tmp.map(_._1), dense, s"rank_$in")
+        .drop(tmp.map(_._1): _*)
+    })
+
+    case LimitOp(in, n) =>
+      val d = relation(in)
+      val lim = n match {
+        case Lit(i: Int) => i
+        case Lit(l: Long) => l.toInt
+        case other => sys.error(s"LIMIT expects an integer literal, got $other")
+      }
+      RelInfo(() => d.limit(lim))
+
+    case DistinctOp(in) => RelInfo(() => relation(in).distinct())
+
+    case UnionOp(ins, onSchema) => RelInfo(() =>
+      ins.map(relation).reduce((a, b) =>
+        if (onSchema) a.unionByName(b, allowMissingColumns = true) else a.union(b)))
+
+    case SampleOp(in, p) => RelInfo(() => relation(in).sample(p, 42L))
+
+    case AliasRef(in) => env.getOrElse(in, sys.error(s"unknown alias $in"))
+  }
+
+  // ------------------------------------------------------------------- load
+
+  private def resolvePath(p: String): String =
+    if (p.startsWith("/") || baseDir.isEmpty) p else s"${baseDir.get}/$p"
+
+  private def pigType(t: String): DataType = t match {
+    case "int" => IntegerType; case "long" => LongType
+    case "float" => FloatType; case "double" => DoubleType
+    case "chararray" => StringType; case "bytearray" => BinaryType
+    case "boolean" => BooleanType; case "datetime" => TimestampType
+    case "biginteger" => DecimalType(38, 0); case "bigdecimal" => DecimalType(38, 18)
+    case other => sys.error(s"unsupported type $other")
+  }
+
+  private def load(path: String, using: Option[FuncCall],
+                   schema: Option[List[FieldDef]]): DataFrame = {
+    val target = resolvePath(path)
+    val st = schema.map(fs => StructType(fs.map(f =>
+      StructField(f.name, f.typ.map(pigType).getOrElse(StringType)))))
+    using.map(_.name.toLowerCase) match {
+      case Some("pigstorage") =>
+        val sep = using.get.args.headOption.collect { case Lit(s: String) => s }.getOrElse("\t")
+        val r = spark.read.option("sep", sep)
+        st.map(r.schema).getOrElse(r.option("inferSchema", "true")).csv(target)
+      case Some("textloader") =>
+        val d = spark.read.text(target)
+        schema.flatMap(_.headOption).map(f => d.toDF(f.name)).getOrElse(d)
+      case Some("jsonloader") =>
+        val r = spark.read
+        st.map(r.schema).getOrElse(r).json(target)
+      case _ => // parquet is this engine's native format (BinStorage analog)
+        val d = spark.read.parquet(target)
+        schema.map(fs => d.toDF(fs.map(_.name): _*)).getOrElse(d)
+    }
+  }
+
+  // ------------------------------------------------------------------ group
+
+  private def compileGroup(inputs: List[(String, List[Expr])], all: Boolean): RelInfo = {
+    val bagAliases = inputs.map(_._1)
+    if (inputs.size == 1) {
+      val (in, keys) = inputs.head
+      val pre = relation(in)
+      val keyCols: Seq[(Column, String)] =
+        if (all) Seq((lit("all"), "group"))
+        else if (keys.size == 1) Seq((compileExpr(pre, keys.head), "group"))
+        else Seq((struct(keys.zipWithIndex.map { case (k, i) =>
+          compileExpr(pre, k).as(keyName(k, i)) }: _*), "group"))
+      val ginfo = GroupInfo(pre, keyCols, bagAliases)
+      RelInfo(() => materializeBags(ginfo), Some(ginfo))
+    } else {
+      // COGROUP: per-input bag aggregation, chained full-outer join on key
+      val perInput = inputs.map { case (in, keys) =>
+        val d = relation(in)
+        val k = if (keys.size == 1) compileExpr(d, keys.head)
+                else struct(keys.zipWithIndex.map { case (e, i) =>
+                  compileExpr(d, e).as(keyName(e, i)) }: _*)
+        d.groupBy(k.as("group"))
+          .agg(collect_list(struct(d.columns.map(col).toIndexedSeq: _*)).as(in))
+      }
+      val joined = perInput.reduce((a, b) => a.join(b, Seq("group"), "full_outer"))
+      val withBags = joined.select(col("group") +: bagAliases.map(a =>
+        coalesce(col(a), array()).as(a)): _*)
+      RelInfo(() => withBags)
+    }
+  }
+
+  private def keyName(e: Expr, i: Int): String = e match {
+    case FieldRef(n) => n.split("::").last
+    case _ => s"k$i"
+  }
+
+  private def materializeBags(g: GroupInfo): DataFrame = {
+    val in = g.bagAliases.head
+    val d = g.pre
+    d.groupBy(g.keyCols.map { case (c, n) => c.as(n) }: _*)
+      .agg(collect_list(struct(d.columns.map(col).toIndexedSeq: _*)).as(in))
+  }
+
+  // ------------------------------------------------------------------- join
+
+  private def compileJoin(inputs: List[(String, List[Expr])],
+                          outer: Option[String], using: Option[String]): DataFrame = {
+    require(inputs.size >= 2, "JOIN needs at least two inputs")
+    val joinType = outer match {
+      case Some("left") => "left_outer"; case Some("right") => "right_outer"
+      case Some("full") => "full_outer"; case None => "inner"
+      case Some(o) => sys.error(s"unknown outer type $o")
+    }
+    inputs.map { case (alias, keys) => (alias, relation(alias), keys) }
+      .reduceLeft[(String, DataFrame, List[Expr])] {
+        case ((la, ld, lk), (ra, rd0, rk)) =>
+          // disambiguate colliding column names with the Pig alias:: prefix
+          val collisions = ld.columns.toSet.intersect(rd0.columns.toSet)
+          val rd = collisions.foldLeft(rd0)((d, c) => d.withColumnRenamed(c, s"$ra::$c"))
+          val rkResolved = rk.map {
+            case FieldRef(n) if collisions.contains(n) => FieldRef(s"$ra::$n")
+            case e => e
+          }
+          val cond = lk.zip(rkResolved).map { case (l, r) =>
+            compileExpr(ld, l) === compileExpr(rd, r) }.reduce(_ && _)
+          val right = using match {
+            case Some("replicated") => broadcast(rd)
+            case Some("merge") => rd.hint("merge")
+            case Some("skewed") => rd.hint("shuffle_merge")
+            case _ => rd
+          }
+          (la, ld.join(right, cond, joinType), lk)
+      }._2
+  }
+
+  // ---------------------------------------------------------------- foreach
+
+  private val aggNames = Set("count", "count_star", "sum", "avg", "min", "max", "var", "stddev")
+
+  private def compileForeach(in: String, gens: List[GenItem]): RelInfo = {
+    val info = env.getOrElse(in, sys.error(s"unknown alias $in"))
+    info.grouped match {
+      case Some(g) if gens.forall(gi => isFusable(gi.expr, g)) =>
+        RelInfo(() => fusedAgg(g, gens))
+      case _ =>
+        RelInfo(() => plainForeach(info.df(), gens))
+    }
+  }
+
+  /** A generator fuses when it only touches group keys and algebraic
+    * aggregates over the bag — Pig's combiner eligibility check. */
+  private def isFusable(e: Expr, g: GroupInfo): Boolean = e match {
+    case FieldRef("group") => true
+    case Deref(FieldRef("group"), _) => true
+    case FuncCall(f, args) if aggNames.contains(f.toLowerCase) =>
+      args.forall(a => refsOnlyBag(a, g))
+    case Arith(_, l, r) => isFusable(l, g) && isFusable(r, g)
+    case CastE(_, x) => isFusable(x, g)
+    case Lit(_) | NullLit => true
+    case _ => false
+  }
+
+  private def refsOnlyBag(e: Expr, g: GroupInfo): Boolean = e match {
+    case FieldRef(n) => g.bagAliases.contains(n)
+    case CastE(_, x) => refsOnlyBag(x, g)
+    case Deref(base, _) => refsOnlyBag(base, g)
+    case Arith(_, l, r) => refsOnlyBag(l, g) && refsOnlyBag(r, g)
+    case FuncCall(_, args) => args.forall(refsOnlyBag(_, g))
+    case Lit(_) | NullLit => true
+    case _ => false
+  }
+
+  /** Rewrite bag-relative refs (A.f / A) to pre-group columns. */
+  private def stripBag(e: Expr, g: GroupInfo): Expr = e match {
+    case Deref(FieldRef(n), f) if g.bagAliases.contains(n) => FieldRef(f)
+    case FieldRef(n) if g.bagAliases.contains(n) => Star
+    case Deref(b, f) => Deref(stripBag(b, g), f)
+    case CastE(t, x) => CastE(t, stripBag(x, g))
+    case Arith(op, l, r) => Arith(op, stripBag(l, g), stripBag(r, g))
+    case FuncCall(f, args) => FuncCall(f, args.map(stripBag(_, g)))
+    case other => other
+  }
+
+  private def fusedAgg(g: GroupInfo, gens: List[GenItem]): DataFrame = {
+    val pre = g.pre
+    val keyed = pre.groupBy(g.keyCols.map { case (c, n) => c.as(n) }: _*)
+    val (keyGens, aggGens) = gens.partition(gi => gi.expr match {
+      case FieldRef("group") | Deref(FieldRef("group"), _) => true
+      case _ => false
+    })
+    val aggCols = aggGens.zipWithIndex.map { case (gi, i) =>
+      compileAgg(pre, stripBag(gi.expr, g)).as(gi.alias.getOrElse(defaultName(gi.expr, i)))
+    }
+    val agged = keyed.agg(aggCols.head, aggCols.tail: _*)
+    // now project in the requested order, resolving group refs
+    val outCols = gens.zipWithIndex.map { case (gi, i) =>
+      gi.expr match {
+        case FieldRef("group") => col("group").as(gi.alias.getOrElse("group"))
+        case Deref(FieldRef("group"), f) => col(s"group.$f").as(gi.alias.getOrElse(f))
+        case e => col(aggGens.indexWhere(_ eq gi) match {
+          case idx => aggGens(idx).alias.getOrElse(defaultName(e, idx))
+        })
+      }
+    }
+    agged.select(outCols: _*)
+  }
+
+  private def compileAgg(pre: DataFrame, e: Expr): Column = e match {
+    case FuncCall(f, args) if aggNames.contains(f.toLowerCase) =>
+      val inner = args.headOption.map {
+        case Star => col(pre.columns.head) // COUNT(A): non-null first field
+        case a => compileExpr(pre, a)
+      }
+      f.toLowerCase match {
+        case "count" => count(inner.getOrElse(lit(1)))
+        case "count_star" => count(lit(1))
+        case "sum" => sum(inner.get)
+        case "avg" => avg(inner.get)
+        case "min" => min(inner.get)
+        case "max" => max(inner.get)
+        case "var" => var_samp(inner.get)
+        case "stddev" => stddev(inner.get)
+      }
+    case Arith(op, l, r) =>
+      val lc = compileAgg(pre, l); val rc = compileAgg(pre, r)
+      op match {
+        case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+        case "/" => PF.divide(lc, rc); case "%" => PF.mod(lc, rc)
+      }
+    case CastE(t, x) => compileAgg(pre, x).cast(pigType(t))
+    case Lit(v) => lit(v)
+    case other => sys.error(s"not an aggregate expression: $other")
+  }
+
+  private def plainForeach(df: DataFrame, gens: List[GenItem]): DataFrame = {
+    // 1) compute all items as columns (Star expands in place)
+    var tmpIdx = 0
+    val cols = gens.zipWithIndex.flatMap { case (gi, i) =>
+      gi.expr match {
+        case Star if !gi.flatten => df.columns.map(col).toSeq
+        case e =>
+          val name = gi.alias.getOrElse(defaultName(e, i))
+          Seq(compileExpr(df, e).as(name))
+      }
+    }
+    var out = df.select(cols: _*)
+    // 2) explode flattened items (bag → rows; struct → splat), in order —
+    //    multiple FLATTENs multiply out (Pig cross-product semantics)
+    gens.zipWithIndex.foreach { case (gi, i) =>
+      if (gi.flatten) {
+        val name = gi.alias.getOrElse(defaultName(gi.expr, i))
+        out.schema(name).dataType match {
+          case ArrayType(_, _) =>
+            out = out.withColumn(name, explode(col(name)))
+            out.schema(name).dataType match {
+              case s: StructType if gi.alias.isEmpty =>
+                out = splat(out, name, s)
+              case _ =>
+            }
+          case s: StructType => out = splat(out, name, s)
+          case _ => // flatten of scalar is a no-op
+        }
+      }
+    }
+    out
+  }
+
+  private def splat(df: DataFrame, name: String, s: StructType): DataFrame = {
+    val others = df.columns.filterNot(_ == name).map(col)
+    val fields = s.fields.map(f => col(s"`$name`.`${f.name}`").as(f.name))
+    df.select(others ++ fields: _*)
+  }
+
+  private def defaultName(e: Expr, i: Int): String = e match {
+    case FieldRef(n) => n.split("::").last
+    case Deref(_, f) => f
+    case PosRef(_) => s"val_$i"
+    case FuncCall(n, _) => s"${n.toLowerCase}_$i"
+    case _ => s"val_$i"
+  }
+
+  // ------------------------------------------------------------ expressions
+
+  private def compileExpr(df: DataFrame, e: Expr): Column = e match {
+    case Lit(v) => lit(v)
+    case NullLit => lit(null)
+    case Star => struct(df.columns.map(col).toIndexedSeq: _*)
+    case PosRef(i) => col(df.columns(i))
+    case FieldRef(n) => resolveField(df, n)
+    case Deref(base, f) =>
+      val b = compileExpr(df, base)
+      typeOf(df, b) match {
+        case ArrayType(_: StructType, _) => transform(b, x => x.getField(f))
+        case _ => b.getField(f)
+      }
+    case MapLookup(base, k) => element_at(compileExpr(df, base), k)
+    case Neg(x) => negate(compileExpr(df, x))
+    case Arith(op, l, r) =>
+      val (lc, rc) = (compileExpr(df, l), compileExpr(df, r))
+      op match {
+        case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+        case "/" => PF.divide(lc, rc); case "%" => PF.mod(lc, rc)
+      }
+    case Cmp("matches", l, Lit(p: String)) => PF.matches(compileExpr(df, l), p)
+    case Cmp(op, l, r) =>
+      val (lc, rc) = (compileExpr(df, l), compileExpr(df, r))
+      op match {
+        case "==" => lc === rc; case "!=" => lc =!= rc
+        case "<" => lc < rc; case "<=" => lc <= rc
+        case ">" => lc > rc; case ">=" => lc >= rc
+      }
+    case And(l, r) => compileExpr(df, l) && compileExpr(df, r)
+    case Or(l, r) => compileExpr(df, l) || compileExpr(df, r)
+    case Not(x) => !compileExpr(df, x)
+    case IsNull(x, neg) =>
+      val c = compileExpr(df, x); if (neg) c.isNotNull else c.isNull
+    case BinCond(c, t, f) =>
+      when(compileExpr(df, c), compileExpr(df, t)).otherwise(compileExpr(df, f))
+    case CaseWhen(branches, other) =>
+      val w = branches.tail.foldLeft(
+        when(compileExpr(df, branches.head._1), compileExpr(df, branches.head._2))) {
+        case (acc, (c, v)) => acc.when(compileExpr(df, c), compileExpr(df, v))
+      }
+      other.map(o => w.otherwise(compileExpr(df, o))).getOrElse(w)
+    case CastE(t, x) => compileExpr(df, x).cast(pigType(t))
+    case FuncCall(name, args) => builtin(df, name, args.map(compileExpr(df, _)), args)
+    case other => sys.error(s"cannot compile expression $other")
+  }
+
+  private def resolveField(df: DataFrame, n: String): Column =
+    if (df.columns.contains(n)) col(s"`$n`")
+    else df.columns.find(_.endsWith(s"::$n")) match {
+      case Some(q) => col(s"`$q`")
+      case None => col(n) // let Spark resolve nested paths / fail with its error
+    }
+
+  private def typeOf(df: DataFrame, c: Column): DataType =
+    df.select(c).schema.head.dataType
+
+  /** Builtin scalar function registry (SURVEY.md §2.4 surface). */
+  private def builtin(df: DataFrame, name: String, cs: List[Column],
+                      raw: List[Expr]): Column = name.toUpperCase match {
+    case "CONCAT" => concat(cs: _*)
+    case "UPPER" => upper(cs.head)
+    case "LOWER" => lower(cs.head)
+    case "TRIM" => trim(cs.head)
+    case "LTRIM" => ltrim(cs.head)
+    case "RTRIM" => rtrim(cs.head)
+    case "SUBSTRING" => PF.substringPig(cs.head, cs(1), cs(2))
+    case "INDEXOF" => PF.indexOf(cs.head, cs(1))
+    case "LAST_INDEX_OF" =>
+      raw(1) match { case Lit(s: String) => PF.lastIndexOf(cs.head, s)
+        case _ => sys.error("LAST_INDEX_OF needs a literal needle") }
+    case "REPLACE" => raw match {
+      case List(_, Lit(p: String), Lit(r: String)) => regexp_replace(cs.head, p, r)
+      case _ => sys.error("REPLACE needs literal pattern/replacement")
+    }
+    case "REGEX_EXTRACT" => raw match {
+      case List(_, Lit(p: String), Lit(i: Int)) => PF.regexExtract(cs.head, p, i)
+      case _ => sys.error("REGEX_EXTRACT needs literal pattern/index")
+    }
+    case "STRSPLIT" => raw match {
+      case List(_, Lit(p: String)) => split(cs.head, p)
+      case _ => sys.error("STRSPLIT needs a literal pattern")
+    }
+    case "STRSPLITTOBAG" => raw match {
+      case List(_, Lit(p: String)) => split(cs.head, p)
+      case _ => sys.error("STRSPLITTOBAG needs a literal pattern")
+    }
+    case "TOKENIZE" => PF.tokenize(cs.head)
+    case "SPRINTF" => raw.head match {
+      case Lit(f: String) => format_string(f, cs.tail: _*)
+      case _ => sys.error("SPRINTF needs a literal format")
+    }
+    case "STARTSWITH" => cs.head.startsWith(cs(1))
+    case "ENDSWITH" => cs.head.endsWith(cs(1))
+    case "EQUALSIGNORECASE" => PF.equalsIgnoreCase(cs.head, cs(1))
+    case "UCFIRST" => PF.ucfirst(cs.head)
+    case "LCFIRST" => PF.lcfirst(cs.head)
+    case "SIZE" => typeOf(df, cs.head) match {
+      case StringType => PF.sizeOfString(cs.head)
+      case _: ArrayType | _: MapType => size(cs.head).cast(LongType)
+      case _: StructType => lit(1L) // SIZE of tuple = field count at runtime in Pig; static here
+      case _ => lit(1L)
+    }
+    case "ISEMPTY" => PF.isEmpty(cs.head)
+    case "BAGTOSTRING" => raw(1) match {
+      case Lit(d: String) => PF.bagToString(cs.head, d)
+      case _ => sys.error("BagToString needs a literal delimiter")
+    }
+    case "DIFF" => PF.diff(cs.head, cs(1))
+    case "TOTUPLE" => struct(cs: _*)
+    case "TOBAG" => array(cs: _*)
+    case "TOMAP" => map(cs: _*)
+    case "ABS" => abs(cs.head)
+    case "CEIL" => ceil(cs.head).cast(DoubleType)   // Pig CEIL returns double
+    case "FLOOR" => floor(cs.head).cast(DoubleType)
+    case "ROUND" => PF.roundPig(cs.head)
+    case "ROUND_TO" => raw(1) match {
+      case Lit(d: Int) => PF.roundTo(cs.head, d)
+      case _ => sys.error("ROUND_TO needs a literal digit count")
+    }
+    case "SQRT" => sqrt(cs.head)
+    case "CBRT" => cbrt(cs.head)
+    case "EXP" => exp(cs.head)
+    case "LOG" => log(cs.head)
+    case "LOG10" => log10(cs.head)
+    case "RANDOM" => rand()
+    case "TODATE" => raw match {
+      case List(_) => cs.head.cast(TimestampType)
+      case List(_, Lit(f: String)) => to_timestamp(cs.head, f)
+      case _ => sys.error("ToDate(str[, format])")
+    }
+    case "TOSTRING" => raw match {
+      case List(_, Lit(f: String)) => date_format(cs.head, f)
+      case _ => cs.head.cast(StringType)
+    }
+    case "TOUNIXTIME" => PF.toUnixTime(cs.head)
+    case "CURRENTTIME" => current_timestamp()
+    case "GETYEAR" => PF.getYear(cs.head)
+    case "GETMONTH" => PF.getMonth(cs.head)
+    case "GETDAY" => PF.getDay(cs.head)
+    case "GETHOUR" => PF.getHour(cs.head)
+    case "GETMINUTE" => PF.getMinute(cs.head)
+    case "GETSECOND" => PF.getSecond(cs.head)
+    case "GETWEEK" => PF.getWeek(cs.head)
+    case "ADDDURATION" => raw(1) match {
+      case Lit(d: String) => PF.addDuration(cs.head, d)
+      case _ => sys.error("AddDuration needs a literal ISO duration")
+    }
+    case "SUBTRACTDURATION" => raw(1) match {
+      case Lit(d: String) => PF.subtractDuration(cs.head, d)
+      case _ => sys.error("SubtractDuration needs a literal ISO duration")
+    }
+    case "DAYSBETWEEN" => PF.daysBetween(cs.head, cs(1))
+    case "HOURSBETWEEN" => PF.hoursBetween(cs.head, cs(1))
+    case "MINUTESBETWEEN" => PF.minutesBetween(cs.head, cs(1))
+    case "SECONDSBETWEEN" => PF.secondsBetween(cs.head, cs(1))
+    case "MILLISECONDSBETWEEN" => PF.milliSecondsBetween(cs.head, cs(1))
+    // aggregates appearing in non-fused contexts operate on bag columns
+    case "COUNT" => size(cs.head).cast(LongType)
+    case "SUM" => aggregate(cs.head, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
+    case "MAX" => array_max(cs.head)
+    case "MIN" => array_min(cs.head)
+    case other => sys.error(s"unknown function $other")
+  }
+}

@@ -1,0 +1,382 @@
+package graft.piglatin
+
+import Ast._
+import Lexer._
+
+/** Recursive-descent parser for the Pig Latin subset (grammar shape per
+  * the reference's ANTLR grammar
+  * [R: src/org/apache/pig/parser/QueryParser.g]). Statements end with
+  * ';'. Keywords are case-insensitive.
+  */
+object Parser {
+
+  final case class ParseError(msg: String) extends RuntimeException(msg)
+
+  def parse(src: String): Either[String, List[Stmt]] =
+    Lexer.tokenize(src) match {
+      case Left(e) => Left(e)
+      case Right(toks) =>
+        try Right(new Parser(toks).program())
+        catch { case ParseError(m) => Left(m) }
+    }
+
+  private final class Parser(toks: Vector[Tok]) {
+    private var p = 0
+    private def cur: Tok = toks(p)
+    private def advance(): Tok = { val t = cur; p += 1; t }
+    private def fail(msg: String): Nothing =
+      throw ParseError(s"$msg at offset ${cur.pos} (token $cur)")
+
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case Ident(s, _) => s.equalsIgnoreCase(kw); case _ => false
+    }
+    private def atKw(kw: String): Boolean = isKw(cur, kw)
+    private def eatKw(kw: String): Unit =
+      if (atKw(kw)) p += 1 else fail(s"expected $kw")
+    private def tryKw(kw: String): Boolean =
+      if (atKw(kw)) { p += 1; true } else false
+    private def atSym(s: String): Boolean = cur match {
+      case Sym(x, _) => x == s; case _ => false
+    }
+    private def eatSym(s: String): Unit =
+      if (atSym(s)) p += 1 else fail(s"expected '$s'")
+    private def trySym(s: String): Boolean =
+      if (atSym(s)) { p += 1; true } else false
+    private def ident(): String = cur match {
+      case Ident(s, _) => p += 1; s
+      case _ => fail("expected identifier")
+    }
+    private def str(): String = cur match {
+      case StrLit(s, _) => p += 1; s
+      case _ => fail("expected string literal")
+    }
+
+    def program(): List[Stmt] = {
+      val stmts = List.newBuilder[Stmt]
+      while (!cur.isInstanceOf[Eof]) {
+        stmts += statement()
+        while (trySym(";")) ()
+      }
+      stmts.result()
+    }
+
+    private def statement(): Stmt = {
+      if (atKw("store")) { eatKw("store"); val a = ident(); eatKw("into"); val path = str()
+        val using = if (tryKw("using")) Some(funcSpec()) else None
+        StoreStmt(a, path, using)
+      }
+      else if (atKw("dump")) { eatKw("dump"); DumpStmt(ident()) }
+      else if (atKw("describe")) { eatKw("describe"); DescribeStmt(ident()) }
+      else if (atKw("explain")) { eatKw("explain"); ExplainStmt(ident()) }
+      else if (atKw("split")) splitStmt()
+      else if (atKw("assert")) { eatKw("assert"); val a = ident(); eatKw("by"); val c = expr()
+        val msg = if (trySym(",")) Some(str()) else None
+        AssertStmt(a, c, msg)
+      }
+      else {
+        val alias = ident()
+        eatSym("=")
+        Assign(alias, relOp())
+      }
+    }
+
+    private def splitStmt(): Stmt = {
+      eatKw("split"); val in = ident(); eatKw("into")
+      val branches = List.newBuilder[(String, Expr)]
+      var otherwise: Option[String] = None
+      var done = false
+      while (!done) {
+        val a = ident()
+        if (tryKw("if")) branches += ((a, expr()))
+        else fail("expected IF")
+        if (trySym(",")) {
+          if (atKw("otherwise") || peekIsOtherwiseBranch()) {
+            // 'name OTHERWISE' form
+            val save = p
+            val name = ident()
+            if (tryKw("otherwise")) { otherwise = Some(name); done = true }
+            else { p = save }
+          }
+        } else done = true
+      }
+      SplitStmt(in, branches.result(), otherwise)
+    }
+
+    private def peekIsOtherwiseBranch(): Boolean = {
+      toks.lift(p + 1).exists(t => isKw(t, "otherwise"))
+    }
+
+    private def funcSpec(): FuncCall = {
+      val name = ident()
+      val args = if (trySym("(")) {
+        val as = List.newBuilder[Expr]
+        if (!atSym(")")) { as += expr(); while (trySym(",")) as += expr() }
+        eatSym(")")
+        as.result()
+      } else Nil
+      FuncCall(name, args)
+    }
+
+    // ------------------------------------------------------------ operators
+
+    private def relOp(): RelOp = {
+      if (atKw("load")) { eatKw("load"); val path = str()
+        val using = if (tryKw("using")) Some(funcSpec()) else None
+        val schema = if (tryKw("as")) Some(schemaSpec()) else None
+        Load(path, using, schema)
+      }
+      else if (atKw("filter")) { eatKw("filter"); val in = ident(); eatKw("by"); FilterOp(in, expr()) }
+      else if (atKw("foreach")) { eatKw("foreach"); val in = ident(); eatKw("generate")
+        ForeachOp(in, genItems())
+      }
+      else if (atKw("group") || atKw("cogroup")) { p += 1
+        val first = groupInput()
+        if (first._2.isEmpty) GroupOp(List(first), all = true)
+        else {
+          val inputs = List.newBuilder[(String, List[Expr])]
+          inputs += first
+          while (trySym(",")) inputs += groupInput()
+          GroupOp(inputs.result(), all = false)
+        }
+      }
+      else if (atKw("join")) { eatKw("join")
+        val inputs = List.newBuilder[(String, List[Expr])]
+        inputs += joinInput()
+        var outer: Option[String] = None
+        // A BY k [LEFT|RIGHT|FULL] [OUTER], B BY k2
+        if (atKw("left") || atKw("right") || atKw("full")) {
+          outer = Some(ident().toLowerCase); tryKw("outer")
+        }
+        while (trySym(",")) inputs += joinInput()
+        val using = if (tryKw("using")) Some(str().toLowerCase) else None
+        JoinOp(inputs.result(), outer, using)
+      }
+      else if (atKw("cross")) { eatKw("cross")
+        val ins = List.newBuilder[String]; ins += ident()
+        while (trySym(",")) ins += ident()
+        CrossOp(ins.result())
+      }
+      else if (atKw("order")) { eatKw("order"); val in = ident(); eatKw("by")
+        OrderOp(in, sortKeys())
+      }
+      else if (atKw("rank")) { eatKw("rank"); val in = ident()
+        if (tryKw("by")) {
+          val keys = sortKeys()
+          val dense = tryKw("dense")
+          RankOp(in, keys, dense)
+        } else RankOp(in, Nil, dense = false)
+      }
+      else if (atKw("limit")) { eatKw("limit"); val in = ident(); LimitOp(in, expr()) }
+      else if (atKw("distinct")) { eatKw("distinct"); DistinctOp(ident()) }
+      else if (atKw("union")) { eatKw("union")
+        val onSchema = tryKw("onschema")
+        val ins = List.newBuilder[String]; ins += ident()
+        while (trySym(",")) ins += ident()
+        UnionOp(ins.result(), onSchema)
+      }
+      else if (atKw("sample")) { eatKw("sample"); val in = ident()
+        cur match {
+          case NumLit(v, _) => p += 1; SampleOp(in, v match {
+            case d: Double => d; case f: Float => f.toDouble
+            case i: Int => i.toDouble; case l: Long => l.toDouble
+          })
+          case _ => fail("expected sample probability")
+        }
+      }
+      else AliasRef(ident())
+    }
+
+    private def groupInput(): (String, List[Expr]) = {
+      val in = ident()
+      if (tryKw("all")) (in, Nil)
+      else { eatKw("by"); (in, keyList()) }
+    }
+
+    private def joinInput(): (String, List[Expr]) = {
+      val in = ident(); eatKw("by"); (in, keyList())
+    }
+
+    private def keyList(): List[Expr] = {
+      if (trySym("(")) {
+        val ks = List.newBuilder[Expr]; ks += expr()
+        while (trySym(",")) ks += expr()
+        eatSym(")")
+        ks.result()
+      } else List(expr())
+    }
+
+    private def sortKeys(): List[(Expr, Boolean)] = {
+      val ks = List.newBuilder[(Expr, Boolean)]
+      def one(): Unit = {
+        val e = expr()
+        val asc = if (tryKw("desc")) false else { tryKw("asc"); true }
+        ks += ((e, asc))
+      }
+      one(); while (trySym(",")) one()
+      ks.result()
+    }
+
+    private def genItems(): List[GenItem] = {
+      val items = List.newBuilder[GenItem]
+      def one(): Unit = {
+        val flat = if (atKw("flatten")) { p += 1; eatSym("("); true } else false
+        val e = expr()
+        if (flat) eatSym(")")
+        val alias = if (tryKw("as")) {
+          // AS name or AS (name:type) — keep simple name form
+          if (trySym("(")) { val n = ident(); if (trySym(":")) ident(); eatSym(")"); Some(n) }
+          else { val n = ident(); if (trySym(":")) ident(); Some(n) }
+        } else None
+        items += GenItem(e, alias, flat)
+      }
+      one(); while (trySym(",")) one()
+      items.result()
+    }
+
+    private def schemaSpec(): List[FieldDef] = {
+      eatSym("(")
+      val fs = List.newBuilder[FieldDef]
+      def one(): Unit = {
+        val n = ident()
+        val t = if (trySym(":")) Some(ident().toLowerCase) else None
+        fs += FieldDef(n, t)
+      }
+      one(); while (trySym(",")) one()
+      eatSym(")")
+      fs.result()
+    }
+
+    // ----------------------------------------------------------- expressions
+
+    private val types = Set("int", "long", "float", "double", "chararray",
+      "bytearray", "boolean", "datetime", "biginteger", "bigdecimal")
+
+    def expr(): Expr = orExpr()
+
+    private def orExpr(): Expr = {
+      var l = andExpr()
+      while (atKw("or")) { p += 1; l = Or(l, andExpr()) }
+      l
+    }
+
+    private def andExpr(): Expr = {
+      var l = notExpr()
+      while (atKw("and")) { p += 1; l = And(l, notExpr()) }
+      l
+    }
+
+    private def notExpr(): Expr =
+      if (atKw("not")) { p += 1; Not(notExpr()) } else cmpExpr()
+
+    private def cmpExpr(): Expr = {
+      val l = addExpr()
+      if (atSym("==") || atSym("!=") || atSym("<") || atSym("<=") || atSym(">") || atSym(">=")) {
+        val op = advance().asInstanceOf[Sym].s
+        val r = addExpr()
+        condSuffix(Cmp(op, l, r))
+      }
+      else if (atKw("matches")) { p += 1
+        val pat = str()
+        condSuffix(Cmp("matches", l, Lit(pat)))
+      }
+      else if (atKw("is")) { p += 1
+        val neg = tryKw("not"); eatKw("null")
+        condSuffix(IsNull(l, neg))
+      }
+      else condSuffix(l)
+    }
+
+    // `cond ? a : b`
+    private def condSuffix(e: Expr): Expr =
+      if (trySym("?")) {
+        val t = expr(); eatSym(":"); val f = expr()
+        BinCond(e, t, f)
+      } else e
+
+    private def addExpr(): Expr = {
+      var l = mulExpr()
+      while (atSym("+") || atSym("-")) {
+        val op = advance().asInstanceOf[Sym].s
+        l = Arith(op, l, mulExpr())
+      }
+      l
+    }
+
+    private def mulExpr(): Expr = {
+      var l = unary()
+      while (atSym("*") || atSym("/") || atSym("%")) {
+        val op = advance().asInstanceOf[Sym].s
+        l = Arith(op, l, unary())
+      }
+      l
+    }
+
+    private def unary(): Expr = {
+      if (atSym("-")) { p += 1; Neg(unary()) }
+      else if (atSym("(")) {
+        // cast or parenthesized expr
+        cur match {
+          case _ =>
+            val save = p
+            p += 1 // consumed '(' via save-based path below
+            p = save
+            eatSym("(")
+            cur match {
+              case Ident(t, _) if types.contains(t.toLowerCase) && toks.lift(p + 1).exists {
+                case Sym(")", _) => true; case _ => false
+              } =>
+                val typ = ident().toLowerCase; eatSym(")")
+                CastE(typ, unary())
+              case _ =>
+                val e = expr(); eatSym(")")
+                postfix(e)
+            }
+        }
+      }
+      else postfix(primary())
+    }
+
+    private def postfix(e0: Expr): Expr = {
+      var e = e0
+      var continue = true
+      while (continue) {
+        if (atSym(".")) { p += 1; e = Deref(e, ident()) }
+        else if (atSym("#")) { p += 1; e = MapLookup(e, str()) }
+        else continue = false
+      }
+      e
+    }
+
+    private def primary(): Expr = cur match {
+      case NumLit(v, _) => p += 1; Lit(v)
+      case StrLit(s, _) => p += 1; Lit(s)
+      case Dollar(i, _) => p += 1; PosRef(i)
+      case Sym("*", _) => p += 1; Star
+      case Ident(s, _) if s.equalsIgnoreCase("null") => p += 1; NullLit
+      case Ident(s, _) if s.equalsIgnoreCase("true") => p += 1; Lit(true)
+      case Ident(s, _) if s.equalsIgnoreCase("false") => p += 1; Lit(false)
+      case Ident(s, _) if s.equalsIgnoreCase("case") => caseExpr()
+      case Ident(_, _) =>
+        val name = ident()
+        val full = if (trySym("::")) name + "::" + ident() else name
+        if (atSym("(")) {
+          eatSym("(")
+          val args = List.newBuilder[Expr]
+          if (!atSym(")")) { args += expr(); while (trySym(",")) args += expr() }
+          eatSym(")")
+          FuncCall(full, args.result())
+        } else FieldRef(full)
+      case t => fail(s"unexpected token $t")
+    }
+
+    private def caseExpr(): Expr = {
+      eatKw("case")
+      // CASE WHEN c THEN v [WHEN..] [ELSE v] END  (searched form only)
+      val branches = List.newBuilder[(Expr, Expr)]
+      while (atKw("when")) { eatKw("when"); val c = expr(); eatKw("then"); branches += ((c, expr())) }
+      val other = if (tryKw("else")) Some(expr()) else None
+      eatKw("end")
+      CaseWhen(branches.result(), other)
+    }
+  }
+}

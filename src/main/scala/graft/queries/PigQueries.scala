@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.piglatin.PigEngine
+
+/** t2 queries executed THROUGH the Pig Latin front-end (parse → compile
+  * → DataFrame), oracle-checked like every other query — differential
+  * proof that the front-end preserves semantics end-to-end.
+  */
+object PigQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def pig(s: SparkSession, dir: String, script: String): DataFrame =
+    new PigEngine(s, Some(dir)).run(script).relation("out")
+
+  val queries: Map[String, Q] = Map(
+
+    // join + group + fused aggregation, all via Pig Latin
+    "q50_pig_join_agg" -> ((s, dir) => pig(s, dir, """
+      li = LOAD 'lineitem.parquet';
+      o  = LOAD 'orders.parquet';
+      j  = JOIN li BY l_orderkey, o BY o_orderkey;
+      g  = GROUP j BY o_orderpriority;
+      a  = FOREACH g GENERATE group AS priority, COUNT(j) AS n,
+                              (double) SUM((bigdecimal) j.l_quantity) AS sum_qty;
+      out = ORDER a BY priority;
+      """)),
+
+    // tokenize + flatten + wordcount + top-k via Pig Latin
+    "q51_pig_wordcount" -> ((s, dir) => pig(s, dir, """
+      d = LOAD 'documents.parquet';
+      w = FOREACH d GENERATE FLATTEN(TOKENIZE(text)) AS word;
+      g = GROUP w BY word;
+      c = FOREACH g GENERATE group AS word, COUNT(w) AS n;
+      ord = ORDER c BY n DESC, word;
+      out = LIMIT ord 20;
+      """)),
+
+    // scalar function surface + filter + bincond via Pig Latin
+    "q52_pig_strings" -> ((s, dir) => pig(s, dir, """
+      p = LOAD 'part.parquet';
+      f = FILTER p BY p_size >= 25 AND p_name MATCHES '.*a.*';
+      out0 = FOREACH f GENERATE p_partkey, UPPER(p_name) AS uname,
+               INDEXOF(p_name, 'a') AS idx_a,
+               SUBSTRING(p_name, 0, 6) AS sub6,
+               (p_retailprice > 1500.0 ? 'premium' : 'standard') AS tier;
+      out = ORDER out0 BY p_partkey;
+      """))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_pig_join_agg" ->
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+    "q51_pig_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (
+           SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY 1 ORDER BY n DESC, word LIMIT 20""",
+    "q52_pig_strings" ->
+      """SELECT p_partkey, UPPER(p_name) AS uname,
+         CAST(strpos(p_name, 'a') - 1 AS INTEGER) AS idx_a,
+         SUBSTRING(p_name, 1, 6) AS sub6,
+         CASE WHEN p_retailprice > 1500.0 THEN 'premium' ELSE 'standard' END AS tier
+         FROM part
+         WHERE p_size >= 25 AND regexp_full_match(p_name, '.*a.*')
+         ORDER BY p_partkey"""
+  )
+}
