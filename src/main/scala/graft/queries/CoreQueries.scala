@@ -310,6 +310,37 @@ object CoreQueries {
     "q26_sample" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Rel(d).sample(0.5, 42L).foreach(col("doc_id")).orderBy(col("doc_id")).df
+    }),
+
+    // skewed join: lineitem keys concentrate on few suppliers — AQE
+    // skew-split handles it (hint disables broadcast so the skew path
+    // is the one exercised) [POSkewedJoin analog]
+    "q44_join_skew" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val su = t(s, dir, "supplier")
+      Rel(li).join(Rel(su), Seq("l_suppkey"), Seq("s_suppkey"), hint = JoinHint.Skewed)
+        .group(col("s_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("s_name")).df
+    }),
+
+    // merge join: pre-sorted-input sort-merge [POMergeJoin analog]
+    "q45_join_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      Rel(li).join(Rel(o), Seq("l_orderkey"), Seq("o_orderkey"), hint = JoinHint.Merge)
+        .group(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")).df
+    }),
+
+    // bloom-filter semi-join [BuildBloom/Bloom analog]
+    "q46_bloom_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      graft.ops.BloomJoin.semiJoin(o, "o_custkey",
+          c.filter(col("c_acctbal") > 9000), "c_custkey", 100000L, 0.03)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -466,6 +497,21 @@ object CoreQueries {
                      WHEN o_totalprice < 150000 THEN 'mid'
                      ELSE 'high' END AS bucket, COUNT(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "q44_join_skew" ->
+      """SELECT s_name, COUNT(*) AS n,
+         (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1 ORDER BY 1""",
+    "q45_join_merge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+    "q46_bloom_semi" ->
+      """SELECT o_orderstatus, COUNT(*) AS n
+         FROM orders WHERE EXISTS (
+           SELECT 1 FROM customer
+           WHERE c_custkey = o_custkey AND c_acctbal > 9000)
+         GROUP BY 1 ORDER BY 1""",
     "q25_map_json" ->
       """SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
          MIN(k) AS min_k, MAX(k) AS max_k

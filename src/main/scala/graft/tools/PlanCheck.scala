@@ -1,0 +1,28 @@
+package graft.tools
+import graft.{Graft, SparkEntry}
+
+/** Prints condensed physical plans for the headline queries — the
+  * review loop for "is this the plan we'd want at 100 TB". */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.localSession(4, "plancheck")
+    val dir = "/root/testdata/sf0.01"
+    val interesting = Seq("q01_filter_project", "q02_group_agg", "q03_join_agg",
+      "q07_join_broadcast", "q12_order_limit", "q17_wordcount", "q19_anti_semi",
+      "q27_window_tumbling", "q31_dedup_minhash", "q34_cosine_topk",
+      "q44_join_skew", "q50_pig_join_agg")
+    interesting.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      def has(s: String) = if (plan.contains(s)) s else ""
+      val markers = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "HashAggregate", "TakeOrderedAndProject", "CartesianProduct", "Generate",
+        "WholeStageCodegen", "PushedFilters: [", "Window").map(has).filter(_.nonEmpty)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      println(s"PLAN $name exchanges=$exchanges markers=${markers.mkString(",")}")
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).take(3).mkString(" | ")
+      if (pushed.nonEmpty) println(s"     $name pushed: $pushed")
+    }
+    spark.stop()
+  }
+}
