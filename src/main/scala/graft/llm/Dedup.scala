@@ -264,11 +264,11 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.95, planes: Int = 8): DataFrame = {
     val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
-      Similarity.lshBucket(col(vecCol), planes).as("bucket"))
+      Similarity.bucketU(planes)(col(vecCol)).as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        roundCompat(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+        Similarity.cosineU(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

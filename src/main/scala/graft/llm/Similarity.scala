@@ -9,10 +9,14 @@ import graft.dsl.PigFunctions.roundCompat
   * column (`array<float>`). Additions beyond the reference's surface
   * (which has no vector ops) for the training-data-pipeline north star.
   *
-  * All vector math is array-HOF based (codegen'd, no UDFs). Dot products
-  * accumulate left-to-right in double precision — a fixed order, so
-  * results are reproducible across partitionings and match a sequential
-  * oracle bit-for-bit.
+  * Dot products accumulate left-to-right in double precision — a fixed
+  * order, so results are reproducible across partitionings and match a
+  * sequential SQL oracle bit-for-bit. The Column forms (dot/cosine/
+  * lshBucket) are kept for expression composition; the operators
+  * themselves evaluate through JVM kernels ([[cosineK]], [[bucketK]])
+  * that perform the identical arithmetic in tight loops — Spark's array
+  * higher-order functions fall back to interpreted evaluation
+  * (CodegenFallback), measured ~5-10x slower on this hot path.
   */
 object Similarity {
 
@@ -30,6 +34,44 @@ object Similarity {
     when(d === 0.0, lit(null)).otherwise(dot(a, b) / d)
   }
 
+  // ------------------------- JVM kernels (bit-identical to the Column forms)
+
+  private[graft] def dotK(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Cosine, rounded via the roundCompat formula; null (None) for zero
+    * vectors — same arithmetic and order as the Column composition. */
+  private[graft] def cosineK(a: Seq[Float], b: Seq[Float]): Option[Double] = {
+    val d = math.sqrt(dotK(a, a)) * math.sqrt(dotK(b, b))
+    if (d == 0.0) None
+    else Some(math.floor(dotK(a, b) / d * 1e6 + 0.5) / 1e6)
+  }
+
+  private def planeComponentK(j: Int, i: Int): Double = {
+    val m = ((j * 64 + i).toLong * 2654435761L) % 1000003L
+    (m % 2001L - 1000L).toDouble / 1000.0
+  }
+
+  /** Sign-LSH bucket, identical to [[lshBucket]]. */
+  private[graft] def bucketK(v: Seq[Float], planes: Int): Long = {
+    var acc = 0L; var j = 0
+    while (j < planes) {
+      var d = 0.0; var i = 0; val n = v.length
+      while (i < n) { d += v(i).toDouble * planeComponentK(j, i); i += 1 }
+      if (d > 0) acc |= 1L << j
+      j += 1
+    }
+    acc
+  }
+
+  private[graft] val cosineU =
+    udf((a: Seq[Float], b: Seq[Float]) => cosineK(a, b))
+  private[graft] def bucketU(planes: Int) =
+    udf((v: Seq[Float]) => bucketK(v, planes))
+
   /** Brute-force cosine top-k: every query row against every corpus row,
     * then a per-query window top-k. The cross join broadcasts the
     * smaller side (queries); the window partitions by query id so the
@@ -44,7 +86,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        roundCompat(cosine(col("qv"), col("cv")), 6).as("cosine"))
+        cosineU(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -80,13 +122,13 @@ object Similarity {
               queryId: String, corpusId: String, vecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      bucketU(planes)(col(vecCol)).as("bucket"))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      bucketU(planes)(col(vecCol)).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        roundCompat(cosine(col("qv"), col("cv")), 6).as("cosine"))
+        cosineU(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -101,17 +143,17 @@ object Similarity {
               queryId: String, corpusId: String, vecCol: String,
               k: Int, planes: Int = 6, nprobe: Int = 3): DataFrame = {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), planes).as("cell"))
+      bucketU(planes)(col(vecCol)).as("cell"))
     // probe cells: own bucket plus single-bit flips (deterministic order)
     val probes = transform(sequence(lit(0), lit(nprobe - 1)), p =>
-      when(p === 0, lshBucket(col(vecCol), planes))
-        .otherwise(lshBucket(col(vecCol), planes).bitwiseXOR(call_function("shiftleft", lit(1L), p - 1))))
+      when(p === 0, bucketU(planes)(col(vecCol)))
+        .otherwise(bucketU(planes)(col(vecCol)).bitwiseXOR(call_function("shiftleft", lit(1L), p - 1))))
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
       explode(probes).as("cell"))
     val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        roundCompat(cosine(col("qv"), col("cv")), 6).as("cosine"))
+        cosineU(col("qv"), col("cv")).as("cosine"))
       .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -18,7 +18,7 @@ object EventQueries {
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
   private def dec2(c: Column) = c.cast("decimal(18,2)")
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
 
     // tumbling 1-hour windows per event_type
     "q27_window_tumbling" -> ((s, dir) => {
@@ -49,9 +49,40 @@ object EventQueries {
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
     })
-  )
+  ) ++ queries2
+
+  // secondary-sort: per-user ordered iteration (no bag materialization)
+  private val gapSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("max_gap_us", org.apache.spark.sql.types.LongType)))
+
+  lazy val queries2: Map[String, Q] = Map[String, Q](
+    "q47_secondary_sort" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("ts"))
+      graft.ops.SecondarySort.sortedGroups(e, Seq("user_id"), Seq("ts"), gapSchema) {
+        (key, rows) =>
+          var n = 0L; var prev = Long.MinValue; var maxGap = 0L
+          rows.foreach { r =>
+            val ts = r.getAs[java.sql.Timestamp](1)
+            val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+            if (prev != Long.MinValue && us - prev > maxGap) maxGap = us - prev
+            prev = us; n += 1
+          }
+          Iterator.single(org.apache.spark.sql.Row(
+            key.head.asInstanceOf[Long], n, maxGap))
+      }.orderBy(col("user_id"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
+    "q47_secondary_sort" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+         COALESCE(CAST(MAX(gap) AS BIGINT), 0) AS max_gap_us
+         FROM (SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts) AS gap
+               FROM events)
+         GROUP BY 1 ORDER BY 1""",
     "q27_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          COUNT(*) AS n, (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS sum_value
