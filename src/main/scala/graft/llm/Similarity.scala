@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dsl.PigFunctions.roundCompat
+import graft.ops.TopKAgg
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`). Additions beyond the reference's surface
@@ -72,6 +73,21 @@ object Similarity {
   private[graft] def bucketU(planes: Int) =
     udf((v: Seq[Float]) => bucketK(v, planes))
 
+  /** Per-query top-k via the bounded [[graft.ops.TopKAgg]] aggregator:
+    * partial/final aggregation keeps k rows per map task — no full sort
+    * of the scored pairs through a window exchange. Output matches the
+    * window row_number formulation exactly (score desc, id asc ties).
+    */
+  private def topKSelect(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+    val agg = TopKAgg.topK(k)
+    scored.filter(col("cosine").isNotNull)
+      .groupBy("query_id")
+      .agg(agg(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as("cosine"), (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** Brute-force cosine top-k: every query row against every corpus row,
     * then a per-query window top-k. The cross join broadcasts the
     * smaller side (queries); the window partitions by query id so the
@@ -87,10 +103,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineU(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKSelect(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component: an integer-only
@@ -129,10 +142,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineU(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKSelect(scored, k)
   }
 
   /** IVF-style ANN: corpus quantized to coarse cells (the LSH bucket
@@ -155,9 +165,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosineU(col("qv"), col("cv")).as("cosine"))
       .distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKSelect(scored, k)
   }
 }
