@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, Count}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Catalyst rule: `size(collect_list(x))` inside an Aggregate rewrites
+  * to `count(x)` — the bag never materializes, partial aggregation
+  * applies, and the unbounded-bag hazard (SURVEY.md §7.4 #1)
+  * disappears for the counting case.
+  *
+  * This is the optimizer-level backstop for Pig's combiner optimization
+  * [R: …/mapReduceLayer/CombinerOptimizer.java]: the DSL and the Pig
+  * front-end fuse GROUP→FOREACH aggregates at construction time, but a
+  * hand-written `collect_list` + `size` plan still gets fixed here.
+  * (By the time the optimizer runs, CollapseProject has merged the
+  * size() projection into the Aggregate, so the whole pattern is one
+  * expression tree.)
+  *
+  * Semantics: collect_list drops nulls and count(x) skips nulls —
+  * exact rewrite. Other uses of the same bag are untouched (they keep
+  * their own collect_list aggregate).
+  */
+object BagSizeFusion extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate =>
+      val rewritten = agg.aggregateExpressions.map(_.transform {
+        case Size(AggregateExpression(CollectList(child, _, _), _, _, _, _), _) =>
+          Cast(Count(child).toAggregateExpression(), IntegerType)
+      }.asInstanceOf[NamedExpression])
+      if (rewritten == agg.aggregateExpressions) agg
+      else agg.copy(aggregateExpressions = rewritten)
+  }
+}
+
+/** SparkSessionExtensions hook: set
+  * `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (Graft.configure does this) to install the engine's optimizer rules.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => BagSizeFusion)
+}
