@@ -189,6 +189,17 @@ object PigFunctions {
   // java.time.Duration.parse accepts PnDTnHnMnS already; weeks/years need help
   private def normalizeDays(iso: String): String = iso
 
+  def weeksBetween(a: Column, b: Column): Column = between(a, b, 604800L)
+
+  /** MonthsBetween/YearsBetween — joda counts whole calendar months
+    * truncating toward zero; Spark months_between yields fractional
+    * months on a 31-day basis, so whole-month truncation matches joda
+    * for the whole part [R: src/org/apache/pig/builtin/MonthsBetween.java]. */
+  def monthsBetweenPig(a: Column, b: Column): Column =
+    months_between(a, b).cast(LongType)
+  def yearsBetweenPig(a: Column, b: Column): Column =
+    (months_between(a, b) / 12.0).cast(LongType)
+
   def getYear(dt: Column): Column = year(dt)
   def getMonth(dt: Column): Column = month(dt)
   def getDay(dt: Column): Column = dayofmonth(dt)
@@ -196,6 +207,10 @@ object PigFunctions {
   def getMinute(dt: Column): Column = minute(dt)
   def getSecond(dt: Column): Column = second(dt)
   def getWeek(dt: Column): Column = weekofyear(dt)
+  def getWeekYear(dt: Column): Column = call_function("extract", lit("YEAROFWEEK"), dt)
+  def getMilliSecond(dt: Column): Column = (unix_micros(dt) % 1000000L / 1000L).cast(IntegerType)
+  def toMilliSeconds(dt: Column): Column = (unix_micros(dt) / 1000L).cast(LongType)
+  def currentTime(): Column = current_timestamp()
   def toUnixTime(dt: Column): Column = unix_timestamp(dt)
   def toDate(s: Column, fmt: String): Column = to_timestamp(s, fmt)
   def toStringDt(dt: Column, fmt: String): Column = date_format(dt, fmt)

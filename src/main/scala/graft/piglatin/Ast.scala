@@ -40,6 +40,18 @@ object Ast {
                         schema: Option[List[FieldDef]]) extends RelOp
   final case class FilterOp(input: String, cond: Expr) extends RelOp
   final case class ForeachOp(input: String, gens: List[GenItem]) extends RelOp
+
+  /** FOREACH rel { nested ops; GENERATE … } — per-group bag processing
+    * (SURVEY.md §2.1 #5). Inner ops transform bag-valued expressions. */
+  sealed trait NestedOp
+  final case class NFilter(input: String, cond: Expr) extends NestedOp
+  final case class NOrder(input: String, keys: List[(String, Boolean)]) extends NestedOp
+  final case class NLimit(input: String, n: Int) extends NestedOp
+  final case class NDistinct(input: String) extends NestedOp
+  final case class NProj(input: String, field: String) extends NestedOp
+  final case class ForeachNestedOp(input: String,
+                                   inner: List[(String, NestedOp)],
+                                   gens: List[GenItem]) extends RelOp
   final case class GroupOp(inputs: List[(String, List[Expr])], all: Boolean) extends RelOp
   final case class JoinOp(inputs: List[(String, List[Expr])],
                           outer: Option[String],   // LEFT/RIGHT/FULL

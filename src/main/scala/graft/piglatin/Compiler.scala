@@ -98,6 +98,8 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
 
     case ForeachOp(in, gens) => compileForeach(in, gens)
 
+    case op: ForeachNestedOp => compileForeachNested(op)
+
     case GroupOp(inputs, all) => compileGroup(inputs, all)
 
     case JoinOp(inputs, outer, using) =>
@@ -269,6 +271,77 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       case _ =>
         RelInfo(() => plainForeach(info.df(), gens))
     }
+  }
+
+  /** FOREACH rel { nested ops; GENERATE } — per-group bag processing
+    * (SURVEY.md §2.1 #5). Each nested alias is a bag-valued Column
+    * derived by array ops (filter / array_sort / slice / array_distinct
+    * / transform): the per-group work happens inside the row, no second
+    * shuffle and no flatMapGroups. The GENERATE clause then reuses the
+    * flat-FOREACH pipeline with the nested aliases in scope.
+    */
+  private def compileForeachNested(op: ForeachNestedOp): RelInfo = {
+    val info = env.getOrElse(op.input, sys.error(s"unknown alias ${op.input}"))
+    RelInfo(() => {
+      val df0 = info.df()
+      var df = df0
+      val bagCols = mutable.LinkedHashSet[String]()
+      df0.schema.fields.foreach { f =>
+        if (f.dataType.isInstanceOf[ArrayType]) bagCols += f.name
+      }
+      def elemType(name: String): DataType =
+        df.select(col(name)).schema.head.dataType match {
+          case ArrayType(et, _) => et
+          case other => other
+        }
+      op.inner.foreach { case (alias, nop) =>
+        val c: Column = nop match {
+          case NFilter(in, cond) =>
+            val struct = elemType(in).isInstanceOf[StructType]
+            filter(col(in), x => elemCond(df, x, struct, cond))
+          case NOrder(in, keys) =>
+            val struct = elemType(in).isInstanceOf[StructType]
+            array_sort(col(in), (l, r) => {
+              def field(e: Column, f: String) = if (struct) e.getField(f) else e
+              keys.foldRight(lit(0): Column) { case ((f, asc), next) =>
+                val (lf, rf) = (field(l, f), field(r, f))
+                val (lo, hi) = if (asc) (lit(-1), lit(1)) else (lit(1), lit(-1))
+                when(lf < rf, lo).when(lf > rf, hi).otherwise(next)
+              }
+            })
+          case NLimit(in, n) => slice(col(in), 1, n)
+          case NDistinct(in) => array_distinct(col(in))
+          case NProj(in, f) => transform(col(in), x => x.getField(f))
+        }
+        df = df.withColumn(alias, c)
+        bagCols += alias
+      }
+      plainForeach(df, op.gens)
+    })
+  }
+
+  /** Expression over a bag element (lambda variable) for nested FILTER. */
+  private def elemCond(df: DataFrame, elem: Column, struct: Boolean, e: Expr): Column = e match {
+    case FieldRef(n) => if (struct) elem.getField(n) else elem
+    case Lit(v) => lit(v)
+    case NullLit => lit(null)
+    case Neg(x) => negate(elemCond(df, elem, struct, x))
+    case Arith(o, l, r) =>
+      val (lc, rc) = (elemCond(df, elem, struct, l), elemCond(df, elem, struct, r))
+      o match { case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+        case "/" => PF.divide(lc, rc); case "%" => PF.mod(lc, rc) }
+    case Cmp("matches", l, Lit(p: String)) => PF.matches(elemCond(df, elem, struct, l), p)
+    case Cmp(o, l, r) =>
+      val (lc, rc) = (elemCond(df, elem, struct, l), elemCond(df, elem, struct, r))
+      o match { case "==" => lc === rc; case "!=" => lc =!= rc
+        case "<" => lc < rc; case "<=" => lc <= rc; case ">" => lc > rc; case ">=" => lc >= rc }
+    case And(l, r) => elemCond(df, elem, struct, l) && elemCond(df, elem, struct, r)
+    case Or(l, r) => elemCond(df, elem, struct, l) || elemCond(df, elem, struct, r)
+    case Not(x) => !elemCond(df, elem, struct, x)
+    case IsNull(x, neg) =>
+      val c = elemCond(df, elem, struct, x); if (neg) c.isNotNull else c.isNull
+    case CastE(t, x) => elemCond(df, elem, struct, x).cast(pigType(t))
+    case other => sys.error(s"unsupported nested-filter expression: $other")
   }
 
   /** A generator fuses when it only touches group keys and algebraic
@@ -548,6 +621,9 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case "GETMINUTE" => PF.getMinute(cs.head)
     case "GETSECOND" => PF.getSecond(cs.head)
     case "GETWEEK" => PF.getWeek(cs.head)
+    case "GETWEEKYEAR" => PF.getWeekYear(cs.head)
+    case "GETMILLISECOND" => PF.getMilliSecond(cs.head)
+    case "TOMILLISECONDS" => PF.toMilliSeconds(cs.head)
     case "ADDDURATION" => raw(1) match {
       case Lit(d: String) => PF.addDuration(cs.head, d)
       case _ => sys.error("AddDuration needs a literal ISO duration")
@@ -561,9 +637,22 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case "MINUTESBETWEEN" => PF.minutesBetween(cs.head, cs(1))
     case "SECONDSBETWEEN" => PF.secondsBetween(cs.head, cs(1))
     case "MILLISECONDSBETWEEN" => PF.milliSecondsBetween(cs.head, cs(1))
+    case "WEEKSBETWEEN" => PF.weeksBetween(cs.head, cs(1))
+    case "MONTHSBETWEEN" => PF.monthsBetweenPig(cs.head, cs(1))
+    case "YEARSBETWEEN" => PF.yearsBetweenPig(cs.head, cs(1))
     // aggregates appearing in non-fused contexts operate on bag columns
     case "COUNT" => size(cs.head).cast(LongType)
-    case "SUM" => aggregate(cs.head, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
+    case "SUM" => typeOf(df, cs.head) match {
+      case ArrayType(IntegerType | LongType | ShortType | ByteType, _) =>
+        aggregate(cs.head, lit(0L), (acc, x) => acc + x.cast(LongType))
+      case _ => aggregate(cs.head, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
+    }
+    case "AVG" => typeOf(df, cs.head) match {
+      case _: ArrayType =>
+        aggregate(cs.head, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) /
+          size(cs.head)
+      case _ => sys.error("AVG outside aggregation needs a bag argument")
+    }
     case "MAX" => array_max(cs.head)
     case "MIN" => array_min(cs.head)
     case other => sys.error(s"unknown function $other")

@@ -126,8 +126,44 @@ object Parser {
         Load(path, using, schema)
       }
       else if (atKw("filter")) { eatKw("filter"); val in = ident(); eatKw("by"); FilterOp(in, expr()) }
-      else if (atKw("foreach")) { eatKw("foreach"); val in = ident(); eatKw("generate")
-        ForeachOp(in, genItems())
+      else if (atKw("foreach")) { eatKw("foreach"); val in = ident()
+        if (atSym("{")) {
+          eatSym("{")
+          val inner = List.newBuilder[(String, NestedOp)]
+          while (!atKw("generate")) {
+            val a = ident(); eatSym("=")
+            val op: NestedOp =
+              if (tryKw("filter")) { val i = ident(); eatKw("by"); NFilter(i, expr()) }
+              else if (tryKw("order")) { val i = ident(); eatKw("by")
+                val ks = List.newBuilder[(String, Boolean)]
+                def one(): Unit = {
+                  val f = ident()
+                  val asc = if (tryKw("desc")) false else { tryKw("asc"); true }
+                  ks += ((f, asc))
+                }
+                one(); while (trySym(",")) one()
+                NOrder(i, ks.result())
+              }
+              else if (tryKw("limit")) { val i = ident()
+                cur match {
+                  case NumLit(v: Int, _) => p += 1; NLimit(i, v)
+                  case NumLit(v: Long, _) => p += 1; NLimit(i, v.toInt)
+                  case _ => fail("expected nested LIMIT count")
+                }
+              }
+              else if (tryKw("distinct")) NDistinct(ident())
+              else { // projection: alias = rel.field;
+                val i = ident(); eatSym("."); NProj(i, ident())
+              }
+            inner += ((a, op))
+            while (trySym(";")) ()
+          }
+          eatKw("generate")
+          val gens = genItems()
+          while (trySym(";")) ()
+          eatSym("}")
+          ForeachNestedOp(in, inner.result(), gens)
+        } else { eatKw("generate"); ForeachOp(in, genItems()) }
       }
       else if (atKw("group") || atKw("cogroup")) { p += 1
         val first = groupInput()

@@ -333,6 +333,17 @@ object CoreQueries {
         .orderBy(col("o_orderstatus")).df
     }),
 
+    // STREAM rel THROUGH external command [POStream / rdd.pipe analog]:
+    // rows piped tab-delimited through `cat`, parsed back, re-aggregated
+    "q48_stream_through" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      Rel(r.select(col("r_regionkey"), col("r_name")))
+        .streamThrough("cat").df
+        .select(split(col("line"), "\t").getItem(1).as("r_name"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    }),
+
     // bloom-filter semi-join [BuildBloom/Bloom analog]
     "q46_bloom_semi" -> ((s, dir) => {
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
@@ -506,6 +517,8 @@ object CoreQueries {
       """SELECT o_orderstatus, COUNT(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
+    "q48_stream_through" ->
+      """SELECT r_name, COUNT(*) AS n FROM region GROUP BY 1 ORDER BY 1""",
     "q46_bloom_semi" ->
       """SELECT o_orderstatus, COUNT(*) AS n
          FROM orders WHERE EXISTS (

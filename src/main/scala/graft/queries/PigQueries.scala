@@ -45,10 +45,32 @@ object PigQueries {
                SUBSTRING(p_name, 0, 6) AS sub6,
                (p_retailprice > 1500.0 ? 'premium' : 'standard') AS tier;
       out = ORDER out0 BY p_partkey;
+      """)),
+
+    // nested FOREACH block (per-group FILTER/ORDER/LIMIT) via Pig Latin
+    "q53_pig_nested" -> ((s, dir) => pig(s, dir, """
+      o = LOAD 'orders.parquet';
+      g = GROUP o BY o_custkey;
+      x = FOREACH g {
+        big = FILTER o BY o_totalprice >= 100000.0;
+        srt = ORDER big BY o_totalprice DESC;
+        top2 = LIMIT srt 2;
+        GENERATE group AS cust, COUNT(big) AS n_big, FLATTEN(top2.o_orderkey) AS okey;
+      };
+      out = ORDER x BY cust, okey;
       """))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q53_pig_nested" ->
+      """WITH big AS (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_big
+           FROM orders WHERE o_totalprice >= 100000.0)
+         SELECT o_custkey AS cust, n_big, o_orderkey AS okey
+         FROM big WHERE rn <= 2 ORDER BY cust, okey""",
     "q50_pig_join_agg" ->
       """SELECT o_orderpriority AS priority, COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sum_qty

@@ -81,6 +81,18 @@ class PigFunctionsSpec extends SparkSuite {
     assert(got == Seq("2024-01-02 02:30:00"))
   }
 
+  test("extended datetime surface: weekyear, millis, weeks/months/years between") {
+    val df = Seq(("2024-01-01 12:00:00.250", "2022-06-15 12:00:00"))
+      .toDF("a", "b")
+      .select(to_timestamp($"a").as("a"), to_timestamp($"b").as("b"))
+    assert(col0(df.select(PF.getWeekYear($"a"))) == Seq(2024))
+    assert(col0(df.select(PF.getMilliSecond($"a"))) == Seq(250))
+    assert(col0(df.select(PF.toMilliSeconds($"b"))) == Seq(1655294400000L))
+    assert(col0(df.select(PF.weeksBetween($"a", $"b"))) == Seq(80L))
+    assert(col0(df.select(PF.monthsBetweenPig($"a", $"b"))) == Seq(18L))
+    assert(col0(df.select(PF.yearsBetweenPig($"a", $"b"))) == Seq(1L))
+  }
+
   test("SIZE: string length vs bag size") {
     val df = Seq((Seq(1, 2, 3), "abcd")).toDF("bag", "s")
     assert(col0(df.select(PF.sizeOfBag($"bag"))) == Seq(3L))

@@ -176,6 +176,51 @@ class PigLatinSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("nested FOREACH block: FILTER + ORDER + LIMIT inside the group") {
+    // top-2 orders by totalprice per customer, only orders >= 50k
+    val e = engine.run("""
+      o = LOAD 'orders.parquet';
+      g = GROUP o BY o_custkey;
+      out = FOREACH g {
+        big = FILTER o BY o_totalprice >= 50000.0;
+        srt = ORDER big BY o_totalprice DESC;
+        top2 = LIMIT srt 2;
+        GENERATE group AS cust, COUNT(big) AS n_big, FLATTEN(top2.o_orderkey) AS okey;
+      };
+      """)
+    val got = e.relation("out").select("cust", "okey").as[(Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy($"o_totalprice".desc)
+    val want = Tables.load(spark, dir, "orders")
+      .filter($"o_totalprice" >= 50000.0)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .select($"o_custkey", $"o_orderkey").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("nested FOREACH: DISTINCT + projection with integral SUM") {
+    val e = engine.run("""
+      li = LOAD 'lineitem.parquet';
+      g = GROUP li BY l_orderkey;
+      out = FOREACH g {
+        lines = li.l_linenumber;
+        d = DISTINCT lines;
+        GENERATE group AS okey, COUNT(d) AS n_distinct, SUM(d) AS sum_ln;
+      };
+      """)
+    val got = e.relation("out").as[(Long, Long, Long)].collect().toMap3b
+    val want = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(countDistinct($"l_linenumber").cast("long"),
+        sum_distinct($"l_linenumber").cast("long"))
+      .as[(Long, Long, Long)].collect().toMap3b
+    assert(got == want)
+  }
+
+  private implicit class Map3b(rows: Array[(Long, Long, Long)]) {
+    def toMap3b: Map[Long, (Long, Long)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
   test("ASSERT throws on violation, passes otherwise") {
     val e = engine.run("o = LOAD 'orders.parquet';")
     e.run("ASSERT o BY o_totalprice > 0.0, 'prices positive';")
