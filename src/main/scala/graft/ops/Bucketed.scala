@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table co-located join: the engine's answer to the
+  * reference's pre-sorted/pre-partitioned input optimizations —
+  * `JOIN … USING 'merge'` with `OrderedLoadFunc` inputs
+  * [R: …/relationalOperators/POMergeJoin.java] and map-side
+  * `COLLECTED` grouping [R: …/relationalOperators/POCollectedGroup.java].
+  *
+  * Writing both sides bucketed+sorted by the join key lets every
+  * subsequent join/groupBy on that key skip its Exchange entirely: at
+  * 100 TB, for a fact table joined repeatedly on the same key, one
+  * bucketed write amortizes away every future shuffle of that table.
+  */
+object Bucketed {
+
+  /** Persist a DataFrame as a bucketed, sorted table (saveAsTable —
+    * bucket metadata only exists through the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — planned
+    * without any Exchange when bucket counts match.
+    */
+  def join(spark: SparkSession, leftTable: String, rightTable: String,
+           leftKey: String, rightKey: String,
+           joinType: String = "inner"): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey), joinType)
+  }
+
+  /** GroupBy on the bucket key of a bucketed table — aggregation without
+    * a shuffle (the COLLECTED-group analog). */
+  def groupBucketed(spark: SparkSession, table: String, key: String): DataFrame =
+    spark.table(table).groupBy(key).count()
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.Bucketed
+
+/** Bucketed co-located join: same-bucketed tables must join and
+  * aggregate with no Exchange in the plan. */
+class BucketedSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed join and groupBy plan without a shuffle") {
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Bucketed.writeBucketed(
+      Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      "li_b", "l_orderkey", buckets = 4)
+    Bucketed.writeBucketed(
+      Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
+      "o_b", "o_orderkey", buckets = 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    val joined = Bucketed.join(spark, "li_b", "o_b", "l_orderkey", "o_orderkey")
+    val joinPlan = joined.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(joinPlan.contains("SortMergeJoin"), joinPlan)
+    assert(!joinPlan.contains("Exchange"), joinPlan) // co-located: no shuffle
+    assert(joined.count() ==
+      Tables.load(spark, dir, "lineitem").count()) // FK join keeps all lineitems
+
+    val grouped = Bucketed.groupBucketed(spark, "li_b", "l_orderkey")
+    val groupPlan = grouped.queryExecution.executedPlan.toString
+    assert(!groupPlan.contains("Exchange"), groupPlan)
+    val expected = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey").distinct().count()
+    assert(grouped.count() == expected)
+  }
+}
