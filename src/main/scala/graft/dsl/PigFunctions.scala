@@ -220,6 +220,18 @@ object PigFunctions {
   /** Pig CONCAT — null if any input null (Spark concat matches). */
   def concatPig(cols: Column*): Column = concat(cols: _*)
 
+  /** UniqueID — per-row unique id (task id + sequence in the reference)
+    * [R: src/org/apache/pig/builtin/UniqueID.java]. */
+  def uniqueId(): Column = monotonically_increasing_id()
+
+  /** VAR / STDEV (piggybank stats) → sample variance/stddev. */
+  def variance(c: Column): Column = var_samp(c)
+  def stdev(c: Column): Column = stddev_samp(c)
+
+  /** STRSPLITTOBAG — like STRSPLIT but a bag (array) result; identical
+    * here since bags of single-field tuples map to plain arrays. */
+  def strSplitToBag(str: Column, regex: String): Column = split(str, regex)
+
   /** PluckTuple: project columns by prefix. */
   def pluck(cols: Seq[String], prefix: String): Seq[Column] =
     cols.filter(_.startsWith(prefix)).map(col)

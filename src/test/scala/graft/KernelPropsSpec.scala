@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.llm.Dedup
+import graft.ops.TopKAgg
+
+/** ScalaCheck properties for the JVM kernels whose distributed
+  * correctness depends on algebraic laws (partition order must not
+  * matter) — the Aggregator/combiner contract the reference encodes as
+  * `Algebraic` UDFs [R: src/org/apache/pig/EvalFunc.java].
+  */
+object KernelPropsSpec extends Properties("kernels") {
+
+  private val pairGen = Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(0L, 1000L))
+  private val pairsGen = Gen.listOf(pairGen)
+
+  property("TopKAgg: merge is commutative") = forAll(pairsGen, pairsGen) { (xs, ys) =>
+    val agg = new TopKAgg(5)
+    val a = xs.foldLeft(agg.zero)(agg.reduce)
+    val b = ys.foldLeft(agg.zero)(agg.reduce)
+    agg.merge(a, b) == agg.merge(b, a)
+  }
+
+  property("TopKAgg: any partitioning yields the sequential result") =
+    forAll(pairsGen, Gen.chooseNum(1, 5)) { (xs, splits) =>
+      val agg = new TopKAgg(3)
+      val sequential = xs.foldLeft(agg.zero)(agg.reduce)
+      val parts = if (xs.isEmpty) Seq(xs) else xs.grouped(math.max(1, xs.size / splits)).toSeq
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce)).foldLeft(agg.zero)(agg.merge)
+      merged == sequential
+    }
+
+  property("TopKAgg: output is the global top-k under (score desc, id asc)") =
+    forAll(pairsGen) { xs =>
+      val agg = new TopKAgg(4)
+      val got = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val want = xs.distinct.sortBy { case (s, i) => (-s, i) }.take(4)
+      // duplicates in input are kept; compare against non-deduped sort
+      val wantAll = xs.sortBy { case (s, i) => (-s, i) }.take(4)
+      got == wantAll || got == want
+    }
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+    .map(_.mkString(" "))
+
+  property("shingleSet: distinct sliding k-grams, whole text when short") =
+    forAll(wordGen, Gen.chooseNum(1, 5)) { (text, k) =>
+      val words = text.split(' ')
+      val got = Dedup.shingleSet(text, k).toSeq
+      val want =
+        if (words.length < k) Seq(text)
+        else words.sliding(k).map(_.mkString(" ")).toSeq.distinct
+      got == want
+    }
+
+  property("bandKeys: deterministic and identical sets collide on all bands") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))) { shingles =>
+      val sh = shingles.toArray
+      val k1 = Dedup.bandKeys(sh, 64, 32)
+      val k2 = Dedup.bandKeys(sh.reverse.reverse, 64, 32)
+      k1.toSeq == k2.toSeq && k1.length == 32
+    }
+
+  property("hash64 avalanche: distinct short strings rarely collide") =
+    forAll(Gen.listOfN(50, Gen.alphaStr)) { ss =>
+      val distinct = ss.distinct
+      distinct.map(Dedup.hash64).distinct.size == distinct.size
+    }
+}
