@@ -68,4 +68,67 @@ object Windows {
                      keyCols: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  // ------------------------- custom state (flatMapGroupsWithState) ------
+
+  /** Input/output records for the custom stateful sessionizer. */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp,
+                              n_events: Long, sum_value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Custom sessionization with explicit state —
+    * `flatMapGroupsWithState` with event-time timeout: emits a session
+    * when the gap elapses past the watermark. This is the escape hatch
+    * for session logic `session_window` can't express (per-session
+    * aggregates beyond count/sum, custom merge rules).
+    *
+    * Works on a streaming Dataset (append mode). The gap is in
+    * milliseconds to keep the state arithmetic explicit.
+    */
+  def statefulSessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+                         gapMs: Long, delay: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, rows: Iterator[SessionEvent],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      def emit(s: SessionState) = SessionOut(userId,
+        new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last + gapMs),
+        s.n, s.sum)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var cur = state.getOption
+        val closed = Vector.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last < gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              closed += emit(s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+      .toDF()
+  }
 }

@@ -64,6 +64,32 @@ class WindowsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Windows.SessionEvent]
+    val sessions = Windows.statefulSessionize(input.toDS(),
+      gapMs = 30 * 60 * 1000L, delay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("state_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a big gap
+      input.addData(
+        Windows.SessionEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+        Windows.SessionEvent(1L, ts("2024-01-01 00:05:00"), 2.0))
+      q.processAllAvailable()
+      // advance event time far past the gap: the session must close
+      input.addData(Windows.SessionEvent(1L, ts("2024-01-01 02:00:00"), 5.0))
+      q.processAllAvailable()
+      input.addData(Windows.SessionEvent(2L, ts("2024-01-01 06:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("state_sessions")
+        .select($"user_id", $"session_start".cast("string"),
+          $"n_events", $"sum_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(got.contains((1L, "2024-01-01 00:00:00", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops later duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
