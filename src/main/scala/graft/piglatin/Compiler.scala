@@ -51,7 +51,8 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
   def aliases: Seq[String] = env.keys.toSeq
 
   def run(script: String): PigEngine = {
-    val stmts = Parser.parse(script).fold(e => sys.error(s"parse error: $e"), identity)
+    val expanded = Preprocessor.expand(script)
+    val stmts = Parser.parse(expanded).fold(e => sys.error(s"parse error: $e"), identity)
     stmts.foreach(exec)
     this
   }

@@ -1,0 +1,95 @@
+package graft.piglatin
+
+/** Pig script preprocessor — the reference's parameter-substitution and
+  * macro-expansion phase, which runs textually BEFORE parsing
+  * [R: src/org/apache/pig/tools/parameters/, parser/PigMacro.java]:
+  *
+  *  - `%declare NAME value` / `%default NAME value` — parameters,
+  *    referenced as `$NAME` (declare wins over default);
+  *  - `DEFINE alias Target;` — function aliasing (alias() → Target());
+  *  - `DEFINE name(p1, p2) RETURNS r { … };` — macros, expanded at each
+  *    `out = name(args);` call with parameter substitution and internal
+  *    aliases renamed per expansion (hygiene), exactly Pig's textual
+  *    model.
+  *
+  * Kept deliberately line/regex-based like the reference's
+  * preprocessor; nested macro definitions are not supported.
+  */
+object Preprocessor {
+
+  private val DeclareRe = """(?i)^\s*%(declare|default)\s+(\w+)\s+(?:'([^']*)'|(\S+))\s*;?\s*$""".r
+  private val DefineFuncRe = """(?i)^\s*define\s+(\w+)\s+([\w.]+)\s*;\s*$""".r
+  private val MacroStartRe = """(?i)^\s*define\s+(\w+)\s*\(([^)]*)\)\s+returns\s+(\w+)\s*\{\s*$""".r
+  private val MacroCallRe = """(?i)^\s*(\w+)\s*=\s*(\w+)\s*\(([^)]*)\)\s*;\s*$""".r
+  private val AssignRe = """(?m)^\s*(\w+)\s*=""".r
+
+  private final case class Macro(params: List[String], returns: String, body: String)
+
+  def expand(script: String): String = {
+    val params = scala.collection.mutable.Map[String, String]()
+    val defaults = scala.collection.mutable.Map[String, String]()
+    val funcAliases = scala.collection.mutable.Map[String, String]()
+    val macros = scala.collection.mutable.Map[String, Macro]()
+
+    // pass 1: strip directives, collect macros
+    val kept = new StringBuilder
+    val lines = script.split("\n", -1).iterator
+    while (lines.hasNext) {
+      val line = lines.next()
+      line match {
+        case DeclareRe(kind, name, quoted, bare) =>
+          val v = Option(quoted).getOrElse(bare)
+          if (kind.equalsIgnoreCase("declare")) params(name) = v
+          else defaults(name) = v
+        case DefineFuncRe(alias, target) =>
+          funcAliases(alias) = target
+        case MacroStartRe(name, ps, ret) =>
+          val body = new StringBuilder
+          var done = false
+          while (!done && lines.hasNext) {
+            val l = lines.next()
+            if (l.trim.startsWith("}")) done = true
+            else body.append(l).append("\n")
+          }
+          macros(name) = Macro(
+            ps.split(",").map(_.trim).filter(_.nonEmpty).toList, ret, body.toString)
+        case _ => kept.append(line).append("\n")
+      }
+    }
+
+    // pass 2: expand macro calls (single level)
+    var counter = 0
+    val expanded = kept.toString.split("\n", -1).map { line =>
+      line match {
+        case MacroCallRe(out, name, args) if macros.contains(name) =>
+          counter += 1
+          val m = macros(name)
+          val argv = args.split(",").map(_.trim).filter(_.nonEmpty).toList
+          require(argv.size == m.params.size,
+            s"macro $name expects ${m.params.size} args, got ${argv.size}")
+          var body = m.body
+          // hygiene: rename internal aliases (everything assigned in the
+          // body except the RETURNS alias)
+          val internal = AssignRe.findAllMatchIn(m.body).map(_.group(1)).toSet - m.returns
+          internal.foreach { a =>
+            body = body.replaceAll(s"\\b$a\\b", s"${a}_m$counter")
+          }
+          m.params.zip(argv).foreach { case (p, v) =>
+            body = body.replaceAll(s"\\$$$p\\b", java.util.regex.Matcher.quoteReplacement(v))
+          }
+          body.replaceAll(s"\\b${m.returns}\\b", out)
+        case other => other
+      }
+    }.mkString("\n")
+
+    // pass 3: parameter + function-alias substitution
+    var out = expanded
+    (defaults ++ params).foreach { case (k, v) =>
+      out = out.replaceAll(s"\\$$$k\\b", java.util.regex.Matcher.quoteReplacement(v))
+    }
+    funcAliases.foreach { case (a, t) =>
+      out = out.replaceAll(s"\\b$a\\s*\\(", java.util.regex.Matcher.quoteReplacement(t) + "(")
+    }
+    out
+  }
+}

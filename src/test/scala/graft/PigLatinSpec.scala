@@ -252,3 +252,49 @@ class PigLatinSpec extends SparkSuite {
     assert(e.relation("out").as[(Int, Long)].collect().toMap == Map(1 -> 5L, 2 -> 7L))
   }
 }
+
+/** Preprocessor: %declare/%default parameters, DEFINE aliases, macros. */
+class PigPreprocessorSpec extends SparkSuite {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("%declare parameters substitute into paths and predicates") {
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      %declare TABLE 'orders.parquet'
+      %default MIN_PRICE 100000.0
+      o = LOAD '$TABLE';
+      out = FILTER o BY o_totalprice >= $MIN_PRICE;
+      """)
+    val want = Tables.load(spark, dir, "orders")
+      .filter($"o_totalprice" >= 100000.0).count()
+    assert(e.relation("out").count() == want && want > 0)
+  }
+
+  test("DEFINE aliases a function name") {
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      DEFINE shout UPPER;
+      n = LOAD 'nation.parquet';
+      out = FOREACH n GENERATE shout(n_name) AS nn;
+      """)
+    assert(col0(e.relation("out")).forall(s =>
+      s.asInstanceOf[String] == s.asInstanceOf[String].toUpperCase))
+  }
+
+  test("macros expand with parameter substitution and alias hygiene") {
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      DEFINE count_by(rel, key) RETURNS counted {
+        g = GROUP $rel BY $key;
+        counted = FOREACH g GENERATE group, COUNT($rel) AS n;
+      };
+      o = LOAD 'orders.parquet';
+      c = LOAD 'customer.parquet';
+      by_status = count_by(o, o_orderstatus);
+      by_nation = count_by(c, c_nationkey);
+      """)
+    val gotStatus = e.relation("by_status").as[(String, Long)].collect().toMap
+    val wantStatus = Tables.load(spark, dir, "orders")
+      .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap
+    assert(gotStatus == wantStatus)
+    assert(e.relation("by_nation").count() == 25)
+  }
+}
