@@ -77,5 +77,6 @@ object Ast {
   final case class DumpStmt(alias: String) extends Stmt
   final case class DescribeStmt(alias: String) extends Stmt
   final case class ExplainStmt(alias: String) extends Stmt
+  final case class IllustrateStmt(alias: String) extends Stmt
   final case class AssertStmt(alias: String, cond: Expr, msg: Option[String]) extends Stmt
 }

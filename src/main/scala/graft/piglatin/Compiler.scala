@@ -83,6 +83,7 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case DumpStmt(alias) => relation(alias).show(100, truncate = false)
     case DescribeStmt(alias) => println(s"$alias: ${relation(alias).schema.simpleString}")
     case ExplainStmt(alias) => relation(alias).explain("formatted")
+    case IllustrateStmt(alias) => relation(alias).sample(0.1).show(10, truncate = false)
     case AssertStmt(alias, cond, msg) =>
       val df = relation(alias)
       if (!df.filter(!coalesce(compileExpr(df, cond), lit(false))).isEmpty)
@@ -171,16 +172,14 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     using.map(_.name.toLowerCase) match {
       case Some("pigstorage") =>
         val sep = using.get.args.headOption.collect { case Lit(s: String) => s }.getOrElse("\t")
-        val r = spark.read.option("sep", sep)
-        st.map(r.schema).getOrElse(r.option("inferSchema", "true")).csv(target)
+        graft.sources.Loaders.pigStorage(spark, target, sep, st)
       case Some("textloader") =>
-        val d = spark.read.text(target)
-        schema.flatMap(_.headOption).map(f => d.toDF(f.name)).getOrElse(d)
+        graft.sources.Loaders.textLoader(spark, target,
+          schema.flatMap(_.headOption).map(_.name).getOrElse("line"))
       case Some("jsonloader") =>
-        val r = spark.read
-        st.map(r.schema).getOrElse(r).json(target)
+        graft.sources.Loaders.jsonLoader(spark, target, st)
       case _ => // parquet is this engine's native format (BinStorage analog)
-        val d = spark.read.parquet(target)
+        val d = graft.sources.Loaders.binStorage(spark, target)
         schema.map(fs => d.toDF(fs.map(_.name): _*)).getOrElse(d)
     }
   }

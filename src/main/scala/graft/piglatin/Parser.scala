@@ -68,6 +68,7 @@ object Parser {
       else if (atKw("dump")) { eatKw("dump"); DumpStmt(ident()) }
       else if (atKw("describe")) { eatKw("describe"); DescribeStmt(ident()) }
       else if (atKw("explain")) { eatKw("explain"); ExplainStmt(ident()) }
+      else if (atKw("illustrate")) { eatKw("illustrate"); IllustrateStmt(ident()) }
       else if (atKw("split")) splitStmt()
       else if (atKw("assert")) { eatKw("assert"); val a = ident(); eatKw("by"); val c = expr()
         val msg = if (trySym(",")) Some(str()) else None

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Load/Store function surface (SURVEY.md §2.4 "Load/Store functions"):
+  * the reference's pluggable LoadFunc/StoreFunc pairs
+  * [R: src/org/apache/pig/LoadFunc.java, StoreFunc.java] map onto
+  * Spark's built-in DataSource formats — which already provide the
+  * pushdown hooks LoadMetadata/LoadPushDown expose (partition pruning,
+  * projection and predicate pushdown come from the format, SURVEY.md
+  * §4.1).
+  *
+  * | reference | here |
+  * |---|---|
+  * | PigStorage(delim) | delimited csv (+ explicit or inferred schema) |
+  * | TextLoader        | text (one chararray column) |
+  * | JsonLoader/JsonStorage | json |
+  * | BinStorage/InterStorage | parquet (the engine's binary format) |
+  * | AvroStorage/OrcStorage  | spark's avro/orc formats (same API)    |
+  */
+object Loaders {
+
+  def pigStorage(spark: SparkSession, path: String, delim: String = "\t",
+                 schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("sep", delim)
+    schema.map(r.schema).getOrElse(r.option("inferSchema", "true")).csv(path)
+  }
+
+  def textLoader(spark: SparkSession, path: String,
+                 colName: String = "line"): DataFrame =
+    spark.read.text(path).toDF(colName)
+
+  def jsonLoader(spark: SparkSession, path: String,
+                 schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.map(r.schema).getOrElse(r).json(path)
+  }
+
+  def binStorage(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def storePigStorage(df: DataFrame, path: String, delim: String = "\t"): Unit =
+    df.write.mode("overwrite").option("sep", delim).csv(path)
+
+  def storeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def storeBin(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
