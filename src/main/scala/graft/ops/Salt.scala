@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manual key-salting for joins whose skew exceeds what AQE's
+  * skew-join splitting handles (one pathological key hot enough that
+  * even split partitions of it overwhelm a task). The reference ships
+  * this as its skewed-join implementation
+  * [R: …/relationalOperators/POSkewedJoin.java,
+  *  R: …/mapReduceLayer/SkewedPartitioner.java]; here AQE is the
+  * default path (JoinHint.Skewed) and salting is the explicit escape
+  * hatch.
+  *
+  * The skewed (big) side gets a deterministic per-row salt in
+  * [0, salts); the build side is replicated `salts` ways — so a hot
+  * key's rows spread over `salts` tasks at the cost of `salts`× the
+  * build side, which must therefore be the small side.
+  */
+object Salt {
+
+  def saltedJoin(big: DataFrame, bigKey: String,
+                 small: DataFrame, smallKey: String,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    val salted = big.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated,
+        salted(bigKey) === replicated(smallKey) &&
+          salted("_salt") === replicated("_salt"),
+        joinType)
+      .drop("_salt")
+  }
+}

@@ -46,3 +46,21 @@ class RankSpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("window"))
   }
 }
+
+/** Salted join must produce exactly the rows of the plain join. */
+class SaltSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("saltedJoin equals the unsalted join on skewed data") {
+    val rnd = new scala.util.Random(11)
+    // 90% of rows hit one hot key — the salting use case
+    val big = (1 to 5000).map(i =>
+      (if (rnd.nextDouble() < 0.9) 1L else rnd.nextInt(50).toLong, i)).toDF("k", "v")
+    val small = (0L to 50L).map(k => (k, s"dim$k")).toDF("k2", "name")
+    val got = graft.ops.Salt.saltedJoin(big, "k", small, "k2", salts = 8)
+      .select("k", "v", "name").as[(Long, Int, String)].collect().toSet
+    val want = big.join(small, $"k" === $"k2")
+      .select("k", "v", "name").as[(Long, Int, String)].collect().toSet
+    assert(got == want && got.size == 5000)
+  }
+}
