@@ -145,10 +145,81 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  // ------------------------------ IVF with a k-means coarse quantizer
+
+  /** Train a coarse k-means quantizer with a few Lloyd iterations.
+    * Deterministic init (lowest-id vectors); the model (k × dim doubles)
+    * is tiny and lives on the driver, like any coarse-quantizer
+    * codebook — the data-parallel work (assignment, per-cell means) runs
+    * as DataFrame aggregations.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 3): Array[Array[Double]] = {
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var centroids: Array[Array[Double]] = v.orderBy("id").limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val bc = v.sparkSession.sparkContext.broadcast(centroids)
+      val assignU = udf((vec: Seq[Float]) => nearestCells(vec, bc.value, 1).head)
+      // per-cell per-dimension means via posexplode + two-level agg
+      val assigned = v.withColumn("cell", assignU(col("v")))
+      val dims = assigned.select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cell").agg(
+          org.apache.spark.sql.functions.map_from_arrays(
+            collect_list(col("pos")), collect_list(col("m"))).as("dims"))
+        .collect()
+      val next = centroids.clone()
+      dims.foreach { r =>
+        val cell = r.getInt(0)
+        val m = r.getMap[Int, Double](1)
+        next(cell) = Array.tabulate(centroids(cell).length)(i => m.getOrElse(i, 0.0))
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Indices of the `n` nearest centroids by L2 distance. */
+  private[graft] def nearestCells(vec: Seq[Float], cents: Array[Array[Double]],
+                                  n: Int): Seq[Int] =
+    cents.indices.map { c =>
+      var d = 0.0; var i = 0
+      val ct = cents(c)
+      while (i < ct.length) {
+        val diff = vec(i).toDouble - ct(i); d += diff * diff; i += 1
+      }
+      (d, c)
+    }.sortBy(x => (x._1, x._2)).take(n).map(_._2)
+
   /** IVF-style ANN: corpus quantized to coarse cells (the LSH bucket
     * doubles as the inverted-file cell id); queries probe their own cell
     * plus `nprobe-1` sibling cells (bit flips) for better recall.
     */
+  /** True IVF top-k: k-means codebook cells, queries probe their
+    * `nprobe` nearest cells. Recall/cost tuned by (nCells, nprobe);
+    * cells shard the corpus so per-cell scans stay bounded at scale.
+    */
+  def ivfKmeansTopK(queries: DataFrame, corpus: DataFrame,
+                    queryId: String, corpusId: String, vecCol: String,
+                    k: Int, nCells: Int = 16, nprobe: Int = 3,
+                    iters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(corpus, corpusId, vecCol, nCells, iters)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val assignU = udf((v: Seq[Float]) => nearestCells(v, bc.value, 1).head)
+    val probeU = udf((v: Seq[Float]) => nearestCells(v, bc.value, nprobe))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
+      assignU(col(vecCol)).as("cell"))
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+      explode(probeU(col(vecCol))).as("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineU(col("qv"), col("cv")).as("cosine"))
+      .distinct()
+    topKSelect(scored, k)
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               queryId: String, corpusId: String, vecCol: String,
               k: Int, planes: Int = 6, nprobe: Int = 3): DataFrame = {

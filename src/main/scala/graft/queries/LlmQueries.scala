@@ -139,11 +139,11 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
-    // IVF-style multi-probe ANN (approximate; rows-only check)
+    // IVF ANN with a k-means coarse quantizer (approximate; rows-only)
     "q42_ann_ivf" -> ((s, dir) => {
       val v = t(s, dir, "embeddings")
-      Similarity.ivfTopK(v.filter(col("vec_id") < 10), v,
-          "vec_id", "vec_id", "embedding", k = 5, planes = 6, nprobe = 3)
+      Similarity.ivfKmeansTopK(v.filter(col("vec_id") < 10), v,
+          "vec_id", "vec_id", "embedding", k = 5, nCells = 16, nprobe = 3)
         .orderBy(col("query_id"), col("rk"))
     }),
 

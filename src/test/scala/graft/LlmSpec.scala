@@ -187,3 +187,22 @@ class MultimodalSpec extends SparkSuite {
     assert(frames == Seq(0, 2, 4)) // 600 bytes → frames 0..5, every 2nd
   }
 }
+
+class IvfKmeansSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("kmeans IVF finds the identical-vector neighbor; centroids partition the corpus") {
+    val rnd = new scala.util.Random(5)
+    val base = Array.tabulate(64)(i => (math.sin(i) / 4).toFloat)
+    val rows = (0L to 60L).map(i =>
+      if (i == 1L) (i, base) else (i, Array.fill(64)((rnd.nextGaussian() / 8).toFloat)))
+    val d = rows.toDF("vec_id", "embedding")
+    val queries = Seq((0L, base)).toDF("vec_id", "embedding") // query 0 == vec 1
+    val got = graft.llm.Similarity.ivfKmeansTopK(queries, d,
+        "vec_id", "vec_id", "embedding", k = 1, nCells = 4, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // identical vector shares the cell by construction
+    val cents = graft.llm.Similarity.kmeansCentroids(d, "vec_id", "embedding", 4)
+    assert(cents.length == 4 && cents.forall(_.length == 64))
+  }
+}
