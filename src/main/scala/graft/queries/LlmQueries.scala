@@ -164,6 +164,22 @@ object LlmQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // composed training-data pipeline: quality filter -> exact dedup ->
+    // per-source corpus stats (operators chaining end-to-end)
+    "q44_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d.withColumn("quality", Text.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+      val keepers = Dedup.exact(scored, Seq("text"), "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      scored.join(keepers, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCountWs(col("text"))).as("sum_tokens"),
+          sum(col("quality").cast("decimal(18,4)")).cast("double").as("sum_quality"))
+        .orderBy(col("source"))
+    }),
+
     // embedding near-dup via shared LSH bucket + cosine threshold
     "q43_embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -289,6 +305,23 @@ object LlmQueries {
                  i -> i % 4 = 0)) AS frame_idx
                FROM documents)
          ORDER BY media_id, frame_idx""",
+    "q44_pipeline" ->
+      """WITH scored AS (
+           SELECT doc_id, text, source,
+             FLOOR(((lnd / n) * 0.4
+               + (LEAST(LENGTH(text)::DOUBLE / n, 8.0) / 8.0) * 0.3
+               + LEAST(n / 100.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality
+           FROM (SELECT doc_id, text, source,
+                 len(string_split(text,' '))::DOUBLE AS n,
+                 len(list_distinct(string_split(text,' ')))::DOUBLE AS lnd
+                 FROM documents)),
+         filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+         keepers AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY text)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           (SUM(CAST(quality AS DECIMAL(18,4))))::DOUBLE AS sum_quality
+         FROM filtered JOIN keepers USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
     "q43_embed_neardup" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           b AS (SELECT vec_id, e, ${bucketSql(8)} AS bucket FROM v),
