@@ -268,7 +268,7 @@ object Dedup {
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        Similarity.cosineU(col("a.v"), col("b.v")).as("cosine"))
+        Similarity.cosineExpr(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

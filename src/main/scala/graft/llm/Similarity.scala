@@ -70,6 +70,17 @@ object Similarity {
 
   private[graft] val cosineU =
     udf((a: Seq[Float], b: Seq[Float]) => cosineK(a, b))
+
+  /** Codegen'd cosine through the native `graft_dot` expression
+    * ([[graft.plans.DotProductF]], registered by GraftExtensions) —
+    * identical arithmetic order to [[cosineK]], so results are
+    * bit-equal; stays inside whole-stage codegen. */
+  private[graft] def cosineExpr(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = call_function("graft_dot", x, y)
+    val d = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(d === 0.0, lit(null))
+      .otherwise(floor(dot(a, b) / d * 1e6 + 0.5) / 1e6)
+  }
   private[graft] def bucketU(planes: Int) =
     udf((v: Seq[Float]) => bucketK(v, planes))
 
@@ -102,7 +113,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineU(col("qv"), col("cv")).as("cosine"))
+        cosineExpr(col("qv"), col("cv")).as("cosine"))
     topKSelect(scored, k)
   }
 
@@ -141,7 +152,7 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineU(col("qv"), col("cv")).as("cosine"))
+        cosineExpr(col("qv"), col("cv")).as("cosine"))
     topKSelect(scored, k)
   }
 
@@ -215,7 +226,7 @@ object Similarity {
     val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineU(col("qv"), col("cv")).as("cosine"))
+        cosineExpr(col("qv"), col("cv")).as("cosine"))
       .distinct()
     topKSelect(scored, k)
   }
@@ -234,7 +245,7 @@ object Similarity {
     val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineU(col("qv"), col("cv")).as("cosine"))
+        cosineExpr(col("qv"), col("cv")).as("cosine"))
       .distinct()
     topKSelect(scored, k)
   }

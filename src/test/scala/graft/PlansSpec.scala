@@ -48,3 +48,30 @@ class PlansSpec extends SparkSuite {
     assert(got == want)
   }
 }
+
+/** Native graft_dot expression: codegen'd, bit-identical to the kernel. */
+class DotProductFSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("graft_dot matches the JVM kernel bit-for-bit and runs in codegen") {
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 200).map(_ => (Array.fill(64)(rnd.nextFloat() - 0.5f),
+      Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val tmp = java.nio.file.Files.createTempDirectory("dotf").toString + "/v"
+    rows.toDF("a", "b").write.parquet(tmp)
+    val df = spark.read.parquet(tmp) // file-backed: not constant-folded
+    val got = df.select($"a", call_function("graft_dot", $"a", $"b")).collect()
+      .map(r => (r.getSeq[Float](0).toVector, r.getDouble(1))).toMap
+    val want = rows.map { case (a, b) =>
+      (a.toVector, graft.llm.Similarity.dotK(a, b)) }.toMap
+    assert(got == want) // exact equality, not approx
+    val plan = df.select(call_function("graft_dot", $"a", $"b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project")) // *(n) = whole-stage codegen stage
+  }
+
+  test("graft_dot rejects wrong input types at analysis") {
+    val df = Seq((Seq(1.0), "x")).toDF("a", "b")
+    intercept[Exception](df.select(call_function("graft_dot", $"a", $"b")).collect())
+  }
+}
