@@ -586,6 +586,10 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       case _ => sys.error("BagToString needs a literal delimiter")
     }
     case "DIFF" => PF.diff(cs.head, cs(1))
+    case "TOP" => raw match {
+      case List(Lit(n: Int), Lit(f: String), _) => PF.topN(cs(2), n, f)
+      case _ => sys.error("TOP(n, 'field', bag) needs literal n and field")
+    }
     case "TOTUPLE" => struct(cs: _*)
     case "TOBAG" => array(cs: _*)
     case "TOMAP" => map(cs: _*)

@@ -298,3 +298,28 @@ class PigPreprocessorSpec extends SparkSuite {
     assert(e.relation("by_nation").count() == 25)
   }
 }
+
+/** Diagnostics statements execute without error and TOP works. */
+class PigDiagnosticsSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("DUMP / DESCRIBE / EXPLAIN / ILLUSTRATE run without error") {
+    new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      r = LOAD 'region.parquet';
+      DESCRIBE r;
+      EXPLAIN r;
+      ILLUSTRATE r;
+      DUMP r;
+      """)
+  }
+
+  test("TOP builtin keeps the n largest tuples of a bag by field") {
+    import spark.implicits._
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      o = LOAD 'orders.parquet';
+      g = GROUP o BY o_custkey;
+      out = FOREACH g GENERATE group, SIZE(TOP(2, 'o_totalprice', o)) AS n;
+      """)
+    assert(e.relation("out").agg(max($"n")).as[Long].head() <= 2)
+  }
+}
