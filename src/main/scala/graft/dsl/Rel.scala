@@ -96,6 +96,17 @@ final case class Rel(df: DataFrame) {
     */
   def orderBy(cols: Column*): Rel = Rel(df.orderBy(cols: _*))
 
+  /** RANK rel BY keys [DENSE] — delegates to the 2-pass pipeline
+    * (ops.Rank; SURVEY.md §2.1 #16), never a single-task window. */
+  def rank(keyCols: Seq[String], ascending: Boolean = true,
+           dense: Boolean = false, as: String = "rank"): Rel =
+    Rel(if (dense) graft.ops.Rank.denseRank(df, keyCols, ascending, as)
+        else graft.ops.Rank.rank(df, keyCols, ascending, as))
+
+  /** Bare RANK — 1-based row number over a caller-supplied total order. */
+  def rowNumber(sortCols: Seq[Column], as: String = "rank"): Rel =
+    Rel(graft.ops.Rank.rowNumber(df, sortCols, as))
+
   /** ASSERT rel BY cond — raises if any row violates the predicate
     * [R: src/org/apache/pig/builtin/Assert.java]. Distributed check:
     * cheap `isEmpty` on the violating subset, no driver collect.

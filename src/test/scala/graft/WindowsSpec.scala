@@ -105,3 +105,43 @@ class WindowsSpec extends SparkSuite {
     } finally q.stop()
   }
 }
+
+/** Batch/streaming parity: the same tumbling aggregation over the real
+  * events table via the file-source stream equals the batch result. */
+class StreamingParitySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("file-source streaming tumbling agg equals batch on events sf0.001") {
+    import org.apache.spark.sql.functions._
+    // stage the single events file in its own dir (streaming sources read dirs)
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = Windows.streamingTumbling(stream, "ts", "1 hour", "10 minutes",
+      Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("parity_out")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.table("parity_out")
+      .groupBy("window_start", "event_type").agg(max("n").as("n")) // last update wins
+      .select($"window_start".cast("string"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    val want = Windows.tumbling(Tables.load(spark, "/root/testdata/sf0.001", "events"),
+        "ts", "1 hour", Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+      .select($"window_start".cast("string"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+}
