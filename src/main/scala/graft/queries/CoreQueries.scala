@@ -63,7 +63,8 @@ object CoreQueries {
     "q04_group_bag" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       Rel(o).group(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("orders_bag"),
+        .agg(array_join(sort_array(collect_list(col("o_orderkey"))).cast("array<string>"), ",")
+            .as("orders_bag"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("o_custkey")).df
     }),
@@ -378,7 +379,7 @@ object CoreQueries {
          JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
     "q04_group_bag" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orders_bag,
+      """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orders_bag,
          COUNT(*) AS n_orders
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q05_cogroup" ->

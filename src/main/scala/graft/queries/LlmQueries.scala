@@ -151,6 +151,8 @@ object LlmQueries {
     "q40_multimodal" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Multimodal.extractFeatures(Multimodal.pack(d, "doc_id", "text"))
+        .withColumn("histogram",
+          array_join(col("histogram").cast("array<string>"), ","))
         .orderBy(col("media_id"))
     }),
 
@@ -166,7 +168,7 @@ object LlmQueries {
 
     // composed training-data pipeline: quality filter -> exact dedup ->
     // per-source corpus stats (operators chaining end-to-end)
-    "q44_pipeline" -> ((s, dir) => {
+    "q49_pipeline" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val scored = d.withColumn("quality", Text.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)
@@ -292,8 +294,8 @@ object LlmQueries {
          LENGTH(text)::BIGINT AS n_bytes,
          list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> ord(c))),
            (h, c) -> (h * 31 + c) % 2147483647)::BIGINT AS checksum,
-         list_transform(range(0, 16),
-           b -> len(list_filter(string_split(text, ''), c -> ord(c) // 16 = b))::BIGINT) AS histogram,
+         array_to_string(list_transform(range(0, 16),
+           b -> len(list_filter(string_split(text, ''), c -> ord(c) // 16 = b))::BIGINT), ',') AS histogram,
          CAST(GREATEST(1, FLOOR(SQRT(LENGTH(text)))) AS INTEGER) AS width,
          CAST(GREATEST(1, LENGTH(text) // GREATEST(1, CAST(FLOOR(SQRT(LENGTH(text))) AS BIGINT))) AS INTEGER) AS height
          FROM documents ORDER BY media_id""",
@@ -305,7 +307,7 @@ object LlmQueries {
                  i -> i % 4 = 0)) AS frame_idx
                FROM documents)
          ORDER BY media_id, frame_idx""",
-    "q44_pipeline" ->
+    "q49_pipeline" ->
       """WITH scored AS (
            SELECT doc_id, text, source,
              FLOOR(((lnd / n) * 0.4
