@@ -117,18 +117,66 @@ object Dedup {
     keys
   }
 
+  /** Drop LSH buckets with more than `maxBucket` members. The candidate
+    * self-join is quadratic per bucket, so one pathological bucket (all
+    * docs sharing a band key — boilerplate, empty docs) can dominate the
+    * whole job at corpus scale. Capped buckets lose only pairs whose
+    * EVERY shared band is pathological; with exact duplicates collapsed
+    * first, a bucket over the cap means >maxBucket genuinely distinct
+    * near-identical texts — a cluster better handled at group level.
+    */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else banded.join(
+      banded.groupBy(keyCols.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= maxBucket)
+        .select(keyCols.map(col).toIndexedSeq: _*),
+      keyCols)
+
+  /** Expand representative-level pairs back to member-level pairs, plus
+    * the intra-group pairs (identical keys → `selfScore`). `mem` is
+    * (rep, id); `repPairs` is (id_a, id_b, score) over representatives.
+    * Output is exactly the pair set an uncollapsed run would emit —
+    * quadratic in group sizes because the OUTPUT is (at true corpus
+    * scale prefer the group-level `exact` report and skip expansion).
+    */
+  private def expandPairs(repPairs: DataFrame, mem: DataFrame,
+                          scoreCol: String, selfScore: Column): DataFrame = {
+    val cross = repPairs
+      .join(mem.toDF("rep_a", "m_a"), col("rep_a") === col("id_a"))
+      .join(mem.toDF("rep_b", "m_b"), col("rep_b") === col("id_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col(scoreCol))
+    val intra = mem.toDF("rep", "m_a").as("x")
+      .join(mem.toDF("rep", "m_b").as("y"), col("x.rep") === col("y.rep") &&
+        col("m_a") < col("m_b"))
+      .select(col("m_a").as("id_a"), col("m_b").as("id_b"),
+        selfScore.as(scoreCol))
+    cross.unionByName(intra)
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
-    * Pipeline: shingle (per-partition map) → band keys → explode bands →
-    * group docs per (band, key) → same-bucket pairs → exact-Jaccard
-    * verification ≥ threshold. The emitted pairs are exact (every
+    * Pipeline: collapse exact-duplicate texts to one representative →
+    * shingle (per-partition map) → band keys → explode bands → group
+    * reps per (band, key), dropping buckets over `maxBucket` →
+    * same-bucket pairs → exact-Jaccard verification ≥ threshold →
+    * expand back to member pairs. The emitted pairs are exact (every
     * candidate is verified); LSH only bounds recall.
     *
+    * Scale: the candidate self-join is quadratic per bucket, so the two
+    * defenses matter at corpus scale — exact duplicates (the dominant
+    * real-world source of giant buckets) never reach the banding, and
+    * `maxBucket` bounds whatever pathology remains. Both default on.
+    *
+    * @param maxBucket drop (band,key) buckets with more members
+    *        (post-collapse) than this; <= 0 disables the cap.
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard in [0,1].
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.9): DataFrame = {
+                 threshold: Double = 0.9, maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
@@ -137,12 +185,19 @@ object Dedup {
     val idField = df.schema(idCol)
     val src = df.select(col(idCol), col(textCol))
 
-    // (doc, shingle-set): one pass, persisted — reused by banding and by
+    // collapse exact-duplicate texts: one representative (min id) per
+    // distinct text; members kept for the final expansion
+    val groups = src.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = groups.select(col("rep"), explode(col("ids")).as("id"))
+
+    // (rep, shingle-set): one pass, persisted — reused by banding and by
     // both sides of the verification join
     val shingleSchema = StructType(Seq(
       StructField("doc", idField.dataType), StructField("sh", ArrayType(StringType))))
     val shingled = spark.createDataFrame(
-      src.rdd.mapPartitions(_.map { r =>
+      groups.select(col("rep"), col(textCol)).rdd.mapPartitions(_.map { r =>
         Row(r.get(0), shingleSet(r.getString(1), shingleK).toSeq)
       }), shingleSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -150,13 +205,13 @@ object Dedup {
     val bandSchema = StructType(Seq(
       StructField("doc", idField.dataType),
       StructField("band", IntegerType), StructField("key", LongType)))
-    val banded = spark.createDataFrame(
+    val banded = capBuckets(spark.createDataFrame(
       shingled.rdd.mapPartitions(_.flatMap { r =>
         val doc = r.get(0)
         val sh = r.getSeq[String](1).toArray
         val keys = bandKeys(sh, numHashes, bands)
         keys.iterator.zipWithIndex.map { case (k, b) => Row(doc, b, k) }
-      }), bandSchema)
+      }), bandSchema), Seq("band", "key"), maxBucket)
 
     // same-bucket candidate pairs (small rows through the shuffle)
     val cand = banded.as("a")
@@ -171,10 +226,14 @@ object Dedup {
       .join(shingled.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
 
-    withSets
+    val repPairs = withSets
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+    // identical texts have jaccard exactly 1.0
+    expandPairs(repPairs, mem, "jaccard", lit(1.0))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -198,22 +257,37 @@ object Dedup {
   private def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 with
-    * the 4-band scheme guarantees exact candidate recall). */
+    * the 4-band scheme guarantees exact candidate recall).
+    *
+    * Scale: identical fingerprints (exact dupes, empty/boilerplate docs
+    * that hash alike) are collapsed to one representative before the
+    * bucketed self-join — the dominant hot-bucket source never reaches
+    * it — and `maxBucket` (post-collapse, per 16-bit band bucket) bounds
+    * the residue. Intra-group pairs are re-emitted with hamming = 0.
+    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "4-band scheme guarantees recall only for hamming <= 3")
-    val fp = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("fp"))
-    val banded = fp.select(col("doc"), col("fp"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL))))
-      .toDF("doc", "fp", "band", "key")
-    banded.as("a").join(banded.as("b"),
+    val fp0 = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("fp"))
+    val groups = fp0.groupBy(col("fp"))
+      .agg(min(col("doc")).as("rep"), collect_list(col("doc")).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = groups.select(col("rep"), explode(col("ids")).as("id"))
+    val fp = groups.select(col("rep").as("doc"), col("fp"))
+    val banded = capBuckets(
+      fp.select(col("doc"), col("fp"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL))))
+        .toDF("doc", "fp", "band", "key"),
+      Seq("band", "key"), maxBucket)
+    val repPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
         hamming(col("a.fp"), col("b.fp")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    expandPairs(repPairs, mem, "hamming", lit(0))
   }
 
   /** Exact n-gram Jaccard within a blocking key (e.g. source), via an
@@ -260,11 +334,16 @@ object Dedup {
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, candidates from
     * sign-LSH buckets (see [[Similarity.lshBucket]]), verified exactly.
+    * `maxBucket` drops pathological buckets (e.g. the all-zeros bucket a
+    * degenerate embedding model emits) before the quadratic self-join.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double = 0.95, planes: Int = 8): DataFrame = {
-    val b = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
-      Similarity.bucketU(planes)(col(vecCol)).as("bucket"))
+                       threshold: Double = 0.95, planes: Int = 8,
+                       maxBucket: Int = 100000): DataFrame = {
+    val b = capBuckets(
+      df.select(col(idCol).as("doc"), col(vecCol).as("v"),
+        Similarity.bucketU(planes)(col(vecCol)).as("bucket")),
+      Seq("bucket"), maxBucket)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),

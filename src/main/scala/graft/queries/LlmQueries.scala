@@ -187,8 +187,32 @@ object LlmQueries {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.4, planes = 8)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // dedup stress: corpus salted with exact-duplicate clusters (11
+    // copies each) LARGER than the LSH bucket cap (8) — exact-dup
+    // collapse keeps the result identical to the exhaustive oracle
+    // while the cap bounds the quadratic candidate join
+    "q56_dedup_stress" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = base.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .crossJoin(s.range(1, 11).toDF("c"))
+        .select((col("doc_id") + col("c") * lit(1000000L)).as("doc_id"),
+          col("text"))
+      Dedup.minhashLsh(base.union(copies), "doc_id", "text",
+          shingleK = 3, numHashes = 64, bands = 32, threshold = 0.9,
+          maxBucket = 8)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  /** Salted corpus for q56 — must mirror the Spark-side construction. */
+  private val stressCorpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + c * 1000000 AS doc_id, text
+       FROM documents, (SELECT UNNEST(range(1, 11)) AS c)
+       WHERE doc_id % 25 = 0"""
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -205,6 +229,18 @@ object LlmQueries {
           JOIN cnt ca ON ca.doc_id = id_a
           JOIN cnt cb ON cb.doc_id = id_b
           WHERE i / (ca.c + cb.c - i) >= 0.6
+          ORDER BY id_a, id_b""",
+    "q56_dedup_stress" ->
+      s"""WITH sh AS (${shingleRowsSql(stressCorpusSql)}),
+          cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT id_a, id_b, i / (ca.c + cb.c - i) AS jaccard
+          FROM inter
+          JOIN cnt ca ON ca.doc_id = id_a
+          JOIN cnt cb ON cb.doc_id = id_b
+          WHERE i / (ca.c + cb.c - i) >= 0.9
           ORDER BY id_a, id_b""",
     "q33_ngram_jaccard" ->
       s"""WITH docs AS (SELECT doc_id, text, doc_id % 20 AS blk FROM ($derivedDocsSql)),
