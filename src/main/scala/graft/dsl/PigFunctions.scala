@@ -170,24 +170,47 @@ object PigFunctions {
   def milliSecondsBetween(a: Column, b: Column): Column =
     ((unix_micros(a) - unix_micros(b)) / 1000L).cast(LongType)
 
-  /** AddDuration(dt, 'ISO-8601 duration') — e.g. P1DT2H30M
+  /** AddDuration(dt, 'ISO-8601 duration') — e.g. P1Y2M3DT4H5M6S
     * [R: src/org/apache/pig/builtin/AddDuration.java]. The duration is a
-    * literal, so we parse it driver-side into an INTERVAL expression.
+    * literal, so we parse it driver-side: the calendar part (years /
+    * months, joda Period semantics — month arithmetic clamps the
+    * day-of-month) becomes a year-month INTERVAL, the exact part
+    * (weeks / days / time) a day-time INTERVAL. Both stay codegen'd
+    * timestamp + interval additions.
     */
-  def addDuration(dt: Column, iso: String): Column =
-    dt + lit(parseIsoDuration(iso))
-  def subtractDuration(dt: Column, iso: String): Column =
-    dt - lit(parseIsoDuration(iso))
+  def addDuration(dt: Column, iso: String): Column = shiftByDuration(dt, iso, 1)
+  def subtractDuration(dt: Column, iso: String): Column = shiftByDuration(dt, iso, -1)
 
-  /** ISO-8601 duration → java.time.Duration (time part) — date part
-    * (years/months) handled via add_months composition in addDuration
-    * when present; we support the D/H/M/S subset plus weeks.
+  private def shiftByDuration(dt: Column, iso: String, sign: Int): Column = {
+    val (months, exact) = parseIsoDuration(iso)
+    var c = dt
+    if (months != 0)
+      c = c + expr(s"INTERVAL '${sign * months}' MONTH")
+    if (!exact.isZero)
+      c = if (sign > 0) c + lit(exact) else c - lit(exact)
+    c
+  }
+
+  /** ISO-8601 duration → (calendar months, exact java.time.Duration).
+    * Handles the full PnYnMnWnDTnHnMnS form: the date part parses as a
+    * java.time.Period (weeks normalize to days), the time part as a
+    * Duration. Y/M are calendar-relative so they must be applied as a
+    * month interval, not a fixed number of seconds.
     */
-  private[graft] def parseIsoDuration(iso: String): java.time.Duration =
-    java.time.Duration.parse(normalizeDays(iso))
-
-  // java.time.Duration.parse accepts PnDTnHnMnS already; weeks/years need help
-  private def normalizeDays(iso: String): String = iso
+  private[graft] def parseIsoDuration(iso: String): (Int, java.time.Duration) = {
+    val neg = iso.startsWith("-")
+    val body = if (neg) iso.substring(1) else iso
+    require(body.startsWith("P") || body.startsWith("p"), s"not an ISO-8601 duration: $iso")
+    val t = body.indexOf('T')
+    val datePart = if (t >= 0) body.substring(0, t) else body
+    val period =
+      if (datePart.length > 1) java.time.Period.parse(datePart) else java.time.Period.ZERO
+    val time =
+      if (t >= 0) java.time.Duration.parse("P" + body.substring(t)) else java.time.Duration.ZERO
+    val months = period.getYears * 12 + period.getMonths
+    val exact = time.plusDays(period.getDays.toLong)
+    if (neg) (-months, exact.negated()) else (months, exact)
+  }
 
   def weeksBetween(a: Column, b: Column): Column = between(a, b, 604800L)
 

@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.io.ByteArrayOutputStream
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -13,6 +15,13 @@ import org.apache.spark.sql.functions._
   * plausible matches reach the exchange; the exact semi-join then
   * removes the false positives. Locally the exact join alone would win —
   * the operator exists for the cluster shape.
+  *
+  * The probe is Spark's native `BloomFilterMightContain` expression
+  * (registered as `graft_might_contain` by
+  * [[graft.plans.GraftExtensions]]) over `xxhash64` of the key — the
+  * same vectorized, codegen'd pair Spark's own runtime row-level
+  * filtering uses. No Scala UDF: the filter stays inside whole-stage
+  * codegen and works for any hashable key type.
   */
 object BloomJoin {
 
@@ -22,10 +31,18 @@ object BloomJoin {
   def semiJoin(left: DataFrame, leftKey: String,
                right: DataFrame, rightKey: String,
                expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    val bf = right.stat.bloomFilter(rightKey, expectedItems, fpp)
-    val bc = left.sparkSession.sparkContext.broadcast(bf)
-    val probe = udf((k: Long) => k != null && bc.value.mightContainLong(k))
-    left.filter(probe(col(leftKey).cast("long")))
+    // Hash both sides identically: xxhash64 is type-sensitive (int and
+    // long hash differently), so the build side casts to the probe
+    // side's key type before hashing.
+    val probeType = left.schema(leftKey).dataType
+    val bf = right
+      .select(xxhash64(col(rightKey).cast(probeType)).as("__graft_h"))
+      .stat.bloomFilter("__graft_h", expectedItems, fpp)
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe =
+      call_function("graft_might_contain", lit(bos.toByteArray), xxhash64(col(leftKey)))
+    left.filter(probe)
       .join(right, left(leftKey) === right(rightKey), "left_semi")
   }
 

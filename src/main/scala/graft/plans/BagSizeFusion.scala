@@ -50,5 +50,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[DotProductF].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductF(children.head, children(1))))
+    // Spark's native bloom probe (the one runtime row-level filtering
+    // uses): graft_might_contain(serialized_bloom, xxhash64(key)).
+    // Codegen'd, no Scala UDF — see graft.ops.BloomJoin.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))))
   }
 }

@@ -64,3 +64,34 @@ class SaltSpec extends SparkSuite {
     assert(got == want && got.size == 5000)
   }
 }
+
+/** Bloom semi-join: exact result, native (non-UDF) probe. */
+class BloomJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bloom semiJoin equals the exact left-semi join, for long and string keys") {
+    val left = (1 to 2000).map(i => (i.toLong, s"s${i % 97}", i)).toDF("k", "sk", "v")
+    val right = (1 to 400).map(i => (i * 3L, s"s${i % 41}")).toDF("k2", "sk2")
+    val gotL = graft.ops.BloomJoin.semiJoin(left, "k", right, "k2", 10000L, 0.03)
+      .select("k", "v").as[(Long, Int)].collect().toSet
+    val wantL = left.join(right, $"k" === $"k2", "left_semi")
+      .select("k", "v").as[(Long, Int)].collect().toSet
+    assert(gotL == wantL)
+    val gotS = graft.ops.BloomJoin.semiJoin(left, "sk", right, "sk2", 10000L, 0.03)
+      .select("k", "v").as[(Long, Int)].collect().toSet
+    val wantS = left.join(right, $"sk" === $"sk2", "left_semi")
+      .select("k", "v").as[(Long, Int)].collect().toSet
+    assert(gotS == wantS)
+  }
+
+  test("bloom probe is the native might_contain expression, not a Scala UDF") {
+    // range-backed inputs: LocalRelation would let ConvertToLocalRelation
+    // evaluate the probe filter at optimization time and hide it
+    val left = spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+    val right = spark.range(10).select(($"id" * 2).as("k2"), $"id".as("w"))
+    val plan = graft.ops.BloomJoin.semiJoin(left, "k", right, "k2", 1000L, 0.03)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(!plan.contains("UDF"), plan.take(2000))
+  }
+}

@@ -81,6 +81,37 @@ class PigFunctionsSpec extends SparkSuite {
     assert(got == Seq("2024-01-02 02:30:00"))
   }
 
+  test("AddDuration handles weeks as exact 7-day spans") {
+    val df = Seq("2024-01-01 06:00:00").toDF("s").select(to_timestamp($"s").as("t"))
+    assert(col0(df.select(PF.addDuration($"t", "P2W").cast("string"))) ==
+      Seq("2024-01-15 06:00:00"))
+  }
+
+  test("AddDuration months/years are calendar-relative with day clamping (joda)") {
+    val df = Seq("2024-01-31 12:00:00").toDF("s").select(to_timestamp($"s").as("t"))
+    // Jan 31 + 1 month → Feb 29 (leap year, day clamps like joda plusMonths)
+    assert(col0(df.select(PF.addDuration($"t", "P1M").cast("string"))) ==
+      Seq("2024-02-29 12:00:00"))
+    val leap = Seq("2024-02-29 00:00:00").toDF("s").select(to_timestamp($"s").as("t"))
+    assert(col0(leap.select(PF.addDuration($"t", "P1Y").cast("string"))) ==
+      Seq("2025-02-28 00:00:00"))
+    // combined calendar + exact parts
+    assert(col0(df.select(PF.addDuration($"t", "P1Y1M1DT1H").cast("string"))) ==
+      Seq("2025-03-01 13:00:00"))
+  }
+
+  test("SubtractDuration inverts calendar and exact parts") {
+    val df = Seq("2024-03-31 12:00:00").toDF("s").select(to_timestamp($"s").as("t"))
+    assert(col0(df.select(PF.subtractDuration($"t", "P1M").cast("string"))) ==
+      Seq("2024-02-29 12:00:00"))
+    assert(col0(df.select(PF.subtractDuration($"t", "P1W").cast("string"))) ==
+      Seq("2024-03-24 12:00:00"))
+  }
+
+  test("parseIsoDuration rejects garbage loudly") {
+    intercept[Exception](PF.parseIsoDuration("2 weeks"))
+  }
+
   test("extended datetime surface: weekyear, millis, weeks/months/years between") {
     val df = Seq(("2024-01-01 12:00:00.250", "2022-06-15 12:00:00"))
       .toDF("a", "b")
