@@ -1,9 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every SparkEntry query, median of N=3 runs each
+  * (VERDICT r1 item 10: single-shot sf0.1 timings are overhead-
+  * dominated and too noisy to catch plan regressions; medians make the
+  * 2×-of-baseline gate meaningful). Prints ONE JSON line; `value` is
+  * the sum of per-query medians.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = Graft.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,9 +23,16 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "lineitem").groupBy("l_returnflag").count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries are independent: drop their persisted intermediates so
+        // cache pressure doesn't pollute the next measurement
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -213,6 +213,18 @@ final case class Rel(df: DataFrame) {
             mode: String = "overwrite"): Unit =
     df.write.format(format).mode(mode).save(path)
 
+  /** STORE with hive-style partition directories — the 100 TB sink
+    * shape: readers prune partitions before any scan (the reference's
+    * MultiStorage piggyback analog, [R: piggybank MultiStorage.java]).
+    * Caller picks low-cardinality columns; each task writes one file
+    * per in-task partition value, so pre-sort/repartition by the
+    * partition columns to avoid small-file explosion.
+    */
+  def storePartitioned(path: String, partitionCols: Seq[String],
+                       format: String = "parquet",
+                       mode: String = "overwrite"): Unit =
+    df.write.format(format).partitionBy(partitionCols: _*).mode(mode).save(path)
+
   /** DUMP — driver-side display. */
   def dump(n: Int = 20): Unit = df.show(n, truncate = false)
 

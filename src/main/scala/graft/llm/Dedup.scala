@@ -118,12 +118,13 @@ object Dedup {
   }
 
   /** Drop LSH buckets with more than `maxBucket` members. The candidate
-    * self-join is quadratic per bucket, so one pathological bucket (all
-    * docs sharing a band key — boilerplate, empty docs) can dominate the
-    * whole job at corpus scale. Capped buckets lose only pairs whose
-    * EVERY shared band is pathological; with exact duplicates collapsed
-    * first, a bucket over the cap means >maxBucket genuinely distinct
-    * near-identical texts — a cluster better handled at group level.
+    * pair expansion is quadratic per bucket, so one pathological bucket
+    * (all docs sharing a band key — boilerplate, empty docs) can
+    * dominate the whole job at corpus scale. Capped buckets lose only
+    * pairs whose EVERY shared band is pathological; with exact
+    * duplicates collapsed first, a bucket over the cap means >maxBucket
+    * genuinely distinct near-identical texts — a cluster better handled
+    * at group level.
     */
   private def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
     if (maxBucket <= 0) banded
@@ -133,6 +134,27 @@ object Dedup {
         .filter(col("bucket_n") <= maxBucket)
         .select(keyCols.map(col).toIndexedSeq: _*),
       keyCols)
+
+  /** Same-bucket candidate pairs over `(keyCols…, elem)` rows, with the
+    * bucket cap applied in the SAME aggregation that groups the bucket —
+    * one shuffle, no join-back, and the quadratic expansion happens
+    * map-side on the grouped array (bounded by `maxBucket`). This
+    * replaced a bucket-count join + banded-vs-banded self-join that
+    * recomputed the banding once per join side (measured 3–8× the whole
+    * pipeline's cost at sf0.1).
+    */
+  private def bucketPairs(banded: DataFrame, keyCols: Seq[String],
+                          elem: Column, maxBucket: Int): DataFrame = {
+    val sizeOk =
+      if (maxBucket > 0) size(col("ds")).between(2, maxBucket)
+      else size(col("ds")) >= 2
+    banded
+      .groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(collect_list(elem).as("ds"))
+      .filter(sizeOk)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+  }
 
   /** Expand representative-level pairs back to member-level pairs, plus
     * the intra-group pairs (identical keys → `selfScore`). `mem` is
@@ -186,11 +208,14 @@ object Dedup {
     val src = df.select(col(idCol), col(textCol))
 
     // collapse exact-duplicate texts: one representative (min id) per
-    // distinct text; members kept for the final expansion
+    // distinct text; members kept for the final expansion. Only the
+    // tiny (rep, id) projection is cached — caching `groups` itself
+    // would pin every document text in block storage (measured: the
+    // accumulated cache pressure dominated the whole bench)
     val groups = src.groupBy(col(textCol))
       .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mem = groups.select(col("rep"), explode(col("ids")).as("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // (rep, shingle-set): one pass, persisted — reused by banding and by
     // both sides of the verification join
@@ -205,20 +230,19 @@ object Dedup {
     val bandSchema = StructType(Seq(
       StructField("doc", idField.dataType),
       StructField("band", IntegerType), StructField("key", LongType)))
-    val banded = capBuckets(spark.createDataFrame(
+    val banded = spark.createDataFrame(
       shingled.rdd.mapPartitions(_.flatMap { r =>
         val doc = r.get(0)
         val sh = r.getSeq[String](1).toArray
         val keys = bandKeys(sh, numHashes, bands)
         keys.iterator.zipWithIndex.map { case (k, b) => Row(doc, b, k) }
-      }), bandSchema), Seq("band", "key"), maxBucket)
+      }), bandSchema)
 
-    // same-bucket candidate pairs (small rows through the shuffle)
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+    // same-bucket candidate pairs: grouped buckets (capped in the same
+    // aggregation), pairs expanded map-side — small rows, one shuffle
+    val cand = bucketPairs(banded, Seq("band", "key"), col("doc"), maxBucket)
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .distinct()
 
     // verification: fetch shingle sets by id, exact Jaccard
@@ -274,15 +298,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mem = groups.select(col("rep"), explode(col("ids")).as("id"))
     val fp = groups.select(col("rep").as("doc"), col("fp"))
-    val banded = capBuckets(
-      fp.select(col("doc"), col("fp"),
+    val banded = fp.select(col("doc"), col("fp"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL))))
-        .toDF("doc", "fp", "band", "key"),
-      Seq("band", "key"), maxBucket)
-    val repPairs = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc") < col("b.doc"))
+      .toDF("doc", "fp", "band", "key")
+    val repPairs = bucketPairs(banded, Seq("band", "key"),
+        struct(col("doc"), col("fp")), maxBucket)
+      .filter(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
         hamming(col("a.fp"), col("b.fp")).as("hamming"))
       .distinct()
@@ -291,15 +313,23 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard within a blocking key (e.g. source), via an
-    * inverted-index set-similarity join: explode shingles, self-join on
-    * shingle equality to count intersections, then derive the union from
-    * per-doc set sizes. Work scales with Σ postings² per shingle (tiny
-    * for distinctive shingles), not |pairs| × |set size| — the shape that
-    * survives 100 TB, and identical to what a SQL oracle computes.
-    * Pairs sharing zero shingles (J = 0) are never materialized.
+    * inverted index: explode shingles, group the postings list per
+    * (block, shingle), expand same-posting pairs map-side, count
+    * intersections, then derive the union from per-doc set sizes. Work
+    * scales with Σ postings² per shingle (tiny for distinctive
+    * shingles), not |pairs| × |set size| — the shape that survives
+    * 100 TB, and identical to what a SQL oracle computes. Pairs sharing
+    * zero shingles (J = 0) are never materialized.
+    *
+    * @param maxDf stop-shingle removal: drop postings lists longer than
+    *        this (boilerplate shingles make Σ postings² explode). 0 (the
+    *        default) keeps the exact semantics; set it at corpus scale
+    *        and accept the documented recall loss on pairs whose overlap
+    *        is ONLY boilerplate.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, k: Int = 3, minJaccard: Double = 0.1): DataFrame = {
+                   blockCol: String, k: Int = 3, minJaccard: Double = 0.1,
+                   maxDf: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -309,8 +339,8 @@ object Dedup {
       StructField("doc", df.schema(idCol).dataType),
       StructField("s", StringType)))
     // shingle rows via the JVM kernel (interpreted HOFs are the hot-path
-    // cost, see object scaladoc); persisted: both sides of the
-    // inverted-index self-join read it
+    // cost, see object scaladoc); persisted: the postings grouping and
+    // the per-doc size aggregation both read it
     val sh = spark.createDataFrame(
       src.rdd.mapPartitions(_.flatMap { r =>
         val blk = r.get(0); val doc = r.get(1)
@@ -318,11 +348,9 @@ object Dedup {
       }), shSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("c"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.blk") === col("b.blk") &&
-          col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+    val inter = bucketPairs(sh, Seq("blk", "s"), col("doc"), maxDf)
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
       .agg(count(lit(1)).as("i"))
     inter
       .join(cnt.withColumnRenamed("doc", "id_a").withColumnRenamed("c", "ca"), "id_a")

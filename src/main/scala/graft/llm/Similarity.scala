@@ -166,7 +166,11 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 3): Array[Array[Double]] = {
+    // cache the projected corpus: every Lloyd iteration re-reads it
+    // (init + iters scans), and at 100 TB the projection is the
+    // id+vector slice of the table, not the full rows
     val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[Array[Double]] = v.orderBy("id").limit(k)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     for (_ <- 1 to iters) {
@@ -188,6 +192,7 @@ object Similarity {
       }
       centroids = next
     }
+    v.unpersist(blocking = false)
     centroids
   }
 

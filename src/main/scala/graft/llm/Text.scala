@@ -97,6 +97,41 @@ object Text {
       fingerprint(t).as("fingerprint"))
   }
 
+  /** Gopher-style quality-rule signals (Rae et al. 2021, "Scaling
+    * Language Models" appendix A1.1 — public paper): per-document
+    * repetition and composition statistics used as training-data
+    * filters. All deterministic integer/double column math, so a SQL
+    * oracle can re-derive every value:
+    *
+    *  - `n_words`      whitespace token count
+    *  - `mean_word_len` characters-per-word (round 4)
+    *  - `frac_alpha`   fraction of words containing a letter (round 4)
+    *  - `frac_top_word` occurrences of the most frequent word / n_words
+    *    (round 4) — the cheap repetition detector
+    *
+    * The per-row stats are pure column folds; frac_top_word is the
+    * explode→count→max two-phase aggregation (combiner-friendly, no
+    * bags). At 100 TB both paths partial-aggregate map-side.
+    */
+  def qualityRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val n = size(ws).cast("double")
+    val perRow = df.select(
+      col(idCol),
+      size(ws).cast("long").as("n_words"),
+      roundCompat(length(regexp_replace(col(textCol), " ", "")).cast("double") / n, 4)
+        .as("mean_word_len"),
+      roundCompat(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / n, 4)
+        .as("frac_alpha"))
+    val topWord = df
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_w"))
+      .select(col(idCol),
+        roundCompat(col("top_c").cast("double") / col("n_w"), 4).as("frac_top_word"))
+    perRow.join(topWord, idCol)
+  }
+
   /** TF-IDF over the corpus: classic two-aggregation pipeline (term
     * frequencies per doc, document frequencies per term, log-idf join).
     * Returns (doc, term, tf, df, tfidf).
@@ -108,6 +143,6 @@ object Text {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(dfreq, "term")
       .select(col("doc"), col("term"), col("tf"), col("df"),
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+        roundCompat(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
   }
 }

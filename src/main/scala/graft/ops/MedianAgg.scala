@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Exact per-group median as an Aggregator — the second concrete proof
+  * (next to [[TopKAgg]]) that Spark's Aggregator surface covers the
+  * reference's Algebraic/Accumulator UDF contracts
+  * [R: src/org/apache/pig/Accumulator.java, Algebraic.java]:
+  * `reduce` is the Accumulator's `accumulate` (values stream into the
+  * buffer batch by batch, the bag never materializes as a column), and
+  * `merge` is the Algebraic combiner step.
+  *
+  * Median is deliberately a HOLISTIC aggregate: the buffer is O(group)
+  * because no smaller sufficient statistic exists — this is the honest
+  * worst case of the Accumulator surface. At 100 TB use it only on
+  * bounded groups; for unbounded groups the scale path is
+  * `percentile_approx` (fixed-size sketch, partial/final), which Spark
+  * ships natively.
+  *
+  * Interpolation matches DuckDB/Postgres `median(double)`: mean of the
+  * two middle values for even counts — so the oracle can re-derive it.
+  */
+class MedianAgg extends Aggregator[Double, Seq[Double], Double] {
+
+  override def zero: Seq[Double] = Vector.empty
+  override def reduce(buf: Seq[Double], x: Double): Seq[Double] = buf :+ x
+  override def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] = a ++ b
+
+  override def finish(r: Seq[Double]): Double = {
+    val s = r.sorted
+    val n = s.length
+    if (n == 0) Double.NaN
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  override def bufferEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  override def outputEncoder: Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}
+
+object MedianAgg {
+
+  /** Column form: median(col("x")) — usable directly in groupBy().agg(). */
+  lazy val median: Column => Column = {
+    val f = udaf(new MedianAgg)
+    c => f(c)
+  }
+}

@@ -53,6 +53,20 @@ object Ast {
                                    inner: List[(String, NestedOp)],
                                    gens: List[GenItem]) extends RelOp
   final case class GroupOp(inputs: List[(String, List[Expr])], all: Boolean) extends RelOp
+
+  /** CUBE rel BY CUBE(dims) / ROLLUP(dims) [, …] — grouping-set
+    * aggregation [R: src/org/apache/pig/newplan/logical/relational/LOCube.java].
+    * Output relation binds `group` (tuple of dims) and the bag `cube`,
+    * like the reference. Multiple clauses (Pig's mixed form) compile to
+    * the cross product of each clause's grouping-set family. */
+  final case class CubeOp(input: String,
+                          clauses: List[(String, List[Expr])] // "cube"|"rollup" → dims
+                         ) extends RelOp
+
+  /** STREAM rel THROUGH `cmd` [AS (schema)] — pipe tuples through an
+    * external command [R: …/relationalOperators/POStream.java]. */
+  final case class StreamOp(input: String, cmd: String,
+                            schema: Option[List[FieldDef]]) extends RelOp
   final case class JoinOp(inputs: List[(String, List[Expr])],
                           outer: Option[String],   // LEFT/RIGHT/FULL
                           using: Option[String]) extends RelOp // replicated/skewed/merge

@@ -13,15 +13,17 @@ import Ast._
   * parse → compile per statement → lazy until STORE/DUMP, exactly like
   * `PigServer.registerQuery` [R: src/org/apache/pig/PigServer.java]).
   *
-  * Supported subset: LOAD (PigStorage/TextLoader/JsonLoader/parquet) AS
-  * schema, STORE, FILTER, FOREACH..GENERATE (+FLATTEN, AS), GROUP/
-  * COGROUP [ALL], JOIN (inner/outer, USING 'replicated'|'skewed'|
-  * 'merge'), CROSS, ORDER BY, RANK [BY .. DENSE], LIMIT, DISTINCT,
-  * UNION [ONSCHEMA], SPLIT, SAMPLE, DISTINCT, ASSERT, DUMP/DESCRIBE/
-  * EXPLAIN, expressions (arith/bool/compare/MATCHES/IS NULL/bincond/
-  * CASE/casts/map-lookup/positional $n/builtin functions).
-  * Out of scope (documented per SURVEY.md §7.3): macros, %declare,
-  * STREAM DEFINE-ships, NATIVE-MR, nested FOREACH blocks, scripting UDFs.
+  * Supported subset: LOAD (PigStorage/TextLoader/JsonLoader/OrcStorage/
+  * parquet) AS schema, STORE, FILTER, FOREACH..GENERATE (+FLATTEN, AS),
+  * GROUP/COGROUP [ALL], CUBE rel BY CUBE/ROLLUP(dims), JOIN (inner/
+  * outer, USING 'replicated'|'skewed'|'merge'), CROSS, ORDER BY,
+  * RANK [BY .. DENSE], LIMIT, DISTINCT, UNION [ONSCHEMA], SPLIT,
+  * SAMPLE, STREAM rel THROUGH `cmd` [AS (schema)], ASSERT,
+  * DUMP/DESCRIBE/EXPLAIN, nested FOREACH blocks, expressions (arith/
+  * bool/compare/MATCHES/IS NULL/bincond/CASE/casts/map-lookup/
+  * positional $n/builtin functions), macros + %declare (preprocessor).
+  * Out of scope (documented per SURVEY.md §7.3): NATIVE-MR,
+  * scripting UDFs.
   *
   * The GROUP→FOREACH aggregate fusion happens here: a FOREACH over a
   * grouped relation whose generators are group keys / algebraic
@@ -41,7 +43,9 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
   private final case class GroupInfo(
       pre: DataFrame,              // join of the cogrouped inputs' rows (unary: the input)
       keyCols: Seq[(Column, String)], // key expr → output name ("group" or group.field)
-      bagAliases: Seq[String])     // bag column names (one per input alias)
+      bagAliases: Seq[String],     // bag column names (one per input alias)
+      mode: String = "group",      // "group" | "cube" | "rollup" | "sets"
+      sets: Seq[Seq[String]] = Nil) // explicit grouping sets (mode "sets")
 
   private val env = mutable.LinkedHashMap[String, RelInfo]()
 
@@ -78,6 +82,7 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
           val sep = using.get.args.headOption.collect { case Lit(s: String) => s }.getOrElse("\t")
           df.write.mode("overwrite").option("sep", sep).csv(target)
         case Some("jsonstorage") => df.write.mode("overwrite").json(target)
+        case Some("orcstorage") => graft.sources.Loaders.storeOrc(df, target)
         case _ => df.write.mode("overwrite").parquet(target)
       }
     case DumpStmt(alias) => relation(alias).show(100, truncate = false)
@@ -103,6 +108,56 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case op: ForeachNestedOp => compileForeachNested(op)
 
     case GroupOp(inputs, all) => compileGroup(inputs, all)
+
+    case CubeOp(in, List((mode, dims))) =>
+      // grouping-set keys stay top-level columns (Catalyst Expand needs
+      // them individually nullable); `group.dim` derefs resolve by name
+      val pre = relation(in)
+      val keyCols =
+        if (dims.size == 1) Seq((compileExpr(pre, dims.head), "group"))
+        else dims.zipWithIndex.map { case (d, i) =>
+          (compileExpr(pre, d), keyName(d, i)) }
+      // Pig names the bag of a CUBE/ROLLUP relation 'cube' [R: LOCube.java]
+      val ginfo = GroupInfo(pre, keyCols, Seq("cube"), mode)
+      RelInfo(() => materializeBags(ginfo), Some(ginfo))
+
+    case CubeOp(in, clauses) =>
+      // mixed form `CUBE(a,b), ROLLUP(c)`: the grouping sets are the
+      // cross product of each clause's family (cube → all subsets,
+      // rollup → prefixes), fed to Dataset.groupingSets. Dims are
+      // projected to named columns first so set refs are plain names.
+      val pre0 = relation(in)
+      val allDims = clauses.flatMap(_._2)
+      val names = allDims.zipWithIndex.map { case (d, i) => keyName(d, i) }
+      val pre = allDims.zip(names).foldLeft(pre0) { case (acc, (d, n)) =>
+        acc.withColumn(n, compileExpr(acc, d)) }
+      var idx = 0
+      val families: List[List[List[String]]] = clauses.map { case (kind, dims) =>
+        val ns = names.slice(idx, idx + dims.size).toList
+        idx += dims.size
+        kind match {
+          case "cube" =>
+            ns.indices.toSet.subsets().toList
+              .map(s => ns.zipWithIndex.collect { case (n, i) if s(i) => n })
+          case "rollup" => (ns.size to 0 by -1).toList.map(ns.take)
+        }
+      }
+      val sets = families.reduce((a, b) => for (x <- a; y <- b) yield x ++ y)
+      val ginfo = GroupInfo(pre, names.map(n => (col(n), n)), Seq("cube"),
+        "sets", sets)
+      RelInfo(() => materializeBags(ginfo), Some(ginfo))
+
+    case StreamOp(in, cmd, schema) => RelInfo(() => {
+      val lines = graft.dsl.Rel(relation(in)).streamThrough(cmd).df
+      schema match {
+        case None => lines
+        case Some(fs) =>
+          val parts = split(col("line"), "\t")
+          lines.select(fs.zipWithIndex.map { case (f, i) =>
+            parts.getItem(i).cast(f.typ.map(pigType).getOrElse(StringType))
+              .as(f.name) }: _*)
+      }
+    })
 
     case JoinOp(inputs, outer, using) =>
       RelInfo(() => compileJoin(inputs, outer, using))
@@ -178,6 +233,9 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
           schema.flatMap(_.headOption).map(_.name).getOrElse("line"))
       case Some("jsonloader") =>
         graft.sources.Loaders.jsonLoader(spark, target, st)
+      case Some("orcstorage") =>
+        val d = graft.sources.Loaders.orcLoader(spark, target)
+        schema.map(fs => d.toDF(fs.map(_.name): _*)).getOrElse(d)
       case _ => // parquet is this engine's native format (BinStorage analog)
         val d = graft.sources.Loaders.binStorage(spark, target)
         schema.map(fs => d.toDF(fs.map(_.name): _*)).getOrElse(d)
@@ -220,10 +278,21 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case _ => s"k$i"
   }
 
+  /** groupBy / cube / rollup over the same named keys. */
+  private def keyedGroup(g: GroupInfo): org.apache.spark.sql.RelationalGroupedDataset = {
+    val ks = g.keyCols.map { case (c, n) => c.as(n) }
+    g.mode match {
+      case "cube" => g.pre.cube(ks: _*)
+      case "rollup" => g.pre.rollup(ks: _*)
+      case "sets" => g.pre.groupingSets(g.sets.map(_.map(col)), ks: _*)
+      case _ => g.pre.groupBy(ks: _*)
+    }
+  }
+
   private def materializeBags(g: GroupInfo): DataFrame = {
     val in = g.bagAliases.head
     val d = g.pre
-    d.groupBy(g.keyCols.map { case (c, n) => c.as(n) }: _*)
+    keyedGroup(g)
       .agg(collect_list(struct(d.columns.map(col).toIndexedSeq: _*)).as(in))
   }
 
@@ -380,7 +449,7 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
 
   private def fusedAgg(g: GroupInfo, gens: List[GenItem]): DataFrame = {
     val pre = g.pre
-    val keyed = pre.groupBy(g.keyCols.map { case (c, n) => c.as(n) }: _*)
+    val keyed = keyedGroup(g)
     val (keyGens, aggGens) = gens.partition(gi => gi.expr match {
       case FieldRef("group") | Deref(FieldRef("group"), _) => true
       case _ => false
@@ -389,14 +458,26 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       compileAgg(pre, stripBag(gi.expr, g)).as(gi.alias.getOrElse(defaultName(gi.expr, i)))
     }
     val agged = keyed.agg(aggCols.head, aggCols.tail: _*)
-    // now project in the requested order, resolving group refs
-    val outCols = gens.zipWithIndex.map { case (gi, i) =>
+    // now project in the requested order, resolving group refs. With
+    // cube/rollup (or a multi-key grouping) the keys live as separate
+    // top-level columns named after the dims, not inside a `group` struct.
+    val flatKeys = g.mode != "group" && g.keyCols.size > 1
+    val keyNames = g.keyCols.map(_._2)
+    val outCols = gens.zipWithIndex.flatMap { case (gi, i) =>
       gi.expr match {
-        case FieldRef("group") => col("group").as(gi.alias.getOrElse("group"))
-        case Deref(FieldRef("group"), f) => col(s"group.$f").as(gi.alias.getOrElse(f))
-        case e => col(aggGens.indexWhere(_ eq gi) match {
+        case FieldRef("group") if gi.flatten && flatKeys =>
+          keyNames.map(col) // FLATTEN(group): splat dims into columns
+        case FieldRef("group") if flatKeys =>
+          Seq(struct(keyNames.map(col): _*).as(gi.alias.getOrElse("group")))
+        case FieldRef("group") =>
+          Seq(col("group").as(gi.alias.getOrElse("group")))
+        case Deref(FieldRef("group"), f) if flatKeys =>
+          Seq(col(f).as(gi.alias.getOrElse(f)))
+        case Deref(FieldRef("group"), f) =>
+          Seq(col(s"group.$f").as(gi.alias.getOrElse(f)))
+        case e => Seq(col(aggGens.indexWhere(_ eq gi) match {
           case idx => aggGens(idx).alias.getOrElse(defaultName(e, idx))
-        })
+        }))
       }
     }
     agged.select(outCols: _*)

@@ -166,6 +166,32 @@ object Parser {
           ForeachNestedOp(in, inner.result(), gens)
         } else { eatKw("generate"); ForeachOp(in, genItems()) }
       }
+      else if (atKw("cube")) { eatKw("cube"); val in = ident(); eatKw("by")
+        def clause(): (String, List[Expr]) = {
+          val mode =
+            if (tryKw("cube")) "cube"
+            else if (tryKw("rollup")) "rollup"
+            else fail("expected CUBE or ROLLUP after BY")
+          eatSym("(")
+          val ds = List.newBuilder[Expr]
+          ds += expr(); while (trySym(",")) ds += expr()
+          eatSym(")")
+          (mode, ds.result())
+        }
+        val cs = List.newBuilder[(String, List[Expr])]
+        cs += clause()
+        while (trySym(",")) cs += clause()
+        CubeOp(in, cs.result())
+      }
+      else if (atKw("stream")) { eatKw("stream"); val in = ident(); eatKw("through")
+        val cmd = cur match {
+          case Backtick(s, _) => p += 1; s
+          case StrLit(s, _) => p += 1; s // DEFINE'd commands expand to strings
+          case _ => fail("expected `command` after THROUGH")
+        }
+        val schema = if (tryKw("as")) Some(schemaSpec()) else None
+        StreamOp(in, cmd, schema)
+      }
       else if (atKw("group") || atKw("cogroup")) { p += 1
         val first = groupInput()
         if (first._2.isEmpty) GroupOp(List(first), all = true)

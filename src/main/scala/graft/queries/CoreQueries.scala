@@ -345,6 +345,16 @@ object CoreQueries {
         .orderBy(col("r_name"))
     }),
 
+    // Accumulator-style holistic aggregate: exact per-group median via
+    // the MedianAgg Aggregator (second §2.5 UDF-surface proof)
+    "q57_median_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(graft.ops.MedianAgg.median(col("l_quantity").cast("double")).as("med_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // bloom-filter semi-join [BuildBloom/Bloom analog]
     "q46_bloom_semi" -> ((s, dir) => {
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
@@ -520,6 +530,10 @@ object CoreQueries {
          GROUP BY 1 ORDER BY 1""",
     "q48_stream_through" ->
       """SELECT r_name, COUNT(*) AS n FROM region GROUP BY 1 ORDER BY 1""",
+    "q57_median_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         median(CAST(l_quantity AS DOUBLE)) AS med_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q46_bloom_semi" ->
       """SELECT o_orderstatus, COUNT(*) AS n
          FROM orders WHERE EXISTS (

@@ -203,6 +203,19 @@ object LlmQueries {
           shingleK = 3, numHashes = 64, bands = 32, threshold = 0.9,
           maxBucket = 8)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // TF-IDF: the classic two-aggregation pipeline (tf per doc, df per
+    // term, log-idf join) — deterministic double math via roundCompat
+    "q55_tfidf" -> ((s, dir) => {
+      Text.tfidf(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc"), col("term"))
+    }),
+
+    // Gopher-style quality-rule signals (repetition + composition)
+    "q58_quality_rules" -> ((s, dir) => {
+      Text.qualityRules(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -215,6 +228,37 @@ object LlmQueries {
        WHERE doc_id % 25 = 0"""
 
   val oracleSql: Map[String, String] = Map(
+    "q55_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id AS doc, UNNEST(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT doc, term, tf, df,
+           FLOOR((tf * LN(CAST(n_docs AS DOUBLE) / df)) * 1000000 + 0.5) / 1000000 AS tfidf
+         FROM tf JOIN dfreq USING (term), n
+         ORDER BY doc, term""",
+    "q58_quality_rules" ->
+      """WITH terms AS (
+           SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+         wc AS (SELECT doc_id, word, COUNT(*) AS c FROM terms GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+                   FLOOR((CAST(MAX(c) AS DOUBLE) / SUM(c)) * 10000 + 0.5) / 10000
+                     AS frac_top_word
+                 FROM wc GROUP BY 1)
+         SELECT d.doc_id,
+           len(string_split(d.text, ' '))::BIGINT AS n_words,
+           FLOOR((CAST(len(replace(d.text, ' ', '')) AS DOUBLE)
+                  / len(string_split(d.text, ' '))) * 10000 + 0.5) / 10000
+             AS mean_word_len,
+           FLOOR((CAST(len(list_filter(string_split(d.text, ' '),
+                                       w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                  / len(string_split(d.text, ' '))) * 10000 + 0.5) / 10000
+             AS frac_alpha,
+           rep.frac_top_word
+         FROM documents d JOIN rep USING (doc_id)
+         ORDER BY d.doc_id""",
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper_id""",

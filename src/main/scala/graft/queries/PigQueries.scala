@@ -47,6 +47,18 @@ object PigQueries {
       out = ORDER out0 BY p_partkey;
       """)),
 
+    // CUBE statement through the front-end: grouping-set aggregation
+    // with FLATTEN-free group derefs, null dims patched via bincond
+    "q54_pig_cube" -> ((s, dir) => pig(s, dir, """
+      li = LOAD 'lineitem.parquet';
+      c  = CUBE li BY CUBE(l_returnflag, l_linestatus);
+      a  = FOREACH c GENERATE group.l_returnflag AS rf0, group.l_linestatus AS ls0,
+             SUM((double) cube.l_quantity) AS sum_qty, COUNT(cube) AS n;
+      b  = FOREACH a GENERATE (rf0 IS NULL ? 'ALL' : rf0) AS rf,
+             (ls0 IS NULL ? 'ALL' : ls0) AS ls, sum_qty, n;
+      out = ORDER b BY rf, ls;
+      """)),
+
     // nested FOREACH block (per-group FILTER/ORDER/LIMIT) via Pig Latin
     "q53_pig_nested" -> ((s, dir) => pig(s, dir, """
       o = LOAD 'orders.parquet';
@@ -62,6 +74,11 @@ object PigQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q54_pig_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+         SUM(CAST(l_quantity AS DOUBLE)) AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
     "q53_pig_nested" ->
       """WITH big AS (
            SELECT o_custkey, o_orderkey, o_totalprice,

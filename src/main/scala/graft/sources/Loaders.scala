@@ -40,6 +40,21 @@ object Loaders {
   def binStorage(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** OrcStorage analog — Spark's builtin ORC source (predicate pushdown
+    * and column pruning come with it, like parquet). AvroStorage is NOT
+    * wired: the spark-avro connector jar is not part of the Spark
+    * distribution in this offline environment (only avro-core), so the
+    * format would fail at runtime; documented-out per SURVEY.md §7.3.
+    */
+  def orcLoader(spark: SparkSession, path: String,
+                schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.map(r.schema).getOrElse(r).orc(path)
+  }
+
+  def storeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   def storePigStorage(df: DataFrame, path: String, delim: String = "\t"): Unit =
     df.write.mode("overwrite").option("sep", delim).csv(path)
 

@@ -95,3 +95,40 @@ class BloomJoinSpec extends SparkSuite {
     assert(!plan.contains("UDF"), plan.take(2000))
   }
 }
+
+/** Exact-median Aggregator vs a driver-side sort. */
+class MedianAggSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("median matches driver-side computation for odd/even group sizes") {
+    val rnd = new scala.util.Random(13)
+    val data = (1 to 999).map(i => (i % 7, rnd.nextInt(1000).toDouble))
+    val got = data.toDF("k", "v").groupBy($"k")
+      .agg(graft.ops.MedianAgg.median($"v").as("med"))
+      .as[(Int, Double)].collect().toMap
+    val want = data.groupBy(_._1).map { case (k, vs) =>
+      val s = vs.map(_._2).sorted
+      val n = s.length
+      k -> (if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0)
+    }
+    assert(got == want)
+  }
+}
+
+/** Partitioned store sink: hive-style dirs + partition pruning on read. */
+class StorePartitionedSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("storePartitioned writes hive dirs and readers prune partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString + "/out"
+    val df = (1 to 100).map(i => (i, s"g${i % 3}")).toDF("v", "g")
+    graft.dsl.Rel(df).storePartitioned(tmp, Seq("g"))
+    val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("g=g0", "g=g1", "g=g2"))
+    val back = spark.read.parquet(tmp).filter($"g" === "g1")
+    assert(back.count() == df.filter($"g" === "g1").count())
+    // partition filter must reach the scan as a partition filter, not a data filter
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("g1"), scan.take(1500))
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.piglatin.PigEngine
+
+/** Front-end CUBE/ROLLUP + STREAM THROUGH statements (VERDICT r1 item 3):
+  * grammar → compile → DataFrame, asserted against the direct
+  * df.cube/rollup/pipe equivalents.
+  */
+class PigLatinCubeStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def engine = new PigEngine(spark, Some(dir))
+
+  test("CUBE statement matches df.cube over the same dims") {
+    val e = engine.run("""
+      li = LOAD 'lineitem.parquet';
+      c = CUBE li BY CUBE(l_returnflag, l_linestatus);
+      out = FOREACH c GENERATE group.l_returnflag AS rf, group.l_linestatus AS ls,
+              COUNT(cube) AS n;
+      """)
+    val got = rowsOf(e.relation("out")).toSet
+    val want = rowsOf(Tables.load(spark, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus").agg(count(lit(1)).as("n"))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("ROLLUP statement + FLATTEN(group) splats dims into columns") {
+    val e = engine.run("""
+      o = LOAD 'orders.parquet';
+      c = CUBE o BY ROLLUP(o_orderstatus, o_orderpriority);
+      out = FOREACH c GENERATE FLATTEN(group), COUNT(cube) AS n;
+      """)
+    val out = e.relation("out")
+    assert(out.columns.toSeq == Seq("o_orderstatus", "o_orderpriority", "n"))
+    val want = rowsOf(Tables.load(spark, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority").agg(count(lit(1)).as("n"))).toSet
+    assert(rowsOf(out).toSet == want)
+  }
+
+  test("single-dim CUBE keeps the plain `group` name") {
+    val e = engine.run("""
+      o = LOAD 'orders.parquet';
+      c = CUBE o BY CUBE(o_orderstatus);
+      out = FOREACH c GENERATE group, COUNT(cube) AS n;
+      """)
+    val want = rowsOf(Tables.load(spark, dir, "orders")
+      .cube($"o_orderstatus").agg(count(lit(1)).as("n"))).toSet
+    assert(rowsOf(e.relation("out")).toSet == want)
+  }
+
+  test("CUBE relation also supports the materialized-bag path") {
+    val e = engine.run("""
+      o = LOAD 'orders.parquet';
+      c = CUBE o BY ROLLUP(o_orderstatus);
+      out = FOREACH c GENERATE group, SIZE(cube) AS n;
+      """)
+    // SIZE over the bag = COUNT(*) per grouping set (incl. grand total)
+    val want = rowsOf(Tables.load(spark, dir, "orders")
+      .rollup($"o_orderstatus").agg(count(lit(1)).cast("long").as("n"))).toSet
+    assert(rowsOf(e.relation("out")).toSet == want)
+  }
+
+  test("mixed CUBE(a), ROLLUP(b,c) compiles to the cross-product grouping sets") {
+    val e = engine.run("""
+      o = LOAD 'orders.parquet';
+      c = CUBE o BY CUBE(o_orderstatus), ROLLUP(o_orderpriority, o_clerk);
+      out = FOREACH c GENERATE group.o_orderstatus AS st, group.o_orderpriority AS pr,
+              group.o_clerk AS cl, COUNT(cube) AS n;
+      """)
+    val o = Tables.load(spark, dir, "orders")
+    val (s, p, c) = ($"o_orderstatus", $"o_orderpriority", $"o_clerk")
+    val want = rowsOf(o.groupingSets(
+        Seq(Seq(s, p, c), Seq(s, p), Seq(s), Seq(p, c), Seq(p), Seq()),
+        s, p, c)
+      .agg(count(lit(1)).as("n"))).toSet
+    assert(rowsOf(e.relation("out")).toSet == want && want.nonEmpty)
+  }
+
+  test("STREAM THROUGH backtick command with AS schema round-trips rows") {
+    val e = engine.run("""
+      r = LOAD 'region.parquet';
+      p = FOREACH r GENERATE r_regionkey, r_name;
+      s = STREAM p THROUGH `cat` AS (k:long, name:chararray);
+      out = ORDER s BY k;
+      """)
+    val got = e.relation("out").as[(Long, String)].collect().toSeq
+    val want = Tables.load(spark, dir, "region")
+      .select($"r_regionkey", $"r_name").orderBy($"r_regionkey")
+      .as[(Long, String)].collect().toSeq
+    assert(got == want && got.size == 5)
+  }
+
+  test("STREAM THROUGH a real pipeline command (cut) without schema") {
+    val e = engine.run("""
+      r = LOAD 'region.parquet';
+      p = FOREACH r GENERATE r_regionkey, r_name;
+      out = STREAM p THROUGH `cut -f2`;
+      """)
+    val got = col0(e.relation("out")).toSet
+    val want = col0(Tables.load(spark, dir, "region").select($"r_name")).toSet
+    assert(got == want)
+  }
+
+  test("ORC store + load round-trip through the front-end") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    engine.run(s"""
+      r = LOAD 'region.parquet';
+      STORE r INTO '$tmp/region_orc' USING OrcStorage;
+      """)
+    val e2 = new PigEngine(spark, Some(dir)).run(s"""
+      r2 = LOAD '$tmp/region_orc' USING OrcStorage;
+      out = FOREACH r2 GENERATE r_regionkey, r_name;
+      """)
+    assert(rowsOf(e2.relation("out")).toSet ==
+      rowsOf(Tables.load(spark, dir, "region").select($"r_regionkey", $"r_name")).toSet)
+  }
+}
+
+/** Macro alias hygiene beyond the happy path (VERDICT r1 missing #2):
+  * macro-local aliases must not capture or clobber same-named outer
+  * aliases, across repeated expansions.
+  */
+class MacroHygieneSpec extends SparkSuite {
+  import graft.piglatin.Preprocessor
+
+  test("macro-local alias shadowing an outer alias does not capture it") {
+    val out = Preprocessor.expand("""
+      DEFINE topsel(rel, n) RETURNS r {
+        tmp = FILTER $rel BY f > 0;
+        $r = LIMIT tmp $n;
+      };
+      tmp = LOAD 'outer.parquet';
+      a = topsel(tmp, 3);
+      b = FOREACH tmp GENERATE f;
+      """)
+    // outer `tmp` stays; macro-internal tmp renamed; the macro's FILTER
+    // argument resolves to the OUTER tmp passed as $rel
+    assert(out.contains("tmp = LOAD 'outer.parquet'"))
+    assert(out.contains("tmp_m1 = FILTER tmp BY f > 0"))
+    assert(out.contains("a = LIMIT tmp_m1 3"))
+    assert(out.contains("b = FOREACH tmp GENERATE f"))
+  }
+
+  test("repeated expansion keeps per-call alias namespaces disjoint") {
+    val out = Preprocessor.expand("""
+      DEFINE sel(rel) RETURNS r {
+        mid = FILTER $rel BY x > 1;
+        $r = DISTINCT mid;
+      };
+      a = sel(src1);
+      b = sel(src2);
+      """)
+    assert(out.contains("mid_m1 = FILTER src1 BY x > 1"))
+    assert(out.contains("a = DISTINCT mid_m1"))
+    assert(out.contains("mid_m2 = FILTER src2 BY x > 1"))
+    assert(out.contains("b = DISTINCT mid_m2"))
+  }
+
+  test("macro argument sharing a name with an internal alias is not rewritten") {
+    // arg `mid` (an outer alias) vs internal alias `mid`: internal
+    // rename happens BEFORE substitution, so the inserted arg survives
+    val out = Preprocessor.expand("""
+      DEFINE sel(rel) RETURNS r {
+        mid = FILTER $rel BY x > 1;
+        $r = DISTINCT mid;
+      };
+      mid = LOAD 'm.parquet';
+      a = sel(mid);
+      """)
+    assert(out.contains("mid = LOAD 'm.parquet'"))
+    assert(out.contains("mid_m1 = FILTER mid BY x > 1"))
+    assert(out.contains("a = DISTINCT mid_m1"))
+  }
+}
