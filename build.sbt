@@ -31,3 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 
 // let interactive mains (graft.tools.Grunt) read stdin through sbt
 run / connectInput := true
+// forked run output must reach stdout RAW: the driver parses Bench's
+// one-line JSON from stdout, and sbt's default LoggedOutput wraps every
+// line in "[info] " which breaks json.loads (BENCH_r02/r03 both show
+// parsed:null for exactly this reason)
+run / outputStrategy := Some(StdoutOutput)

@@ -41,7 +41,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // mark subset runs so a partial sum can never pass for the full-suite
+    // metric (ADVICE r3), and record the real heap so "ran with a small
+    // JVM" is visible in the artifact rather than guessed from logs
+    val onlyMark = only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")
+    val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    val metric = if (only.isDefined) "subset_total" else "total"
+    val json =
+      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","heap_gb":$heapGb$onlyMark}"""
+    println(json)
+    // belt-and-braces: also a bare file, immune to any log-prefix wrapping
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()
   }
 }

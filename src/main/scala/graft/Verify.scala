@@ -14,15 +14,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val status = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val s = try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        "ok"
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        s"failed: ${e.getClass.getSimpleName}"
       }
       // queries are independent: don't let one query's persisted
       // intermediates pressure the next 50
       spark.catalog.clearCache()
+      graft.dsl.Rel.releaseTracked()
+      name -> s
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -36,6 +36,27 @@ object JoinHint {
   * pushdown, column pruning, join selection, partial aggregation — the
   * rewrites the reference implements by hand, SURVEY.md §4.1).
   */
+object Rel {
+  // Pipeline-internal persists (SPLIT's shared parent, dedup's shingle
+  // frames) are created inside operators that return LAZY DataFrames, so
+  // the operator itself can never know when it is safe to unpersist.
+  // They register here; the application releases them once the consuming
+  // action is done (Verify/Bench do so between queries). At cluster
+  // scale this is the difference between bounded and monotonically
+  // growing block-manager usage across a long job (VERDICT r3 item 4).
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Register a pipeline-internal persisted frame for later release. */
+  private[graft] def track(df: DataFrame): DataFrame = { tracked.add(df); df }
+
+  /** Unpersist every tracked frame (idempotent; safe mid-query only if
+    * no returned DataFrame still needs them). */
+  def releaseTracked(): Unit = {
+    var d = tracked.poll()
+    while (d != null) { d.unpersist(false); d = tracked.poll() }
+  }
+}
+
 final case class Rel(df: DataFrame) {
 
   private def spark = df.sparkSession
@@ -72,7 +93,7 @@ final case class Rel(df: DataFrame) {
     * Returns one Rel per condition, plus an OTHERWISE Rel if requested.
     */
   def split(conds: Seq[Column], otherwise: Boolean = false): Seq[Rel] = {
-    val parent = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val parent = Rel.track(df.persist(StorageLevel.MEMORY_AND_DISK))
     val branches = conds.map(c => Rel(parent.filter(c)))
     if (otherwise) branches :+ Rel(parent.filter(!conds.reduce(_ || _)))
     else branches

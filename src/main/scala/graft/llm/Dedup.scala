@@ -77,6 +77,42 @@ object Dedup {
     set.toArray(new Array[String](set.size))
   }
 
+  /** Hashed, sorted shingle set: each k-gram reduced to its 64-bit hash
+    * at extraction time. This is what the pipelines persist and join —
+    * an Array[Long] is ~10× smaller than the string set for prose text,
+    * and set intersection over sorted longs is branch-cheap. Exact
+    * Jaccard over the hashes equals Jaccard over the strings unless two
+    * distinct shingles collide in 64 bits (≈ n²/2⁶⁵ — irrelevant below
+    * trillions of distinct shingles).
+    */
+  private[graft] def shingleHashSet(text: String, k: Int): Array[Long] = {
+    val words = text.split(' ')
+    if (words.length < k) return Array(hash64(text))
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(words(i + j)); j += 1 }
+      set.add(hash64sb(sb)); i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  /** [[hash64]] over a StringBuilder without materializing the String. */
+  private def hash64sb(s: java.lang.StringBuilder): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+    h
+  }
+
   /** Band keys from a shingle set: hash each shingle once, derive the
     * `numHashes` minhash functions as wrapped multiply-add permutations
     * of the base hash (odd multiplier ⇒ bijection on Z/2^64), then mix
@@ -85,10 +121,15 @@ object Dedup {
     * 1-(1-J^r)^b probability.
     */
   private[graft] def bandKeys(sh: Array[String], numHashes: Int, bands: Int): Array[Long] = {
-    val r = numHashes / bands
     val base = new Array[Long](sh.length)
     var i = 0
     while (i < sh.length) { base(i) = hash64(sh(i)); i += 1 }
+    bandKeysFromHashes(base, numHashes, bands)
+  }
+
+  /** [[bandKeys]] over pre-hashed shingles. */
+  private[graft] def bandKeysFromHashes(base: Array[Long], numHashes: Int, bands: Int): Array[Long] = {
+    val r = numHashes / bands
     val mins = new Array[Long](numHashes)
     var f = 0
     while (f < numHashes) {

@@ -65,12 +65,12 @@ class PigLatinCubeStreamSpec extends SparkSuite {
   test("mixed CUBE(a), ROLLUP(b,c) compiles to the cross-product grouping sets") {
     val e = engine.run("""
       o = LOAD 'orders.parquet';
-      c = CUBE o BY CUBE(o_orderstatus), ROLLUP(o_orderpriority, o_clerk);
+      c = CUBE o BY CUBE(o_orderstatus), ROLLUP(o_orderpriority, o_custkey);
       out = FOREACH c GENERATE group.o_orderstatus AS st, group.o_orderpriority AS pr,
-              group.o_clerk AS cl, COUNT(cube) AS n;
+              group.o_custkey AS ck, COUNT(cube) AS n;
       """)
     val o = Tables.load(spark, dir, "orders")
-    val (s, p, c) = ($"o_orderstatus", $"o_orderpriority", $"o_clerk")
+    val (s, p, c) = ($"o_orderstatus", $"o_orderpriority", $"o_custkey")
     val want = rowsOf(o.groupingSets(
         Seq(Seq(s, p, c), Seq(s, p), Seq(s), Seq(p, c), Seq(p), Seq()),
         s, p, c)
