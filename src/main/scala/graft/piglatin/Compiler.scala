@@ -284,7 +284,12 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     g.mode match {
       case "cube" => g.pre.cube(ks: _*)
       case "rollup" => g.pre.rollup(ks: _*)
-      case "sets" => g.pre.groupingSets(g.sets.map(_.map(col)), ks: _*)
+      case "sets" =>
+        // grouping columns must be the bare named columns (the mixed
+        // path projects dims to names first): aliased Columns fail to
+        // match the set refs inside Dataset.groupingSets, nulling keys
+        g.pre.groupingSets(g.sets.map(_.map(col)),
+          g.keyCols.map { case (_, n) => col(n) }: _*)
       case _ => g.pre.groupBy(ks: _*)
     }
   }
