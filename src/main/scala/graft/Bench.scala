@@ -35,12 +35,27 @@ object Bench {
         // cache pressure doesn't pollute the next measurement
         spark.catalog.clearCache()
         dt
-      }.sorted
-      name -> times(times.size / 2)
+      }.toVector
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val medians = results.map { case (k, ts) =>
+      k -> ts.sorted.apply(ts.size / 2) }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // per-iteration evidence (VERDICT r6 item 3: identical code swung 8×
+    // across rounds and the median alone couldn't show whether the
+    // environment or the plan moved) — raw times plus max/min spread per
+    // query, so a regression claim needs agreeing iterations, not one
+    // noisy median
+    val itersJson = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val spread = results.map { case (k, ts) =>
+      val mn = ts.min
+      s"\"" + k + "\":" + f(if (mn > 0) ts.max / mn else -1.0)
+    }.mkString("{", ",", "}")
+    val total = if (medians.nonEmpty) medians.map(_._2).sum else 0.0
     // mark subset runs so a partial sum can never pass for the full-suite
     // metric (ADVICE r3), and record the real heap so "ran with a small
     // JVM" is visible in the artifact rather than guessed from logs
@@ -48,7 +63,7 @@ object Bench {
     val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
     val metric = if (only.isDefined) "subset_total" else "total"
     val json =
-      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","heap_gb":$heapGb$onlyMark}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"iterations":$itersJson,"spread_max_over_min":$spread,"sf":"$sfDir","heap_gb":$heapGb$onlyMark}"""
     println(json)
     // belt-and-braces: also a bare file, immune to any log-prefix wrapping
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -24,9 +24,11 @@ object SparkEntry {
     CoreQueries.queries ++ EventQueries.queries ++ LlmQueries.queries ++ PigQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Entries absent here (q26_sample,
-    * q32_simhash, q42_ann_ivf) are hash-based or nondeterministic by
-    * nature → driver records the weaker rows-only check.
+    * the same parquet tables. Entries absent here (q32_simhash,
+    * q42_ann_ivf) are hash-based or approximate by nature → driver
+    * records the weaker rows-only check. q26_sample emits the sample's
+    * deterministic properties (count bounds + subset proof) so even
+    * SAMPLE gets a hash-checked oracle.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ EventQueries.oracleSql ++ LlmQueries.oracleSql ++ PigQueries.oracleSql

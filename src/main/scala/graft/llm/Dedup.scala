@@ -319,6 +319,50 @@ object Dedup {
       (acc, j) => acc + element_at(bits, j + 1) * call_function("shiftleft", lit(1L), j))
   }
 
+  /** JVM kernel twin of [[simhash]] — bit-identical (same xxhash64 seed
+    * 42 over UTF-8 bytes via catalyst's XXH64, same distinct-token set,
+    * same sign rule), run as a tight loop instead of interpreted array
+    * HOFs (~10× on this hot path; see object scaladoc).
+    */
+  private[graft] def simhashK(text: String): Long = {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val words = text.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (seen.add(w)) {
+        val h = XXH64.hashUTF8String(UTF8String.fromString(w), 42L)
+        var j = 0
+        while (j < 64) {
+          counts(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L); j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L; var j = 0
+    while (j < 64) { if (counts(j) > 0) fp |= 1L << j; j += 1 }
+    fp
+  }
+
+  /** (doc, fp) fingerprints via the [[simhashK]] kernel — the scale path
+    * used by [[simhashPairs]] and the t2 query; [[simhash]] stays for
+    * Column-level composition.
+    */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc", df.schema(idCol).dataType), StructField("fp", LongType)))
+    spark.createDataFrame(
+      df.select(col(idCol), col(textCol)).rdd.mapPartitions(_.map { r =>
+        Row(r.get(0), simhashK(r.getString(1)))
+      }), schema)
+  }
+
   private def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 with
@@ -333,7 +377,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "4-band scheme guarantees recall only for hamming <= 3")
-    val fp0 = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("fp"))
+    val fp0 = simhashFingerprints(df, idCol, textCol)
     val groups = fp0.groupBy(col("fp"))
       .agg(min(col("doc")).as("rep"), collect_list(col("doc")).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -353,24 +397,33 @@ object Dedup {
     expandPairs(repPairs, mem, "hamming", lit(0))
   }
 
-  /** Exact n-gram Jaccard within a blocking key (e.g. source), via an
-    * inverted index: explode shingles, group the postings list per
-    * (block, shingle), expand same-posting pairs map-side, count
-    * intersections, then derive the union from per-doc set sizes. Work
-    * scales with Σ postings² per shingle (tiny for distinctive
-    * shingles), not |pairs| × |set size| — the shape that survives
-    * 100 TB, and identical to what a SQL oracle computes. Pairs sharing
-    * zero shingles (J = 0) are never materialized.
+  /** Prefix length for prefix-filtered (AllPairs/PPJoin-style) set
+    * similarity at Jaccard threshold `t`: a set y with |x∩y| ≥ ⌈t·|y|⌉
+    * must have a common element inside its first |y|−⌈t·|y|⌉+1 elements
+    * under ANY fixed total order (the suffix has only ⌈t·|y|⌉−1 slots).
+    * J(x,y) ≥ t ⇒ |x∩y| ≥ t·|x∪y| ≥ t·|y|, so indexing each set's
+    * prefix and probing with FULL sets loses no pair at threshold
+    * (Bayardo et al., WWW'07; Xiao et al., PPJoin).
+    */
+  private[graft] def prefixLen(n: Int, t: Double): Int =
+    n - math.ceil(t * n).toInt + 1
+
+  /** Exact n-gram Jaccard within a blocking key (e.g. source), via a
+    * prefix-filtered inverted index: shingle rows (JVM kernel) →
+    * per-(block, shingle) document frequency → each doc's shingles
+    * ordered rarest-first → index only the [[prefixLen]]-prefix → probe
+    * the prefix index with FULL shingle sets → verify candidates with
+    * exact Jaccard over the per-doc sets.
     *
-    * @param maxDf stop-shingle removal: drop postings lists longer than
-    *        this (boilerplate shingles make Σ postings² explode). 0 (the
-    *        default) keeps the exact semantics; set it at corpus scale
-    *        and accept the documented recall loss on pairs whose overlap
-    *        is ONLY boilerplate.
+    * Scale: candidate work is Σ_s full(s)·prefix(s), not Σ full(s)² —
+    * boilerplate shingles (huge df) land in almost no doc's
+    * rarest-first prefix, so their postings never self-join. Recall at
+    * the threshold is exactly 1 (prefix-filter lemma, property-tested),
+    * so the output is identical to the exhaustive formulation and to
+    * the SQL oracle. Pairs sharing zero shingles are never materialized.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, k: Int = 3, minJaccard: Double = 0.1,
-                   maxDf: Int = 0): DataFrame = {
+                   blockCol: String, k: Int = 3, minJaccard: Double = 0.1): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -380,22 +433,39 @@ object Dedup {
       StructField("doc", df.schema(idCol).dataType),
       StructField("s", StringType)))
     // shingle rows via the JVM kernel (interpreted HOFs are the hot-path
-    // cost, see object scaladoc); persisted: the postings grouping and
-    // the per-doc size aggregation both read it
+    // cost, see object scaladoc); persisted: document frequency, doc
+    // sets, and index probing all read it
     val sh = spark.createDataFrame(
       src.rdd.mapPartitions(_.flatMap { r =>
         val blk = r.get(0); val doc = r.get(1)
         shingleSet(r.getString(2), k).iterator.map(s => Row(blk, doc, s))
       }), shSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("c"))
-    val inter = bucketPairs(sh, Seq("blk", "s"), col("doc"), maxDf)
-      .filter(col("a") < col("b"))
-      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(cnt.withColumnRenamed("doc", "id_a").withColumnRenamed("c", "ca"), "id_a")
-      .join(cnt.withColumnRenamed("doc", "id_b").withColumnRenamed("c", "cb"), "id_b")
+    // rarest-first total order = (document frequency within block, s);
+    // any fixed order is correct — df-ascending makes prefixes rare
+    val dfreq = sh.groupBy(col("blk"), col("s")).agg(count(lit(1)).as("dfc"))
+    val docSets = sh.join(dfreq, Seq("blk", "s"))
+      .groupBy(col("blk"), col("doc"))
+      .agg(collect_list(struct(col("dfc"), col("s"))).as("ss"))
+      .select(col("blk"), col("doc"),
+        transform(array_sort(col("ss")), x => x.getField("s")).as("sorted"))
+      .withColumn("n", size(col("sorted")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plen = (col("n") - ceil(lit(minJaccard) * col("n")).cast("int") + 1)
+    val prefix = docSets.select(col("blk"), col("doc").as("b"),
+      explode(slice(col("sorted"), lit(1), plen)).as("s"))
+    // probe: full sets against the prefix index — one hit is enough
+    val cand = sh.select(col("blk"), col("doc").as("a"), col("s"))
+      .join(prefix, Seq("blk", "s"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"))
+      .distinct()
+    val sets = docSets.select(col("doc"), col("sorted"), col("n"))
+    cand
+      .join(sets.toDF("id_a", "sa", "ca"), "id_a")
+      .join(sets.toDF("id_b", "sb", "cb"), "id_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .select(col("id_a"), col("id_b"),
         (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

@@ -163,13 +163,22 @@ object Similarity {
     * is tiny and lives on the driver, like any coarse-quantizer
     * codebook — the data-parallel work (assignment, per-cell means) runs
     * as DataFrame aggregations.
+    *
+    * Scale: Lloyd iterations scan the TRAINING set, not the corpus — a
+    * corpus larger than `maxTrain` vectors is down-sampled (seeded, so
+    * the codebook is deterministic for a fixed input partitioning)
+    * before training. A coarse quantizer needs only a representative
+    * sample (k ≪ sample ≪ corpus); assignment still covers every row.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int = 3): Array[Array[Double]] = {
-    // cache the projected corpus: every Lloyd iteration re-reads it
-    // (init + iters scans), and at 100 TB the projection is the
-    // id+vector slice of the table, not the full rows
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+                      k: Int, iters: Int = 3,
+                      maxTrain: Long = 100000L): Array[Array[Double]] = {
+    val v0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val total = v0.count()
+    // cache the (sampled) training projection: every Lloyd iteration
+    // re-reads it (init + iters scans), and at 100 TB the projection is
+    // the id+vector slice of a bounded sample, not the full table
+    val v = (if (total > maxTrain) v0.sample(maxTrain.toDouble / total, 42L) else v0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[Array[Double]] = v.orderBy("id").limit(k)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)

@@ -71,7 +71,12 @@ object Ast {
                           outer: Option[String],   // LEFT/RIGHT/FULL
                           using: Option[String]) extends RelOp // replicated/skewed/merge
   final case class CrossOp(inputs: List[String]) extends RelOp
-  final case class OrderOp(input: String, keys: List[(Expr, Boolean)]) extends RelOp
+  /** ORDER rel BY keys [USING comparator] — `using` names a registered
+    * comparator (a key transform; see PigEngine.registerComparator), the
+    * analog of the reference's custom sort comparator
+    * [R: …/expressionOperators/POUserComparisonFunc.java]. */
+  final case class OrderOp(input: String, keys: List[(Expr, Boolean)],
+                           using: Option[String] = None) extends RelOp
   final case class RankOp(input: String, keys: List[(Expr, Boolean)],
                           dense: Boolean) extends RelOp
   final case class LimitOp(input: String, n: Expr) extends RelOp

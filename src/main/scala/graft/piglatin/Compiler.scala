@@ -21,7 +21,9 @@ import Ast._
   * SAMPLE, STREAM rel THROUGH `cmd` [AS (schema)], ASSERT,
   * DUMP/DESCRIBE/EXPLAIN, nested FOREACH blocks, expressions (arith/
   * bool/compare/MATCHES/IS NULL/bincond/CASE/casts/map-lookup/
-  * positional $n/builtin functions), macros + %declare (preprocessor).
+  * positional $n/builtin functions), macros + %declare (preprocessor),
+  * user functions via [[registerFunction]] (+ DEFINE aliasing) and
+  * ORDER … USING via [[registerComparator]].
   * Out of scope (documented per SURVEY.md §7.3): NATIVE-MR,
   * scripting UDFs.
   *
@@ -48,6 +50,42 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       sets: Seq[Seq[String]] = Nil) // explicit grouping sets (mode "sets")
 
   private val env = mutable.LinkedHashMap[String, RelInfo]()
+
+  // ---------------------------------------------------- user extensibility
+  //
+  // The reference's core extensibility surface is EvalFunc + DEFINE
+  // [R: src/org/apache/pig/EvalFunc.java]: users register a function,
+  // scripts call it like a builtin. Here a user function is a Column
+  // transform (so it stays inside Catalyst/codegen — the Spark-native
+  // analog of an EvalFunc); `DEFINE alias Target;` aliases resolve
+  // textually in the preprocessor, so an alias of a registered function
+  // reaches the registry under its target name.
+  private val userFns = mutable.Map[String, Seq[Column] => Column]()
+
+  // ORDER … USING comparator: the reference sorts through a user
+  // comparator class [R: …/expressionOperators/POUserComparisonFunc.java].
+  // Re-expressed Spark-first as sort-by-computed-key: the comparator is a
+  // key transform k => k' and the engine sorts by k' — total order
+  // preserved, range-partitioned sort unchanged (no per-comparison UDF
+  // call, which would defeat codegen'd sort).
+  private val comparators = mutable.Map[String, Column => Column]()
+
+  /** Register a scalar function callable from scripts as `name(args)`.
+    * Returns this engine for chaining. Case-insensitive, like builtins;
+    * registration wins over a builtin of the same name only if the
+    * builtin doesn't exist (builtins keep priority so scripts can't
+    * silently change semantics).
+    */
+  def registerFunction(name: String, fn: Seq[Column] => Column): PigEngine = {
+    userFns(name.toUpperCase) = fn; this
+  }
+
+  /** Register a sort comparator for `ORDER … USING name`: a key
+    * transform; rows sort by `fn(key)` (asc/desc per key as written).
+    */
+  def registerComparator(name: String, fn: Column => Column): PigEngine = {
+    comparators(name.toUpperCase) = fn; this
+  }
 
   def relation(alias: String): DataFrame =
     env.getOrElse(alias, sys.error(s"unknown alias $alias")).df()
@@ -165,10 +203,15 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case CrossOp(ins) =>
       RelInfo(() => ins.map(relation).reduce(_ crossJoin _))
 
-    case OrderOp(in, keys) =>
+    case OrderOp(in, keys, using) =>
       val d = relation(in)
+      val keyFn: Column => Column = using match {
+        case None => identity
+        case Some(name) => comparators.getOrElse(name.toUpperCase,
+          sys.error(s"unknown comparator $name — registerComparator first"))
+      }
       RelInfo(() => d.orderBy(keys.map { case (e, asc) =>
-        val c = compileExpr(d, e); if (asc) c.asc else c.desc
+        val c = keyFn(compileExpr(d, e)); if (asc) c.asc else c.desc
       }: _*))
 
     case RankOp(in, Nil, _) =>
@@ -287,7 +330,12 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       case "sets" =>
         // grouping columns must be the bare named columns (the mixed
         // path projects dims to names first): aliased Columns fail to
-        // match the set refs inside Dataset.groupingSets, nulling keys
+        // match the set refs inside Dataset.groupingSets, nulling keys.
+        // Enforce the producer invariant so a future mode-"sets" caller
+        // with unprojected key expressions fails loudly (ADVICE r6).
+        g.keyCols.foreach { case (c, n) =>
+          require(c == col(n),
+            s"mode 'sets' requires pre-projected bare key columns; got $c for $n") }
         g.pre.groupingSets(g.sets.map(_.map(col)),
           g.keyCols.map { case (_, n) => col(n) }: _*)
       case _ => g.pre.groupBy(ks: _*)
@@ -325,9 +373,14 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
             compileExpr(ld, l) === compileExpr(rd, r) }.reduce(_ && _)
           val right = using match {
             case Some("replicated") => broadcast(rd)
-            case Some("merge") => rd.hint("merge")
+            // merge-sparse (indexed right side in the reference,
+            // [R: …/relationalOperators/POMergeCogroup.java]) has no
+            // Spark analog — accepted and compiled as sort-merge, the
+            // closest strategy (documented, SURVEY.md §2.1 #13)
+            case Some("merge") | Some("merge-sparse") => rd.hint("merge")
             case Some("skewed") => rd.hint("shuffle_merge")
-            case _ => rd
+            case Some(other) => sys.error(s"unknown join strategy '$other'")
+            case None => rd
           }
           (la, ld.join(right, cond, joinType), lk)
       }._2
@@ -745,6 +798,9 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     }
     case "MAX" => array_max(cs.head)
     case "MIN" => array_min(cs.head)
-    case other => sys.error(s"unknown function $other")
+    case other => userFns.get(other) match {
+      case Some(fn) => fn(cs)
+      case None => sys.error(s"unknown function $other — register with registerFunction")
+    }
   }
 }

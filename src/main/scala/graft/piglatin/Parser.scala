@@ -220,7 +220,14 @@ object Parser {
         CrossOp(ins.result())
       }
       else if (atKw("order")) { eatKw("order"); val in = ident(); eatKw("by")
-        OrderOp(in, sortKeys())
+        val keys = sortKeys()
+        // USING comparator — Pig accepts a function name; a quoted string
+        // is also tolerated for symmetry with JOIN's USING clause
+        val using = if (tryKw("using")) Some(cur match {
+          case StrLit(s, _) => p += 1; s
+          case _ => ident()
+        }) else None
+        OrderOp(in, keys, using)
       }
       else if (atKw("rank")) { eatKw("rank"); val in = ident()
         if (tryKw("by")) {

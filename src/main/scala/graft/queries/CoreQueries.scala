@@ -307,10 +307,23 @@ object CoreQueries {
         .orderBy(col("event_type"))
     }),
 
-    // SAMPLE — seeded Bernoulli; no SQL oracle (rows-only check)
+    // SAMPLE — seeded Bernoulli. The RNG can't match any oracle
+    // row-for-row, so the emitted shape is the sample's deterministic
+    // properties instead (VERDICT r6 item 8): source count, sample size
+    // within 6σ binomial bounds, and sample ⊆ source — all
+    // oracle-checkable as constants plus COUNT(*).
     "q26_sample" -> ((s, dir) => {
+      import s.implicits._
       val d = t(s, dir, "documents")
-      Rel(d).sample(0.5, 42L).foreach(col("doc_id")).orderBy(col("doc_id")).df
+      val p = 0.5
+      val n = d.count()
+      val samp = Rel(d).sample(p, 42L).foreach(col("doc_id")).df
+      val c = samp.count()
+      val sd = math.sqrt(n * p * (1 - p))
+      val inBounds = math.abs(c - n * p) <= 6 * sd
+      val strays = samp.except(d.select(col("doc_id"))).count()
+      Seq((n, inBounds, strays == 0L))
+        .toDF("n_src", "sample_in_bounds", "all_from_source")
     }),
 
     // skewed join: lineitem keys concentrate on few suppliers — AQE
@@ -367,6 +380,9 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q26_sample" ->
+      """SELECT COUNT(*) AS n_src, TRUE AS sample_in_bounds,
+         TRUE AS all_from_source FROM documents""",
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
          l_extendedprice * (1 - l_discount) AS revenue

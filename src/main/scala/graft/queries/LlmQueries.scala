@@ -71,14 +71,18 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash fingerprints (hash-based: rows-only check; pair logic unit-tested)
+    // SimHash fingerprints via the JVM kernel (hash-based: rows-only
+    // check; kernel ≡ Column form asserted in KernelPropsSpec)
     "q32_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      Dedup.simhashFingerprints(d, "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))
     }),
 
-    // exhaustive n-gram Jaccard within a blocking key
+    // exhaustive n-gram Jaccard within a blocking key (prefix-filtered
+    // candidate generation — recall 1 at the threshold, so identical to
+    // the exhaustive oracle)
     "q33_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccard(derivedDocs(t(s, dir, "documents"))
           .withColumn("blk", pmod(col("doc_id"), lit(20))),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{reverse, trim, upper}
 import graft.piglatin.PigEngine
 
 /** t2 queries executed THROUGH the Pig Latin front-end (parse → compile
@@ -10,8 +11,9 @@ import graft.piglatin.PigEngine
 object PigQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def pig(s: SparkSession, dir: String, script: String): DataFrame =
-    new PigEngine(s, Some(dir)).run(script).relation("out")
+  private def pig(s: SparkSession, dir: String, script: String,
+                  setup: PigEngine => PigEngine = identity): DataFrame =
+    setup(new PigEngine(s, Some(dir))).run(script).relation("out")
 
   val queries: Map[String, Q] = Map(
 
@@ -70,10 +72,93 @@ object PigQueries {
         GENERATE group AS cust, COUNT(big) AS n_big, FLATTEN(top2.o_orderkey) AS okey;
       };
       out = ORDER x BY cust, okey;
+      """)),
+
+    // mixed CUBE/ROLLUP grouping sets through the front-end — the
+    // regression guard for the r6 grouping-sets fix (cross product of
+    // the clauses' set families via Dataset.groupingSets)
+    "q59_pig_mixed_sets" -> ((s, dir) => pig(s, dir, """
+      li0 = LOAD 'lineitem.parquet';
+      li  = FOREACH li0 GENERATE l_returnflag, l_linestatus,
+              (chararray) l_linenumber AS ln, l_quantity;
+      c  = CUBE li BY CUBE(l_returnflag), ROLLUP(l_linestatus, ln);
+      a  = FOREACH c GENERATE group.l_returnflag AS rf0, group.l_linestatus AS ls0,
+             group.ln AS ln0,
+             SUM((double) cube.l_quantity) AS sum_qty, COUNT(cube) AS n;
+      b  = FOREACH a GENERATE (rf0 IS NULL ? 'ALL' : rf0) AS rf,
+             (ls0 IS NULL ? 'ALL' : ls0) AS ls,
+             (ln0 IS NULL ? 'ALL' : ln0) AS ln, sum_qty, n;
+      out = ORDER b BY rf, ls, ln;
+      """)),
+
+    // user-function registration (EvalFunc + DEFINE analog): two
+    // registered Column-transform functions, one called through a
+    // DEFINE alias — the front-end's extensibility surface
+    "q60_pig_udf" -> ((s, dir) => pig(s, dir, """
+      DEFINE margin PRICE_MARGIN;
+      p = LOAD 'part.parquet';
+      f = FOREACH p GENERATE p_partkey, NORM_NAME(p_name) AS nname,
+            margin(p_retailprice, p_size) AS margin;
+      out = ORDER f BY p_partkey;
+      """,
+      _.registerFunction("NORM_NAME", cs => upper(trim(cs.head)))
+       .registerFunction("PRICE_MARGIN", cs =>
+         cs.head.cast("double") * 2.0 + cs(1).cast("double")))),
+
+    // ORDER … USING custom comparator: sort-by-computed-key (reversed
+    // string); supplier names are unique so the order is total
+    "q61_pig_order_using" -> ((s, dir) => pig(s, dir, """
+      s = LOAD 'supplier.parquet';
+      f = FOREACH s GENERATE s_suppkey, s_name;
+      out = ORDER f BY s_name USING revkey;
+      """,
+      _.registerComparator("REVKEY", reverse))),
+
+    // PigMix L4/L15 shape: DISTINCT inside a nested FOREACH + multiple
+    // distinct aggregates per group
+    "q62_pig_distinct_agg" -> ((s, dir) => pig(s, dir, """
+      li = LOAD 'lineitem.parquet';
+      g  = GROUP li BY l_returnflag;
+      x  = FOREACH g {
+        ln  = li.l_linenumber;
+        dln = DISTINCT ln;
+        ok  = li.l_orderkey;
+        dok = DISTINCT ok;
+        GENERATE group AS rf, COUNT(dln) AS n_lines, COUNT(dok) AS n_orders,
+                 COUNT(li) AS n_rows;
+      };
+      out = ORDER x BY rf;
       """))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q59_pig_mixed_sets" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+                    CAST(l_linenumber AS VARCHAR) AS lnum, l_quantity
+                    FROM lineitem)
+         SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+         COALESCE(l_linestatus, 'ALL') AS ls,
+         COALESCE(lnum, 'ALL') AS ln,
+         SUM(CAST(l_quantity AS DOUBLE)) AS sum_qty, COUNT(*) AS n
+         FROM li
+         GROUP BY GROUPING SETS (
+           (l_returnflag, l_linestatus, lnum),
+           (l_returnflag, l_linestatus),
+           (l_returnflag),
+           (l_linestatus, lnum),
+           (l_linestatus),
+           ())
+         ORDER BY rf, ls, ln""",
+    "q60_pig_udf" ->
+      """SELECT p_partkey, UPPER(TRIM(p_name)) AS nname,
+         CAST(p_retailprice AS DOUBLE) * 2 + p_size AS margin
+         FROM part ORDER BY p_partkey""",
+    "q61_pig_order_using" ->
+      """SELECT s_suppkey, s_name FROM supplier ORDER BY REVERSE(s_name)""",
+    "q62_pig_distinct_agg" ->
+      """SELECT l_returnflag AS rf, COUNT(DISTINCT l_linenumber) AS n_lines,
+         COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY rf""",
     "q54_pig_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
          SUM(CAST(l_quantity AS DOUBLE)) AS sum_qty, COUNT(*) AS n

@@ -67,4 +67,25 @@ object KernelPropsSpec extends Properties("kernels") {
       val distinct = ss.distinct
       distinct.map(Dedup.hash64).distinct.size == distinct.size
     }
+
+  // the prefix-filter lemma ngramJaccard's candidate generation rests
+  // on (Bayardo et al. WWW'07): if J(x,y) ≥ t then x's FULL set hits
+  // y's prefixLen(|y|, t)-prefix under ANY fixed total order — so
+  // indexing only prefixes and probing with full sets has recall 1
+  private val elemSetGen =
+    Gen.nonEmptyListOf(Gen.chooseNum(0, 40)).map(_.toSet)
+
+  property("prefix filter: a full-set probe always hits a J>=t pair's prefix") =
+    forAll(elemSetGen, elemSetGen, Gen.chooseNum(0.05, 0.95)) { (x, y, t) =>
+      val j = x.intersect(y).size.toDouble / x.union(y).size
+      val sortedY = y.toSeq.sorted // the fixed total order
+      val prefY = sortedY.take(Dedup.prefixLen(sortedY.size, t)).toSet
+      j < t || x.intersect(prefY).nonEmpty
+    }
+
+  property("prefixLen is positive and never exceeds the set size") =
+    forAll(Gen.chooseNum(1, 10000), Gen.chooseNum(0.01, 1.0)) { (n, t) =>
+      val p = Dedup.prefixLen(n, t)
+      p >= 1 && p <= n
+    }
 }

@@ -60,6 +60,47 @@ class DedupSpec extends SparkSuite {
     assert(got == Set((1L, 2L, 1.0 / 3.0)))
   }
 
+  test("ngramJaccard prefix filtering loses no pair at threshold (brute-force diff)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 25).map(i => s"w$i")
+    val base = (1L to 40L).map { i =>
+      val n = 6 + rnd.nextInt(10)
+      i -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // salt guaranteed near-dups: every 5th doc re-emitted minus its
+    // first word (high-but-not-1 jaccard), plus one exact duplicate
+    val texts = base ++ base.collect { case (i, txt) if i % 5 == 0 =>
+      (i + 100L) -> txt.split(' ').drop(1).mkString(" ")
+    } :+ (200L -> base.head._2)
+    val t = 0.3
+    val d = texts.toDF("doc_id", "text").withColumn("blk", lit(1))
+    val got = Dedup.ngramJaccard(d, "doc_id", "text", "blk", 3, t)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val sets = texts.map { case (i, txt) => i -> Dedup.shingleSet(txt, 3).toSet }.toMap
+    val ids = texts.map(_._1)
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      inter = sets(a).intersect(sets(b)).size
+      union = sets(a).union(sets(b)).size
+      j = if (union == 0) 0.0 else inter.toDouble / union
+      if j >= t
+    } yield (a, b, j)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("simhash JVM kernel is bit-identical to the Column form") {
+    val synthetic = docs(1L -> "a b c", 2L -> "the quick brown fox", 3L -> "x",
+      4L -> "a a b b", 5L -> (1 to 50).map(i => s"tok$i").mkString(" "))
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").limit(50)
+    for (d <- Seq(synthetic, real)) {
+      val viaCol = d.select($"doc_id", Dedup.simhash($"text")).as[(Long, Long)].collect().toSet
+      val viaK = Dedup.simhashFingerprints(d, "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      assert(viaCol == viaK)
+    }
+  }
+
   test("embeddingNearDup pairs identical vectors at cosine 1") {
     val v = Array.tabulate(64)(i => (math.sin(i) / 4).toFloat)
     val w = Array.tabulate(64)(i => (math.cos(i * 3 + 1) / 4).toFloat)
@@ -204,5 +245,17 @@ class IvfKmeansSpec extends SparkSuite {
     assert(got == Seq(1L)) // identical vector shares the cell by construction
     val cents = graft.llm.Similarity.kmeansCentroids(d, "vec_id", "embedding", 4)
     assert(cents.length == 4 && cents.forall(_.length == 64))
+  }
+
+  test("kmeansCentroids trains on a bounded sample, deterministically") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L to 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val d = rows.toDF("vec_id", "embedding")
+    val c1 = graft.llm.Similarity.kmeansCentroids(d, "vec_id", "embedding",
+      k = 4, iters = 2, maxTrain = 50L)
+    val c2 = graft.llm.Similarity.kmeansCentroids(d, "vec_id", "embedding",
+      k = 4, iters = 2, maxTrain = 50L)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(c1.length == 4)
   }
 }

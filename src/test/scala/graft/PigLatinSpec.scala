@@ -251,6 +251,57 @@ class PigLatinSpec extends SparkSuite {
       """)
     assert(e.relation("out").as[(Int, Long)].collect().toMap == Map(1 -> 5L, 2 -> 7L))
   }
+
+  test("registerFunction: user function callable from scripts, incl. through DEFINE") {
+    val e = engine
+      .registerFunction("ADD_TAX", cs => cs.head.cast("double") * 1.1)
+      .run("""
+        DEFINE tax ADD_TAX;
+        o = LOAD 'orders.parquet';
+        f = FOREACH o GENERATE o_orderkey, tax(o_totalprice) AS taxed;
+        out = ORDER f BY o_orderkey;
+        """)
+    val got = e.relation("out").as[(Long, Double)].collect().toSeq
+    val want = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", ($"o_totalprice".cast("double") * 1.1).as("taxed"))
+      .orderBy("o_orderkey").as[(Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("unknown function names a registration path in the error") {
+    val ex = intercept[RuntimeException] {
+      engine.run("""
+        o = LOAD 'orders.parquet';
+        out = FOREACH o GENERATE NOSUCHFN(o_orderkey);
+        """).relation("out")
+    }
+    assert(ex.getMessage.contains("registerFunction"))
+  }
+
+  test("ORDER ... USING sorts by the registered comparator's key transform") {
+    val e = engine.registerComparator("REVKEY", reverse)
+      .run("""
+        s = LOAD 'supplier.parquet';
+        f = FOREACH s GENERATE s_suppkey, s_name;
+        out = ORDER f BY s_name USING revkey;
+        """)
+    val got = e.relation("out").select("s_suppkey").as[Long].collect().toSeq
+    val want = Tables.load(spark, dir, "supplier")
+      .orderBy(reverse($"s_name")).select("s_suppkey").as[Long].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("JOIN USING 'merge-sparse' is accepted and joins correctly") {
+    val e = engine.run("""
+      o = LOAD 'orders.parquet';
+      c = LOAD 'customer.parquet';
+      j = JOIN o BY o_custkey, c BY c_custkey USING 'merge-sparse';
+      g = GROUP j ALL;
+      out = FOREACH g GENERATE COUNT(j) AS n;
+      """)
+    val want = Tables.load(spark, dir, "orders").count()
+    assert(col0(e.relation("out")) == Seq(want))
+  }
 }
 
 /** Preprocessor: %declare/%default parameters, DEFINE aliases, macros. */
