@@ -431,32 +431,33 @@ object Dedup {
     val shSchema = StructType(Seq(
       StructField("blk", df.schema(blockCol).dataType),
       StructField("doc", df.schema(idCol).dataType),
-      StructField("s", StringType)))
-    // shingle rows via the JVM kernel (interpreted HOFs are the hot-path
-    // cost, see object scaladoc); persisted: document frequency, doc
-    // sets, and index probing all read it
+      StructField("h", LongType)))
+    // hashed shingle rows via the JVM kernel ([[shingleHashSet]]): every
+    // downstream shuffle/join carries 8-byte hashes, never the k-gram
+    // strings; Jaccard over the hashes equals Jaccard over the strings
+    // modulo 64-bit collisions (see shingleHashSet scaladoc). Persisted:
+    // document frequency, doc sets, and index probing all read it.
     val sh = spark.createDataFrame(
       src.rdd.mapPartitions(_.flatMap { r =>
         val blk = r.get(0); val doc = r.get(1)
-        shingleSet(r.getString(2), k).iterator.map(s => Row(blk, doc, s))
+        shingleHashSet(r.getString(2), k).iterator.map(h => Row(blk, doc, h))
       }), shSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // rarest-first total order = (document frequency within block, s);
+    // rarest-first total order = (document frequency within block, h);
     // any fixed order is correct — df-ascending makes prefixes rare
-    val dfreq = sh.groupBy(col("blk"), col("s")).agg(count(lit(1)).as("dfc"))
-    val docSets = sh.join(dfreq, Seq("blk", "s"))
+    val dfreq = sh.groupBy(col("blk"), col("h")).agg(count(lit(1)).as("dfc"))
+    val docSets = sh.join(dfreq, Seq("blk", "h"))
       .groupBy(col("blk"), col("doc"))
-      .agg(collect_list(struct(col("dfc"), col("s"))).as("ss"))
+      .agg(sort_array(collect_list(struct(col("dfc"), col("h")))).as("ss"))
       .select(col("blk"), col("doc"),
-        transform(array_sort(col("ss")), x => x.getField("s")).as("sorted"))
-      .withColumn("n", size(col("sorted")))
+        col("ss.h").as("sorted"), size(col("ss")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val plen = (col("n") - ceil(lit(minJaccard) * col("n")).cast("int") + 1)
     val prefix = docSets.select(col("blk"), col("doc").as("b"),
-      explode(slice(col("sorted"), lit(1), plen)).as("s"))
+      explode(slice(col("sorted"), lit(1), plen)).as("h"))
     // probe: full sets against the prefix index — one hit is enough
-    val cand = sh.select(col("blk"), col("doc").as("a"), col("s"))
-      .join(prefix, Seq("blk", "s"))
+    val cand = sh.select(col("blk"), col("doc").as("a"), col("h"))
+      .join(prefix, Seq("blk", "h"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("id_a"),
         greatest(col("a"), col("b")).as("id_b"))

@@ -64,6 +64,35 @@ class PigMixSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("L9/L10-shape: total order by a single key and by mixed-direction keys") {
+    val e = engine.run("""
+      o = LOAD 'orders.parquet';
+      p = FOREACH o GENERATE o_orderkey, o_custkey, o_totalprice;
+      out = ORDER p BY o_totalprice DESC, o_orderkey;
+      """)
+    val got = rowsOf(e.relation("out"))
+    val want = rowsOf(Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey"))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("L12-shape: SPLIT + multiple STOREs (multi-store, one shared scan)") {
+    val tmp = java.nio.file.Files.createTempDirectory("pigmix_l12").toString
+    engine.run(s"""
+      o = LOAD 'orders.parquet';
+      SPLIT o INTO hi IF o_totalprice >= 150000.0, lo IF o_totalprice < 150000.0;
+      STORE hi INTO '$tmp/hi';
+      STORE lo INTO '$tmp/lo';
+      """)
+    val hi = spark.read.parquet(s"$tmp/hi")
+    val lo = spark.read.parquet(s"$tmp/lo")
+    val n = Tables.load(spark, dir, "orders").count()
+    assert(hi.count() + lo.count() == n)
+    assert(hi.filter($"o_totalprice" < 150000.0).count() == 0)
+    assert(lo.filter($"o_totalprice" >= 150000.0).count() == 0)
+  }
+
   test("L11-shape: union then distinct") {
     val e = engine.run("""
       c = LOAD 'customer.parquet';
