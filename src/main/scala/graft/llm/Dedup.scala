@@ -258,13 +258,15 @@ object Dedup {
     val mem = groups.select(col("rep"), explode(col("ids")).as("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // (rep, shingle-set): one pass, persisted — reused by banding and by
-    // both sides of the verification join
+    // (rep, hashed shingle set): one pass, persisted — reused by banding
+    // and by both sides of the verification join. 8-byte hashes, not the
+    // k-gram strings ([[shingleHashSet]]: exact Jaccard modulo 64-bit
+    // collisions), so the two verification joins ship ~10× fewer bytes.
     val shingleSchema = StructType(Seq(
-      StructField("doc", idField.dataType), StructField("sh", ArrayType(StringType))))
+      StructField("doc", idField.dataType), StructField("sh", ArrayType(LongType))))
     val shingled = spark.createDataFrame(
       groups.select(col("rep"), col(textCol)).rdd.mapPartitions(_.map { r =>
-        Row(r.get(0), shingleSet(r.getString(1), shingleK).toSeq)
+        Row(r.get(0), shingleHashSet(r.getString(1), shingleK).toSeq)
       }), shingleSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -274,8 +276,8 @@ object Dedup {
     val banded = spark.createDataFrame(
       shingled.rdd.mapPartitions(_.flatMap { r =>
         val doc = r.get(0)
-        val sh = r.getSeq[String](1).toArray
-        val keys = bandKeys(sh, numHashes, bands)
+        val base = r.getSeq[Long](1).toArray
+        val keys = bandKeysFromHashes(base, numHashes, bands)
         keys.iterator.zipWithIndex.map { case (k, b) => Row(doc, b, k) }
       }), bandSchema)
 

@@ -87,6 +87,20 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     comparators(name.toUpperCase) = fn; this
   }
 
+  // Aggregate user functions — the reference's Algebraic UDF surface
+  // [R: src/org/apache/pig/Algebraic.java]: a registered aggregate
+  // participates in the GROUP→FOREACH fusion, so Spark runs it with
+  // partial/final aggregation (the combiner) like any builtin agg.
+  private val userAggs = mutable.Map[String, Seq[Column] => Column]()
+
+  /** Register an aggregate function (a Column aggregate expression, e.g.
+    * built from `functions.sum`/an `Aggregator`) callable from FOREACH
+    * over a grouped relation; it fuses into `groupBy().agg()`.
+    */
+  def registerAggregate(name: String, fn: Seq[Column] => Column): PigEngine = {
+    userAggs(name.toUpperCase) = fn; this
+  }
+
   def relation(alias: String): DataFrame =
     env.getOrElse(alias, sys.error(s"unknown alias $alias")).df()
 
@@ -476,7 +490,8 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
   private def isFusable(e: Expr, g: GroupInfo): Boolean = e match {
     case FieldRef("group") => true
     case Deref(FieldRef("group"), _) => true
-    case FuncCall(f, args) if aggNames.contains(f.toLowerCase) =>
+    case FuncCall(f, args)
+      if aggNames.contains(f.toLowerCase) || userAggs.contains(f.toUpperCase) =>
       args.forall(a => refsOnlyBag(a, g))
     case Arith(_, l, r) => isFusable(l, g) && isFusable(r, g)
     case CastE(_, x) => isFusable(x, g)
@@ -542,6 +557,12 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
   }
 
   private def compileAgg(pre: DataFrame, e: Expr): Column = e match {
+    case FuncCall(f, args) if userAggs.contains(f.toUpperCase) &&
+        !aggNames.contains(f.toLowerCase) => // builtins keep priority
+      userAggs(f.toUpperCase)(args.map {
+        case Star => col(pre.columns.head)
+        case a => compileExpr(pre, a)
+      })
     case FuncCall(f, args) if aggNames.contains(f.toLowerCase) =>
       val inner = args.headOption.map {
         case Star => col(pre.columns.head) // COUNT(A): non-null first field

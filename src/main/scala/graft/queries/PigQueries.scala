@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{reverse, trim, upper}
+import org.apache.spark.sql.functions.{reverse, sum, trim, upper}
 import graft.piglatin.PigEngine
 
 /** t2 queries executed THROUGH the Pig Latin front-end (parse → compile
@@ -114,6 +114,21 @@ object PigQueries {
       """,
       _.registerComparator("REVKEY", reverse))),
 
+    // aggregate user functions (Algebraic UDF analog): registered
+    // Column aggregates fuse into groupBy().agg() — SUMSQ is a plain
+    // expression aggregate, MEDIANQ drives the MedianAgg Aggregator
+    "q63_pig_agg_udf" -> ((s, dir) => pig(s, dir, """
+      li = LOAD 'lineitem.parquet';
+      g  = GROUP li BY l_returnflag;
+      a  = FOREACH g GENERATE group AS rf, SUMSQ(li.l_quantity) AS sumsq,
+             MEDIANQ(li.l_quantity) AS med, COUNT(li) AS n;
+      out = ORDER a BY rf;
+      """,
+      _.registerAggregate("SUMSQ", cs =>
+         sum((cs.head * cs.head).cast("decimal(28,4)")).cast("double"))
+       .registerAggregate("MEDIANQ", cs =>
+         graft.ops.MedianAgg.median(cs.head.cast("double"))))),
+
     // PigMix L4/L15 shape: DISTINCT inside a nested FOREACH + multiple
     // distinct aggregates per group
     "q62_pig_distinct_agg" -> ((s, dir) => pig(s, dir, """
@@ -158,6 +173,11 @@ object PigQueries {
     "q62_pig_distinct_agg" ->
       """SELECT l_returnflag AS rf, COUNT(DISTINCT l_linenumber) AS n_lines,
          COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY rf""",
+    "q63_pig_agg_udf" ->
+      """SELECT l_returnflag AS rf,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sumsq,
+         MEDIAN(l_quantity) AS med, COUNT(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY rf""",
     "q54_pig_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,

@@ -268,6 +268,24 @@ class PigLatinSpec extends SparkSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("registerAggregate: user aggregate fuses into groupBy().agg()") {
+    val e = engine
+      .registerAggregate("SUMSQ", cs => sum(cs.head * cs.head))
+      .run("""
+        li = LOAD 'lineitem.parquet';
+        g = GROUP li BY l_returnflag;
+        out = FOREACH g GENERATE group AS rf, SUMSQ(li.l_quantity) AS sq, COUNT(li) AS n;
+        """)
+    val df = e.relation("out")
+    // fused: the combiner path, no bag materialization
+    assert(!df.queryExecution.optimizedPlan.toString.contains("collect_list"))
+    val got = df.as[(String, Double, Long)].collect().toMap3
+    val want = Tables.load(spark, dir, "lineitem").groupBy($"l_returnflag")
+      .agg(sum($"l_quantity" * $"l_quantity"), count(lit(1)))
+      .as[(String, Double, Long)].collect().toMap3
+    assert(got == want)
+  }
+
   test("unknown function names a registration path in the error") {
     val ex = intercept[RuntimeException] {
       engine.run("""
