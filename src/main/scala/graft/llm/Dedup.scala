@@ -430,33 +430,33 @@ object Dedup {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val src = df.select(col(blockCol), col(idCol), col(textCol))
-    val shSchema = StructType(Seq(
+    val docSchema = StructType(Seq(
       StructField("blk", df.schema(blockCol).dataType),
       StructField("doc", df.schema(idCol).dataType),
-      StructField("h", LongType)))
-    // hashed shingle rows via the JVM kernel ([[shingleHashSet]]): every
-    // downstream shuffle/join carries 8-byte hashes, never the k-gram
-    // strings; Jaccard over the hashes equals Jaccard over the strings
-    // modulo 64-bit collisions (see shingleHashSet scaladoc). Persisted:
-    // document frequency, doc sets, and index probing all read it.
-    val sh = spark.createDataFrame(
-      src.rdd.mapPartitions(_.flatMap { r =>
-        val blk = r.get(0); val doc = r.get(1)
-        shingleHashSet(r.getString(2), k).iterator.map(h => Row(blk, doc, h))
-      }), shSchema)
+      StructField("hs", ArrayType(LongType))))
+    // per-doc hashed shingle SET straight from the JVM kernel
+    // ([[shingleHashSet]]) — no shuffle builds it, and every downstream
+    // shuffle/join carries 8-byte hashes, never the k-gram strings
+    // (Jaccard over hashes ≡ over strings modulo 64-bit collisions, see
+    // the kernel scaladoc). Persisted: exploded rows feed document
+    // frequency + index probing, the arrays feed verification.
+    val docsK = spark.createDataFrame(
+      src.rdd.mapPartitions(_.map { r =>
+        Row(r.get(0), r.get(1), shingleHashSet(r.getString(2), k).toSeq)
+      }), docSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = docsK.select(col("blk"), col("doc"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
     // rarest-first total order = (document frequency within block, h);
     // any fixed order is correct — df-ascending makes prefixes rare
     val dfreq = sh.groupBy(col("blk"), col("h")).agg(count(lit(1)).as("dfc"))
-    val docSets = sh.join(dfreq, Seq("blk", "h"))
-      .groupBy(col("blk"), col("doc"))
-      .agg(sort_array(collect_list(struct(col("dfc"), col("h")))).as("ss"))
-      .select(col("blk"), col("doc"),
-        col("ss.h").as("sorted"), size(col("ss")).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val plen = (col("n") - ceil(lit(minJaccard) * col("n")).cast("int") + 1)
-    val prefix = docSets.select(col("blk"), col("doc").as("b"),
-      explode(slice(col("sorted"), lit(1), plen)).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk"), col("doc")).orderBy(col("dfc"), col("h"))
+    val prefix = sh.join(dfreq, Seq("blk", "h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("n") - ceil(lit(minJaccard) * col("n")).cast("int") + 1)
+      .select(col("blk"), col("doc").as("b"), col("h"))
     // probe: full sets against the prefix index — one hit is enough
     val cand = sh.select(col("blk"), col("doc").as("a"), col("h"))
       .join(prefix, Seq("blk", "h"))
@@ -464,7 +464,7 @@ object Dedup {
       .select(least(col("a"), col("b")).as("id_a"),
         greatest(col("a"), col("b")).as("id_b"))
       .distinct()
-    val sets = docSets.select(col("doc"), col("sorted"), col("n"))
+    val sets = docsK.select(col("doc"), col("hs"), size(col("hs")))
     cand
       .join(sets.toDF("id_a", "sa", "ca"), "id_a")
       .join(sets.toDF("id_b", "sb", "cb"), "id_b")

@@ -9,10 +9,11 @@ object PlanCheck {
     val dir = "/root/testdata/sf0.01"
     val interesting = Seq("q01_filter_project", "q02_group_agg", "q03_join_agg",
       "q07_join_broadcast", "q12_order_limit", "q17_wordcount", "q19_anti_semi",
-      "q27_window_tumbling", "q31_dedup_minhash", "q34_cosine_topk",
-      "q44_join_skew", "q50_pig_join_agg",
+      "q27_window_tumbling", "q31_dedup_minhash", "q33_ngram_jaccard",
+      "q34_cosine_topk", "q44_join_skew", "q50_pig_join_agg",
       "q46_bloom_semi", "q54_pig_cube", "q55_tfidf", "q57_median_agg",
-      "q58_quality_rules")
+      "q58_quality_rules", "q59_pig_mixed_sets", "q60_pig_udf",
+      "q61_pig_order_using", "q62_pig_distinct_agg", "q63_pig_agg_udf")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
