@@ -248,27 +248,34 @@ object Dedup {
     val idField = df.schema(idCol)
     val src = df.select(col(idCol), col(textCol))
 
-    // collapse exact-duplicate texts: one representative (min id) per
-    // distinct text; members kept for the final expansion. Only the
-    // tiny (rep, id) projection is cached — caching `groups` itself
-    // would pin every document text in block storage (measured: the
-    // accumulated cache pressure dominated the whole bench)
-    val groups = src.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
-    val mem = groups.select(col("rep"), explode(col("ids")).as("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // (rep, hashed shingle set): one pass, persisted — reused by banding
-    // and by both sides of the verification join. 8-byte hashes, not the
-    // k-gram strings ([[shingleHashSet]]: exact Jaccard modulo 64-bit
-    // collisions), so the two verification joins ship ~10× fewer bytes.
-    val shingleSchema = StructType(Seq(
-      StructField("doc", idField.dataType), StructField("sh", ArrayType(LongType))))
-    val shingled = spark.createDataFrame(
-      groups.select(col("rep"), col(textCol)).rdd.mapPartitions(_.map { r =>
+    // per-doc hashed shingle set straight from the JVM kernel — the
+    // document text never leaves its input partition; every shuffle
+    // from here on carries 8-byte hashes ([[shingleHashSet]]: exact
+    // Jaccard modulo 64-bit collisions)
+    val docSchema = StructType(Seq(
+      StructField("doc", idField.dataType), StructField("hs", ArrayType(LongType))))
+    val docsK = spark.createDataFrame(
+      src.rdd.mapPartitions(_.map { r =>
         Row(r.get(0), shingleHashSet(r.getString(1), shingleK).toSeq)
-      }), shingleSchema)
+      }), docSchema)
+
+    // collapse exact-duplicate shingle SETS (a superset of duplicate
+    // texts — set-equal texts have Jaccard exactly 1.0, so the emitted
+    // pairs are identical): one representative (min id) per distinct
+    // set. The shuffle carries (set-fingerprint, id) plus one partial
+    // min_by set per map task — never the text, and duplicate sets
+    // combine map-side.
+    val groups = docsK.withColumn("fp", xxhash64(col("hs")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc")).as("rep"),
+        min_by(col("hs"), col("doc")).as("sh"),
+        collect_list(col("doc")).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = groups.select(col("rep"), explode(col("ids")).as("id"))
+
+    // (rep, hashed shingle set): reused by banding and by both sides of
+    // the verification join
+    val shingled = groups.select(col("rep").as("doc"), col("sh"))
 
     val bandSchema = StructType(Seq(
       StructField("doc", idField.dataType),
