@@ -27,6 +27,20 @@ object Dedup {
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** [[exact]] keyed on a 128-bit content fingerprint instead of the raw
+    * content — the 100 TB shape: the shuffle carries 16 bytes per row
+    * regardless of document size (two independent 64-bit xxhash seeds;
+    * a cross-text collision needs both to collide, ≈ n²/2¹²⁸).
+    * Returns (keeper_id, n_copies) like [[exact]]; group keys are the
+    * fingerprint halves.
+    */
+  def exactByFingerprint(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        xxhash64(col(contentCol)).as("fp_a"),
+        xxhash64(lit("graft-fp2"), col(contentCol)).as("fp_b"))
+      .groupBy(col("fp_a"), col("fp_b"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
   /** k-word shingle set of a whitespace-tokenized text column; documents
     * shorter than k words contribute their whole text as one shingle.
     */

@@ -321,7 +321,11 @@ object CoreQueries {
       val c = samp.count()
       val sd = math.sqrt(n * p * (1 - p))
       val inBounds = math.abs(c - n * p) <= 6 * sd
-      val strays = samp.except(d.select(col("doc_id"))).count()
+      // subset proof via anti-join (broadcast-able; except() would add a
+      // distinct shuffle). Baseline note: q26 now runs three small
+      // actions instead of a bare sample scan — the price of giving
+      // SAMPLE a hash-checked oracle (BENCH_NOTES.md).
+      val strays = samp.join(d.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
       Seq((n, inBounds, strays == 0L))
         .toDF("n_src", "sample_in_bounds", "all_from_source")
     }),

@@ -15,6 +15,15 @@ class DedupSpec extends SparkSuite {
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("exactByFingerprint matches exact-by-text on keeper and counts") {
+    val d = docs(5L -> "a b c", 2L -> "a b c", 3L -> "x y z", 4L -> "a b c")
+    val byText = Dedup.exact(d, Seq("text"), "doc_id")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    val byFp = Dedup.exactByFingerprint(d, "text", "doc_id")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(byFp == byText && byFp == Set((2L, 3L), (3L, 1L)))
+  }
+
   test("shingleSet produces distinct k-grams; short docs collapse to whole text") {
     assert(Dedup.shingleSet("a b c d", 3).toSeq == Seq("a b c", "b c d"))
     assert(Dedup.shingleSet("a b a b a b", 3).toSeq == Seq("a b a", "b a b"))
