@@ -20,8 +20,9 @@ import Ast._
   * RANK [BY .. DENSE], LIMIT, DISTINCT, UNION [ONSCHEMA], SPLIT,
   * SAMPLE, STREAM rel THROUGH `cmd` [AS (schema)], ASSERT,
   * DUMP/DESCRIBE/EXPLAIN, nested FOREACH blocks, expressions (arith/
-  * bool/compare/MATCHES/IS NULL/bincond/CASE/casts/map-lookup/
-  * positional $n/builtin functions), macros + %declare (preprocessor),
+  * bool/compare/MATCHES/IS NULL/IN/bincond/CASE searched + simple
+  * forms/casts/map-lookup/positional $n/builtin functions), macros +
+  * %declare (preprocessor),
   * user functions via [[registerFunction]] (+ DEFINE aliasing) and
   * ORDER … USING via [[registerComparator]].
   * Out of scope (documented per SURVEY.md §7.3): NATIVE-MR,
@@ -737,7 +738,7 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case "SIZE" => typeOf(df, cs.head) match {
       case StringType => PF.sizeOfString(cs.head)
       case _: ArrayType | _: MapType => size(cs.head).cast(LongType)
-      case _: StructType => lit(1L) // SIZE of tuple = field count at runtime in Pig; static here
+      case s: StructType => lit(s.fields.length.toLong) // tuple arity (static schema)
       case _ => lit(1L)
     }
     case "ISEMPTY" => PF.isEmpty(cs.head)
@@ -746,6 +747,7 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       case _ => sys.error("BagToString needs a literal delimiter")
     }
     case "DIFF" => PF.diff(cs.head, cs(1))
+    case "SUBTRACT" => array_except(cs.head, cs(1)) // bag1 minus bag2 members
     case "TOP" => raw match {
       case List(Lit(n: Int), Lit(f: String), _) => PF.topN(cs(2), n, f)
       case _ => sys.error("TOP(n, 'field', bag) needs literal n and field")

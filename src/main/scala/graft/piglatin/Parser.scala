@@ -353,6 +353,14 @@ object Parser {
         val neg = tryKw("not"); eatKw("null")
         condSuffix(IsNull(l, neg))
       }
+      else if (atKw("in")) { p += 1
+        // x IN (v1, v2, …) — Pig 0.12 membership sugar for ==-chains
+        eatSym("(")
+        val vs = List.newBuilder[Expr]
+        vs += expr(); while (trySym(",")) vs += expr()
+        eatSym(")")
+        condSuffix(vs.result().map(v => Cmp("==", l, v): Expr).reduce(Or(_, _)))
+      }
       else condSuffix(l)
     }
 
@@ -441,9 +449,17 @@ object Parser {
 
     private def caseExpr(): Expr = {
       eatKw("case")
-      // CASE WHEN c THEN v [WHEN..] [ELSE v] END  (searched form only)
+      // searched form: CASE WHEN c THEN v … ; simple form: CASE x WHEN
+      // v THEN r … — the latter desugars to ==-comparisons on x
+      val scrutinee = if (atKw("when")) None else Some(expr())
       val branches = List.newBuilder[(Expr, Expr)]
-      while (atKw("when")) { eatKw("when"); val c = expr(); eatKw("then"); branches += ((c, expr())) }
+      while (atKw("when")) {
+        eatKw("when")
+        val c = expr()
+        eatKw("then")
+        val cond = scrutinee.map(s => Cmp("==", s, c): Expr).getOrElse(c)
+        branches += ((cond, expr()))
+      }
       val other = if (tryKw("else")) Some(expr()) else None
       eatKw("end")
       CaseWhen(branches.result(), other)

@@ -252,6 +252,49 @@ class PigLatinSpec extends SparkSuite {
     assert(e.relation("out").as[(Int, Long)].collect().toMap == Map(1 -> 5L, 2 -> 7L))
   }
 
+  test("IN operator desugars to membership and filters correctly") {
+    val e = engine.run("""
+      n = LOAD 'nation.parquet';
+      f = FILTER n BY n_regionkey IN (0, 2);
+      out = FOREACH f GENERATE n_nationkey;
+      """)
+    val got = col0(e.relation("out")).map(_.asInstanceOf[Int]).toSet
+    val want = Tables.load(spark, dir, "nation")
+      .filter($"n_regionkey".isin(0, 2)).select("n_nationkey")
+      .as[Int].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("simple-form CASE x WHEN v THEN r desugars to equality branches") {
+    val e = engine.run("""
+      o = LOAD 'orders.parquet';
+      out = FOREACH o GENERATE o_orderkey,
+        (CASE o_orderstatus WHEN 'F' THEN 'finished'
+                            WHEN 'O' THEN 'open'
+                            ELSE 'partial' END) AS status_word;
+      """)
+    val got = e.relation("out").as[(Long, String)].collect().toMap
+    val want = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey",
+        when($"o_orderstatus" === "F", "finished")
+          .when($"o_orderstatus" === "O", "open")
+          .otherwise("partial").as("w"))
+      .as[(Long, String)].collect().toMap
+    assert(got == want)
+  }
+
+  test("SUBTRACT removes bag2's members; SIZE of a tuple is its arity") {
+    val e = engine.run("""
+      r = LOAD 'region.parquet';
+      out = FOREACH r GENERATE r_regionkey,
+        SIZE(SUBTRACT(TOBAG(1, 2, 3), TOBAG(2))) AS n_left,
+        SIZE(TOTUPLE(r_regionkey, r_name)) AS arity;
+      """)
+    val rows = e.relation("out").as[(Int, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (_, nLeft, arity) =>
+      nLeft == 2L && arity == 2L })
+  }
+
   test("registerFunction: user function callable from scripts, incl. through DEFINE") {
     val e = engine
       .registerFunction("ADD_TAX", cs => cs.head.cast("double") * 1.1)
