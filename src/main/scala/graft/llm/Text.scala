@@ -65,6 +65,24 @@ object Text {
       .cast("double") / size(ws), 4)
   }
 
+  /** PII scrubbing: replace emails, international-ish phone numbers and
+    * IPv4 addresses with fixed placeholder tokens — the standard
+    * curation pass before training-corpus publication. Pure
+    * regexp_replace chain (codegen'd, scan-bound, no shuffle); the
+    * patterns avoid constructs whose semantics differ between Java
+    * regex and RE2 so a SQL oracle can replay them verbatim.
+    */
+  def scrubPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val phone = "\\+[0-9][0-9 -]{7,14}[0-9]"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ip, "<IP>"),
+      phone, "<PHONE>")
+  }
+
   /** Polynomial rolling hash of the whole text (mod 2^31-1, base 31) —
     * a deterministic document fingerprint computable in plain SQL.
     * h = fold over characters: h*31 + codepoint (mod M).

@@ -220,6 +220,20 @@ object LlmQueries {
     "q58_quality_rules" -> ((s, dir) => {
       Text.qualityRules(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing: docs salted with synthetic email/phone/IP derived
+    // from doc_id (so every row exercises all three patterns), scrubbed
+    // with the regexp_replace chain — oracle replays the same salt and
+    // patterns
+    "q64_pii_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val salted = concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@example.com or +1 555-000-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" at 10.0."), (col("doc_id") % 256), lit(".7"))
+      d.select(col("doc_id"), Text.scrubPii(salted).as("clean"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -232,6 +246,16 @@ object LlmQueries {
        WHERE doc_id % 25 = 0"""
 
   val oracleSql: Map[String, String] = Map(
+    "q64_pii_scrub" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+           text || ' contact u' || doc_id || '@example.com or +1 555-000-' ||
+             lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+             ' at 10.0.' || (doc_id % 256) || '.7',
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+           '\+[0-9][0-9 -]{7,14}[0-9]', '<PHONE>', 'g') AS clean
+         FROM documents ORDER BY doc_id""",
     "q55_tfidf" ->
       """WITH terms AS (
            SELECT doc_id AS doc, UNNEST(string_split(text, ' ')) AS term

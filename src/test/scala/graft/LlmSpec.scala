@@ -202,6 +202,18 @@ class TextSpec extends SparkSuite {
     assert(col0(df.select(Text.fingerprint($"text"))) == Seq(poly(s)))
   }
 
+  test("scrubPii replaces emails, phones and IPs with placeholders") {
+    val df = Seq(
+      "mail me at john.doe+x@sub.example.org today",
+      "call +1 555-123-4567 or visit 192.168.1.200 now",
+      "nothing sensitive here").toDF("text")
+    val got = col0(df.select(graft.llm.Text.scrubPii($"text")))
+    assert(got == Seq(
+      "mail me at <EMAIL> today",
+      "call <PHONE> or visit <IP> now",
+      "nothing sensitive here"))
+  }
+
   test("tfidf: rarer terms score higher") {
     val df = Seq((1L, "apple banana"), (2L, "apple cherry")).toDF("doc_id", "text")
     val scores = Text.tfidf(df, "doc_id", "text")
