@@ -83,6 +83,35 @@ object Text {
       phone, "<PHONE>")
   }
 
+  /** C4-style boilerplate removal: drop sentences (segments split on
+    * `sep`) that occur in more than `maxDocFreq` distinct documents,
+    * then reassemble each document in original sentence order.
+    * Documents whose every sentence is boilerplate are dropped — the C4
+    * behavior.
+    *
+    * Scale shape: sentences shuffle once for the document-frequency
+    * aggregation (combiner-friendly: (line, doc) pairs distinct
+    * map-side), once for the join back, and once for per-doc
+    * reassembly; no step is quadratic and the full text never carries
+    * through the frequency aggregation — only distinct sentences do.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        sep: String = ". ", maxDocFreq: Int = 3): DataFrame = {
+    val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val lines = df.select(col(idCol).as("doc"),
+      posexplode(arr).as(Seq("pos", "line")))
+    val keepable = lines.select(col("line"), col("doc")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("docs"))
+      .filter(col("docs") <= maxDocFreq)
+      .select(col("line"))
+    lines.join(keepable, "line")
+      .groupBy(col("doc"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")),
+        sep).as("clean"))
+  }
+
   /** Polynomial rolling hash of the whole text (mod 2^31-1, base 31) —
     * a deterministic document fingerprint computable in plain SQL.
     * h = fold over characters: h*31 + codepoint (mod M).

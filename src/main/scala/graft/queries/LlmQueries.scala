@@ -222,6 +222,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style boilerplate removal: every doc salted with a shared
+    // sentence (df = corpus size, way over the threshold) — the salt
+    // must vanish, the original text survive, order preserved
+    "q65_boilerplate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val salted = d.select(col("doc_id"),
+        concat(lit("subscribe to our newsletter. "), col("text"),
+          lit(". all rights reserved")).as("text"))
+      Text.removeBoilerplate(salted, "doc_id", "text", ". ", maxDocFreq = 3)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing: docs salted with synthetic email/phone/IP derived
     // from doc_id (so every row exercises all three patterns), scrubbed
     // with the regexp_replace chain — oracle replays the same salt and
@@ -246,6 +259,20 @@ object LlmQueries {
        WHERE doc_id % 25 = 0"""
 
   val oracleSql: Map[String, String] = Map(
+    "q65_boilerplate" ->
+      """WITH salted AS (
+           SELECT doc_id,
+             'subscribe to our newsletter. ' || text || '. all rights reserved' AS text
+           FROM documents),
+         ls AS (SELECT doc_id, string_split(text, '. ') AS arr FROM salted),
+         lines AS (SELECT doc_id, unnest(arr) AS line,
+                   generate_subscripts(arr, 1) AS pos FROM ls),
+         dfreq AS (SELECT line, COUNT(DISTINCT doc_id) AS docs
+                   FROM lines GROUP BY 1)
+         SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS clean
+         FROM lines JOIN dfreq USING (line)
+         WHERE docs <= 3
+         GROUP BY doc_id ORDER BY doc_id""",
     "q64_pii_scrub" ->
       """SELECT doc_id,
          regexp_replace(regexp_replace(regexp_replace(

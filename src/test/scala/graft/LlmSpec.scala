@@ -202,6 +202,19 @@ class TextSpec extends SparkSuite {
     assert(col0(df.select(Text.fingerprint($"text"))) == Seq(poly(s)))
   }
 
+  test("removeBoilerplate drops shared sentences, keeps order, drops empty docs") {
+    val df = Seq(
+      (1L, "common intro. unique one. tail bit"),
+      (2L, "common intro. unique two. tail bit"),
+      (3L, "common intro. unique three. tail bit"),
+      (4L, "common intro")).toDF("doc_id", "text")
+    val got = graft.llm.Text.removeBoilerplate(df, "doc_id", "text", ". ", maxDocFreq = 2)
+      .orderBy("doc").as[(Long, String)].collect().toSeq
+    // "common intro" in 4 docs (> 2) and "tail bit" in 3 (> 2) are cut;
+    // doc 4 had only boilerplate → dropped entirely
+    assert(got == Seq(1L -> "unique one", 2L -> "unique two", 3L -> "unique three"))
+  }
+
   test("scrubPii replaces emails, phones and IPs with placeholders") {
     val df = Seq(
       "mail me at john.doe+x@sub.example.org today",
