@@ -495,6 +495,42 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark-contamination scan: for every corpus document, count the
+    * distinct k-word shingles it shares with a benchmark/eval set — the
+    * standard decontamination pass (k = 8 by convention) run before
+    * training-corpus publication. Returns (doc, n_hits) for documents
+    * with ≥ 1 overlapping shingle.
+    *
+    * Scale shape: the benchmark side is small by definition, so its
+    * hashed shingle set broadcasts and the corpus never shuffles — the
+    * scan is one map-side join over per-partition kernel output plus a
+    * per-doc count. For benchmark sets too big to broadcast, swap the
+    * broadcast join for [[graft.ops.BloomJoin]] (probe stays map-side,
+    * false positives bounded by the filter's fpp).
+    */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val docShSchema = StructType(Seq(
+      StructField("doc", df.schema(idCol).dataType), StructField("h", LongType)))
+    val docSh = spark.createDataFrame(
+      df.select(col(idCol), col(textCol)).rdd.mapPartitions(_.flatMap { r =>
+        val doc = r.get(0)
+        shingleHashSet(r.getString(1), k).iterator.map(h => Row(doc, h))
+      }), docShSchema)
+    val benchShSchema = StructType(Seq(StructField("h", LongType)))
+    val benchSh = spark.createDataFrame(
+      bench.select(col(benchTextCol)).rdd.mapPartitions(_.flatMap { r =>
+        shingleHashSet(r.getString(0), k).iterator.map(h => Row(h))
+      }), benchShSchema).distinct()
+    docSh.join(broadcast(benchSh), "h")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_hits")) // docSh rows are distinct per doc
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold, candidates from
     * sign-LSH buckets (see [[Similarity.lshBucket]]), verified exactly.
     * `maxBucket` drops pathological buckets (e.g. the all-zeros bucket a

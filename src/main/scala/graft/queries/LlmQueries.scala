@@ -222,6 +222,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // decontamination: benchmark = 12-word excerpts of every 25th doc;
+    // the excerpted docs must surface with exactly their excerpt's
+    // 8-gram count, nothing else overlaps
+    "q66_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(concat_ws(" ", slice(split(col("text"), " "), 1, 12)).as("excerpt"))
+      Dedup.contamination(d, "doc_id", "text", bench, "excerpt", k = 8)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style boilerplate removal: every doc salted with a shared
     // sentence (df = corpus size, way over the threshold) — the salt
     // must vanish, the original text survive, order preserved
@@ -258,7 +270,30 @@ object LlmQueries {
        FROM documents, (SELECT UNNEST(range(1, 11)) AS c)
        WHERE doc_id % 25 = 0"""
 
+  private val gram8 =
+    "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]"
+
   val oracleSql: Map[String, String] = Map(
+    "q66_decontaminate" ->
+      s"""WITH docs8 AS (
+           SELECT doc_id, UNNEST(list_distinct(
+             CASE WHEN len(w) >= 8
+                  THEN list_transform(range(1, len(w) - 6), i -> $gram8)
+                  ELSE [text] END)) AS s
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+         bench AS (
+           SELECT array_to_string(string_split(text, ' ')[1:12], ' ') AS excerpt
+           FROM documents WHERE doc_id % 25 = 0),
+         bench8 AS (
+           SELECT DISTINCT UNNEST(list_distinct(
+             CASE WHEN len(w) >= 8
+                  THEN list_transform(range(1, len(w) - 6), i -> $gram8)
+                  ELSE [txt] END)) AS s
+           FROM (SELECT excerpt AS txt, string_split(excerpt, ' ') AS w
+                 FROM bench))
+         SELECT doc_id, COUNT(*) AS n_hits
+         FROM docs8 JOIN bench8 USING (s)
+         GROUP BY 1 ORDER BY doc_id""",
     "q65_boilerplate" ->
       """WITH salted AS (
            SELECT doc_id,

@@ -110,6 +110,20 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("contamination counts shared k-gram shingles against a benchmark set") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six",
+      3L -> "beta gamma delta epsilon zeta eta")
+    val bench = Seq("alpha beta gamma delta epsilon zeta").toDF("q")
+    val got = Dedup.contamination(corpus, "doc_id", "text", bench, "q", k = 4)
+      .as[(Long, Long)].collect().toMap
+    // bench 4-grams: {a b g d, b g d e, g d e z}; doc1 has all 3,
+    // doc3 shares {b g d e, g d e z}... within its own 4-grams:
+    // {b g d e, g d e z, d e z eta} → 2 hits; doc2 none
+    assert(got == Map(1L -> 3L, 3L -> 2L))
+  }
+
   test("embeddingNearDup pairs identical vectors at cosine 1") {
     val v = Array.tabulate(64)(i => (math.sin(i) / 4).toFloat)
     val w = Array.tabulate(64)(i => (math.cos(i * 3 + 1) / 4).toFloat)
