@@ -473,14 +473,17 @@ object Dedup {
     val dfreq = sh.groupBy(col("blk"), col("h")).agg(count(lit(1)).as("dfc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("blk"), col("doc")).orderBy(col("dfc"), col("h"))
-    val prefix = sh.join(dfreq, Seq("blk", "h"))
+    // shuffle-hash hints: sort-merge would sort all 2×|shingle rows|
+    // just to join on (blk, h); the hash join shuffles without sorting
+    // (the window right after does its own per-(blk,doc) sort anyway)
+    val prefix = sh.join(dfreq.hint("shuffle_hash"), Seq("blk", "h"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("n") - ceil(lit(minJaccard) * col("n")).cast("int") + 1)
       .select(col("blk"), col("doc").as("b"), col("h"))
     // probe: full sets against the prefix index — one hit is enough
     val cand = sh.select(col("blk"), col("doc").as("a"), col("h"))
-      .join(prefix, Seq("blk", "h"))
+      .join(prefix.hint("shuffle_hash"), Seq("blk", "h"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("id_a"),
         greatest(col("a"), col("b")).as("id_b"))

@@ -68,6 +68,13 @@ object KernelPropsSpec extends Properties("kernels") {
       distinct.map(Dedup.hash64).distinct.size == distinct.size
     }
 
+  property("simhashK: word order and duplicated words don't change the fingerprint") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "ccc", "dd", "e", "ff"))) { ws =>
+      val t1 = ws.mkString(" ")
+      val t2 = (ws.reverse ++ List(ws.head)).mkString(" ") // same distinct set
+      Dedup.simhashK(t1) == Dedup.simhashK(t2)
+    }
+
   // the prefix-filter lemma ngramJaccard's candidate generation rests
   // on (Bayardo et al. WWW'07): if J(x,y) ≥ t then x's FULL set hits
   // y's prefixLen(|y|, t)-prefix under ANY fixed total order — so
