@@ -222,6 +222,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // one-pass per-document analysis record (the standard pre-filter
+    // stats bundle) + winnowing-style shingle fingerprint
+    "q67_text_analyze" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val fp = d.select(col("doc_id"),
+        Text.shingleFingerprint(col("text"), 5).as("shingle_fp"))
+      Text.analyze(d, "doc_id", "text")
+        .join(fp, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // decontamination: benchmark = 12-word excerpts of every 25th doc;
     // the excerpted docs must surface with exactly their excerpt's
     // 8-gram count, nothing else overlaps
@@ -273,7 +284,45 @@ object LlmQueries {
   private val gram8 =
     "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]"
 
+  private val gram5 = "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]"
+  private val polyG =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(string_split(g, ''), c -> ord(c))),
+       (h, c) -> (h * 31 + c) % 2147483647)"""
+
   val oracleSql: Map[String, String] = Map(
+    "q67_text_analyze" ->
+      s"""SELECT doc_id, n_tokens_ws, n_tokens_re, n_chars,
+         CASE WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+              WHEN es >= fr AND es >= de THEN 'es'
+              WHEN fr >= de THEN 'fr' ELSE 'de' END AS lang_pred,
+         FLOOR(((lnd / n) * 0.4 + (LEAST(nc / n, 8.0) / 8.0) * 0.3
+                + LEAST(n / 100.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality,
+         FLOOR((nstop / n) * 10000 + 0.5) / 10000 AS stopword_ratio,
+         fingerprint, shingle_fp
+         FROM (
+           SELECT doc_id,
+             len(w)::BIGINT AS n_tokens_ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_re,
+             LENGTH(text)::BIGINT AS n_chars,
+             LENGTH(text)::DOUBLE AS nc,
+             len(w)::DOUBLE AS n,
+             len(list_distinct(w))::DOUBLE AS lnd,
+             len(list_filter(w, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to' OR x='in'))::DOUBLE AS nstop,
+             len(list_filter(w, x -> x='the' OR x='a' OR x='of' OR x='and')) AS en,
+             len(list_filter(w, x -> x='el' OR x='la' OR x='los' OR x='de')) AS es,
+             len(list_filter(w, x -> x='le' OR x='la' OR x='les' OR x='des')) AS fr,
+             len(list_filter(w, x -> x='der' OR x='die' OR x='das' OR x='und')) AS de,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> ord(c))),
+               (h, c) -> (h * 31 + c) % 2147483647)::BIGINT AS fingerprint,
+             list_aggregate(list_transform(
+               CASE WHEN len(w) >= 5
+                    THEN list_distinct(list_transform(range(1, len(w) - 3), i -> $gram5))
+                    ELSE [text] END,
+               g -> $polyG), 'min')::BIGINT AS shingle_fp
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+         ORDER BY doc_id""",
     "q66_decontaminate" ->
       s"""WITH docs8 AS (
            SELECT doc_id, UNNEST(list_distinct(
