@@ -22,6 +22,10 @@ object JoinHint {
   /** `USING 'merge'` — pre-sorted inputs ⇒ sort-merge join
     * [R: …/relationalOperators/POMergeJoin.java]. */
   case object Merge extends JoinHint
+  /** `USING 'merge-sparse'` — sparse-indexed right side in the
+    * reference [R: …/relationalOperators/POMergeCogroup.java]; no Spark
+    * analog, compiled as sort-merge (documented, SURVEY.md §2.1 #13). */
+  case object MergeSparse extends JoinHint
 }
 
 /** A relation: the engine's core abstraction (SURVEY.md §1.1) — an
@@ -165,7 +169,7 @@ final case class Rel(df: DataFrame) {
       .reduce(_ && _)
     val right = hint match {
       case JoinHint.Replicated => broadcast(other.df)
-      case JoinHint.Merge      => other.df.hint("merge")
+      case JoinHint.Merge | JoinHint.MergeSparse => other.df.hint("merge")
       case JoinHint.Skewed     => other.df.hint("shuffle_merge")
       case JoinHint.Default    => other.df
     }

@@ -90,6 +90,29 @@ class WindowsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session window merges events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sess = Windows.streamingSession(
+      input.toDF().toDF("user_id", "ts", "value"), "ts", "30 minutes",
+      "10 minutes", Seq($"user_id"), Seq(count(lit(1)).as("n")))
+    val q = sess.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), 1.0),
+        (1L, ts("2024-01-01 00:10:00"), 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past the gap so the session emits
+      input.addData((2L, ts("2024-01-01 05:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("stream_sessions")
+        .select($"user_id", $"session_start".cast("string"), $"n")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got.contains((1L, "2024-01-01 00:00:00", 2L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops later duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
