@@ -352,6 +352,16 @@ class PigLatinSpec extends SparkSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("ORDER ... USING an unregistered comparator fails with a clear error") {
+    val ex = intercept[RuntimeException] {
+      engine.run("""
+        s = LOAD 'supplier.parquet';
+        out = ORDER s BY s_name USING nosuchcmp;
+        """).relation("out")
+    }
+    assert(ex.getMessage.contains("registerComparator"))
+  }
+
   test("JOIN USING 'merge-sparse' is accepted and joins correctly") {
     val e = engine.run("""
       o = LOAD 'orders.parquet';
