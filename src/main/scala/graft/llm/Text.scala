@@ -144,6 +144,40 @@ object Text {
       fingerprint(t).as("fingerprint"))
   }
 
+  /** Unigram log-probability score — the perplexity-style quality
+    * filter: each document scored by the mean ln(count(w)/N) of its
+    * tokens under the corpus's own unigram distribution (N = total
+    * token count). Low scores = texts full of corpus-rare tokens
+    * (gibberish, OCR noise); the cheap stand-in for an n-gram LM
+    * filter.
+    *
+    * Determinism: each ln term is cast to decimal(28,12) before the
+    * per-doc sum, so the aggregate is order-independent and matches a
+    * SQL oracle bit-for-bit despite float addition non-associativity.
+    *
+    * Scale shape: token explode → word-count aggregation (combiner
+    * bounds the shuffle by vocabulary size) → join tokens to counts on
+    * word (AQE handles the inevitable stop-word skew; the count side is
+    * 1 row/word) → per-doc sum. N rides along via a broadcast 1-row
+    * cross join.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      explode(words(col(textCol))).as("word"))
+    val wc = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val total = wc.agg(sum(col("c")).as("n_total"))
+    toks.join(wc, "word")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(log(col("c").cast("double") / col("n_total"))
+          .cast("decimal(28,12)")).as("sum_lp"))
+      .select(col("doc"), col("n_tokens"),
+        roundCompat(col("sum_lp").cast("double") / col("n_tokens"), 6)
+          .as("mean_logprob"))
+  }
+
   /** Gopher-style quality-rule signals (Rae et al. 2021, "Scaling
     * Language Models" appendix A1.1 — public paper): per-document
     * repetition and composition statistics used as training-data

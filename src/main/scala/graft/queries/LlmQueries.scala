@@ -222,6 +222,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // perplexity-style unigram log-prob quality score under the
+    // corpus's own distribution (decimal-summed terms → exact oracle)
+    "q68_unigram_logprob" -> ((s, dir) => {
+      Text.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // one-pass per-document analysis record (the standard pre-filter
     // stats bundle) + winnowing-style shingle fingerprint
     "q67_text_analyze" -> ((s, dir) => {
@@ -291,6 +299,16 @@ object LlmQueries {
        (h, c) -> (h * 31 + c) % 2147483647)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q68_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         wc AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY 1),
+         tot AS (SELECT SUM(c) AS n_total FROM wc)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           FLOOR((SUM(CAST(LN(c::DOUBLE / n_total) AS DECIMAL(28,12)))::DOUBLE
+                  / COUNT(*)) * 1000000 + 0.5) / 1000000 AS mean_logprob
+         FROM toks JOIN wc USING (word), tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "q67_text_analyze" ->
       s"""SELECT doc_id, n_tokens_ws, n_tokens_re, n_chars,
          CASE WHEN en >= es AND en >= fr AND en >= de THEN 'en'

@@ -241,6 +241,18 @@ class TextSpec extends SparkSuite {
       "nothing sensitive here"))
   }
 
+  test("unigramLogProb scores common-word docs above rare-word docs") {
+    val df = Seq(
+      (1L, "the the the the"),   // all high-frequency tokens
+      (2L, "the the zzz qqq")    // half rare singletons
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Text.unigramLogProb(df, "doc_id", "text")
+      .select("doc", "mean_logprob").as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(2L))
+    // doc1: every token p = 6/8 → mean ln(0.75)
+    assert(math.abs(got(1L) - math.floor(math.log(6.0 / 8) * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
   test("tfidf: rarer terms score higher") {
     val df = Seq((1L, "apple banana"), (2L, "apple cherry")).toDF("doc_id", "text")
     val scores = Text.tfidf(df, "doc_id", "text")
