@@ -1,0 +1,40 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composed training-data pipeline the
+  * individual operators exist for, as one call —
+  *
+  *   boilerplate-sentence removal → PII scrubbing → quality scoring +
+  *   threshold filter → exact dedup (min-id keeper) → per-source
+  *   corpus statistics.
+  *
+  * Every stage is one of the oracle-checked operators
+  * ([[Text.removeBoilerplate]], [[Text.scrubPii]],
+  * [[Text.qualityScore]], [[Dedup.exact]]), so the composition carries
+  * a composed SQL oracle too (q69). No stage is quadratic; the
+  * pipeline's shuffles are the stages' own (sentence df-aggregation,
+  * per-doc reassembly, dedup hash-agg, final stats agg) — everything
+  * between them is scan-local column math.
+  */
+object Curate {
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             srcCol: String, minQuality: Double = 0.5,
+             boilerMaxDf: Int = 3): DataFrame = {
+    val cleaned = Text.removeBoilerplate(docs, idCol, textCol, ". ", boilerMaxDf)
+      .withColumnRenamed("doc", idCol)
+      .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
+      .withColumn("clean", Text.scrubPii(col("clean")))
+      .withColumn("quality", Text.qualityScore(col("clean")))
+      .filter(col("quality") >= minQuality)
+    val keepers = Dedup.exact(cleaned, Seq("clean"), idCol)
+      .select(col("keeper_id").as(idCol))
+    cleaned.join(keepers, Seq(idCol))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCountWs(col("clean"))).as("sum_tokens"),
+        sum(col("quality").cast("decimal(18,4)")).cast("double").as("sum_quality"))
+  }
+}

@@ -222,6 +222,13 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the composed curation capstone: boilerplate removal → PII scrub →
+    // quality filter → exact dedup → per-source stats, one call
+    "q69_curate" -> ((s, dir) => {
+      graft.llm.Curate.curate(t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy(col("source"))
+    }),
+
     // perplexity-style unigram log-prob quality score under the
     // corpus's own distribution (decimal-summed terms → exact oracle)
     "q68_unigram_logprob" -> ((s, dir) => {
@@ -299,6 +306,37 @@ object LlmQueries {
        (h, c) -> (h * 31 + c) % 2147483647)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q69_curate" ->
+      """WITH ls AS (SELECT doc_id, string_split(text, '. ') AS arr FROM documents),
+         lines AS (SELECT doc_id, unnest(arr) AS line,
+                   generate_subscripts(arr, 1) AS pos FROM ls),
+         dfreq AS (SELECT line, COUNT(DISTINCT doc_id) AS docs FROM lines GROUP BY 1),
+         reassembled AS (
+           SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS clean0
+           FROM lines JOIN dfreq USING (line) WHERE docs <= 3 GROUP BY doc_id),
+         scrubbed AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(clean0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+               '\+[0-9][0-9 -]{7,14}[0-9]', '<PHONE>', 'g') AS clean
+           FROM reassembled),
+         scored AS (
+           SELECT s.doc_id, s.clean, d.source,
+             FLOOR(((s.lnd / s.n) * 0.4
+                    + (LEAST(LENGTH(s.clean)::DOUBLE / s.n, 8.0) / 8.0) * 0.3
+                    + LEAST(s.n / 100.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality
+           FROM (SELECT doc_id, clean,
+                   len(string_split(clean, ' '))::DOUBLE AS n,
+                   len(list_distinct(string_split(clean, ' ')))::DOUBLE AS lnd
+                 FROM scrubbed) s JOIN documents d USING (doc_id)),
+         filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+         keepers AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY clean)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(clean, ' '))) AS BIGINT) AS sum_tokens,
+           (SUM(CAST(quality AS DECIMAL(18,4))))::DOUBLE AS sum_quality
+         FROM filtered JOIN keepers USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
     "q68_unigram_logprob" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

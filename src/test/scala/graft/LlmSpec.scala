@@ -241,6 +241,28 @@ class TextSpec extends SparkSuite {
       "nothing sensitive here"))
   }
 
+  test("curate composes boilerplate removal, scrubbing, filtering and dedup") {
+    val good = (1 to 120).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, good + ". all rights reserved", "a"),
+      (2L, good + ". all rights reserved", "a"),      // exact dup of 1 after cleaning
+      (3L, "spam spam spam spam. all rights reserved", "a"), // low quality
+      (4L, good + " mail x@y.de" + ". all rights reserved", "b"),
+      (5L, "keep this long unique text " + good, "b"),
+      (6L, "another unique doc " + good + ". all rights reserved", "b"),
+      (7L, "yet another one " + good + ". all rights reserved", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.llm.Curate.curate(df, "doc_id", "text", "source",
+        minQuality = 0.5, boilerMaxDf = 3)
+      .orderBy("source")
+      .select("source", "n_docs").as[(String, Long)].collect().toSeq
+    // boilerplate "all rights reserved" (in 6 docs > 3) removed; doc 2
+    // dedups against 1; doc 3 fails quality; email in 4 scrubbed
+    assert(got == Seq("a" -> 1L, "b" -> 4L))
+    val clean4 = graft.llm.Curate.curate(df, "doc_id", "text", "source")
+    assert(clean4.count() == 2)
+  }
+
   test("unigramLogProb scores common-word docs above rare-word docs") {
     val df = Seq(
       (1L, "the the the the"),   // all high-frequency tokens
