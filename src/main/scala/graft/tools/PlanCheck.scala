@@ -13,7 +13,9 @@ object PlanCheck {
       "q34_cosine_topk", "q44_join_skew", "q50_pig_join_agg",
       "q46_bloom_semi", "q54_pig_cube", "q55_tfidf", "q57_median_agg",
       "q58_quality_rules", "q59_pig_mixed_sets", "q60_pig_udf",
-      "q61_pig_order_using", "q62_pig_distinct_agg", "q63_pig_agg_udf")
+      "q61_pig_order_using", "q62_pig_distinct_agg", "q63_pig_agg_udf",
+      "q64_pii_scrub", "q65_boilerplate", "q66_decontaminate",
+      "q67_text_analyze", "q68_unigram_logprob", "q69_curate")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
