@@ -252,6 +252,26 @@ class PigLatinSpec extends SparkSuite {
     assert(e.relation("out").as[(Int, Long)].collect().toMap == Map(1 -> 5L, 2 -> 7L))
   }
 
+  test("common user mistakes produce clean error messages") {
+    val e1 = intercept[RuntimeException] {
+      engine.run("out = FILTER nope BY x > 1;")
+    }
+    assert(e1.getMessage.contains("unknown alias"))
+    Parser.parse("a = LOAD ;") match {
+      case Left(msg) => assert(msg.contains("offset")) // position, not a stack trace
+      case Right(_) => fail("expected a parse error")
+    }
+    Parser.parse("a = JOIN x BY k") match { // missing second input
+      case Left(msg) => assert(msg.nonEmpty)
+      case Right(stmts) => // single-input JOIN parses; compile rejects it
+        val e2 = intercept[RuntimeException] {
+          engine.run("x = LOAD 'region.parquet'; out = JOIN x BY r_regionkey;")
+            .relation("out")
+        }
+        assert(e2.getMessage.contains("at least two"))
+    }
+  }
+
   test("IN operator desugars to membership and filters correctly") {
     val e = engine.run("""
       n = LOAD 'nation.parquet';
