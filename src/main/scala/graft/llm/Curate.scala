@@ -23,12 +23,18 @@ object Curate {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              srcCol: String, minQuality: Double = 0.5,
              boilerMaxDf: Int = 3): DataFrame = {
-    val cleaned = Text.removeBoilerplate(docs, idCol, textCol, ". ", boilerMaxDf)
-      .withColumnRenamed("doc", idCol)
-      .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
-      .withColumn("clean", Text.scrubPii(col("clean")))
-      .withColumn("quality", Text.qualityScore(col("clean")))
-      .filter(col("quality") >= minQuality)
+    // persisted: consumed twice (dedup keeper derivation + the final
+    // stats join) — without it the whole boilerplate→scrub→score chain
+    // runs twice, 2× the scan cost at corpus scale. Tracked so the
+    // application releases it after the consuming action (Rel scaladoc).
+    val cleaned = graft.dsl.Rel.track(
+      Text.removeBoilerplate(docs, idCol, textCol, ". ", boilerMaxDf)
+        .withColumnRenamed("doc", idCol)
+        .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
+        .withColumn("clean", Text.scrubPii(col("clean")))
+        .withColumn("quality", Text.qualityScore(col("clean")))
+        .filter(col("quality") >= minQuality)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val keepers = Dedup.exact(cleaned, Seq("clean"), idCol)
       .select(col("keeper_id").as(idCol))
     cleaned.join(keepers, Seq(idCol))
