@@ -174,8 +174,12 @@ object LlmQueries {
     // per-source corpus stats (operators chaining end-to-end)
     "q49_pipeline" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val scored = d.withColumn("quality", Text.qualityScore(col("text")))
-        .filter(col("quality") >= 0.5)
+      // persisted: scored feeds both the keeper derivation and the stats
+      // join (same double-consumption as Curate.curate — one scan, not two)
+      val scored = graft.dsl.Rel.track(
+        d.withColumn("quality", Text.qualityScore(col("text")))
+          .filter(col("quality") >= 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val keepers = Dedup.exact(scored, Seq("text"), "doc_id")
         .select(col("keeper_id").as("doc_id"))
       scored.join(keepers, "doc_id")
