@@ -164,7 +164,11 @@ object Text {
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       explode(words(col(textCol))).as("word"))
-    val wc = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    // persisted: the vocabulary counts feed both the corpus total and
+    // the per-token join — one aggregation over the corpus, not two
+    val wc = graft.dsl.Rel.track(
+      toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val total = wc.agg(sum(col("c")).as("n_total"))
     toks.join(wc, "word")
       .crossJoin(broadcast(total))
@@ -220,7 +224,11 @@ object Text {
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nDocs = df.count() // corpus size: one scalar action, then broadcast-folded
     val terms = df.select(col(idCol).as("doc"), explode(words(col(textCol))).as("term"))
-    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    // persisted: the (doc, term) aggregation feeds both the df
+    // derivation and the final join — one aggregation, not two
+    val tf = graft.dsl.Rel.track(
+      terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(dfreq, "term")
       .select(col("doc"), col("term"), col("tf"), col("df"),
