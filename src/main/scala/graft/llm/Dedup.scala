@@ -278,13 +278,19 @@ object Dedup {
     // pairs are identical): one representative (min id) per distinct
     // set. The shuffle carries (set-fingerprint, id) plus one partial
     // min_by set per map task — never the text, and duplicate sets
-    // combine map-side.
-    val groups = docsK.withColumn("fp", xxhash64(col("hs")))
-      .groupBy(col("fp"))
+    // combine map-side. The key is a two-seed 128-bit fingerprint, same
+    // as [[exactByFingerprint]]: a single 64-bit key would merge two
+    // colliding distinct sets into one jaccard-1.0 group that the
+    // verify step never re-checks (≈ n²/2⁶⁵ — material at ~1e11 docs).
+    val groups = docsK
+      .withColumn("fp_a", xxhash64(col("hs")))
+      .withColumn("fp_b", xxhash64(lit("graft-fp2"), col("hs")))
+      .groupBy(col("fp_a"), col("fp_b"))
       .agg(min(col("doc")).as("rep"),
         min_by(col("hs"), col("doc")).as("sh"),
         collect_list(col("doc")).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.dsl.Rel.track(groups)
     val mem = groups.select(col("rep"), explode(col("ids")).as("id"))
 
     // (rep, hashed shingle set): reused by banding and by both sides of
@@ -404,6 +410,7 @@ object Dedup {
     val groups = fp0.groupBy(col("fp"))
       .agg(min(col("doc")).as("rep"), collect_list(col("doc")).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.dsl.Rel.track(groups)
     val mem = groups.select(col("rep"), explode(col("ids")).as("id"))
     val fp = groups.select(col("rep").as("doc"), col("fp"))
     val banded = fp.select(col("doc"), col("fp"),
@@ -427,9 +434,17 @@ object Dedup {
     * J(x,y) ≥ t ⇒ |x∩y| ≥ t·|x∪y| ≥ t·|y|, so indexing each set's
     * prefix and probing with FULL sets loses no pair at threshold
     * (Bayardo et al., WWW'07; Xiao et al., PPJoin).
+    *
+    * The epsilon before ceil keeps FP rounding from SHORTENING the
+    * prefix: t·n computed in doubles can land a hair above the exact
+    * rational (0.1·30 → 3.0000000000000004 → ceil 4), dropping one
+    * indexed element and losing a threshold-exact pair that the
+    * (double) verification filter would have passed. Subtracting 1e-9
+    * means rounding error can only lengthen the prefix (extra
+    * candidates, verified away) — recall stays exactly 1.
     */
   private[graft] def prefixLen(n: Int, t: Double): Int =
-    n - math.ceil(t * n).toInt + 1
+    n - math.ceil(t * n - 1e-9).toInt + 1
 
   /** Exact n-gram Jaccard within a blocking key (e.g. source), via a
     * prefix-filtered inverted index: shingle rows (JVM kernel) →
@@ -466,6 +481,7 @@ object Dedup {
         Row(r.get(0), r.get(1), shingleHashSet(r.getString(2), k).toSeq)
       }), docSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.dsl.Rel.track(docsK)
     val sh = docsK.select(col("blk"), col("doc"), size(col("hs")).as("n"),
       explode(col("hs")).as("h"))
     // rarest-first total order = (document frequency within block, h);
@@ -478,8 +494,8 @@ object Dedup {
     // (the window right after does its own per-(blk,doc) sort anyway)
     val prefix = sh.join(dfreq.hint("shuffle_hash"), Seq("blk", "h"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <=
-        col("n") - ceil(lit(minJaccard) * col("n")).cast("int") + 1)
+      .filter(col("rn") <= // epsilon: FP rounding may only LENGTHEN the prefix ([[prefixLen]])
+        col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)).cast("int") + 1)
       .select(col("blk"), col("doc").as("b"), col("h"))
     // probe: full sets against the prefix index — one hit is enough
     val cand = sh.select(col("blk"), col("doc").as("a"), col("h"))

@@ -89,22 +89,27 @@ object Text {
     * Documents whose every sentence is boilerplate are dropped — the C4
     * behavior.
     *
-    * Scale shape: sentences shuffle once for the document-frequency
-    * aggregation (combiner-friendly: (line, doc) pairs distinct
-    * map-side), once for the join back, and once for per-doc
-    * reassembly; no step is quadratic and the full text never carries
-    * through the frequency aggregation — only distinct sentences do.
+    * Scale shape: the frequency aggregation and the join back are keyed
+    * on `xxhash64(line)` — 8-byte keys — so sentence TEXT never rides a
+    * shuffle as a key and the keepable side carries one long per rare
+    * sentence; strings stay only on the doc-side rows that reassembly
+    * needs anyway. Three shuffles total (df-agg, join back, per-doc
+    * reassembly), none quadratic. A 64-bit collision between two
+    * distinct sentences merges their document frequencies (may
+    * over-drop a rare sentence that collides with boilerplate) —
+    * ≈ n²/2⁶⁵ over DISTINCT sentences, irrelevant below trillions.
     */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
                         sep: String = ". ", maxDocFreq: Int = 3): DataFrame = {
     val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
     val lines = df.select(col(idCol).as("doc"),
-      posexplode(arr).as(Seq("pos", "line")))
-    val keepable = lines.select(col("line"), col("doc")).distinct()
-      .groupBy(col("line")).agg(count(lit(1)).as("docs"))
+        posexplode(arr).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val keepable = lines.select(col("lh"), col("doc")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("docs"))
       .filter(col("docs") <= maxDocFreq)
-      .select(col("line"))
-    lines.join(keepable, "line")
+      .select(col("lh"))
+    lines.join(keepable, "lh")
       .groupBy(col("doc"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
@@ -115,19 +120,34 @@ object Text {
   /** Polynomial rolling hash of the whole text (mod 2^31-1, base 31) —
     * a deterministic document fingerprint computable in plain SQL.
     * h = fold over characters: h*31 + codepoint (mod M).
+    *
+    * Computed by the native codegen'd [[graft.plans.FingerprintF]]
+    * expression (the old interpreted per-character `aggregate()` fold —
+    * kept below as [[fingerprintColumnForm]] — was the last
+    * CodegenFallback on a scan hot path; bit-identical equivalence is
+    * ScalaCheck-verified in KernelPropsSpec).
     */
   def fingerprint(text: Column): Column =
+    call_function("graft_fingerprint", text)
+
+  /** The SQL-expressible fold [[fingerprint]] is bit-identical to —
+    * interpreted (CodegenFallback), so only the equivalence spec and
+    * SQL-oracle documentation should use it.
+    */
+  private[graft] def fingerprintColumnForm(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (h, c) => pmod(h * 31L + ascii(c), lit(Mod)))
 
   /** Winnowing-style shingle fingerprint: minimum rolling hash over the
     * document's k-word shingles — robust to local edits, used for
-    * near-dup candidate keys.
+    * near-dup candidate keys. The per-shingle hash is the codegen'd
+    * [[graft.plans.FingerprintF]] kernel; only the cheap per-SHINGLE
+    * dispatch stays in the interpreted `transform` lambda (the
+    * per-character fold it used to wrap was the expensive part).
     */
   def shingleFingerprint(text: Column, k: Int = 5): Column =
     array_min(transform(Dedup.shingles(text, k),
-      s => aggregate(split(s, ""), lit(0L),
-        (h, c) => pmod(h * 31L + ascii(c), lit(Mod)))))
+      s => call_function("graft_fingerprint", s)))
 
   /** Per-document analysis record: one pass producing the standard text
     * statistics (used by quality filtering pipelines). */
@@ -157,11 +177,19 @@ object Text {
     *
     * Scale shape: token explode → word-count aggregation (combiner
     * bounds the shuffle by vocabulary size) → join tokens to counts on
-    * word (AQE handles the inevitable stop-word skew; the count side is
-    * 1 row/word) → per-doc sum. N rides along via a broadcast 1-row
-    * cross join.
+    * word → per-doc sum. Real-text vocabularies are tiny next to the
+    * corpus (Heaps' law), so when the aggregated vocabulary is under
+    * `broadcastVocabRows` the count side BROADCASTS and the token
+    * explode never shuffles by word at all — which also deletes the
+    * stop-word join skew. Deciding needs the vocab size, and
+    * `wc.count()` costs nothing extra: it materializes the persisted
+    * aggregation both downstream consumers need anyway. Oversized
+    * vocabularies fall back to the shuffle join (AQE handles the
+    * stop-word skew; the count side is 1 row/word). N rides along via
+    * a broadcast 1-row cross join.
     */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     broadcastVocabRows: Long = 250000): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       explode(words(col(textCol))).as("word"))
     // persisted: the vocabulary counts feed both the corpus total and
@@ -169,8 +197,9 @@ object Text {
     val wc = graft.dsl.Rel.track(
       toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wcSide = if (wc.count() <= broadcastVocabRows) broadcast(wc) else wc
     val total = wc.agg(sum(col("c")).as("n_total"))
-    toks.join(wc, "word")
+    toks.join(wcSide, "word")
       .crossJoin(broadcast(total))
       .groupBy(col("doc"))
       .agg(

@@ -747,7 +747,9 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       case _ => sys.error("BagToString needs a literal delimiter")
     }
     case "DIFF" => PF.diff(cs.head, cs(1))
-    case "SUBTRACT" => array_except(cs.head, cs(1)) // bag1 minus bag2 members
+    // bag1 minus bag2 members; membership test only — bag1's duplicate
+    // tuples survive (array_except would dedup bag1, diverging from Pig)
+    case "SUBTRACT" => filter(cs.head, x => !array_contains(cs(1), x))
     case "TOP" => raw match {
       case List(Lit(n: Int), Lit(f: String), _) => PF.topN(cs(2), n, f)
       case _ => sys.error("TOP(n, 'field', bag) needs literal n and field")

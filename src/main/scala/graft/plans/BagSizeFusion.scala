@@ -50,6 +50,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[DotProductF].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductF(children.head, children(1))))
+    // Native rolling-hash document fingerprint (see FingerprintF):
+    // graft_fingerprint(text) — codegen'd replacement for the
+    // interpreted per-character aggregate() fold.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fingerprint"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FingerprintF].getName, "graft_fingerprint"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FingerprintF(children.head)))
     // Spark's native bloom probe (the one runtime row-level filtering
     // uses): graft_might_contain(serialized_bloom, xxhash64(key)).
     // Codegen'd, no Scala UDF — see graft.ops.BloomJoin.

@@ -216,6 +216,30 @@ class TextSpec extends SparkSuite {
     assert(col0(df.select(Text.fingerprint($"text"))) == Seq(poly(s)))
   }
 
+  test("fingerprint codegen expression is bit-identical to the interpreted Column form") {
+    val synthetic = Seq(
+      (1L, "a b c"), (2L, "the quick brown fox!"), (3L, ""), (4L, "x"),
+      (5L, "punct, digits 123 & unicode: héllo wörld"),
+      (6L, (1 to 80).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").limit(50)
+    for (d <- Seq(synthetic, real)) {
+      val viaExpr = d.select($"doc_id", Text.fingerprint($"text"))
+        .as[(Long, Long)].collect().toSet
+      val viaCol = d.select($"doc_id", Text.fingerprintColumnForm($"text"))
+        .as[(Long, Long)].collect().toSet
+      assert(viaExpr == viaCol)
+      val shExpr = d.select($"doc_id", Text.shingleFingerprint($"text", 5))
+        .as[(Long, Long)].collect().toSet
+      val shCol = d.select($"doc_id",
+        array_min(transform(Dedup.shingles($"text", 5),
+          s => aggregate(split(s, ""), lit(0L),
+            (h, c) => pmod(h * 31L + ascii(c), lit(2147483647L))))))
+        .as[(Long, Long)].collect().toSet
+      assert(shExpr == shCol)
+    }
+  }
+
   test("removeBoilerplate drops shared sentences, keeps order, drops empty docs") {
     val df = Seq(
       (1L, "common intro. unique one. tail bit"),

@@ -315,6 +315,19 @@ class PigLatinSpec extends SparkSuite {
       nLeft == 2L && arity == 2L })
   }
 
+  test("SUBTRACT preserves bag1's duplicate tuples (membership test, not set diff)") {
+    // Pig: SUBTRACT({1,1,3},{2}) has 3 elements — bag1 is NOT deduped
+    val e = engine.run("""
+      r = LOAD 'region.parquet';
+      out = FOREACH r GENERATE
+        SIZE(SUBTRACT(TOBAG(1, 1, 3), TOBAG(2))) AS n_kept,
+        SIZE(SUBTRACT(TOBAG(1, 1, 3), TOBAG(1))) AS n_dropped;
+      """)
+    val rows = e.relation("out").as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (kept, dropped) =>
+      kept == 3L && dropped == 1L })
+  }
+
   test("registerFunction: user function callable from scripts, incl. through DEFINE") {
     val e = engine
       .registerFunction("ADD_TAX", cs => cs.head.cast("double") * 1.1)
