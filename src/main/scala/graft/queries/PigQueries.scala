@@ -143,7 +143,105 @@ object PigQueries {
                  COUNT(li) AS n_rows;
       };
       out = ORDER x BY rf;
-      """))
+      """)),
+
+    // PigMix L1 shape [R: test/perf/pigmix/src/pig/L1.pig]: explode a
+    // bag of maps (page_links analog) and dereference a map field from
+    // the flattened column — the bag-of-maps pipeline L1 benchmarks
+    "q70_pigmix_l1" -> ((s, dir) => pig(s, dir, """
+      o = LOAD 'orders.parquet';
+      b = FOREACH o GENERATE o_orderkey,
+            FLATTEN(TOBAG(TOMAP('f', o_orderpriority), TOMAP('f', o_orderstatus))) AS m;
+      x = FOREACH b GENERATE m#'f' AS v;
+      g = GROUP x BY v;
+      a = FOREACH g GENERATE group AS v, COUNT(x) AS n;
+      out = ORDER a BY v;
+      """)),
+
+    // PigMix L6 shape [R: test/perf/pigmix/src/pig/L6.pig]: NARROW
+    // group-by (few groups) with fused aggregation — the combiner's
+    // best case (map-side partials collapse to |groups| rows)
+    "q71_pigmix_l6" -> ((s, dir) => pig(s, dir, """
+      li = LOAD 'lineitem.parquet';
+      g  = GROUP li BY l_linenumber;
+      a  = FOREACH g GENERATE group AS ln, COUNT(li) AS n,
+             (double) SUM((bigdecimal) li.l_quantity) AS sum_qty;
+      out = ORDER a BY ln;
+      """)),
+
+    // PigMix L7 shape [R: test/perf/pigmix/src/pig/L7.pig]: WIDE
+    // group-by (~|customers| groups) — partial aggregation still bounds
+    // the shuffle to one row per (mapper, key)
+    "q72_pigmix_l7" -> ((s, dir) => pig(s, dir, """
+      o = LOAD 'orders.parquet';
+      g = GROUP o BY o_custkey;
+      a = FOREACH g GENERATE group AS cust, COUNT(o) AS n,
+            (double) SUM((bigdecimal) o.o_totalprice) AS sum_price;
+      out = ORDER a BY cust;
+      """)),
+
+    // PigMix L8 shape [R: test/perf/pigmix/src/pig/L8.pig]: GROUP ALL —
+    // global aggregate, one partial per partition then a single merge
+    "q73_pigmix_l8" -> ((s, dir) => pig(s, dir, """
+      li = LOAD 'lineitem.parquet';
+      g  = GROUP li ALL;
+      a  = FOREACH g GENERATE COUNT(li) AS n,
+             (double) SUM((bigdecimal) li.l_quantity) AS sum_qty,
+             (double) SUM((bigdecimal) li.l_extendedprice) AS sum_price;
+      out = FOREACH a GENERATE n, sum_qty, sum_price / n AS avg_price;
+      """)),
+
+    // PigMix L13 shape [R: test/perf/pigmix/src/pig/L13.pig]: LEFT
+    // OUTER join through the front-end; unmatched rows surface as the
+    // bincond's null branch (okey1 = 0)
+    "q74_pigmix_l13" -> ((s, dir) => pig(s, dir, """
+      c = LOAD 'customer.parquet';
+      o = LOAD 'orders.parquet';
+      j = JOIN c BY c_custkey LEFT OUTER, o BY o_custkey;
+      f = FOREACH j GENERATE c_custkey, c_mktsegment,
+            (o_orderkey IS NULL ? 0 : o_orderkey + 1) AS okey1;
+      out = ORDER f BY c_custkey, okey1;
+      """)),
+
+    // PigMix L14 shape [R: test/perf/pigmix/src/pig/L14.pig]: JOIN
+    // USING 'merge' through the front-end (compiled to sort-merge with
+    // both sides' sort orders reusable — see ops/Bucketed)
+    "q75_pigmix_l14" -> ((s, dir) => pig(s, dir, """
+      li = LOAD 'lineitem.parquet';
+      o  = LOAD 'orders.parquet';
+      j  = JOIN li BY l_orderkey, o BY o_orderkey USING 'merge';
+      g  = GROUP j BY o_orderstatus;
+      a  = FOREACH g GENERATE group AS status, COUNT(j) AS n,
+             (double) SUM((bigdecimal) j.l_extendedprice) AS sum_price;
+      out = ORDER a BY status;
+      """)),
+
+    // PigMix L16 shape [R: test/perf/pigmix/src/pig/L16.pig]:
+    // accumulator-style nested aggregation — per-group ORDER inside the
+    // FOREACH block feeding a HOLISTIC median over the ordered bag (the
+    // reference streams the sorted bag tuple-by-tuple into an
+    // Accumulator UDF; here the ordered bag evaluates the holistic
+    // function in-row — the Accumulator→Aggregator analog over grouped
+    // rows is q57/q63)
+    "q76_pigmix_l16" -> ((s, dir) => pig(s, dir, """
+      o = LOAD 'orders.parquet';
+      g = GROUP o BY o_custkey;
+      x = FOREACH g {
+        srt = ORDER o BY o_totalprice;
+        GENERATE group AS cust, COUNT(srt) AS n, MEDB(srt.o_totalprice) AS med,
+                 MAX(srt.o_totalprice) AS max_price;
+      };
+      out = ORDER x BY cust;
+      """,
+      _.registerFunction("MEDB", cs => {
+        import org.apache.spark.sql.functions.{array_sort, element_at, size => asize}
+        val arr = array_sort(cs.head)
+        val n = asize(arr)
+        // odd n: both sides hit the same middle element; even: mean of
+        // the two middles — DuckDB MEDIAN's convention
+        (element_at(arr, ((n + 1) / 2).cast("int")) +
+          element_at(arr, (n / 2).cast("int") + 1)) / 2.0
+      })))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -195,7 +293,7 @@ object PigQueries {
          FROM big WHERE rn <= 2 ORDER BY cust, okey""",
     "q50_pig_join_agg" ->
       """SELECT o_orderpriority AS priority, COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE) AS sum_qty
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
     "q51_pig_wordcount" ->
@@ -209,6 +307,37 @@ object PigQueries {
          CASE WHEN p_retailprice > 1500.0 THEN 'premium' ELSE 'standard' END AS tier
          FROM part
          WHERE p_size >= 25 AND regexp_full_match(p_name, '.*a.*')
-         ORDER BY p_partkey"""
+         ORDER BY p_partkey""",
+    "q70_pigmix_l1" ->
+      """SELECT v, COUNT(*) AS n FROM (
+           SELECT o_orderpriority AS v FROM orders
+           UNION ALL SELECT o_orderstatus FROM orders) t
+         GROUP BY 1 ORDER BY v""",
+    "q71_pigmix_l6" ->
+      """SELECT l_linenumber AS ln, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY ln""",
+    "q72_pigmix_l7" ->
+      """SELECT o_custkey AS cust, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY cust""",
+    "q73_pigmix_l8" ->
+      """SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+         FROM lineitem""",
+    "q74_pigmix_l13" ->
+      """SELECT c_custkey, c_mktsegment, COALESCE(o_orderkey + 1, 0) AS okey1
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         ORDER BY c_custkey, okey1""",
+    "q75_pigmix_l14" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY status""",
+    "q76_pigmix_l16" ->
+      """SELECT o_custkey AS cust, COUNT(*) AS n, MEDIAN(o_totalprice) AS med,
+         MAX(o_totalprice) AS max_price
+         FROM orders GROUP BY 1 ORDER BY cust"""
   )
 }
