@@ -24,11 +24,13 @@ object SparkEntry {
     CoreQueries.queries ++ EventQueries.queries ++ LlmQueries.queries ++ PigQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Entries absent here (q32_simhash,
-    * q42_ann_ivf) are hash-based or approximate by nature → driver
-    * records the weaker rows-only check. q26_sample emits the sample's
-    * deterministic properties (count bounds + subset proof) so even
-    * SAMPLE gets a hash-checked oracle.
+    * the same parquet tables. The one entry absent here (q32_simhash)
+    * emits raw xxhash64-seeded fingerprints, not SQL-re-derivable →
+    * driver records the weaker rows-only check. q26_sample and
+    * q42_ann_ivf emit their results' deterministic PROPERTIES (count
+    * bounds + subset proof; k-per-query + rank order + exact-cosine
+    * recompute) so even SAMPLE and approximate ANN get hash-checked
+    * oracles.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ EventQueries.oracleSql ++ LlmQueries.oracleSql ++ PigQueries.oracleSql

@@ -143,12 +143,43 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
-    // IVF ANN with a k-means coarse quantizer (approximate; rows-only)
+    // IVF ANN with a k-means coarse quantizer. WHICH neighbors the probe
+    // returns is approximation-dependent (no SQL re-derivation), so the
+    // emitted shape is the result's deterministic PROPERTIES instead —
+    // the q26 pattern: every query got exactly k strictly-ranked rows
+    // with cosine non-increasing in rank, and every returned cosine
+    // equals the exact cosine recomputed from the embeddings table
+    // (joined back by id, same codegen'd graft_dot fold) — all
+    // oracle-checkable as constants plus COUNT(*).
     "q42_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
       val v = t(s, dir, "embeddings")
-      Similarity.ivfKmeansTopK(v.filter(col("vec_id") < 10), v,
-          "vec_id", "vec_id", "embedding", k = 5, nCells = 16, nprobe = 3)
-        .orderBy(col("query_id"), col("rk"))
+      val k = 5
+      val res = graft.dsl.Rel.track(
+        Similarity.ivfKmeansTopK(v.filter(col("vec_id") < 10), v,
+            "vec_id", "vec_id", "embedding", k = k, nCells = 16, nprobe = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nQueries = v.filter(col("vec_id") < 10).count()
+      val perQ = res.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n"), min(col("rk")).as("mn"),
+          max(col("rk")).as("mx"), countDistinct(col("rk")).as("nd"))
+        .collect()
+      val kRowsEach = perQ.length.toLong == nQueries &&
+        perQ.forall(r => r.getLong(1) == k && r.getInt(2) == 1 &&
+          r.getInt(3) == k && r.getLong(4) == k)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rk"))
+      val rkOrdered = res.withColumn("prev", lag(col("cosine"), 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") < col("cosine"))
+        .count() == 0L
+      val emb = v.select(col("vec_id"), col("embedding"))
+      val cosineExact = res
+        .join(emb.toDF("query_id", "qv"), "query_id")
+        .join(emb.toDF("neighbor_id", "cv"), "neighbor_id")
+        .filter(Similarity.cosineExpr(col("qv"), col("cv")) =!= col("cosine"))
+        .count() == 0L
+      Seq((nQueries, kRowsEach, rkOrdered, cosineExact))
+        .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")
     }),
 
     // multimodal: pack → batched feature extraction (decode STUB)
@@ -310,6 +341,10 @@ object LlmQueries {
        (h, c) -> (h * 31 + c) % 2147483647)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q42_ann_ivf" ->
+      """SELECT COUNT(*) AS n_queries, TRUE AS k_rows_each,
+         TRUE AS rk_ordered, TRUE AS cosine_exact
+         FROM embeddings WHERE vec_id < 10""",
     "q69_curate" ->
       """WITH ls AS (SELECT doc_id, string_split(text, '. ') AS arr FROM documents),
          lines AS (SELECT doc_id, unnest(arr) AS line,
