@@ -1,0 +1,270 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Graft, Tables}
+import graft.llm.{Curate, Dedup}
+
+/** Scale-evidence harness (VERDICT r7 item 1): runs the dedup/curation
+  * family — q31 minhash-LSH, q33 prefix-filtered n-gram Jaccard, q66
+  * decontamination, q69 curate — on 1×/4×/16×/64× multiplied corpora
+  * and prints one JSON line per (query, factor) with raw per-iteration
+  * times, medians, output rows, and (for the two quadratic-risk
+  * pipelines) per-stage wall times. SCALECURVE.md is authored from this
+  * output.
+  *
+  * Corpus multiplication: copy c (1 ≤ c < m) re-keys every WORD with a
+  * copy prefix `x{c}_`, so copies' shingle spaces are pairwise DISJOINT:
+  * no cross-copy near-duplicates, and exact-duplicate collapse cannot
+  * trivially absorb the growth (the r7 verdict's requirement). Each
+  * copy reproduces the base corpus's internal near-dup structure
+  * (word-consistent mutation preserves within-copy Jaccard), so
+  * duplicate DENSITY is constant while volume grows m× — the regime
+  * where a linear pipeline must produce a linear curve and any
+  * quadratic stage shows up as m² growth.
+  */
+object ScaleCurve {
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val r = f
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  private def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+
+  /** m× corpus: original plus m-1 word-prefixed copies (disjoint
+    * shingle spaces — see object doc). doc_id offset keeps ids unique
+    * AND preserves doc_id % 20 (q33's blocking key) per copy.
+    */
+  private def multiply(base: DataFrame, m: Int): DataFrame =
+    (1 until m).map { c =>
+      base.select((col("doc_id") + c.toLong * 10000000L).as("doc_id"),
+        col("source"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(lit(s"x${c}_"), w))).as("text"))
+    }.foldLeft(base)(_ union _)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,4,16,64")
+      .split(',').map(_.trim.toInt).toSeq
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
+    val spark = Graft.localSession(cpus, "scale-curve")
+    spark.sparkContext.setLogLevel("WARN")
+    val base0 = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    spark.range(1000000).selectExpr("sum(id)").collect() // JIT warmup
+
+    val out = new StringBuilder
+
+    for (m <- factors) {
+      // materialize the multiplied corpus once per factor so corpus
+      // construction isn't charged to the queries
+      val docs = multiply(base0, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = docs.count()
+
+      def report(q: String, run: () => Long,
+                 stages: () => Seq[(String, Double, Long)] = () => Nil): Unit = {
+        val timesRows = (1 to iters).map { _ =>
+          val (dt, rows) = time(run())
+          graft.dsl.Rel.releaseTracked()
+          (dt, rows)
+        }
+        val med = timesRows.map(_._1).sorted.apply(iters / 2)
+        val st = stages()
+        graft.dsl.Rel.releaseTracked()
+        val stJson =
+          if (st.isEmpty) ""
+          else st.map { case (n, t, r) => s""""$n":{"sec":${fmt(t)},"rows":$r}""" }
+            .mkString(""","stages":{""", ",", "}")
+        val line =
+          s"""{"q":"$q","factor":$m,"n_docs":$nDocs,"median_sec":${fmt(med)},""" +
+          s""""iterations":[${timesRows.map(t => fmt(t._1)).mkString(",")}],""" +
+          s""""out_rows":${timesRows.head._2}$stJson}"""
+        println("SCALE " + line)
+        out.append(line).append('\n')
+      }
+
+      // ---- q31: minhash-LSH near-dup pairs (t2 parameters) ----
+      report("q31_minhash_lsh", () =>
+        Dedup.minhashLsh(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 64, bands = 32, threshold = 0.6).count(),
+        stages = () => minhashStages(spark, docs))
+
+      // ---- q33: prefix-filtered n-gram Jaccard (t2 parameters) ----
+      val blocked = docs.withColumn("blk", pmod(col("doc_id"), lit(20)))
+      report("q33_ngram_jaccard", () =>
+        Dedup.ngramJaccard(blocked, "doc_id", "text", "blk",
+          k = 3, minJaccard = 0.3).count(),
+        stages = () => ngramStages(spark, blocked))
+
+      // ---- q66: benchmark decontamination (t2 derivation) ----
+      val bench = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(concat_ws(" ",
+          slice(split(col("text"), " "), 1, 12)).as("excerpt"))
+      report("q66_decontaminate", () =>
+        Dedup.contamination(docs, "doc_id", "text", bench, "excerpt", k = 8)
+          .count())
+
+      // ---- q69: curation capstone (t2 parameters) ----
+      report("q69_curate", () =>
+        Curate.curate(docs, "doc_id", "text", "source").count())
+
+      docs.unpersist(blocking = false)
+      spark.catalog.clearCache()
+    }
+
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scalecurve_out.jsonl")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), out.toString)
+    spark.stop()
+  }
+
+  /** Stage timings replicating Dedup.minhashLsh (Dedup.scala: collapse
+    * →banding→bucket pairs→verify→expand); each stage's input is
+    * persisted so a stage is charged only for its own work. The
+    * replica uses the SAME kernels and shapes as the operator — the
+    * end-to-end medians above are measured on the real operator, so
+    * the replica only explains the breakdown, never the headline.
+    */
+  private def minhashStages(spark: SparkSession, docs: DataFrame): Seq[(String, Double, Long)] = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val buf = Vector.newBuilder[(String, Double, Long)]
+    val idType = docs.schema("doc_id").dataType
+
+    val docSchema = StructType(Seq(
+      StructField("doc", idType), StructField("hs", ArrayType(LongType))))
+    val docsK = spark.createDataFrame(
+      docs.select(col("doc_id"), col("text")).rdd.mapPartitions(_.map { r =>
+        Row(r.get(0), Dedup.shingleHashSet(r.getString(1), 3).toSeq)
+      }), docSchema)
+    val groups = docsK
+      .withColumn("fp_a", xxhash64(col("hs")))
+      .withColumn("fp_b", xxhash64(lit("graft-fp2"), col("hs")))
+      .groupBy(col("fp_a"), col("fp_b"))
+      .agg(min(col("doc")).as("rep"), min_by(col("hs"), col("doc")).as("sh"),
+        collect_list(col("doc")).as("ids"))
+      .persist(MEMORY_AND_DISK)
+    val (t1, n1) = time(groups.count())
+    buf += (("shingle_kernel_collapse", t1, n1))
+
+    val mem = groups.select(col("rep"), explode(col("ids")).as("id"))
+      .persist(MEMORY_AND_DISK)
+    mem.count()
+    val shingled = groups.select(col("rep").as("doc"), col("sh"))
+    val bandSchema = StructType(Seq(StructField("doc", idType),
+      StructField("band", IntegerType), StructField("key", LongType)))
+    val banded = spark.createDataFrame(
+      shingled.rdd.mapPartitions(_.flatMap { r =>
+        val doc = r.get(0)
+        val keys = Dedup.bandKeysFromHashes(r.getSeq[Long](1).toArray, 64, 32)
+        keys.iterator.zipWithIndex.map { case (k, b) => Row(doc, b, k) }
+      }), bandSchema).persist(MEMORY_AND_DISK)
+    val (t2, n2) = time(banded.count())
+    buf += (("banding", t2, n2))
+
+    val cand = banded.groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc")).as("ds"))
+      .filter(size(col("ds")).between(2, 10000))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val (t3, n3) = time(cand.count())
+    buf += (("bucket_pairs", t3, n3))
+
+    val repPairs = cand
+      .join(shingled.toDF("id_a", "sh_a"), "id_a")
+      .join(shingled.toDF("id_b", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .persist(MEMORY_AND_DISK)
+    val (t4, n4) = time(repPairs.count())
+    buf += (("verify_jaccard", t4, n4))
+
+    val cross = repPairs
+      .join(mem.toDF("rep_a", "m_a"), col("rep_a") === col("id_a"))
+      .join(mem.toDF("rep_b", "m_b"), col("rep_b") === col("id_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+    val intra = mem.toDF("rep", "m_a").as("x")
+      .join(mem.toDF("rep", "m_b").as("y"),
+        col("x.rep") === col("y.rep") && col("m_a") < col("m_b"))
+      .select(col("m_a").as("id_a"), col("m_b").as("id_b"), lit(1.0).as("jaccard"))
+    val (t5, n5) = time(
+      cross.unionByName(intra).filter(col("jaccard") >= 0.6).count())
+    buf += (("expand_pairs", t5, n5))
+
+    Seq(groups, mem, banded, cand, repPairs).foreach(_.unpersist(blocking = false))
+    buf.result()
+  }
+
+  /** Stage timings replicating Dedup.ngramJaccard (kernel shingle rows
+    * →df→prefix index→probe→verify); same persist-isolation discipline
+    * as [[minhashStages]].
+    */
+  private def ngramStages(spark: SparkSession, blocked: DataFrame): Seq[(String, Double, Long)] = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val buf = Vector.newBuilder[(String, Double, Long)]
+    val docSchema = StructType(Seq(
+      StructField("blk", blocked.schema("blk").dataType),
+      StructField("doc", blocked.schema("doc_id").dataType),
+      StructField("hs", ArrayType(LongType))))
+    val docsK = spark.createDataFrame(
+      blocked.select(col("blk"), col("doc_id"), col("text")).rdd.mapPartitions(_.map { r =>
+        Row(r.get(0), r.get(1), Dedup.shingleHashSet(r.getString(2), 3).toSeq)
+      }), docSchema).persist(MEMORY_AND_DISK)
+    val (t1, n1) = time(docsK.count())
+    buf += (("shingle_kernel", t1, n1))
+
+    val sh = docsK.select(col("blk"), col("doc"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h")).persist(MEMORY_AND_DISK)
+    sh.count()
+    val dfreq = sh.groupBy(col("blk"), col("h")).agg(count(lit(1)).as("dfc"))
+      .persist(MEMORY_AND_DISK)
+    val (t2, n2) = time(dfreq.count())
+    buf += (("doc_frequency", t2, n2))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk"), col("doc")).orderBy(col("dfc"), col("h"))
+    val prefix = sh.join(dfreq.hint("shuffle_hash"), Seq("blk", "h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("n") - ceil(lit(0.3) * col("n") - lit(1e-9)).cast("int") + 1)
+      .select(col("blk"), col("doc").as("b"), col("h"))
+      .persist(MEMORY_AND_DISK)
+    val (t3, n3) = time(prefix.count())
+    buf += (("prefix_index", t3, n3))
+
+    val cand = sh.select(col("blk"), col("doc").as("a"), col("h"))
+      .join(prefix.hint("shuffle_hash"), Seq("blk", "h"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val (t4, n4) = time(cand.count())
+    buf += (("probe_candidates", t4, n4))
+
+    val sets = docsK.select(col("doc"), col("hs"), size(col("hs")))
+    val (t5, n5) = time(cand
+      .join(sets.toDF("id_a", "sa", "ca"), "id_a")
+      .join(sets.toDF("id_b", "sb", "cb"), "id_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("id_a"), col("id_b"),
+        (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .count())
+    buf += (("verify_jaccard", t5, n5))
+
+    Seq(docsK, sh, dfreq, prefix, cand).foreach(_.unpersist(blocking = false))
+    buf.result()
+  }
+}
