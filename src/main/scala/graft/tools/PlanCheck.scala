@@ -6,7 +6,7 @@ import graft.{Graft, SparkEntry}
 object PlanCheck {
   def main(args: Array[String]): Unit = {
     val spark = Graft.localSession(4, "plancheck")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PLANCHECK_DIR", "/root/testdata/sf0.01")
     val interesting = Seq("q01_filter_project", "q02_group_agg", "q03_join_agg",
       "q07_join_broadcast", "q12_order_limit", "q17_wordcount", "q19_anti_semi",
       "q27_window_tumbling", "q31_dedup_minhash", "q33_ngram_jaccard",
@@ -15,7 +15,9 @@ object PlanCheck {
       "q58_quality_rules", "q59_pig_mixed_sets", "q60_pig_udf",
       "q61_pig_order_using", "q62_pig_distinct_agg", "q63_pig_agg_udf",
       "q64_pii_scrub", "q65_boilerplate", "q66_decontaminate",
-      "q67_text_analyze", "q68_unigram_logprob", "q69_curate")
+      "q67_text_analyze", "q68_unigram_logprob", "q69_curate",
+      "q70_pigmix_l1", "q71_pigmix_l6", "q72_pigmix_l7", "q73_pigmix_l8",
+      "q74_pigmix_l13", "q75_pigmix_l14", "q76_pigmix_l16")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString

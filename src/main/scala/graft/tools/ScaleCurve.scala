@@ -52,7 +52,14 @@ object ScaleCurve {
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,4,16,64")
       .split(',').map(_.trim.toInt).toSeq
     val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
+    // at a real cluster shuffle partitions scale with the data; the
+    // local default (= cpus) deliberately under-partitions big factors,
+    // so the knob lets a probe run separate "more data per partition"
+    // from "more data" (see SCALECURVE.md)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus.toString)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSeq)
     val spark = Graft.localSession(cpus, "scale-curve")
+    spark.conf.set("spark.sql.shuffle.partitions", shuffleParts)
     spark.sparkContext.setLogLevel("WARN")
     val base0 = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
@@ -69,6 +76,7 @@ object ScaleCurve {
 
       def report(q: String, run: () => Long,
                  stages: () => Seq[(String, Double, Long)] = () => Nil): Unit = {
+        if (!only.forall(_.exists(q.startsWith))) return
         val timesRows = (1 to iters).map { _ =>
           val (dt, rows) = time(run())
           graft.dsl.Rel.releaseTracked()
