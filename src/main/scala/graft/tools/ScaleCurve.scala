@@ -120,7 +120,8 @@ object ScaleCurve {
 
       // ---- q69: curation capstone (t2 parameters) ----
       report("q69_curate", () =>
-        Curate.curate(docs, "doc_id", "text", "source").count())
+        Curate.curate(docs, "doc_id", "text", "source").count(),
+        stages = () => curateStages(docs))
 
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
@@ -211,6 +212,47 @@ object ScaleCurve {
     buf += (("expand_pairs", t5, n5))
 
     Seq(groups, mem, banded, cand, repPairs).foreach(_.unpersist(blocking = false))
+    buf.result()
+  }
+
+  /** Stage timings for the Curate.curate composition (boilerplate
+    * reassembly → scrub+score+filter → exact dedup → per-source stats),
+    * same persist-isolation discipline as [[minhashStages]].
+    */
+  private def curateStages(docs: DataFrame): Seq[(String, Double, Long)] = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import graft.llm.{Dedup, Text}
+    val buf = Vector.newBuilder[(String, Double, Long)]
+    val boiler = Text.removeBoilerplate(docs, "doc_id", "text", ". ", 3)
+      .withColumnRenamed("doc", "doc_id")
+      .persist(MEMORY_AND_DISK)
+    val (t1, n1) = time(boiler.count())
+    buf += (("boilerplate_reassembly", t1, n1))
+
+    val cleaned = boiler
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("clean", Text.scrubPii(col("clean")))
+      .withColumn("quality", Text.qualityScore(col("clean")))
+      .filter(col("quality") >= 0.5)
+      .persist(MEMORY_AND_DISK)
+    val (t2, n2) = time(cleaned.count())
+    buf += (("scrub_score_filter", t2, n2))
+
+    val keepers = Dedup.exact(cleaned, Seq("clean"), "doc_id")
+      .select(col("keeper_id").as("doc_id"))
+      .persist(MEMORY_AND_DISK)
+    val (t3, n3) = time(keepers.count())
+    buf += (("exact_dedup", t3, n3))
+
+    val (t4, n4) = time(cleaned.join(keepers, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCountWs(col("clean"))).as("sum_tokens"),
+        sum(col("quality").cast("decimal(18,4)")).cast("double").as("sum_quality"))
+      .count())
+    buf += (("per_source_stats", t4, n4))
+
+    Seq(boiler, cleaned, keepers).foreach(_.unpersist(blocking = false))
     buf.result()
   }
 
