@@ -160,18 +160,24 @@ object LlmQueries {
             "vec_id", "vec_id", "embedding", k = k, nCells = 16, nprobe = 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nQueries = v.filter(col("vec_id") < 10).count()
+      // one aggregation job carries all per-query checks: row/rank
+      // counts plus rank-ordering (collect the (rk, cosine) pairs
+      // sorted by rk and test pairwise non-increase — groups are k
+      // rows, the array is trivially bounded)
+      val byRk = sort_array(collect_list(struct(col("rk"), col("cosine"))))
+      val ordered = forall(
+        zip_with(slice(byRk, 1, k - 1), slice(byRk, 2, k - 1),
+          (a, b) => a.getField("cosine") >= b.getField("cosine")),
+        x => x)
       val perQ = res.groupBy(col("query_id"))
         .agg(count(lit(1)).as("n"), min(col("rk")).as("mn"),
-          max(col("rk")).as("mx"), countDistinct(col("rk")).as("nd"))
+          max(col("rk")).as("mx"), countDistinct(col("rk")).as("nd"),
+          coalesce(ordered, lit(false)).as("ord")) // null-safe for malformed groups
         .collect()
       val kRowsEach = perQ.length.toLong == nQueries &&
         perQ.forall(r => r.getLong(1) == k && r.getInt(2) == 1 &&
           r.getInt(3) == k && r.getLong(4) == k)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("rk"))
-      val rkOrdered = res.withColumn("prev", lag(col("cosine"), 1).over(w))
-        .filter(col("prev").isNotNull && col("prev") < col("cosine"))
-        .count() == 0L
+      val rkOrdered = perQ.forall(_.getBoolean(5))
       val emb = v.select(col("vec_id"), col("embedding"))
       val cosineExact = res
         .join(emb.toDF("query_id", "qv"), "query_id")
