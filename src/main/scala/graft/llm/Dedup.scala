@@ -550,6 +550,68 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits")) // docSh rows are distinct per doc
   }
 
+  /** Connected components over a near-duplicate pair graph — the step a
+    * real dedup pipeline runs AFTER pair generation: pairs chain into
+    * clusters (A≈B, B≈C ⇒ {A,B,C} even when A,C were never emitted as
+    * a pair), and the cluster's min id becomes the keeper.
+    *
+    * Algorithm: iterative min-label propagation. label(v) starts at
+    * min(v, neighbors); each round takes the min of the neighbors'
+    * labels; fixpoint when no label changes (checked with one count per
+    * round, like the k-means loop). Rounds needed = cluster diameter —
+    * near-dup clusters are dense (LSH emits most intra-cluster pairs),
+    * so 2-4 rounds in practice; `maxIters` caps adversarial chains, and
+    * the method errors rather than returning a partial labeling if the
+    * cap is hit (at true web scale with long chains, the escalation is
+    * the large-star/small-star contraction of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — same
+    * join shape, O(log n) rounds).
+    *
+    * Scale: each round is one join + one aggregation over (edge,
+    * label) rows — 16 bytes each, linear shuffles, no vertex ever holds
+    * its component's member list. Only pair endpoints are labeled
+    * (singletons are implicitly their own component).
+    *
+    * @return (doc, component, is_keeper): component = min id reachable,
+    *         is_keeper = (doc == component).
+    */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                 maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = graft.dsl.Rel.track(
+      pairs.select(col(idA).as("a"), col(idB).as("b"))
+        .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+        .distinct()
+        .persist(MEMORY_AND_DISK))
+    // eager localCheckpoint per round: materializes the labels AND
+    // truncates lineage — without it each round's plan embeds every
+    // previous round's joins and Catalyst analysis time explodes with
+    // the iteration count (the standard iterative-DataFrame pitfall)
+    var lab = edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      .select(col("a").as("v"), least(col("a"), col("mn")).as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIters) {
+      val prop = edges
+        .join(lab.select(col("v").as("b"), col("lbl").as("nl")), "b")
+        .groupBy(col("a")).agg(min(col("nl")).as("mn"))
+      val next = lab
+        .join(prop.select(col("a").as("v"), col("mn")), Seq("v"))
+        .select(col("v"), least(col("lbl"), col("mn")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(lab.select(col("v"), col("lbl").as("old")), "v")
+        .filter(col("lbl") =!= col("old")).count()
+      lab = next
+      rounds += 1
+    }
+    require(changed == 0L,
+      s"components did not converge in $maxIters rounds — pathological " +
+        "chain graph; escalate to star-contraction (see scaladoc)")
+    lab.select(col("v").as("doc"), col("lbl").as("component"),
+      (col("v") === col("lbl")).as("is_keeper"))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold, candidates from
     * sign-LSH buckets (see [[Similarity.lshBucket]]), verified exactly.
     * `maxBucket` drops pathological buckets (e.g. the all-zeros bucket a

@@ -149,6 +149,38 @@ object Text {
     array_min(transform(Dedup.shingles(text, k),
       s => call_function("graft_fingerprint", s)))
 
+  /** Deterministic token-budget sampling: keep, per source, the prefix
+    * of documents (in a pseudo-random but fully deterministic order)
+    * whose cumulative whitespace-token count stays within
+    * `budgetTokens` — how a training mix caps each source's
+    * contribution while staying reproducible across runs and engines.
+    *
+    * The order key is the polynomial [[fingerprint]] of the text
+    * (ties broken by id): a fixed pseudo-random permutation that any
+    * SQL engine can re-derive — unlike an RNG — so the sample is
+    * oracle-checkable row-for-row. A document that would cross the
+    * budget is excluded (as is everything after it in hash order).
+    *
+    * Scale: one hash exchange by source + a per-source sort of
+    * (fingerprint, id, n_tokens) records — 24-byte rows, text never
+    * shuffles. A skewed giant source serializes its own sort; at that
+    * point pre-aggregate per (source, fingerprint-bucket) and budget
+    * buckets instead (two-phase, same determinism).
+    *
+    * @return (doc, src, n_tokens, cum_tokens) for kept docs.
+    */
+  def sampleByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                          srcCol: String, budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("fp"), col("doc"))
+    df.select(col(idCol).as("doc"), col(srcCol).as("src"),
+        tokenCountWs(col(textCol)).as("n_tokens"),
+        fingerprint(col(textCol)).as("fp"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc"), col("src"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Per-document analysis record: one pass producing the standard text
     * statistics (used by quality filtering pipelines). */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {

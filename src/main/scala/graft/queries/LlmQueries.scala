@@ -143,6 +143,30 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // near-dup CLUSTERING: connected components over q31's pair graph
+    // (pairs chain: A≈B, B≈C ⇒ one cluster even if (A,C) was never
+    // emitted) + min-id keeper — the step a real dedup pipeline runs
+    // after pair generation. Oracle: recursive-CTE transitive closure
+    // over the same exhaustively-derived pair set.
+    "q77_dedup_clusters" -> ((s, dir) => {
+      val docs = derivedDocs(t(s, dir, "documents"))
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 64, bands = 32, threshold = 0.6)
+      Dedup.components(pairs)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic token-budget sampling: per-source cap on cumulative
+    // tokens in fingerprint order — reproducible sampling any SQL
+    // engine can re-derive row-for-row (no RNG)
+    "q78_token_budget" -> ((s, dir) => {
+      Text.sampleByTokenBudget(t(s, dir, "documents"),
+          "doc_id", "text", "source", budgetTokens = 2000L)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF ANN with a k-means coarse quantizer. WHICH neighbors the probe
     // returns is approximation-dependent (no SQL re-derivation), so the
     // emitted shape is the result's deterministic PROPERTIES instead —
@@ -347,6 +371,37 @@ object LlmQueries {
        (h, c) -> (h * 31 + c) % 2147483647)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q77_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (${shingleRowsSql(derivedDocsSql)}),
+          cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          pairs AS (SELECT id_a, id_b
+                    FROM inter
+                    JOIN cnt ca ON ca.doc_id = id_a
+                    JOIN cnt cb ON cb.doc_id = id_b
+                    WHERE i / (ca.c + cb.c - i) >= 0.6),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(v, u) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT reach.v, edges.b FROM reach JOIN edges ON reach.u = edges.a)
+          SELECT v AS doc_id, MIN(u) AS component, MIN(u) = v AS is_keeper
+          FROM reach GROUP BY v ORDER BY doc_id""",
+    "q78_token_budget" ->
+      """WITH f AS (SELECT doc_id, source,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), c -> ord(c))),
+             (h, c) -> (h * 31 + c) % 2147483647)::BIGINT AS fp
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           (SUM(n_tokens) OVER (PARTITION BY source ORDER BY fp, doc_id))::BIGINT AS cum_tokens
+           FROM f)
+         SELECT doc_id, source AS src, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= 2000 ORDER BY doc_id""",
     "q42_ann_ivf" ->
       """SELECT COUNT(*) AS n_queries, TRUE AS k_rows_each,
          TRUE AS rk_ordered, TRUE AS cosine_exact

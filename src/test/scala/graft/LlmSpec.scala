@@ -110,6 +110,23 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("components chains pairs into clusters with min-id keepers") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // {1,2,3,4} chains through 2 and 3 even though (1,4) was never a
+    // pair; {5,6} separate; keepers are the component minima
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 1L, false), (5L, 5L, true), (6L, 5L, false)))
+  }
+
+  test("components converges on a long chain (diameter rounds)") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.components(chain).as[(Long, Long, Boolean)].collect()
+    assert(got.length == 12 && got.forall(_._2 == 1L))
+  }
+
   test("contamination counts shared k-gram shingles against a benchmark set") {
     val corpus = docs(
       1L -> "alpha beta gamma delta epsilon zeta",
@@ -238,6 +255,32 @@ class TextSpec extends SparkSuite {
         .as[(Long, Long)].collect().toSet
       assert(shExpr == shCol)
     }
+  }
+
+  test("sampleByTokenBudget keeps the fingerprint-order prefix within budget, per source") {
+    val df = Seq(
+      (1L, "s1", "a b c"),          // 3 tokens
+      (2L, "s1", "d e f g"),        // 4
+      (3L, "s1", "h i"),            // 2
+      (4L, "s2", "one two three")   // 3
+    ).toDF("doc_id", "src0", "text")
+    val got = graft.llm.Text.sampleByTokenBudget(df, "doc_id", "text", "src0", 5L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // expected: per source, order docs by fingerprint(text) then id,
+    // keep while cumulative <= 5 — recompute the same rule driver-side
+    def poly(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+    val rows = Seq((1L, "s1", 3L), (2L, "s1", 4L), (3L, "s1", 2L), (4L, "s2", 3L))
+    val texts = Map(1L -> "a b c", 2L -> "d e f g", 3L -> "h i", 4L -> "one two three")
+    val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      var cum = 0L
+      // prefix rule, not a knapsack: a doc past the budget still
+      // advances the running sum, excluding everything after it
+      rs.sortBy(r => (poly(texts(r._1)), r._1)).flatMap { r =>
+        cum += r._3
+        if (cum <= 5L) Some((r._1, r._2, r._3, cum)) else None
+      }
+    }.toSet
+    assert(got == want && got.nonEmpty)
   }
 
   test("removeBoilerplate drops shared sentences, keeps order, drops empty docs") {
