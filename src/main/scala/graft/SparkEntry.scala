@@ -24,13 +24,12 @@ object SparkEntry {
     CoreQueries.queries ++ EventQueries.queries ++ LlmQueries.queries ++ PigQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. The one entry absent here (q32_simhash)
-    * emits raw xxhash64-seeded fingerprints, not SQL-re-derivable →
-    * driver records the weaker rows-only check. q26_sample and
-    * q42_ann_ivf emit their results' deterministic PROPERTIES (count
-    * bounds + subset proof; k-per-query + rank order + exact-cosine
-    * recompute) so even SAMPLE and approximate ANN get hash-checked
-    * oracles.
+    * the same parquet tables — every entry in [[queries]] has one.
+    * q26_sample, q32_simhash and q42_ann_ivf emit their results'
+    * deterministic PROPERTIES (count bounds + subset proof;
+    * fingerprint invariances + kernel≡Column equality; k-per-query +
+    * rank order + exact-cosine recompute) so even SAMPLE, seeded-hash
+    * fingerprints and approximate ANN get hash-checked oracles.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ EventQueries.oracleSql ++ LlmQueries.oracleSql ++ PigQueries.oracleSql

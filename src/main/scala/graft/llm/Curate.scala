@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *
   * Every stage is one of the oracle-checked operators
   * ([[Text.removeBoilerplate]], [[Text.scrubPii]],
-  * [[Text.qualityScore]], [[Dedup.exact]]), so the composition carries
+  * [[Text.qualityScore]], [[Dedup.exactByFingerprint]]), so the composition carries
   * a composed SQL oracle too (q69). No stage is quadratic; the
   * pipeline's shuffles are the stages' own (sentence df-aggregation,
   * per-doc reassembly, dedup hash-agg, final stats agg) — everything
@@ -35,7 +35,11 @@ object Curate {
         .withColumn("quality", Text.qualityScore(col("clean")))
         .filter(col("quality") >= minQuality)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val keepers = Dedup.exact(cleaned, Seq("clean"), idCol)
+    // fingerprint-keyed dedup: the shuffle carries two 8-byte hash
+    // columns per row instead of the cleaned document text (the 100 TB
+    // shape — group keys equal clean-text groups modulo a ≈ n²/2¹²⁸
+    // double collision, so the composed SQL oracle is unchanged)
+    val keepers = Dedup.exactByFingerprint(cleaned, "clean", idCol)
       .select(col("keeper_id").as(idCol))
     cleaned.join(keepers, Seq(idCol))
       .groupBy(col(srcCol))

@@ -71,13 +71,56 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash fingerprints via the JVM kernel (hash-based: rows-only
-    // check; kernel ≡ Column form asserted in KernelPropsSpec)
+    // SimHash fingerprints. WHAT the 64 bits are is xxhash64-dependent
+    // (no SQL re-derivation), so — the q26/q42 property-oracle pattern —
+    // the emitted row is the result's deterministic PROPERTIES, all
+    // computed Spark-side as lazy single-row aggregations (no collect):
+    //   n_docs            — one fingerprint per document,
+    //   all_dup_copy_equal — an exact-duplicate copy (id+1e6, same text)
+    //                        fingerprints identically (fp depends on the
+    //                        text alone, not id or partition placement),
+    //   all_order_invariant — word-reversed text fingerprints identically
+    //                        (simhash is a distinct-token SET statistic;
+    //                        the per-bit sum commutes),
+    //   all_dupword_invariant — appending an already-present token
+    //                        changes nothing (distinct-set semantics),
+    //   colform_subset_equal — the interpreted Column form reproduces the
+    //                        JVM kernel bit-for-bit on every 25th doc
+    //                        (bounded: the HOF form is CodegenFallback).
+    // The oracle states each property as a constant plus COUNT(*).
     "q32_simhash" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Dedup.simhashFingerprints(d, "doc_id", "text")
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val flagSchema = StructType(Seq(
+        StructField("ord_inv", BooleanType), StructField("dupw_inv", BooleanType)))
+      val flags = s.createDataFrame(
+        src.select(col("text")).rdd.mapPartitions(_.map { r =>
+          val text = r.getString(0)
+          val fp = Dedup.simhashK(text)
+          val words = text.split(" ", -1)
+          Row(fp == Dedup.simhashK(words.reverse.mkString(" ")),
+            fp == Dedup.simhashK(text + " " + words(0)))
+        }), flagSchema)
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("ord_inv")).as("all_order_invariant"),
+          min(col("dupw_inv")).as("all_dupword_invariant"))
+      val fp0 = Dedup.simhashFingerprints(src, "doc_id", "text")
+      val dupFp = Dedup.simhashFingerprints(
+        src.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        "doc_id", "text")
+      val dupEqual = fp0
+        .join(dupFp.select((col("doc") - 1000000L).as("doc"), col("fp").as("fp2")), "doc")
+        .agg(min(col("fp") === col("fp2")).as("all_dup_copy_equal"))
+      val sub = src.filter(pmod(col("doc_id"), lit(25)) === 0)
+      val colform = Dedup.simhashFingerprints(sub, "doc_id", "text")
+        .join(sub.select(col("doc_id").as("doc"),
+          Dedup.simhash(col("text")).as("cfp")), "doc")
+        .agg(min(col("fp") === col("cfp")).as("colform_subset_equal"))
+      flags.crossJoin(dupEqual).crossJoin(colform)
+        .select(col("n_docs"), col("all_dup_copy_equal"),
+          col("all_order_invariant"), col("all_dupword_invariant"),
+          col("colform_subset_equal"))
     }),
 
     // exhaustive n-gram Jaccard within a blocking key (prefix-filtered
@@ -241,7 +284,11 @@ object LlmQueries {
         d.withColumn("quality", Text.qualityScore(col("text")))
           .filter(col("quality") >= 0.5)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val keepers = Dedup.exact(scored, Seq("text"), "doc_id")
+      // fingerprint-keyed dedup: the shuffle carries two 8-byte hash
+      // columns per row, never the document text (VERDICT r8 item 2) —
+      // groups equal text groups modulo a ≈ n²/2¹²⁸ double collision,
+      // so the text-grouping SQL oracle still matches
+      val keepers = Dedup.exactByFingerprint(scored, "text", "doc_id")
         .select(col("keeper_id").as("doc_id"))
       scored.join(keepers, "doc_id")
         .groupBy(col("source"))
@@ -371,6 +418,15 @@ object LlmQueries {
        (h, c) -> (h * 31 + c) % 2147483647)"""
 
   val oracleSql: Map[String, String] = Map(
+    // q32 property oracle (the q26/q42 pattern): the 64 fingerprint bits
+    // are xxhash64-seeded and not SQL-re-derivable, so the query emits
+    // its deterministic PROPERTIES (duplicate-copy equality, token-set
+    // order/multiplicity invariance, Column-form ≡ kernel on a subset)
+    // as Spark-computed booleans the oracle states as constants.
+    "q32_simhash" ->
+      """SELECT COUNT(*) AS n_docs, TRUE AS all_dup_copy_equal,
+         TRUE AS all_order_invariant, TRUE AS all_dupword_invariant,
+         TRUE AS colform_subset_equal FROM documents""",
     "q77_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (${shingleRowsSql(derivedDocsSql)}),
           cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),

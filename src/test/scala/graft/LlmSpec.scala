@@ -24,6 +24,28 @@ class DedupSpec extends SparkSuite {
     assert(byFp == byText && byFp == Set((2L, 3L), (3L, 1L)))
   }
 
+  test("exactByFingerprint shuffles only Long columns — document text never a shuffle key") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.LongType
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val keepers = Dedup.exactByFingerprint(d, "text", "doc_id")
+    // sparkPlan predates EnsureRequirements (no exchanges yet) and AQE
+    // wraps executedPlan — unwrap to the prepared physical plan
+    val prepared = keepers.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = prepared.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty, "expected a hash-aggregate exchange in the dedup plan")
+    shuffles.foreach { e =>
+      assert(e.child.output.forall(_.dataType == LongType),
+        s"dedup shuffle carries non-Long columns: ${e.child.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+    }
+  }
+
   test("shingleSet produces distinct k-grams; short docs collapse to whole text") {
     assert(Dedup.shingleSet("a b c d", 3).toSeq == Seq("a b c", "b c d"))
     assert(Dedup.shingleSet("a b a b a b", 3).toSeq == Seq("a b a", "b a b"))
