@@ -555,28 +555,37 @@ object Dedup {
     * clusters (A≈B, B≈C ⇒ {A,B,C} even when A,C were never emitted as
     * a pair), and the cluster's min id becomes the keeper.
     *
-    * Algorithm: iterative min-label propagation. label(v) starts at
-    * min(v, neighbors); each round takes the min of the neighbors'
-    * labels; fixpoint when no label changes (checked with one count per
-    * round, like the k-means loop). Rounds needed = cluster diameter —
-    * near-dup clusters are dense (LSH emits most intra-cluster pairs),
-    * so 2-4 rounds in practice; `maxIters` caps adversarial chains, and
-    * the method errors rather than returning a partial labeling if the
-    * cap is hit (at true web scale with long chains, the escalation is
-    * the large-star/small-star contraction of Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14 — same
-    * join shape, O(log n) rounds).
+    * Algorithm: iterative min-label propagation with automatic
+    * escalation. label(v) starts at min(v, neighbors); each round takes
+    * the min of the neighbors' labels; fixpoint when no label changes
+    * (checked with one count per round, like the k-means loop). Rounds
+    * needed = cluster diameter — near-dup clusters are dense (LSH emits
+    * most intra-cluster pairs), so 2-4 rounds in practice. If the graph
+    * has NOT converged after `starAfter` rounds (a high-diameter chain —
+    * the shape propagation is worst at), the method escalates to the
+    * large-star/small-star contraction of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 ([[starContraction]],
+    * O(log² n) rounds on any graph) instead of aborting — so a 100 TB
+    * pair graph with one long chain degrades to a few extra rounds, not
+    * a pipeline failure.
     *
     * Scale: each round is one join + one aggregation over (edge,
     * label) rows — 16 bytes each, linear shuffles, no vertex ever holds
     * its component's member list. Only pair endpoints are labeled
     * (singletons are implicitly their own component).
     *
+    * Fault tolerance: each round's labels are `localCheckpoint`ed —
+    * lineage is truncated, so losing an executor mid-computation loses
+    * the checkpoint blocks and fails the job (acceptable: rounds are
+    * few and the job restarts from the persisted edge set; a
+    * cluster-mode deployment that needs mid-job recovery should use
+    * reliable `checkpoint` to a DFS instead).
+    *
     * @return (doc, component, is_keeper): component = min id reachable,
     *         is_keeper = (doc == component).
     */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                 maxIters: Int = 20): DataFrame = {
+                 maxIters: Int = 20, starAfter: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = graft.dsl.Rel.track(
       pairs.select(col(idA).as("a"), col(idB).as("b"))
@@ -592,7 +601,8 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < maxIters) {
+    val propBudget = math.min(starAfter, maxIters)
+    while (changed > 0 && rounds < propBudget) {
       val prop = edges
         .join(lab.select(col("v").as("b"), col("lbl").as("nl")), "b")
         .groupBy(col("a")).agg(min(col("nl")).as("mn"))
@@ -605,11 +615,73 @@ object Dedup {
       lab = next
       rounds += 1
     }
-    require(changed == 0L,
-      s"components did not converge in $maxIters rounds — pathological " +
-        "chain graph; escalate to star-contraction (see scaladoc)")
-    lab.select(col("v").as("doc"), col("lbl").as("component"),
+    val labeled =
+      if (changed == 0L) lab
+      else {
+        // diameter exceeds the propagation budget — escalate to the
+        // round-logarithmic contraction rather than burning one round
+        // per hop (or aborting, as this method did before round 9)
+        val stars = starContraction(edges, maxIters)
+        lab.select(col("v"))
+          .join(stars.select(col("a").as("v"), col("b").as("ctr")), Seq("v"), "left")
+          .select(col("v"), coalesce(col("ctr"), col("v")).as("lbl"))
+      }
+    labeled.select(col("v").as("doc"), col("lbl").as("component"),
       (col("v") === col("lbl")).as("is_keeper"))
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14
+    * §3, Two-Phase algorithm) — the high-diameter escalation path for
+    * [[components]]. Each round halves long chains, so convergence is
+    * O(log² n) rounds on ANY graph, vs diameter rounds for label
+    * propagation.
+    *
+    * Edges are kept in larger→smaller canonical form `(a, b), a > b`:
+    *  - large-star (over the symmetric closure): per node `a` with
+    *    neighbor set N, every neighbor `w > a` is re-pointed at
+    *    `m = min(N ∪ {a})` — expressed as a per-node min aggregation
+    *    joined back to the edge list (NO collect_set: a hub node's
+    *    neighbor list never materializes on one executor).
+    *  - small-star: per node `a` (all neighbors smaller), neighbors and
+    *    `a` itself are re-pointed at `m = min(N)`.
+    * Fixpoint (edge set unchanged — checked as count equality + one
+    * `except` emptiness, both over distinct sets) is a union of stars
+    * centered at each component's minimum id, so the final edge list IS
+    * the (member → component-min) mapping.
+    *
+    * Scale shape: per round two aggregations + two joins over 16-byte
+    * edge rows, `localCheckpoint` lineage truncation per round (same
+    * tradeoff as [[components]] — see its scaladoc).
+    */
+  private[graft] def starContraction(edgesSym: DataFrame, maxIters: Int): DataFrame = {
+    var cur = edgesSym.filter(col("a") > col("b")).distinct().localCheckpoint(true)
+    var curN = cur.count()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxIters) {
+      val sym = cur.union(cur.select(col("b").as("a"), col("a").as("b")))
+      val m1 = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val ls = sym.join(m1, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+      val m2 = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val ss = ls.join(m2, "a").filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(m2.select(col("a"), col("m").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      val ssN = ss.count()
+      done = ssN == curN && ss.except(cur).isEmpty
+      cur = ss
+      curN = ssN
+      rounds += 1
+    }
+    require(done,
+      s"star contraction did not converge in $maxIters rounds — " +
+        "O(log² n) bound exceeded; raise maxIters")
+    cur
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, candidates from

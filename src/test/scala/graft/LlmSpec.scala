@@ -149,6 +149,25 @@ class DedupSpec extends SparkSuite {
     assert(got.length == 12 && got.forall(_._2 == 1L))
   }
 
+  test("components escalates to star contraction on a 1000-node path graph") {
+    // diameter 999 ≫ the propagation budget: before round 9 this threw
+    // at maxIters; now it must degrade to the O(log² n) contraction
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.components(chain).as[(Long, Long, Boolean)].collect()
+    assert(got.length == 1000 && got.forall(_._2 == 0L) && got.count(_._3) == 1)
+  }
+
+  test("star-contraction labels equal propagation labels on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val viaProp = Dedup.components(pairs, maxIters = 60, starAfter = 60)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val viaStar = Dedup.components(pairs, maxIters = 60, starAfter = 0)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(viaStar == viaProp)
+  }
+
   test("contamination counts shared k-gram shingles against a benchmark set") {
     val corpus = docs(
       1L -> "alpha beta gamma delta epsilon zeta",
