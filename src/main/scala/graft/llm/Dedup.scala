@@ -694,7 +694,7 @@ object Dedup {
                        maxBucket: Int = 100000): DataFrame = {
     val b = capBuckets(
       df.select(col(idCol).as("doc"), col(vecCol).as("v"),
-        Similarity.bucketU(planes)(col(vecCol)).as("bucket")),
+        Similarity.bucketExpr(planes)(col(vecCol)).as("bucket")),
       Seq("bucket"), maxBucket)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))

@@ -81,8 +81,14 @@ object Similarity {
     when(d === 0.0, lit(null))
       .otherwise(floor(dot(a, b) / d * 1e6 + 0.5) / 1e6)
   }
-  private[graft] def bucketU(planes: Int) =
-    udf((v: Seq[Float]) => bucketK(v, planes))
+  /** Codegen'd sign-LSH bucket through the native `graft_lsh_bucket`
+    * expression ([[graft.plans.SignLshF]], registered by
+    * GraftExtensions) — identical arithmetic order to [[bucketK]] and
+    * the HOF [[lshBucket]], so buckets are bit-equal (KernelPropsSpec);
+    * stays inside whole-stage codegen, no Scala UDF on the embedding
+    * scan. */
+  private[graft] def bucketExpr(planes: Int)(v: Column): Column =
+    call_function("graft_lsh_bucket", v, lit(planes))
 
   /** Per-query top-k via the bounded [[graft.ops.TopKAgg]] aggregator:
     * partial/final aggregation keeps k rows per map task — no full sort
@@ -146,9 +152,9 @@ object Similarity {
               queryId: String, corpusId: String, vecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
-      bucketU(planes)(col(vecCol)).as("bucket"))
+      bucketExpr(planes)(col(vecCol)).as("bucket"))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
-      bucketU(planes)(col(vecCol)).as("bucket"))
+      bucketExpr(planes)(col(vecCol)).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -249,11 +255,11 @@ object Similarity {
               queryId: String, corpusId: String, vecCol: String,
               k: Int, planes: Int = 6, nprobe: Int = 3): DataFrame = {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
-      bucketU(planes)(col(vecCol)).as("cell"))
+      bucketExpr(planes)(col(vecCol)).as("cell"))
     // probe cells: own bucket plus single-bit flips (deterministic order)
     val probes = transform(sequence(lit(0), lit(nprobe - 1)), p =>
-      when(p === 0, bucketU(planes)(col(vecCol)))
-        .otherwise(bucketU(planes)(col(vecCol)).bitwiseXOR(call_function("shiftleft", lit(1L), p - 1))))
+      when(p === 0, bucketExpr(planes)(col(vecCol)))
+        .otherwise(bucketExpr(planes)(col(vecCol)).bitwiseXOR(call_function("shiftleft", lit(1L), p - 1))))
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
       explode(probes).as("cell"))
     val scored = q.join(c, Seq("cell"))

@@ -124,8 +124,10 @@ object Text {
     * Computed by the native codegen'd [[graft.plans.FingerprintF]]
     * expression (the old interpreted per-character `aggregate()` fold —
     * kept below as [[fingerprintColumnForm]] — was the last
-    * CodegenFallback on a scan hot path; bit-identical equivalence is
-    * ScalaCheck-verified in KernelPropsSpec).
+    * CodegenFallback on a scan hot path). Equivalence evidence: a
+    * KernelPropsSpec ScalaCheck property (kernel ≡ code-point fold
+    * spec, incl. non-BMP) plus a TextSpec example test against the
+    * Column form.
     */
   def fingerprint(text: Column): Column =
     call_function("graft_fingerprint", text)
@@ -219,6 +221,15 @@ object Text {
     * vocabularies fall back to the shuffle join (AQE handles the
     * stop-word skew; the count side is 1 row/word). N rides along via
     * a broadcast 1-row cross join.
+    *
+    * NOTE: the `wc.count()` makes this method EAGER — a Spark job (the
+    * vocabulary aggregation) runs at DataFrame-construction time, so
+    * even explain-only callers (PlanCheck on q68) execute that stage,
+    * and the broadcast-vs-shuffle choice is frozen when the plan is
+    * built rather than left to AQE. Accepted trade: the persisted
+    * aggregation is needed by both downstream consumers anyway, and a
+    * statistics-based deferral would leave the skew-prone shuffle in
+    * the plan whenever stats are missing.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
                      broadcastVocabRows: Long = 250000): DataFrame = {

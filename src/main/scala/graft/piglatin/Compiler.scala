@@ -748,8 +748,11 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     }
     case "DIFF" => PF.diff(cs.head, cs(1))
     // bag1 minus bag2 members; membership test only — bag1's duplicate
-    // tuples survive (array_except would dedup bag1, diverging from Pig)
-    case "SUBTRACT" => filter(cs.head, x => !array_contains(cs(1), x))
+    // tuples survive (array_except would dedup bag1, diverging from Pig).
+    // Membership is the null-safe <=> (Pig's HashSet contains): a null
+    // element is kept unless bag2 holds a null — array_contains would
+    // return NULL for it and the !NULL filter silently dropped it
+    case "SUBTRACT" => filter(cs.head, x => !exists(cs(1), y => x <=> y))
     case "TOP" => raw match {
       case List(Lit(n: Int), Lit(f: String), _) => PF.topN(cs(2), n, f)
       case _ => sys.error("TOP(n, 'field', bag) needs literal n and field")

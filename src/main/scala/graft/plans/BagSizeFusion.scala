@@ -59,6 +59,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[FingerprintF].getName, "graft_fingerprint"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FingerprintF(children.head)))
+    // Native sign-LSH bucket (see SignLshF):
+    // graft_lsh_bucket(vec, planes) — codegen'd replacement for the
+    // Scala UDF on the embedding scan hot path (q39/q43).
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_bucket"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SignLshF].getName, "graft_lsh_bucket"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SignLshF(children.head, children(1))))
     // Spark's native bloom probe (the one runtime row-level filtering
     // uses): graft_might_contain(serialized_bloom, xxhash64(key)).
     // Codegen'd, no Scala UDF — see graft.ops.BloomJoin.

@@ -14,10 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the element's code point), but compiled into whole-stage codegen
   * instead of evaluating an interpreted lambda per CHARACTER — the
   * CodegenFallback pattern measured ~10-50x slower on scan hot paths
-  * (see graft.llm.Dedup scaladoc). Equivalence is ScalaCheck-verified
-  * (KernelPropsSpec); the interpreted Column form survives as
-  * `Text.fingerprintColumnForm` for that spec and SQL-oracle
-  * composition.
+  * (see graft.llm.Dedup scaladoc). Two equivalence checks: a ScalaCheck
+  * property in KernelPropsSpec pins the kernel to the code-point fold
+  * spec over arbitrary strings including supplementary-plane
+  * characters, and a TextSpec example test pins it to the interpreted
+  * Column form (which survives as `Text.fingerprintColumnForm` for
+  * SQL-oracle composition).
   *
   * §4.3 "custom Expression" tier, twin of [[DotProductF]]. Registered
   * as SQL function `graft_fingerprint` by [[GraftExtensions]]; used by

@@ -246,10 +246,13 @@ object LlmQueries {
           r.getInt(3) == k && r.getLong(4) == k)
       val rkOrdered = perQ.forall(_.getBoolean(5))
       val emb = v.select(col("vec_id"), col("embedding"))
+      // null-safe <=>: a plain =!= evaluates to NULL (row silently
+      // dropped) when either side is null, so a null cosine from a
+      // zero vector would count as "exact"
       val cosineExact = res
         .join(emb.toDF("query_id", "qv"), "query_id")
         .join(emb.toDF("neighbor_id", "cv"), "neighbor_id")
-        .filter(Similarity.cosineExpr(col("qv"), col("cv")) =!= col("cosine"))
+        .filter(!(Similarity.cosineExpr(col("qv"), col("cv")) <=> col("cosine")))
         .count() == 0L
       Seq((nQueries, kRowsEach, rkOrdered, cosineExact))
         .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")

@@ -90,6 +90,30 @@ object KernelPropsSpec extends Properties("kernels") {
       j < t || x.intersect(prefY).nonEmpty
     }
 
+  property("SignLshF kernel is bit-identical to bucketK for any vector/planes") =
+    forAll(Gen.listOf(Gen.chooseNum(-1.0f, 1.0f)), Gen.chooseNum(1, 16)) { (v, planes) =>
+      val arr = v.toArray
+      graft.plans.SignLshF.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr), planes) ==
+        graft.llm.Similarity.bucketK(arr, planes)
+    }
+
+  // arbitrary strings over ASCII + BMP accents + supplementary-plane
+  // code points — the unit split('')/ascii see is the CODE POINT, so
+  // surrogate pairs must hash as one step, not two
+  private val cpStringGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.chooseNum(0x20, 0x7e).map(_.toChar.toString),
+    Gen.oneOf("é", "ß", "中", "λ"),
+    Gen.oneOf("😀", "𝕏", "💩"))).map(_.mkString)
+
+  property("FingerprintF kernel equals the code-point fold spec (incl. non-BMP)") =
+    forAll(cpStringGen) { s =>
+      val spec = s.codePoints().toArray
+        .foldLeft(0L)((h, cp) => (h * 31L + cp) % 2147483647L)
+      graft.plans.FingerprintF.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) == spec
+    }
+
   property("prefixLen is positive and never exceeds the set size") =
     forAll(Gen.chooseNum(1, 10000), Gen.chooseNum(0.01, 1.0)) { (n, t) =>
       val p = Dedup.prefixLen(n, t)

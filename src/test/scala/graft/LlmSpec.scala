@@ -232,6 +232,29 @@ class SimilaritySpec extends SparkSuite {
     assert(got == Seq(2L))
   }
 
+  test("lsh bucket is the native graft_lsh_bucket expression, not a Scala UDF") {
+    // range-backed input: a LocalRelation would let ConvertToLocalRelation
+    // constant-fold the bucket at optimization time and hide it
+    val d = spark.range(20).select($"id".as("vec_id"),
+      expr("transform(sequence(0, 63), i -> cast(sin(id * (i + 1)) / 4 as float))")
+        .as("embedding"))
+    val plan = graft.llm.Dedup.embeddingNearDup(d, "vec_id", "embedding", 0.9, 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_lsh_bucket"), plan.take(2000))
+    assert(!plan.contains("UDF"), plan.take(2000))
+  }
+
+  test("bucketExpr is bit-identical to the HOF lshBucket Column form") {
+    val rnd = new scala.util.Random(11)
+    val d = vecs((0L to 30L).map(i =>
+      i -> Array.fill(64)((rnd.nextGaussian() / 8).toFloat)): _*)
+    val diff = d.select(
+        Similarity.bucketExpr(8)($"embedding").as("native"),
+        Similarity.lshBucket($"embedding", 8).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+  }
+
   test("ivfTopK probes sibling cells and never returns self") {
     val rnd = new scala.util.Random(3)
     val d = vecs((0L to 20L).map(i =>

@@ -328,6 +328,21 @@ class PigLatinSpec extends SparkSuite {
       kept == 3L && dropped == 1L })
   }
 
+  test("SUBTRACT keeps null elements of bag1 when bag2 has no null (HashSet semantics)") {
+    // Pig's SUBTRACT probes a HashSet of bag2's tuples: null ∈ {2}? no →
+    // null survives; null ∈ {null}? yes → dropped. The old
+    // !array_contains predicate NULL-poisoned and dropped it either way.
+    val e = engine.run("""
+      r = LOAD 'region.parquet';
+      out = FOREACH r GENERATE
+        SIZE(SUBTRACT(TOBAG(1, NULL, 3), TOBAG(2))) AS n_kept,
+        SIZE(SUBTRACT(TOBAG(1, NULL, 3), TOBAG(NULL))) AS n_no_null;
+      """)
+    val rows = e.relation("out").as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (kept, noNull) =>
+      kept == 3L && noNull == 2L })
+  }
+
   test("registerFunction: user function callable from scripts, incl. through DEFINE") {
     val e = engine
       .registerFunction("ADD_TAX", cs => cs.head.cast("double") * 1.1)
