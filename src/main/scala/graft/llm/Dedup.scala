@@ -585,7 +585,15 @@ object Dedup {
     *         is_keeper = (doc == component).
     */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                 maxIters: Int = 20, starAfter: Int = 5): DataFrame = {
+                 maxIters: Int = 20, starAfter: Int = 5): DataFrame =
+    componentsImpl(pairs, idA, idB, maxIters, starAfter)._1
+
+  /** [[components]] plus its execution stats — (labels, propagation
+    * rounds run, whether it escalated to [[starContraction]]). The
+    * ScaleCurve harness charts rounds-vs-corpus-size from this.
+    */
+  private[graft] def componentsImpl(pairs: DataFrame, idA: String, idB: String,
+                                    maxIters: Int, starAfter: Int): (DataFrame, Int, Boolean) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = graft.dsl.Rel.track(
       pairs.select(col(idA).as("a"), col(idB).as("b"))
@@ -615,8 +623,9 @@ object Dedup {
       lab = next
       rounds += 1
     }
+    val escalated = changed != 0L
     val labeled =
-      if (changed == 0L) lab
+      if (!escalated) lab
       else {
         // diameter exceeds the propagation budget — escalate to the
         // round-logarithmic contraction rather than burning one round
@@ -626,8 +635,8 @@ object Dedup {
           .join(stars.select(col("a").as("v"), col("b").as("ctr")), Seq("v"), "left")
           .select(col("v"), coalesce(col("ctr"), col("v")).as("lbl"))
       }
-    labeled.select(col("v").as("doc"), col("lbl").as("component"),
-      (col("v") === col("lbl")).as("is_keeper"))
+    (labeled.select(col("v").as("doc"), col("lbl").as("component"),
+      (col("v") === col("lbl")).as("is_keeper")), rounds, escalated)
   }
 
   /** Alternating large-star/small-star connected components (Kiveris

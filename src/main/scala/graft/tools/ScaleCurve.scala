@@ -123,6 +123,31 @@ object ScaleCurve {
         Curate.curate(docs, "doc_id", "text", "source").count(),
         stages = () => curateStages(docs))
 
+      // ---- q77: connected components over the near-dup pair graph ----
+      // pair generation is q31's already-curved pipeline, so the pairs
+      // are materialized once OUTSIDE the timed region: the q77 curve
+      // charges only the clustering itself. The interesting axis is
+      // round count vs corpus size — constant duplicate density should
+      // keep cluster diameter (and so rounds) FLAT while volume grows.
+      if (only.forall(_.exists("q77_components".startsWith))) {
+        val pairs77 = Dedup.minhashLsh(docs, "doc_id", "text",
+            shingleK = 3, numHashes = 64, bands = 32, threshold = 0.6)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs77.count()
+        report("q77_components", () => Dedup.components(pairs77).count(),
+          stages = () => componentStages(pairs77))
+        pairs77.unpersist(blocking = false)
+      }
+
+      // ---- q78: deterministic token-budget sampling ----
+      // budget scales with the corpus (x m) so the kept FRACTION is
+      // constant — the measured work is the per-source window sort over
+      // m x more 24-byte rows, the stage that serializes on a skewed
+      // giant source (the documented two-phase fallback's trigger)
+      report("q78_token_budget", () =>
+        graft.llm.Text.sampleByTokenBudget(docs, "doc_id", "text", "source",
+          budgetTokens = 2000L * m).count())
+
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
     }
@@ -215,6 +240,22 @@ object ScaleCurve {
     buf.result()
   }
 
+  /** q77 breakdown: one labeled run via [[Dedup.componentsImpl]]. The
+    * `prop_rounds` and `escalated` rows reuse the stage schema with a
+    * COUNT/FLAG in the `sec` field (documented in SCALECURVE.md) — the
+    * rounds-vs-size curve is the evidence the verdict asked for.
+    */
+  private def componentStages(pairs: DataFrame): Seq[(String, Double, Long)] = {
+    val t0 = System.nanoTime()
+    val (lab, rounds, escalated) =
+      Dedup.componentsImpl(pairs, "id_a", "id_b", 20, 5)
+    val n = lab.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    Seq(("components_total", dt, n),
+      ("prop_rounds", rounds.toDouble, n),
+      ("escalated", if (escalated) 1.0 else 0.0, 0L))
+  }
+
   /** Stage timings for the Curate.curate composition (boilerplate
     * reassembly → scrub+score+filter → exact dedup → per-source stats),
     * same persist-isolation discipline as [[minhashStages]].
@@ -238,7 +279,9 @@ object ScaleCurve {
     val (t2, n2) = time(cleaned.count())
     buf += (("scrub_score_filter", t2, n2))
 
-    val keepers = Dedup.exact(cleaned, Seq("clean"), "doc_id")
+    // fingerprint-keyed, matching Curate.curate since round 9 — the
+    // dedup shuffle carries two Long columns, never the cleaned text
+    val keepers = Dedup.exactByFingerprint(cleaned, "clean", "doc_id")
       .select(col("keeper_id").as("doc_id"))
       .persist(MEMORY_AND_DISK)
     val (t3, n3) = time(keepers.count())
