@@ -697,18 +697,50 @@ object Dedup {
     * sign-LSH buckets (see [[Similarity.lshBucket]]), verified exactly.
     * `maxBucket` drops pathological buckets (e.g. the all-zeros bucket a
     * degenerate embedding model emits) before the quadratic self-join.
+    *
+    * `tables` > 1 builds a multi-table (OR-of-ANDs) index — table t
+    * hashes with its own disjoint hyperplane family (plane offset
+    * t·planes) and a pair is a candidate if it shares a bucket in ANY
+    * table. This is the recall knob the single bucket lacks: at
+    * corpus scale `planes` must grow so buckets stay bounded
+    * (2^planes cells), which shrinks per-table collision probability
+    * for near (not identical) pairs ((1-θ/π)^planes); adding tables
+    * restores recall (1-(1-p)^T) at linear cost — the exact analog of
+    * minhash banding, with the same shapes: candidates come from a
+    * per-(table, bucket) grouped expansion (one shuffle, map-side
+    * quadratic bounded by `maxBucket`), duplicates across tables
+    * collapse BEFORE verification, and vectors re-join by id for the
+    * exact-cosine check rather than riding the candidate shuffle.
+    * `tables = 1` is bit-identical to the original single-table path.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.95, planes: Int = 8,
-                       maxBucket: Int = 100000): DataFrame = {
-    val b = capBuckets(
-      df.select(col(idCol).as("doc"), col(vecCol).as("v"),
-        Similarity.bucketExpr(planes)(col(vecCol)).as("bucket")),
-      Seq("bucket"), maxBucket)
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        Similarity.cosineExpr(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+                       maxBucket: Int = 100000, tables: Int = 1): DataFrame = {
+    if (tables <= 1) {
+      val b = capBuckets(
+        df.select(col(idCol).as("doc"), col(vecCol).as("v"),
+          Similarity.bucketExpr(planes)(col(vecCol)).as("bucket")),
+        Seq("bucket"), maxBucket)
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+          Similarity.cosineExpr(col("a.v"), col("b.v")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    } else {
+      val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
+      val banded = vecs.select(col("doc"), posexplode(array(
+          (0 until tables).map(t =>
+            Similarity.bucketExprTable(planes, t)(col("v"))): _*)))
+        .toDF("doc", "tbl", "bucket")
+      val cand = bucketPairs(banded, Seq("tbl", "bucket"), col("doc"), maxBucket)
+        .filter(col("a") < col("b"))
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+        .distinct()
+      cand.join(vecs.toDF("id_a", "va"), "id_a")
+        .join(vecs.toDF("id_b", "vb"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          Similarity.cosineExpr(col("va"), col("vb")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
   }
 }

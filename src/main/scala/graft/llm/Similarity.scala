@@ -56,12 +56,14 @@ object Similarity {
     (m % 2001L - 1000L).toDouble / 1000.0
   }
 
-  /** Sign-LSH bucket, identical to [[lshBucket]]. */
-  private[graft] def bucketK(v: Seq[Float], planes: Int): Long = {
+  /** Sign-LSH bucket, identical to [[lshBucket]]; `offset` selects the
+    * hyperplane family (table t of a multi-table index = offset
+    * t·planes; offset 0 is the single-table bucket). */
+  private[graft] def bucketK(v: Seq[Float], planes: Int, offset: Int = 0): Long = {
     var acc = 0L; var j = 0
     while (j < planes) {
       var d = 0.0; var i = 0; val n = v.length
-      while (i < n) { d += v(i).toDouble * planeComponentK(j, i); i += 1 }
+      while (i < n) { d += v(i).toDouble * planeComponentK(offset + j, i); i += 1 }
       if (d > 0) acc |= 1L << j
       j += 1
     }
@@ -89,6 +91,11 @@ object Similarity {
     * scan. */
   private[graft] def bucketExpr(planes: Int)(v: Column): Column =
     call_function("graft_lsh_bucket", v, lit(planes))
+
+  /** [[bucketExpr]] for table `t` of a multi-table LSH index —
+    * hyperplane family at offset t·planes, disjoint per table. */
+  private[graft] def bucketExprTable(planes: Int, table: Int)(v: Column): Column =
+    call_function("graft_lsh_bucket", v, lit(planes), lit(table * planes))
 
   /** Per-query top-k via the bounded [[graft.ops.TopKAgg]] aggregator:
     * partial/final aggregation keeps k rows per map task — no full sort

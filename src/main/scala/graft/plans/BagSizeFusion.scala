@@ -60,14 +60,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FingerprintF(children.head)))
     // Native sign-LSH bucket (see SignLshF):
-    // graft_lsh_bucket(vec, planes) — codegen'd replacement for the
-    // Scala UDF on the embedding scan hot path (q39/q43).
+    // graft_lsh_bucket(vec, planes[, offset]) — codegen'd replacement
+    // for the Scala UDF on the embedding scan hot path (q39/q43/q79);
+    // the optional offset selects the hyperplane family per LSH table.
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_bucket"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SignLshF].getName, "graft_lsh_bucket"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SignLshF(children.head, children(1))))
+        SignLshF(children.head, children(1),
+          if (children.size > 2) children(2)
+          else org.apache.spark.sql.catalyst.expressions.Literal(0))))
     // Spark's native bloom probe (the one runtime row-level filtering
     // uses): graft_might_contain(serialized_bloom, xxhash64(key)).
     // Codegen'd, no Scala UDF — see graft.ops.BloomJoin.

@@ -1,59 +1,65 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
 
 /** Native codegen'd sign-LSH bucket id over an `array<float>` column:
-  * bit j = sign(v · h_j) for `planes` deterministic integer-hash
-  * hyperplanes (the formula `Similarity.planeComponent` documents, so
-  * any SQL engine can reproduce the bucket). Bit-identical to the JVM
-  * kernel `Similarity.bucketK` and the HOF Column form
-  * `Similarity.lshBucket` — same double accumulation order — but
-  * compiled into whole-stage codegen instead of a Scala UDF: planes ×
-  * dim multiply-adds per row previously paid UDF serialization on the
-  * embedding scan hot path (q39/q43/embeddingNearDup).
+  * bit j = sign(v · h_(offset+j)) for `planes` deterministic
+  * integer-hash hyperplanes (the formula `Similarity.planeComponent`
+  * documents, so any SQL engine can reproduce the bucket). The
+  * `offset` selects a disjoint hyperplane family per LSH table —
+  * multi-table (OR-of-ANDs) banding uses table t = offset t·planes —
+  * and offset 0 reproduces the single-table bucket bit-for-bit.
+  * Bit-identical to the JVM kernel `Similarity.bucketK` and the HOF
+  * Column form `Similarity.lshBucket` — same double accumulation
+  * order — but compiled into whole-stage codegen instead of a Scala
+  * UDF: planes × dim multiply-adds per row previously paid UDF
+  * serialization on the embedding scan hot path (q39/q43/q79).
   *
   * §4.3 "custom Expression" tier, third instance of the
   * [[DotProductF]]/[[FingerprintF]] pattern. Registered as SQL function
-  * `graft_lsh_bucket(vec, planes)` by [[GraftExtensions]].
+  * `graft_lsh_bucket(vec, planes[, offset])` by [[GraftExtensions]].
   */
-case class SignLshF(left: Expression, right: Expression)
-  extends BinaryExpression {
+case class SignLshF(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"graft_lsh_bucket expects (array<float>, int), got " +
-        s"(${l.simpleString}, ${r.simpleString})")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_bucket expects (array<float>, int, int), got " +
+          s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any, p: Any): Any =
-    SignLshF.compute(v.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+  override def nullSafeEval(v: Any, p: Any, o: Any): Any =
+    SignLshF.compute(v.asInstanceOf[ArrayData],
+      p.asInstanceOf[Int], o.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (v, p) => s"graft.plans.SignLshF.compute($v, $p)")
+    defineCodeGen(ctx, ev, (v, p, o) => s"graft.plans.SignLshF.compute($v, $p, $o)")
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): SignLshF =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression, newThird: Expression): SignLshF =
+    copy(first = newFirst, second = newSecond, third = newThird)
 
   override def prettyName: String = "graft_lsh_bucket"
 }
 
 object SignLshF {
   /** The kernel generated code calls into. Arithmetic is kept EXACTLY
-    * as `Similarity.bucketK`: per plane j, d accumulates
-    * v(i) * component(j, i) left-to-right in double, where
-    * component(j, i) = (((j*64+i) * 2654435761) mod 1000003 mod 2001
+    * as `Similarity.bucketK`: per bit j, d accumulates
+    * v(i) * component(offset+j, i) left-to-right in double, where
+    * component(p, i) = (((p*64+i) * 2654435761) mod 1000003 mod 2001
     * - 1000) / 1000 — all operands non-negative, so `%` ≡ `pmod` and
     * the bucket is reproducible in any engine.
     */
-  def compute(v: ArrayData, planes: Int): Long = {
+  def compute(v: ArrayData, planes: Int, offset: Int): Long = {
     val n = v.numElements()
     var acc = 0L
     var j = 0
@@ -61,7 +67,7 @@ object SignLshF {
       var d = 0.0
       var i = 0
       while (i < n) {
-        val m = ((j * 64 + i).toLong * 2654435761L) % 1000003L
+        val m = (((offset + j) * 64 + i).toLong * 2654435761L) % 1000003L
         d += v.getFloat(i).toDouble * ((m % 2001L - 1000L).toDouble / 1000.0)
         i += 1
       }

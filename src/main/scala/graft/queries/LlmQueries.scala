@@ -49,9 +49,9 @@ object LlmQueries {
     ((m % 2001L - 1000L).toDouble / 1000.0).toString
   }.mkString("[", ", ", "]")
 
-  private def bucketSql(planes: Int): String =
+  private def bucketSql(planes: Int, offset: Int = 0): String =
     (0 until planes).map { j =>
-      s"(CASE WHEN list_dot_product(e, ${planeLit(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+      s"(CASE WHEN list_dot_product(e, ${planeLit(offset + j)}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
   val queries: Map[String, Q] = Map(
@@ -305,6 +305,17 @@ object LlmQueries {
     "q43_embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.4, planes = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // multi-table (OR-of-ANDs) embedding near-dup: 3 tables × 8 planes,
+    // disjoint hyperplane families — the recall knob that lets `planes`
+    // grow with the corpus (bounded buckets) without losing near pairs.
+    // The integer plane formula is SQL-reproducible, so the oracle
+    // re-derives all three tables' buckets and the exact cosine.
+    "q79_embed_multiprobe" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, planes = 8, tables = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -766,6 +777,26 @@ object LlmQueries {
                   (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(bb.e, bb.e))))
                   * 1000000 + 0.5) / 1000000 AS cosine
                 FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+          SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
+          ORDER BY id_a, id_b""",
+    "q79_embed_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          b AS (SELECT vec_id, 0 AS tbl, ${bucketSql(8, 0)} AS bucket FROM v
+                UNION ALL
+                SELECT vec_id, 1 AS tbl, ${bucketSql(8, 8)} AS bucket FROM v
+                UNION ALL
+                SELECT vec_id, 2 AS tbl, ${bucketSql(8, 16)} AS bucket FROM v),
+          cand AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+                   FROM b a JOIN b bb
+                   ON a.tbl = bb.tbl AND a.bucket = bb.bucket
+                      AND a.vec_id < bb.vec_id),
+          s AS (SELECT id_a, id_b,
+                FLOOR((list_dot_product(va.e, vb.e) /
+                  (SQRT(list_dot_product(va.e, va.e)) * SQRT(list_dot_product(vb.e, vb.e))))
+                  * 1000000 + 0.5) / 1000000 AS cosine
+                FROM cand
+                JOIN v va ON va.vec_id = id_a
+                JOIN v vb ON vb.vec_id = id_b)
           SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
           ORDER BY id_a, id_b"""
   )

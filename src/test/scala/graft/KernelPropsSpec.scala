@@ -90,12 +90,13 @@ object KernelPropsSpec extends Properties("kernels") {
       j < t || x.intersect(prefY).nonEmpty
     }
 
-  property("SignLshF kernel is bit-identical to bucketK for any vector/planes") =
-    forAll(Gen.listOf(Gen.chooseNum(-1.0f, 1.0f)), Gen.chooseNum(1, 16)) { (v, planes) =>
+  property("SignLshF kernel is bit-identical to bucketK for any vector/planes/offset") =
+    forAll(Gen.listOf(Gen.chooseNum(-1.0f, 1.0f)), Gen.chooseNum(1, 16),
+      Gen.chooseNum(0, 64)) { (v, planes, offset) =>
       val arr = v.toArray
       graft.plans.SignLshF.compute(
-        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr), planes) ==
-        graft.llm.Similarity.bucketK(arr, planes)
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr), planes, offset) ==
+        graft.llm.Similarity.bucketK(arr, planes, offset)
     }
 
   // arbitrary strings over ASCII + BMP accents + supplementary-plane

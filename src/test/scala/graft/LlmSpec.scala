@@ -190,6 +190,21 @@ class DedupSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("multi-table embeddingNearDup recall is monotone: tables=T superset of tables=1") {
+    val rnd = new scala.util.Random(7)
+    val d = (0L to 60L).map(i => (i, Array.fill(32)((rnd.nextGaussian() / 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    def pairs(tables: Int) =
+      Dedup.embeddingNearDup(d, "vec_id", "embedding", 0.2, 8, tables = tables)
+        .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val one = pairs(1)
+    val three = pairs(3)
+    // table 0 of the multi-table index IS the single-table bucket
+    // (offset 0), so every tables=1 pair must survive, with the same
+    // verified cosine; extra tables may only ADD candidates
+    assert(one.subsetOf(three))
+  }
 }
 
 class SimilaritySpec extends SparkSuite {
