@@ -153,19 +153,40 @@ object Similarity {
   /** LSH-bucketed ANN top-k: exact cosine, but only within the query's
     * bucket — the scale path (bucket count grows 2^planes, so each
     * bucket's cross product stays bounded). Recall is approximate by
-    * construction; increase `planes` ↓ cost / ↓ recall.
+    * construction; increase `planes` ↓ cost / ↓ recall, and
+    * `tables` > 1 restores recall with a multi-table (OR-of-ANDs)
+    * index — candidates share a bucket in ANY table's disjoint
+    * hyperplane family, deduplicated before scoring (same design as
+    * `Dedup.embeddingNearDup`). `tables = 1` is the original plan.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               queryId: String, corpusId: String, vecCol: String,
-              k: Int, planes: Int = 8): DataFrame = {
-    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
-      bucketExpr(planes)(col(vecCol)).as("bucket"))
-    val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
-      bucketExpr(planes)(col(vecCol)).as("bucket"))
-    val scored = q.join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineExpr(col("qv"), col("cv")).as("cosine"))
+              k: Int, planes: Int = 8, tables: Int = 1): DataFrame = {
+    val scored = if (tables <= 1) {
+      val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+        bucketExpr(planes)(col(vecCol)).as("bucket"))
+      val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
+        bucketExpr(planes)(col(vecCol)).as("bucket"))
+      q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineExpr(col("qv"), col("cv")).as("cosine"))
+    } else {
+      def banded(df: DataFrame, idCol: String, outId: String) =
+        df.select(col(idCol).as(outId), posexplode(array(
+            (0 until tables).map(t => bucketExprTable(planes, t)(col(vecCol))): _*)))
+          .toDF(outId, "tbl", "bucket")
+      val cand = banded(queries, queryId, "query_id")
+        .join(banded(corpus, corpusId, "neighbor_id"), Seq("tbl", "bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+        .distinct()
+      cand
+        .join(queries.select(col(queryId).as("query_id"), col(vecCol).as("qv")), "query_id")
+        .join(corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosineExpr(col("qv"), col("cv")).as("cosine"))
+    }
     topKSelect(scored, k)
   }
 

