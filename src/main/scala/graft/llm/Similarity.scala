@@ -12,12 +12,17 @@ import graft.ops.TopKAgg
   *
   * Dot products accumulate left-to-right in double precision — a fixed
   * order, so results are reproducible across partitionings and match a
-  * sequential SQL oracle bit-for-bit. The Column forms (dot/cosine/
-  * lshBucket) are kept for expression composition; the operators
-  * themselves evaluate through JVM kernels ([[cosineK]], [[bucketK]])
-  * that perform the identical arithmetic in tight loops — Spark's array
-  * higher-order functions fall back to interpreted evaluation
-  * (CodegenFallback), measured ~5-10x slower on this hot path.
+  * sequential SQL oracle bit-for-bit. The HOF Column forms (dot/cosine/
+  * lshBucket) are kept for expression composition and as the
+  * SQL-readable spec, and the JVM kernels ([[cosineK]], [[bucketK]])
+  * state the same arithmetic as plain loops; the operators themselves
+  * evaluate through the native codegen'd expressions
+  * ([[graft.plans.DotProductF]] via [[cosineExpr]],
+  * [[graft.plans.SignLshF]] via [[bucketExpr]]) — bit-equal to both
+  * (spec/ScalaCheck-asserted), but inside whole-stage codegen: Spark's
+  * array higher-order functions fall back to interpreted evaluation
+  * (CodegenFallback) and a Scala UDF pays serialization, each measured
+  * ~5-10x slower on this hot path.
   */
 object Similarity {
 
@@ -69,9 +74,6 @@ object Similarity {
     }
     acc
   }
-
-  private[graft] val cosineU =
-    udf((a: Seq[Float], b: Seq[Float]) => cosineK(a, b))
 
   /** Codegen'd cosine through the native `graft_dot` expression
     * ([[graft.plans.DotProductF]], registered by GraftExtensions) —

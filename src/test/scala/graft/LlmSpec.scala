@@ -259,6 +259,20 @@ class SimilaritySpec extends SparkSuite {
     assert(!plan.contains("UDF"), plan.take(2000))
   }
 
+  test("cosineExpr is bit-identical to the cosineK kernel (null for zero vectors)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L to 25L).map(i =>
+      (i, Array.fill(32)((rnd.nextGaussian() / 6).toFloat),
+        if (i == 7) Array.fill(32)(0f)
+        else Array.fill(32)((rnd.nextGaussian() / 6).toFloat)))
+    val d = rows.toDF("id", "x", "y")
+    val viaExpr = d.select($"id", Similarity.cosineExpr($"x", $"y"))
+      .as[(Long, Option[Double])].collect().toMap
+    val viaKernel = rows.map { case (i, x, y) =>
+      i -> Similarity.cosineK(x.toSeq, y.toSeq) }.toMap
+    assert(viaExpr == viaKernel)
+  }
+
   test("bucketExpr is bit-identical to the HOF lshBucket Column form") {
     val rnd = new scala.util.Random(11)
     val d = vecs((0L to 30L).map(i =>
