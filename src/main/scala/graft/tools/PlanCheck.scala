@@ -16,6 +16,7 @@ object PlanCheck {
       "q61_pig_order_using", "q62_pig_distinct_agg", "q63_pig_agg_udf",
       "q64_pii_scrub", "q65_boilerplate", "q66_decontaminate",
       "q67_text_analyze", "q68_unigram_logprob", "q69_curate", "q49_pipeline",
+      "q43_embed_neardup", "q79_embed_multiprobe",
       "q70_pigmix_l1", "q71_pigmix_l6", "q72_pigmix_l7", "q73_pigmix_l8",
       "q74_pigmix_l13", "q75_pigmix_l14", "q76_pigmix_l16")
     interesting.foreach { name =>
