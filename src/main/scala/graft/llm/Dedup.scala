@@ -172,24 +172,6 @@ object Dedup {
     keys
   }
 
-  /** Drop LSH buckets with more than `maxBucket` members. The candidate
-    * pair expansion is quadratic per bucket, so one pathological bucket
-    * (all docs sharing a band key — boilerplate, empty docs) can
-    * dominate the whole job at corpus scale. Capped buckets lose only
-    * pairs whose EVERY shared band is pathological; with exact
-    * duplicates collapsed first, a bucket over the cap means >maxBucket
-    * genuinely distinct near-identical texts — a cluster better handled
-    * at group level.
-    */
-  private def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
-    if (maxBucket <= 0) banded
-    else banded.join(
-      banded.groupBy(keyCols.map(col).toIndexedSeq: _*)
-        .agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") <= maxBucket)
-        .select(keyCols.map(col).toIndexedSeq: _*),
-      keyCols)
-
   /** Same-bucket candidate pairs over `(keyCols…, elem)` rows, with the
     * bucket cap applied in the SAME aggregation that groups the bucket —
     * one shuffle, no join-back, and the quadratic expansion happens
@@ -197,6 +179,14 @@ object Dedup {
     * replaced a bucket-count join + banded-vs-banded self-join that
     * recomputed the banding once per join side (measured 3–8× the whole
     * pipeline's cost at sf0.1).
+    *
+    * Why capping is sound: the pair expansion is quadratic per bucket,
+    * so one pathological bucket (boilerplate, empty docs, a degenerate
+    * embedding) can dominate the whole job; a capped bucket loses only
+    * pairs whose EVERY shared bucket is pathological, and with exact
+    * duplicates collapsed first an over-cap bucket means >maxBucket
+    * genuinely distinct near-identical items — a cluster better
+    * handled at group level.
     */
   private def bucketPairs(banded: DataFrame, keyCols: Seq[String],
                           elem: Column, maxBucket: Int): DataFrame = {
@@ -629,8 +619,12 @@ object Dedup {
       else {
         // diameter exceeds the propagation budget — escalate to the
         // round-logarithmic contraction rather than burning one round
-        // per hop (or aborting, as this method did before round 9)
-        val stars = starContraction(edges, maxIters)
+        // per hop (or aborting, as this method did before round 9).
+        // The contraction gets its OWN budget, not maxIters: rounds
+        // needed ~ log2(diameter) + slack, and 64 covers any graph
+        // whose ids fit in a Long — tying it to maxIters would re-abort
+        // on exactly the multi-million-node chains escalation exists for
+        val stars = starContraction(edges, math.max(maxIters, 64))
         lab.select(col("v"))
           .join(stars.select(col("a").as("v"), col("b").as("ctr")), Seq("v"), "left")
           .select(col("v"), coalesce(col("ctr"), col("v")).as("lbl"))
@@ -716,31 +710,24 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.95, planes: Int = 8,
                        maxBucket: Int = 100000, tables: Int = 1): DataFrame = {
-    if (tables <= 1) {
-      val b = capBuckets(
-        df.select(col(idCol).as("doc"), col(vecCol).as("v"),
-          Similarity.bucketExpr(planes)(col(vecCol)).as("bucket")),
-        Seq("bucket"), maxBucket)
-      b.as("a").join(b.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
-        .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-          Similarity.cosineExpr(col("a.v"), col("b.v")).as("cosine"))
-        .filter(col("cosine") >= threshold)
-    } else {
-      val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
-      val banded = vecs.select(col("doc"), posexplode(array(
-          (0 until tables).map(t =>
-            Similarity.bucketExprTable(planes, t)(col("v"))): _*)))
-        .toDF("doc", "tbl", "bucket")
-      val cand = bucketPairs(banded, Seq("tbl", "bucket"), col("doc"), maxBucket)
-        .filter(col("a") < col("b"))
-        .select(col("a").as("id_a"), col("b").as("id_b"))
-        .distinct()
-      cand.join(vecs.toDF("id_a", "va"), "id_a")
-        .join(vecs.toDF("id_b", "vb"), "id_b")
-        .select(col("id_a"), col("id_b"),
-          Similarity.cosineExpr(col("va"), col("vb")).as("cosine"))
-        .filter(col("cosine") >= threshold)
-    }
+    // one code path for any table count: table 0 is the plain bucket
+    // (offset 0), so tables=1 emits exactly the single-table pair set.
+    // bucketPairs expands candidates map-side from the grouped bucket
+    // (one shuffle of (tbl, bucket, id) triples, cap applied in the
+    // same aggregation) and vectors re-join by id for the exact-cosine
+    // verify — the earlier single-table self-join re-evaluated the
+    // bucket per join side and carried vectors through the candidate
+    // shuffle (the anti-pattern bucketPairs' scaladoc documents).
+    val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
+    val banded = Similarity.bandedBuckets(df, idCol, vecCol, planes, tables)
+    val cand = bucketPairs(banded, Seq("tbl", "bucket"), col("doc"), maxBucket)
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .distinct()
+    cand.join(vecs.toDF("id_a", "va"), "id_a")
+      .join(vecs.toDF("id_b", "vb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineExpr(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 }

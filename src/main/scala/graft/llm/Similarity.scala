@@ -99,6 +99,19 @@ object Similarity {
   private[graft] def bucketExprTable(planes: Int, table: Int)(v: Column): Column =
     call_function("graft_lsh_bucket", v, lit(planes), lit(table * planes))
 
+  /** The multi-table banding projection every LSH consumer shares:
+    * one row per (id, table, bucket), buckets from the codegen'd
+    * expression, one evaluation per (row, table). Table 0 is the
+    * single-table bucket (offset 0), so `tables = 1` reproduces the
+    * plain [[bucketExpr]] banding exactly.
+    */
+  private[graft] def bandedBuckets(df: DataFrame, idCol: String, vecCol: String,
+                                   planes: Int, tables: Int,
+                                   outId: String = "doc"): DataFrame =
+    df.select(col(idCol).as(outId), posexplode(array(
+        (0 until tables).map(t => bucketExprTable(planes, t)(col(vecCol))): _*)))
+      .toDF(outId, "tbl", "bucket")
+
   /** Per-query top-k via the bounded [[graft.ops.TopKAgg]] aggregator:
     * partial/final aggregation keeps k rows per map task — no full sort
     * of the scored pairs through a window exchange. Output matches the
@@ -174,12 +187,9 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"),
           cosineExpr(col("qv"), col("cv")).as("cosine"))
     } else {
-      def banded(df: DataFrame, idCol: String, outId: String) =
-        df.select(col(idCol).as(outId), posexplode(array(
-            (0 until tables).map(t => bucketExprTable(planes, t)(col(vecCol))): _*)))
-          .toDF(outId, "tbl", "bucket")
-      val cand = banded(queries, queryId, "query_id")
-        .join(banded(corpus, corpusId, "neighbor_id"), Seq("tbl", "bucket"))
+      val cand = bandedBuckets(queries, queryId, vecCol, planes, tables, "query_id")
+        .join(bandedBuckets(corpus, corpusId, vecCol, planes, tables, "neighbor_id"),
+          Seq("tbl", "bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"))
         .distinct()

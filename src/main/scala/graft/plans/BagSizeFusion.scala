@@ -48,8 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProductF].getName, "graft_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProductF(children.head, children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"graft_dot expects 2 arguments, got ${children.size}")
+        DotProductF(children.head, children(1))
+      }))
     // Native rolling-hash document fingerprint (see FingerprintF):
     // graft_fingerprint(text) — codegen'd replacement for the
     // interpreted per-character aggregate() fold.
@@ -67,10 +70,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_bucket"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SignLshF].getName, "graft_lsh_bucket"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          s"graft_lsh_bucket expects 2 or 3 arguments (vec, planes[, offset]), got ${children.size}")
         SignLshF(children.head, children(1),
           if (children.size > 2) children(2)
-          else org.apache.spark.sql.catalyst.expressions.Literal(0))))
+          else org.apache.spark.sql.catalyst.expressions.Literal(0))
+      }))
     // Spark's native bloom probe (the one runtime row-level filtering
     // uses): graft_might_contain(serialized_bloom, xxhash64(key)).
     // Codegen'd, no Scala UDF — see graft.ops.BloomJoin.

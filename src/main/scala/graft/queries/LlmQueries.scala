@@ -96,7 +96,9 @@ object LlmQueries {
         StructField("ord_inv", BooleanType), StructField("dupw_inv", BooleanType)))
       val flags = s.createDataFrame(
         src.select(col("text")).rdd.mapPartitions(_.map { r =>
-          val text = r.getString(0)
+          // null-safe: a null text row must degrade to one (vacuously
+          // true) flag row, not NPE the whole property job
+          val text = if (r.isNullAt(0)) "" else r.getString(0)
           val fp = Dedup.simhashK(text)
           val words = text.split(" ", -1)
           Row(fp == Dedup.simhashK(words.reverse.mkString(" ")),
@@ -109,6 +111,11 @@ object LlmQueries {
       val dupFp = Dedup.simhashFingerprints(
         src.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
         "doc_id", "text")
+      // cardinality is part of the property: the dup-equal/colform
+      // checks are min() over inner joins, which would stay vacuously
+      // TRUE if the fingerprint pipeline silently dropped rows — so the
+      // emitted row also asserts fp-row count == document count
+      val fpCount = fp0.agg(count(lit(1)).as("n_fp"))
       val dupEqual = fp0
         .join(dupFp.select((col("doc") - 1000000L).as("doc"), col("fp").as("fp2")), "doc")
         .agg(min(col("fp") === col("fp2")).as("all_dup_copy_equal"))
@@ -117,8 +124,10 @@ object LlmQueries {
         .join(sub.select(col("doc_id").as("doc"),
           Dedup.simhash(col("text")).as("cfp")), "doc")
         .agg(min(col("fp") === col("cfp")).as("colform_subset_equal"))
-      flags.crossJoin(dupEqual).crossJoin(colform)
-        .select(col("n_docs"), col("all_dup_copy_equal"),
+      flags.crossJoin(fpCount).crossJoin(dupEqual).crossJoin(colform)
+        .select(col("n_docs"),
+          (col("n_fp") === col("n_docs")).as("fp_rows_match"),
+          col("all_dup_copy_equal"),
           col("all_order_invariant"), col("all_dupword_invariant"),
           col("colform_subset_equal"))
     }),
@@ -438,7 +447,8 @@ object LlmQueries {
     // order/multiplicity invariance, Column-form ≡ kernel on a subset)
     // as Spark-computed booleans the oracle states as constants.
     "q32_simhash" ->
-      """SELECT COUNT(*) AS n_docs, TRUE AS all_dup_copy_equal,
+      """SELECT COUNT(*) AS n_docs, TRUE AS fp_rows_match,
+         TRUE AS all_dup_copy_equal,
          TRUE AS all_order_invariant, TRUE AS all_dupword_invariant,
          TRUE AS colform_subset_equal FROM documents""",
     "q77_dedup_clusters" ->

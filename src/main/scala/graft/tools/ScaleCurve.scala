@@ -164,7 +164,9 @@ object ScaleCurve {
         }.foldLeft(embBase)(_ union _)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         emb.count()
-        val log2m = Integer.numberOfTrailingZeros(m)
+        // floor(log2(m)) — numberOfTrailingZeros would silently return 0
+        // for any odd user-supplied factor and mislabel the scaled curves
+        val log2m = 31 - Integer.numberOfLeadingZeros(math.max(m, 1))
         val scaledPlanes = 8 + log2m // +2 per 4× step: 8/10/12/14
         report("q79_cand_volume_fixed8", () => candVolume(emb, 8, 3))
         report("q79_cand_volume_scaled2", () => candVolume(emb, scaledPlanes, 3))
@@ -284,9 +286,7 @@ object ScaleCurve {
     * a pair). This is the number the plane-count knob must bound.
     */
   private def candVolume(emb: DataFrame, planes: Int, tables: Int): Long =
-    emb.select(posexplode(array((0 until tables).map(t =>
-        graft.llm.Similarity.bucketExprTable(planes, t)(col("embedding"))): _*)))
-      .toDF("tbl", "bucket")
+    graft.llm.Similarity.bandedBuckets(emb, "vec_id", "embedding", planes, tables)
       .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("vol"))
       .collect()(0).getLong(0)

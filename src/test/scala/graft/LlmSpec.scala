@@ -157,6 +157,16 @@ class DedupSpec extends SparkSuite {
     assert(got.length == 1000 && got.forall(_._2 == 0L) && got.count(_._3) == 1)
   }
 
+  test("star contraction budget is independent of a small maxIters") {
+    // maxIters caps PROPAGATION; the contraction's own budget must not
+    // shrink with it, or the escalation re-aborts on the long chains it
+    // exists for
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.components(chain, maxIters = 6, starAfter = 2)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == 201 && got.forall(_._2 == 0L))
+  }
+
   test("star-contraction labels equal propagation labels on a random graph") {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
