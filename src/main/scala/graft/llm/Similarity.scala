@@ -229,10 +229,10 @@ object Similarity {
     var centroids: Array[Array[Double]] = v.orderBy("id").limit(k)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     for (_ <- 1 to iters) {
-      val bc = v.sparkSession.sparkContext.broadcast(centroids)
-      val assignU = udf((vec: Seq[Float]) => nearestCells(vec, bc.value, 1).head)
-      // per-cell per-dimension means via posexplode + two-level agg
-      val assigned = v.withColumn("cell", assignU(col("v")))
+      // per-cell per-dimension means via posexplode + two-level agg;
+      // assignment through the codegen'd graft_nearest_cells (codebook
+      // embedded as a foldable literal — no UDF, no broadcast handle)
+      val assigned = v.withColumn("cell", nearestCellsExpr(centroids, 1)(col("v"))(0))
       val dims = assigned.select(col("cell"), posexplode(col("v")))
         .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
         .groupBy("cell").agg(
@@ -250,6 +250,18 @@ object Similarity {
     v.unpersist(blocking = false)
     centroids
   }
+
+  /** Codegen'd `n`-nearest-centroid assignment through the native
+    * `graft_nearest_cells` expression ([[graft.plans.NearestCellsF]],
+    * registered by GraftExtensions) — identical distance arithmetic and
+    * (distance, index) tie order to [[nearestCells]], so cell ids are
+    * bit-equal (KernelPropsSpec); the codebook travels as a foldable
+    * `array<array<double>>` literal, so the whole assign/probe stays
+    * inside whole-stage codegen with no UDF serialization and no
+    * broadcast handle to manage. */
+  private[graft] def nearestCellsExpr(cents: Array[Array[Double]], n: Int)(v: Column): Column =
+    call_function("graft_nearest_cells", v,
+      typedLit(cents.map(_.toSeq).toSeq), lit(n))
 
   /** Indices of the `n` nearest centroids by L2 distance. */
   private[graft] def nearestCells(vec: Seq[Float], cents: Array[Array[Double]],
@@ -276,13 +288,10 @@ object Similarity {
                     k: Int, nCells: Int = 16, nprobe: Int = 3,
                     iters: Int = 3): DataFrame = {
     val cents = kmeansCentroids(corpus, corpusId, vecCol, nCells, iters)
-    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
-    val assignU = udf((v: Seq[Float]) => nearestCells(v, bc.value, 1).head)
-    val probeU = udf((v: Seq[Float]) => nearestCells(v, bc.value, nprobe))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
-      assignU(col(vecCol)).as("cell"))
+      nearestCellsExpr(cents, 1)(col(vecCol))(0).as("cell"))
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
-      explode(probeU(col(vecCol))).as("cell"))
+      explode(nearestCellsExpr(cents, nprobe)(col(vecCol))).as("cell"))
     val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -77,6 +77,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (children.size > 2) children(2)
           else org.apache.spark.sql.catalyst.expressions.Literal(0))
       }))
+    // Native IVF cell assignment (see NearestCellsF):
+    // graft_nearest_cells(vec, codebook, n) — codegen'd replacement for
+    // the per-row Scala UDF assign/probe on the q42 k-means ANN path;
+    // the codebook is a foldable array<array<double>> literal.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nearest_cells"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NearestCellsF].getName, "graft_nearest_cells"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          s"graft_nearest_cells expects 3 arguments (vec, codebook, n), got ${children.size}")
+        NearestCellsF(children.head, children(1), children(2))
+      }))
     // Spark's native bloom probe (the one runtime row-level filtering
     // uses): graft_might_contain(serialized_bloom, xxhash64(key)).
     // Codegen'd, no Scala UDF — see graft.ops.BloomJoin.

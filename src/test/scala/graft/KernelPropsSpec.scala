@@ -115,6 +115,31 @@ object KernelPropsSpec extends Properties("kernels") {
         org.apache.spark.unsafe.types.UTF8String.fromString(s)) == spec
     }
 
+  // random (vec, codebook, n) cases for the IVF assignment kernel;
+  // half the time a centroid row is duplicated so the (distance, index)
+  // tie order is actually exercised, not just reachable
+  private val cellCaseGen = for {
+    dim <- Gen.chooseNum(1, 8)
+    nc <- Gen.chooseNum(1, 10)
+    v <- Gen.listOfN(dim, Gen.chooseNum(-1.0f, 1.0f))
+    cb0 <- Gen.listOfN(nc, Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0)))
+    dup <- Gen.oneOf(true, false)
+    cb = if (dup && cb0.size > 1) cb0.updated(cb0.size - 1, cb0.head) else cb0
+    n <- Gen.chooseNum(1, cb.size)
+  } yield (v, cb, n)
+
+  property("NearestCellsF kernel is bit-identical to nearestCells (incl. distance ties)") =
+    forAll(cellCaseGen) { case (v, cb, n) =>
+      val cents = cb.map(_.toArray).toArray
+      val cbData = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        cents.map(a =>
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a): Any))
+      val got = graft.plans.NearestCellsF.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v.toArray),
+        cbData, n)
+      got.toIntArray().toSeq == graft.llm.Similarity.nearestCells(v, cents, n)
+    }
+
   property("prefixLen is positive and never exceeds the set size") =
     forAll(Gen.chooseNum(1, 10000), Gen.chooseNum(0.01, 1.0)) { (n, t) =>
       val p = Dedup.prefixLen(n, t)

@@ -518,6 +518,19 @@ class IvfKmeansSpec extends SparkSuite {
     assert(cents.length == 4 && cents.forall(_.length == 64))
   }
 
+  test("ivf assign/probe is the native graft_nearest_cells expression, not a Scala UDF") {
+    // range-backed input: a LocalRelation would let ConvertToLocalRelation
+    // constant-fold the assignment at optimization time and hide it
+    val d = spark.range(30).select($"id".as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(sin(id * (i + 1)) / 4 as float))")
+        .as("embedding"))
+    val out = graft.llm.Similarity.ivfKmeansTopK(d.filter($"vec_id" < 4), d,
+      "vec_id", "vec_id", "embedding", k = 2, nCells = 4, nprobe = 2, iters = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_nearest_cells"), plan.take(2000))
+    assert(!plan.contains("UDF"), plan.take(2000))
+  }
+
   test("kmeansCentroids trains on a bounded sample, deterministically") {
     val rnd = new scala.util.Random(11)
     val rows = (0L to 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
