@@ -21,6 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * serialization for nCells × dim multiply-adds on the q42 assign/probe
   * hot path, the last per-row UDF in the engine.
   *
+  * Assumes non-null array ELEMENTS, like [[SignLshF]]: a null element
+  * reads as 0.0 (vector) / 0.0d (codebook) instead of null-poisoning —
+  * the bit-equality claim holds on null-free arrays, which is the
+  * embedding tables' contract and what KernelPropsSpec generates.
+  *
   * §4.3 "custom Expression" tier, fourth instance of the
   * [[DotProductF]]/[[FingerprintF]]/[[SignLshF]] pattern. Registered as
   * SQL function `graft_nearest_cells(vec, codebook, n)` by

@@ -19,6 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   * UDF: planes × dim multiply-adds per row previously paid UDF
   * serialization on the embedding scan hot path (q39/q43/q79).
   *
+  * Assumes non-null array ELEMENTS (the embedding tables' contract;
+  * parquet schemas still say containsNull=true, so this is not
+  * enforceable at type-check time without breaking those scans): a
+  * null element reads as 0.0f here, where the HOF Column form would
+  * null-poison the whole bucket — the bit-equality claim above holds
+  * only on null-free arrays, which is what KernelPropsSpec generates.
+  *
   * §4.3 "custom Expression" tier, third instance of the
   * [[DotProductF]]/[[FingerprintF]] pattern. Registered as SQL function
   * `graft_lsh_bucket(vec, planes[, offset])` by [[GraftExtensions]].

@@ -91,22 +91,28 @@ object LlmQueries {
     "q32_simhash" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val src = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // null text is degraded to "" ONCE here, so every downstream path
+      // (flags kernel, simhashFingerprints, dupFp, the Column form) sees
+      // the same non-null text — the end-to-end job is null-safe without
+      // per-path defenses (ADVICE r9)
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       val flagSchema = StructType(Seq(
         StructField("ord_inv", BooleanType), StructField("dupw_inv", BooleanType)))
       val flags = s.createDataFrame(
         src.select(col("text")).rdd.mapPartitions(_.map { r =>
-          // null-safe: a null text row must degrade to one (vacuously
-          // true) flag row, not NPE the whole property job
-          val text = if (r.isNullAt(0)) "" else r.getString(0)
+          val text = r.getString(0)
           val fp = Dedup.simhashK(text)
           val words = text.split(" ", -1)
           Row(fp == Dedup.simhashK(words.reverse.mkString(" ")),
             fp == Dedup.simhashK(text + " " + words(0)))
         }), flagSchema)
+        // coalesce: min over zero rows is NULL, but on an empty corpus
+        // every universal property is vacuously TRUE (the oracle states
+        // constants, so a NULL here would be a spurious mismatch)
         .agg(count(lit(1)).as("n_docs"),
-          min(col("ord_inv")).as("all_order_invariant"),
-          min(col("dupw_inv")).as("all_dupword_invariant"))
+          coalesce(min(col("ord_inv")), lit(true)).as("all_order_invariant"),
+          coalesce(min(col("dupw_inv")), lit(true)).as("all_dupword_invariant"))
       val fp0 = Dedup.simhashFingerprints(src, "doc_id", "text")
       val dupFp = Dedup.simhashFingerprints(
         src.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
@@ -118,12 +124,12 @@ object LlmQueries {
       val fpCount = fp0.agg(count(lit(1)).as("n_fp"))
       val dupEqual = fp0
         .join(dupFp.select((col("doc") - 1000000L).as("doc"), col("fp").as("fp2")), "doc")
-        .agg(min(col("fp") === col("fp2")).as("all_dup_copy_equal"))
+        .agg(coalesce(min(col("fp") === col("fp2")), lit(true)).as("all_dup_copy_equal"))
       val sub = src.filter(pmod(col("doc_id"), lit(25)) === 0)
       val colform = Dedup.simhashFingerprints(sub, "doc_id", "text")
         .join(sub.select(col("doc_id").as("doc"),
           Dedup.simhash(col("text")).as("cfp")), "doc")
-        .agg(min(col("fp") === col("cfp")).as("colform_subset_equal"))
+        .agg(coalesce(min(col("fp") === col("cfp")), lit(true)).as("colform_subset_equal"))
       flags.crossJoin(fpCount).crossJoin(dupEqual).crossJoin(colform)
         .select(col("n_docs"),
           (col("n_fp") === col("n_docs")).as("fp_rows_match"),
