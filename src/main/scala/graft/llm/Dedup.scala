@@ -245,23 +245,17 @@ object Dedup {
                  shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.9, maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val spark = df.sparkSession
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
 
-    val idField = df.schema(idCol)
-    val src = df.select(col(idCol), col(textCol))
-
-    // per-doc hashed shingle set straight from the JVM kernel — the
+    // per-doc hashed shingle set through the codegen'd
+    // `graft_shingle_hashes` ([[graft.plans.ShingleHashesF]], which
+    // delegates to [[shingleHashSet]] — identical hashes) — the
     // document text never leaves its input partition; every shuffle
-    // from here on carries 8-byte hashes ([[shingleHashSet]]: exact
-    // Jaccard modulo 64-bit collisions)
-    val docSchema = StructType(Seq(
-      StructField("doc", idField.dataType), StructField("hs", ArrayType(LongType))))
-    val docsK = spark.createDataFrame(
-      src.rdd.mapPartitions(_.map { r =>
-        Row(r.get(0), shingleHashSet(r.getString(1), shingleK).toSeq)
-      }), docSchema)
+    // from here on carries 8-byte hashes (exact Jaccard modulo 64-bit
+    // collisions). As an Expression rather than an RDD hop, the
+    // shingling fuses into the scan's codegen stage and AQE keeps its
+    // statistics across the whole plan.
+    val docsK = df.select(col(idCol).as("doc"),
+      call_function("graft_shingle_hashes", col(textCol), lit(shingleK)).as("hs"))
 
     // collapse exact-duplicate shingle SETS (a superset of duplicate
     // texts — set-equal texts have Jaccard exactly 1.0, so the emitted
@@ -287,16 +281,13 @@ object Dedup {
     // the verification join
     val shingled = groups.select(col("rep").as("doc"), col("sh"))
 
-    val bandSchema = StructType(Seq(
-      StructField("doc", idField.dataType),
-      StructField("band", IntegerType), StructField("key", LongType)))
-    val banded = spark.createDataFrame(
-      shingled.rdd.mapPartitions(_.flatMap { r =>
-        val doc = r.get(0)
-        val base = r.getSeq[Long](1).toArray
-        val keys = bandKeysFromHashes(base, numHashes, bands)
-        keys.iterator.zipWithIndex.map { case (k, b) => Row(doc, b, k) }
-      }), bandSchema)
+    // band index = position in the codegen'd `graft_band_keys` array
+    // ([[graft.plans.BandKeysF]], delegating to [[bandKeysFromHashes]])
+    val banded = shingled
+      .select(col("doc"),
+        posexplode(call_function("graft_band_keys", col("sh"),
+          lit(numHashes), lit(bands))))
+      .toDF("doc", "band", "key")
 
     // same-bucket candidate pairs: grouped buckets (capped in the same
     // aggregation), pairs expanded map-side — small rows, one shuffle
@@ -452,24 +443,15 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, k: Int = 3, minJaccard: Double = 0.1): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val spark = df.sparkSession
-    val src = df.select(col(blockCol), col(idCol), col(textCol))
-    val docSchema = StructType(Seq(
-      StructField("blk", df.schema(blockCol).dataType),
-      StructField("doc", df.schema(idCol).dataType),
-      StructField("hs", ArrayType(LongType))))
-    // per-doc hashed shingle SET straight from the JVM kernel
-    // ([[shingleHashSet]]) — no shuffle builds it, and every downstream
+    // per-doc hashed shingle SET through the codegen'd
+    // `graft_shingle_hashes` (delegates to [[shingleHashSet]] —
+    // identical hashes) — no shuffle builds it, and every downstream
     // shuffle/join carries 8-byte hashes, never the k-gram strings
     // (Jaccard over hashes ≡ over strings modulo 64-bit collisions, see
     // the kernel scaladoc). Persisted: exploded rows feed document
     // frequency + index probing, the arrays feed verification.
-    val docsK = spark.createDataFrame(
-      src.rdd.mapPartitions(_.map { r =>
-        Row(r.get(0), r.get(1), shingleHashSet(r.getString(2), k).toSeq)
-      }), docSchema)
+    val docsK = df.select(col(blockCol).as("blk"), col(idCol).as("doc"),
+        call_function("graft_shingle_hashes", col(textCol), lit(k)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.dsl.Rel.track(docsK)
     val sh = docsK.select(col("blk"), col("doc"), size(col("hs")).as("n"),
@@ -520,21 +502,14 @@ object Dedup {
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
                     k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val spark = df.sparkSession
-    val docShSchema = StructType(Seq(
-      StructField("doc", df.schema(idCol).dataType), StructField("h", LongType)))
-    val docSh = spark.createDataFrame(
-      df.select(col(idCol), col(textCol)).rdd.mapPartitions(_.flatMap { r =>
-        val doc = r.get(0)
-        shingleHashSet(r.getString(1), k).iterator.map(h => Row(doc, h))
-      }), docShSchema)
-    val benchShSchema = StructType(Seq(StructField("h", LongType)))
-    val benchSh = spark.createDataFrame(
-      bench.select(col(benchTextCol)).rdd.mapPartitions(_.flatMap { r =>
-        shingleHashSet(r.getString(0), k).iterator.map(h => Row(h))
-      }), benchShSchema).distinct()
+    // both sides shingle through the codegen'd `graft_shingle_hashes`
+    // (delegates to [[shingleHashSet]] — identical hashes); the explode
+    // stays in the same codegen stage as the scan
+    val docSh = df.select(col(idCol).as("doc"),
+      explode(call_function("graft_shingle_hashes", col(textCol), lit(k))).as("h"))
+    val benchSh = bench.select(
+        explode(call_function("graft_shingle_hashes", col(benchTextCol), lit(k))).as("h"))
+      .distinct()
     docSh.join(broadcast(benchSh), "h")
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_hits")) // docSh rows are distinct per doc

@@ -90,6 +90,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_nearest_cells expects 3 arguments (vec, codebook, n), got ${children.size}")
         NearestCellsF(children.head, children(1), children(2))
       }))
+    // Native hashed k-word shingle set + minhash band keys (see
+    // ShingleHashesF): graft_shingle_hashes(text, k) and
+    // graft_band_keys(hashes, numHashes, bands) — codegen'd
+    // replacements for the rdd.mapPartitions + createDataFrame hops in
+    // the minhash-LSH / n-gram-Jaccard / decontamination pipelines.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingle_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ShingleHashesF].getName, "graft_shingle_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"graft_shingle_hashes expects 2 arguments (text, k), got ${children.size}")
+        ShingleHashesF(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_band_keys"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BandKeysF].getName, "graft_band_keys"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          s"graft_band_keys expects 3 arguments (hashes, numHashes, bands), got ${children.size}")
+        BandKeysF(children.head, children(1), children(2))
+      }))
     // Spark's native bloom probe (the one runtime row-level filtering
     // uses): graft_might_contain(serialized_bloom, xxhash64(key)).
     // Codegen'd, no Scala UDF — see graft.ops.BloomJoin.

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd hashed k-word shingle set: the sorted distinct
+  * 64-bit hashes of a text's k-grams, exactly
+  * `graft.llm.Dedup.shingleHashSet` (the compute below DELEGATES to
+  * that kernel — one source of truth, so the q31/q33/q66 hashes cannot
+  * drift). Previously the minhash-LSH / n-gram-Jaccard /
+  * decontamination pipelines computed this through
+  * `rdd.mapPartitions` + `createDataFrame` hops, which break the plan
+  * into DataFrame→RDD→DataFrame segments: the seams block whole-stage
+  * codegen fusion with the surrounding operators and hide the scan
+  * from AQE's statistics. As an Expression the shingling fuses into
+  * the same generated function as the projection around it, and the
+  * optimizer sees one uninterrupted plan.
+  *
+  * §4.3 "custom Expression" tier, same pattern as
+  * [[DotProductF]]/[[FingerprintF]]/[[SignLshF]]/[[NearestCellsF]].
+  * Registered as SQL function `graft_shingle_hashes(text, k)` by
+  * [[GraftExtensions]].
+  */
+case class ShingleHashesF(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_hashes expects (string, int), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any, k: Any): Any =
+    ShingleHashesF.compute(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.plans.ShingleHashesF.compute($t, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashesF =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+object ShingleHashesF {
+  /** Generated code calls this; it is a thin adapter around the JVM
+    * kernel (UTF8String → String costs one copy — the same copy the
+    * old RDD path paid in `r.getString`). */
+  def compute(t: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(graft.llm.Dedup.shingleHashSet(t.toString, k))
+}
+
+/** Native codegen'd minhash band keys over a pre-hashed shingle set:
+  * `bands` 64-bit keys, each mixing the band's r = numHashes/bands
+  * minhash minima — exactly `graft.llm.Dedup.bandKeysFromHashes`
+  * (delegated, like [[ShingleHashesF]]). Kills the second RDD hop in
+  * `minhashLsh`: banding now runs in the same codegen stage as the
+  * posexplode that follows it.
+  *
+  * Registered as SQL function
+  * `graft_band_keys(hashes, numHashes, bands)` by [[GraftExtensions]].
+  */
+case class BandKeysF(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_band_keys expects (array<long>, int, int), got " +
+          s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(hs: Any, nh: Any, b: Any): Any =
+    BandKeysF.compute(hs.asInstanceOf[ArrayData],
+      nh.asInstanceOf[Int], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (hs, nh, b) => s"graft.plans.BandKeysF.compute($hs, $nh, $b)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BandKeysF =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "graft_band_keys"
+}
+
+object BandKeysF {
+  def compute(hs: ArrayData, numHashes: Int, bands: Int): ArrayData =
+    new GenericArrayData(
+      graft.llm.Dedup.bandKeysFromHashes(hs.toLongArray(), numHashes, bands))
+}

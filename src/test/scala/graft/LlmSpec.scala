@@ -74,6 +74,31 @@ class DedupSpec extends SparkSuite {
     assert(j12 == 1.0)
   }
 
+  test("shingle pipelines run the native graft_shingle_hashes, with no RDD seam") {
+    // range-backed input: a LocalRelation would let ConvertToLocalRelation
+    // constant-fold the shingling at optimization time and hide it
+    val d = spark.range(30).select($"id".as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(14)),
+        i => concat(lit("w"), pmod($"id" + i, lit(9))))).as("text"))
+    val lshPlan = Dedup.minhashLsh(d, "doc_id", "text", 3, 64, 16, 0.5)
+      .queryExecution.executedPlan.toString
+    val njPlan = Dedup.ngramJaccard(d.withColumn("blk", lit(1)),
+        "doc_id", "text", "blk", 3, 0.3)
+      .queryExecution.executedPlan.toString
+    val contamPlan = Dedup.contamination(d, "doc_id", "text",
+        d.limit(3), "text", k = 4)
+      .queryExecution.executedPlan.toString
+    for ((name, plan) <- Seq("minhashLsh" -> lshPlan, "ngramJaccard" -> njPlan,
+        "contamination" -> contamPlan)) {
+      assert(plan.contains("graft_shingle_hashes"), s"$name\n${plan.take(2000)}")
+      // the old DataFrame->RDD->DataFrame hop surfaced as a Scan
+      // ExistingRDD seam that broke codegen fusion and AQE stats
+      assert(!plan.contains("ExistingRDD"), s"$name\n${plan.take(2000)}")
+      assert(!plan.contains("UDF"), s"$name\n${plan.take(2000)}")
+    }
+    assert(lshPlan.contains("graft_band_keys"), lshPlan.take(2000))
+  }
+
   test("simhashPairs finds identical docs at hamming 0") {
     val txt = (1 to 30).map(i => s"tok$i").mkString(" ")
     val d = docs(1L -> txt, 2L -> txt, 3L -> (1 to 30).map(i => s"q$i").mkString(" "))
