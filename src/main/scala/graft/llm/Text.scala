@@ -165,22 +165,71 @@ object Text {
     *
     * Scale: one hash exchange by source + a per-source sort of
     * (fingerprint, id, n_tokens) records — 24-byte rows, text never
-    * shuffles. A skewed giant source serializes its own sort; at that
-    * point pre-aggregate per (source, fingerprint-bucket) and budget
-    * buckets instead (two-phase, same determinism).
+    * shuffles. A skewed giant source serializes its own sort
+    * (Window.partitionBy puts the whole source in one task); pass
+    * `buckets > 1` to switch to the TWO-PHASE form: bucket the order
+    * key by fingerprint RANGE (bucket = fp div width, monotone in fp,
+    * so (bucket, fp, doc) order ≡ (fp, doc) order), pre-aggregate
+    * per-(source, bucket) token totals, budget whole buckets from the
+    * tiny totals table, then prefix-sum INSIDE each surviving bucket
+    * in parallel with the bucket's exclusive offset added back.
+    * Buckets whose offset already exceeds the budget are dropped
+    * before any sort — the per-source serial sort becomes `buckets`
+    * parallel sorts, and rows past the boundary never sort at all.
+    * Output is IDENTICAL to the single-phase form (same order key,
+    * same cumulative sums — spec-tested), so the knob is purely a
+    * physical choice: flip it when one source dominates the corpus.
+    * It stays a caller knob rather than a row-count trigger because
+    * auto-detection would cost a counting pass over the input at
+    * plan time.
     *
     * @return (doc, src, n_tokens, cum_tokens) for kept docs.
     */
   def sampleByTokenBudget(df: DataFrame, idCol: String, textCol: String,
-                          srcCol: String, budgetTokens: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("fp"), col("doc"))
-    df.select(col(idCol).as("doc"), col(srcCol).as("src"),
-        tokenCountWs(col(textCol)).as("n_tokens"),
-        fingerprint(col(textCol)).as("fp"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") <= budgetTokens)
-      .select(col("doc"), col("src"), col("n_tokens"), col("cum_tokens"))
+                          srcCol: String, budgetTokens: Long,
+                          buckets: Int = 0): DataFrame = {
+    val rec = df.select(col(idCol).as("doc"), col(srcCol).as("src"),
+      tokenCountWs(col(textCol)).as("n_tokens"),
+      fingerprint(col(textCol)).as("fp"))
+    if (buckets <= 1) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("fp"), col("doc"))
+      rec.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budgetTokens)
+        .select(col("doc"), col("src"), col("n_tokens"), col("cum_tokens"))
+    } else {
+      // fp ∈ [0, Mod): integer `div` by the ceil-width keeps bucket ids
+      // in [0, buckets) and monotone in fp
+      val width = (Mod + buckets - 1) / buckets
+      // persisted: the fingerprint scan over the full text is the
+      // expensive part, and both phases read these ~40-byte rows —
+      // without the persist the corpus is fingerprinted twice
+      val b = graft.dsl.Rel.track(
+        rec.withColumn("bkt", expr(s"fp div ${width}L"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // phase 1: per-(source, bucket) token totals — |sources|·buckets
+      // rows — then each bucket's EXCLUSIVE prefix (its offset in the
+      // source's global order). A bucket whose offset exceeds the
+      // budget can contain no kept doc (cum ≥ offset for every doc in
+      // it); the ones at or under it include the boundary bucket and
+      // every fully-kept bucket before it.
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("bkt"))
+      val offsets = b.groupBy(col("src"), col("bkt"))
+        .agg(sum(col("n_tokens")).as("btoks"))
+        .withColumn("boff", sum(col("btoks")).over(wB) - col("btoks"))
+        .filter(col("boff") <= budgetTokens)
+        .select(col("src"), col("bkt"), col("boff"))
+      // phase 2: the surviving-bucket offsets broadcast back onto the
+      // records (dropping dead buckets pre-sort), and the prefix sum
+      // runs per (source, bucket) — parallel across buckets
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"), col("bkt")).orderBy(col("fp"), col("doc"))
+      b.join(broadcast(offsets), Seq("src", "bkt"))
+        .withColumn("cum_tokens", col("boff") + sum(col("n_tokens")).over(wIn))
+        .filter(col("cum_tokens") <= budgetTokens)
+        .select(col("doc"), col("src"), col("n_tokens"), col("cum_tokens"))
+    }
   }
 
   /** Per-document analysis record: one pass producing the standard text

@@ -188,6 +188,43 @@ object ScaleCurve {
       report("q78_token_budget", () =>
         graft.llm.Text.sampleByTokenBudget(docs, "doc_id", "text", "source",
           budgetTokens = 2000L * m).count())
+      // the two-phase fallback's trigger scenario, measured head-to-head:
+      // ONE giant source (every doc remapped to it), so the single-phase
+      // per-source window sort runs as a single serial task while the
+      // two-phase form (identical output, spec-tested) sorts 32 buckets
+      // in parallel and never sorts rows past the budget boundary. The
+      // balanced 5-source q78 above CAN'T show this — with sources ≥
+      // cores the serial sort is already hidden.
+      val skewed = docs.withColumn("source", lit("giant"))
+      report("q78_skew_singlephase", () =>
+        graft.llm.Text.sampleByTokenBudget(skewed, "doc_id", "text", "source",
+          budgetTokens = 10000L * m).count())
+      report("q78_skew_twophase", () =>
+        graft.llm.Text.sampleByTokenBudget(skewed, "doc_id", "text", "source",
+          budgetTokens = 10000L * m, buckets = 32).count())
+      // the structural claim isolated (SCALECURVE.md explains why the
+      // end-to-end pair above can't show it at toy scale): identical
+      // recomputed input, window partitioned by src (one serial task —
+      // the single-phase shape) vs by (src, bucket) (parallel sorts —
+      // the two-phase shape). Plus the scan floor both sit on.
+      def rec78 = skewed.select(col("doc_id").as("doc"), col("source").as("src"),
+        graft.llm.Text.tokenCountWs(col("text")).as("n_tokens"),
+        graft.llm.Text.fingerprint(col("text")).as("fp"))
+      report("q78_scan_only", () =>
+        rec78.agg(sum(col("n_tokens")), max(col("fp"))).head().getLong(0))
+      // both consume the cum column through the same 1-row aggregate, so
+      // the window can't be pruned and neither side materializes output
+      val wSer = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("fp"), col("doc"))
+      report("q78_window_serial", () =>
+        rec78.withColumn("cum", sum(col("n_tokens")).over(wSer))
+          .agg(max(col("cum"))).head().getLong(0))
+      val wBkt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"), col("bkt")).orderBy(col("fp"), col("doc"))
+      report("q78_window_bucketed", () =>
+        rec78.withColumn("bkt", expr(s"fp div ${(2147483647L + 31) / 32}L"))
+          .withColumn("cum", sum(col("n_tokens")).over(wBkt))
+          .agg(max(col("cum"))).head().getLong(0))
 
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()

@@ -430,6 +430,29 @@ class TextSpec extends SparkSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("two-phase sampleByTokenBudget is identical to single-phase on a giant skewed source") {
+    // one giant source (590 docs, incl. zero-token texts past the
+    // boundary) + one tiny source — the skew shape the two-phase form
+    // exists for. Deterministic texts of varying token counts.
+    val rnd = new scala.util.Random(19)
+    val giant = (1L to 590L).map { i =>
+      val n = rnd.nextInt(7) // 0-token docs exercise the cum==budget tail
+      (i, "big", Seq.fill(n)(s"t${rnd.nextInt(50)}").mkString(" "))
+    }
+    val tiny = (1000L to 1004L).map(i => (i, "small", s"x$i y$i"))
+    val df = (giant ++ tiny).toDF("doc_id", "src0", "text")
+    val single = graft.llm.Text
+      .sampleByTokenBudget(df, "doc_id", "text", "src0", 700L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    for (buckets <- Seq(2, 32, 1024)) { // incl. more buckets than docs
+      val two = graft.llm.Text
+        .sampleByTokenBudget(df, "doc_id", "text", "src0", 700L, buckets = buckets)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(two == single, s"buckets=$buckets")
+    }
+    assert(single.nonEmpty && single.exists(_._2 == "small"))
+  }
+
   test("removeBoilerplate drops shared sentences, keeps order, drops empty docs") {
     val df = Seq(
       (1L, "common intro. unique one. tail bit"),
