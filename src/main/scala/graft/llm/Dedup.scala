@@ -632,7 +632,12 @@ object Dedup {
     * edge rows, `localCheckpoint` lineage truncation per round (same
     * tradeoff as [[components]] — see its scaladoc).
     */
-  private[graft] def starContraction(edgesSym: DataFrame, maxIters: Int): DataFrame = {
+  private[graft] def starContraction(edgesSym: DataFrame, maxIters: Int): DataFrame =
+    starContractionImpl(edgesSym, maxIters)._1
+
+  /** [[starContraction]] plus the rounds it ran — the O(log² n)
+    * convergence bound is property-tested against this count. */
+  private[graft] def starContractionImpl(edgesSym: DataFrame, maxIters: Int): (DataFrame, Int) = {
     var cur = edgesSym.filter(col("a") > col("b")).distinct().localCheckpoint(true)
     var curN = cur.count()
     var rounds = 0
@@ -659,7 +664,7 @@ object Dedup {
     require(done,
       s"star contraction did not converge in $maxIters rounds — " +
         "O(log² n) bound exceeded; raise maxIters")
-    cur
+    (cur, rounds)
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, candidates from

@@ -203,6 +203,65 @@ class DedupSpec extends SparkSuite {
     assert(viaStar == viaProp)
   }
 
+  /** Reference labels: driver-side union-find, min id per component. */
+  private def unionFindLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are component minima because unions always point the larger
+    // root at the smaller one
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("starContraction components equal union-find on random graphs (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 30)
+      nEdges <- Gen.chooseNum(1, 2 * n)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield edges.filter { case (a, b) => a != b }.distinct
+    val prop = Prop.forAll(graphGen) { edges =>
+      edges.isEmpty || {
+        val pairs = edges.toDF("id_a", "id_b")
+        // starAfter = 0 forces the contraction path immediately
+        val got = Dedup.components(pairs, maxIters = 60, starAfter = 0)
+          .select("doc", "component").as[(Long, Long)].collect().toMap
+        got == unionFindLabels(edges)
+      }
+    }
+    // each sample runs an iterative Spark job, so fewer-but-bigger
+    // samples than scalacheck's default 100
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("starContraction converges within 2·log²(n) rounds on chains") {
+    for (n <- Seq(64L, 256L, 1024L)) {
+      val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val edges = chain.select(col("id_a").as("a"), col("id_b").as("b"))
+        .union(chain.select(col("id_b").as("a"), col("id_a").as("b")))
+      val (labels, rounds) = Dedup.starContractionImpl(edges, maxIters = 64)
+      val log2n = math.log(n.toDouble) / math.log(2.0)
+      assert(rounds <= 2 * log2n * log2n,
+        s"n=$n: $rounds rounds > 2·log²(n) = ${2 * log2n * log2n}")
+      // and the result is one star centered at 0: the fixpoint edge set
+      // maps every member to the center, which has no self-row (the
+      // caller coalesces it — see componentsImpl's left join)
+      val lab = labels.as[(Long, Long)].collect()
+      assert(lab.length == n - 1 && lab.forall(_._2 == 0L) &&
+        !lab.exists(_._1 == 0L), s"n=$n labels wrong")
+    }
+  }
+
   test("contamination counts shared k-gram shingles against a benchmark set") {
     val corpus = docs(
       1L -> "alpha beta gamma delta epsilon zeta",
