@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-batches.
   *
-  * The actual media decoding is STUBBED (no image/audio libraries in
-  * this environment — see `decodeBatch`): the stub is deterministic so
-  * the pipeline is testable end-to-end. Everything around the stub —
-  * schema, batch iteration shape, partitioning, metadata propagation —
-  * is the real production plumbing: swap `decodeBatch` for a JNI/FFI
-  * decoder and the pipeline is unchanged.
+  * Decoding is a format registry: binary P6 PPM (the zero-dependency
+  * public image format — `man ppm`) is decoded for REAL (header parse
+  * → width/height/maxval, pixel-byte histogram), and unrecognized
+  * formats fall back to byte-level stats with unknown (0×0) dims —
+  * where a production deployment registers its libjpeg/ffmpeg FFI
+  * decoders. Schema, batch iteration shape, partitioning, and metadata
+  * propagation are unchanged by adding a format.
   *
   * Batch shape: `mapPartitions` over row iterators, processing in
   * fixed-size chunks (the JVM analog of Arrow-batch UDFs) so a real
@@ -41,34 +42,108 @@ object Multimodal {
       struct(lit(kind).as("kind"), lit(format).as("format"),
         octet_length(encode(col(textCol), "UTF-8")).cast(LongType).as("n_bytes")).as("meta"))
 
+  /** Pack a text column as a VALID binary-PPM (P6) payload: dimensions
+    * are simple functions of the text length (w = len%16+1,
+    * h = len%8+1) and the pixel plane is the text repeated to exactly
+    * 3·w·h bytes — every derivation is a plain string expression, so a
+    * SQL oracle can reconstruct the payload byte-for-byte and
+    * independently re-derive what [[extractFeatures]] decodes from the
+    * header. Empty/null text packs as a single space (1×1 image) to
+    * keep the payload well-formed.
+    */
+  def packPpm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = when(col(textCol).isNull || length(col(textCol)) === 0, lit(" "))
+      .otherwise(col(textCol))
+    val w = pmod(length(t), lit(16)) + 1
+    val h = pmod(length(t), lit(8)) + 1
+    val npix = w * h * lit(3)
+    val reps = ceil(npix.cast("double") / length(t)).cast("int")
+    val pixels = repeat(t, reps).substr(lit(1), npix)
+    val body = concat(
+      lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"),
+      pixels)
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      encode(body, "UTF-8").as("payload"),
+      struct(lit("image").as("kind"), lit("ppm").as("format"),
+        octet_length(encode(body, "UTF-8")).cast(LongType).as("n_bytes")).as("meta"))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType),
-    StructField("checksum", LongType),
-    StructField("histogram", ArrayType(LongType)), // 16-bin byte histogram
-    StructField("width", IntegerType),             // STUB: derived, not decoded
+    StructField("checksum", LongType),             // over the full payload
+    StructField("histogram", ArrayType(LongType)), // 16-bin byte histogram:
+                                                   //   PIXEL bytes for PPM,
+                                                   //   all bytes otherwise
+    StructField("width", IntegerType),             // decoded; 0 = unknown
     StructField("height", IntegerType)))
 
-  /** STUB decoder: where a real implementation would decode the payload
-    * (libjpeg / ffmpeg behind JNI). The fake is deterministic — byte
-    * histogram + checksum + fake dimensions from the payload length —
-    * so downstream operators and tests exercise real data flow.
+  /** Parse a binary-PPM (P6) header: magic, then whitespace-separated
+    * width, height, maxval — `#` comments allowed between tokens — then
+    * EXACTLY one whitespace byte before the raw RGB pixel data (the
+    * netpbm spec's framing). Returns (width, height, maxval,
+    * pixelStart) or None if the payload is not well-formed P6.
+    */
+  private[graft] def parsePpmHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var i = 2
+    def skipSpaceAndComments(): Unit = {
+      var more = true
+      while (more && i < b.length) {
+        if (Character.isWhitespace(b(i))) i += 1
+        else if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else more = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipSpaceAndComments()
+      val start = i
+      var v = 0L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9' && v <= Int.MaxValue) {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      if (i == start || v > Int.MaxValue) None else Some(v.toInt)
+    }
+    for {
+      w <- readInt()
+      h <- readInt()
+      mx <- readInt()
+      if w > 0 && h > 0 && mx > 0 && mx < 65536 &&
+        i < b.length && Character.isWhitespace(b(i))
+    } yield (w, h, mx, i + 1)
+  }
+
+  /** Batched decoder. P6 PPM payloads are decoded for real: dimensions
+    * come from the parsed header and the histogram covers only the
+    * pixel bytes (clipped to the header-declared 3·w·h, tolerating
+    * truncated payloads). Other formats get byte-level stats with 0×0
+    * dims — the registry slot for FFI decoders.
     */
   private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[Row] =
     batch.map { case (id, bytes) =>
       val b = if (bytes == null) Array.empty[Byte] else bytes
-      val hist = new Array[Long](16)
       var checksum = 0L
       var i = 0
       while (i < b.length) {
-        val u = b(i) & 0xFF
-        hist(u / 16) += 1
-        checksum = (checksum * 31 + u) % 2147483647L
+        checksum = (checksum * 31 + (b(i) & 0xFF)) % 2147483647L
         i += 1
       }
-      // ??? real decode goes here; fake dims keep the schema honest
-      val width = math.max(1, math.sqrt(b.length.toDouble).toInt)
-      val height = if (width == 0) 0 else math.max(1, b.length / math.max(width, 1))
+      val hist = new Array[Long](16)
+      def histogramOf(from: Int, until: Int): Unit = {
+        var j = from
+        while (j < until) { hist((b(j) & 0xFF) / 16) += 1; j += 1 }
+      }
+      val (width, height) = parsePpmHeader(b) match {
+        case Some((w, h, mx, pixelStart)) =>
+          val bytesPerSample = if (mx > 255) 2 else 1 // netpbm 16-bit form
+          histogramOf(pixelStart,
+            math.min(b.length, pixelStart + 3 * w * h * bytesPerSample))
+          (w, h)
+        case None =>
+          histogramOf(0, b.length)
+          (0, 0)
+      }
       Row(id, b.length.toLong, checksum, hist.toSeq, width, height)
     }
 

@@ -273,10 +273,12 @@ object LlmQueries {
         .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")
     }),
 
-    // multimodal: pack → batched feature extraction (decode STUB)
+    // multimodal: pack as valid binary PPM → batched REAL decode (header
+    // parse → dims, pixel-byte histogram); the oracle reconstructs the
+    // payload byte-for-byte in SQL and re-derives every feature
     "q40_multimodal" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      Multimodal.extractFeatures(Multimodal.pack(d, "doc_id", "text"))
+      Multimodal.extractFeatures(Multimodal.packPpm(d, "doc_id", "text"))
         .withColumn("histogram",
           array_join(col("histogram").cast("array<string>"), ","))
         .orderBy(col("media_id"))
@@ -751,15 +753,29 @@ object LlmQueries {
           SELECT query_id, neighbor_id, cosine, rk FROM r WHERE rk <= 5
           ORDER BY query_id, rk""",
     "q40_multimodal" ->
-      """SELECT doc_id AS media_id,
-         LENGTH(text)::BIGINT AS n_bytes,
-         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> ord(c))),
-           (h, c) -> (h * 31 + c) % 2147483647)::BIGINT AS checksum,
-         array_to_string(list_transform(range(0, 16),
-           b -> len(list_filter(string_split(text, ''), c -> ord(c) // 16 = b))::BIGINT), ',') AS histogram,
-         CAST(GREATEST(1, FLOOR(SQRT(LENGTH(text)))) AS INTEGER) AS width,
-         CAST(GREATEST(1, LENGTH(text) // GREATEST(1, CAST(FLOOR(SQRT(LENGTH(text))) AS BIGINT))) AS INTEGER) AS height
-         FROM documents ORDER BY media_id""",
+      """WITH src AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN ' ' ELSE text END AS t
+           FROM documents),
+         d AS (
+           SELECT doc_id, t,
+             LENGTH(t) % 16 + 1 AS w, LENGTH(t) % 8 + 1 AS h
+           FROM src),
+         p AS (
+           SELECT doc_id, w, h,
+             'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) AS hdr,
+             SUBSTRING(REPEAT(t, CAST(CEIL((w * h * 3) * 1.0 / LENGTH(t)) AS BIGINT)),
+               1, w * h * 3) AS pixels
+           FROM d)
+         SELECT doc_id AS media_id,
+           LENGTH(hdr || pixels)::BIGINT AS n_bytes,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(hdr || pixels, ''), c -> ord(c))),
+             (acc, c) -> (acc * 31 + c) % 2147483647)::BIGINT AS checksum,
+           array_to_string(list_transform(range(0, 16),
+             b -> len(list_filter(string_split(pixels, ''), c -> ord(c) // 16 = b))::BIGINT), ',') AS histogram,
+           w::INTEGER AS width, h::INTEGER AS height
+         FROM p ORDER BY media_id""",
     "q41_frame_sample" ->
       """SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
          CAST(LEAST(256, len - frame_idx * 256) AS INTEGER) AS frame_len

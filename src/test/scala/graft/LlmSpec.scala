@@ -605,6 +605,48 @@ class MultimodalSpec extends SparkSuite {
       .select("frame_idx").as[Int].collect().toSeq.sorted
     assert(frames == Seq(0, 2, 4)) // 600 bytes → frames 0..5, every 2nd
   }
+
+  test("parsePpmHeader reads dims/maxval, tolerates comments, rejects malformed") {
+    def bytes(s: String) = s.getBytes("UTF-8")
+    assert(Multimodal.parsePpmHeader(bytes("P6\n2 3\n255\nxxxxxx")) ==
+      Some((2, 3, 255, 11)))
+    // comments between tokens, CRLF-ish whitespace mixing
+    assert(Multimodal.parsePpmHeader(bytes("P6\n# a comment\n4 1 # w h\n255\n" + "p" * 12))
+      .exists { case (w, h, mx, _) => w == 4 && h == 1 && mx == 255 })
+    assert(Multimodal.parsePpmHeader(bytes("P5\n2 2\n255\n")).isEmpty) // not P6
+    assert(Multimodal.parsePpmHeader(bytes("P6\n0 2\n255\n")).isEmpty) // zero dim
+    assert(Multimodal.parsePpmHeader(bytes("P6\n2 2\n")).isEmpty)      // truncated
+    assert(Multimodal.parsePpmHeader("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("extractFeatures really decodes PPM: header dims, pixel-only histogram") {
+    // 2x1 image, pixels = 6 'A' bytes (0x41 → bin 4)
+    val ppm = ("P6\n2 1\n255\n" + "A" * 6).getBytes("UTF-8")
+    val df = Seq((7L, ppm)).toDF("media_id", "payload")
+    val r = Multimodal.extractFeatures(df).collect()(0)
+    assert(r.getAs[Int]("width") == 2 && r.getAs[Int]("height") == 1)
+    val hist = r.getSeq[Long](3)
+    assert(hist(4) == 6L && hist.sum == 6L) // header bytes NOT in histogram
+    assert(r.getAs[Long]("n_bytes") == ppm.length.toLong)
+    // non-PPM payload: byte-level stats, unknown dims
+    val g = Multimodal.extractFeatures(
+      Seq((8L, "hello".getBytes("UTF-8"))).toDF("media_id", "payload")).collect()(0)
+    assert(g.getAs[Int]("width") == 0 && g.getAs[Int]("height") == 0)
+    assert(g.getSeq[Long](3).sum == 5L)
+  }
+
+  test("packPpm emits well-formed P6 whose header matches the length-derived dims") {
+    val d = Seq((1L, "hello world"), (2L, ""), (3L, "x" * 640))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.extractFeatures(Multimodal.packPpm(d, "doc_id", "text"))
+      .orderBy("media_id").collect()
+    def dims(len: Int) = (len % 16 + 1, len % 8 + 1)
+    for ((r, len) <- rows.zip(Seq(11, 1, 640))) { // empty packs as " " (len 1)
+      val (w, h) = dims(len)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getSeq[Long](3).sum == 3L * w * h) // histogram = exactly the pixel plane
+    }
+  }
 }
 
 class IvfKmeansSpec extends SparkSuite {
