@@ -201,6 +201,18 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // multi-table (OR-of-ANDs) ANN top-k: the recall knob
+    // oracle-checked on the TOP-K path too (q79 covers near-dup) —
+    // 3 disjoint hyperplane families at planes = 8, candidates from a
+    // bucket match in ANY table, deduplicated before exact scoring.
+    // Oracle re-derives all three tables' buckets in SQL.
+    "q80_ann_multitable" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+      Similarity.lshTopK(v.filter(col("vec_id") < 10), v,
+          "vec_id", "vec_id", "embedding", k = 5, planes = 8, tables = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // near-dup CLUSTERING: connected components over q31's pair graph
     // (pairs chain: A≈B, B≈C ⇒ one cluster even if (A,C) was never
     // emitted) + min-id keeper — the step a real dedup pipeline runs
@@ -748,6 +760,29 @@ object LlmQueries {
                   (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(c.e, c.e))))
                   * 1000000 + 0.5) / 1000000 AS cosine
                 FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
+          SELECT query_id, neighbor_id, cosine, rk FROM r WHERE rk <= 5
+          ORDER BY query_id, rk""",
+    "q80_ann_multitable" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          b AS (SELECT vec_id, 0 AS tbl, ${bucketSql(8, 0)} AS bucket FROM v
+                UNION ALL
+                SELECT vec_id, 1 AS tbl, ${bucketSql(8, 8)} AS bucket FROM v
+                UNION ALL
+                SELECT vec_id, 2 AS tbl, ${bucketSql(8, 16)} AS bucket FROM v),
+          q AS (SELECT * FROM b WHERE vec_id < 10),
+          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                   FROM q JOIN b c
+                   ON q.tbl = c.tbl AND q.bucket = c.bucket
+                      AND q.vec_id <> c.vec_id),
+          s AS (SELECT query_id, neighbor_id,
+                FLOOR((list_dot_product(vq.e, vc.e) /
+                  (SQRT(list_dot_product(vq.e, vq.e)) * SQRT(list_dot_product(vc.e, vc.e))))
+                  * 1000000 + 0.5) / 1000000 AS cosine
+                FROM cand
+                JOIN v vq ON vq.vec_id = query_id
+                JOIN v vc ON vc.vec_id = neighbor_id),
           r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
           SELECT query_id, neighbor_id, cosine, rk FROM r WHERE rk <= 5
