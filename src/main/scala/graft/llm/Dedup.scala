@@ -253,9 +253,14 @@ object Dedup {
     // from here on carries 8-byte hashes (exact Jaccard modulo 64-bit
     // collisions). As an Expression rather than an RDD hop, the
     // shingling fuses into the scan's codegen stage and AQE keeps its
-    // statistics across the whole plan.
-    val docsK = df.select(col(idCol).as("doc"),
-      call_function("graft_shingle_hashes", col(textCol), lit(shingleK)).as("hs"))
+    // statistics across the whole plan. Null text is dropped up front:
+    // the null-intolerant expression would otherwise yield hs=null for
+    // every such doc, and xxhash64(null)'s constant fingerprint would
+    // collapse all of them into one jaccard-1.0 duplicate class —
+    // unknown text must not be declared a duplicate of anything.
+    val docsK = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        call_function("graft_shingle_hashes", col(textCol), lit(shingleK)).as("hs"))
 
     // collapse exact-duplicate shingle SETS (a superset of duplicate
     // texts — set-equal texts have Jaccard exactly 1.0, so the emitted
@@ -450,7 +455,10 @@ object Dedup {
     // (Jaccard over hashes ≡ over strings modulo 64-bit collisions, see
     // the kernel scaladoc). Persisted: exploded rows feed document
     // frequency + index probing, the arrays feed verification.
-    val docsK = df.select(col(blockCol).as("blk"), col(idCol).as("doc"),
+    // null text dropped up front (same rationale as [[minhashLsh]]):
+    // size(null) = -1 would otherwise flow into the prefix arithmetic
+    val docsK = df.filter(col(textCol).isNotNull)
+      .select(col(blockCol).as("blk"), col(idCol).as("doc"),
         call_function("graft_shingle_hashes", col(textCol), lit(k)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.dsl.Rel.track(docsK)

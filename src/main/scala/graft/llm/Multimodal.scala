@@ -43,30 +43,39 @@ object Multimodal {
         octet_length(encode(col(textCol), "UTF-8")).cast(LongType).as("n_bytes")).as("meta"))
 
   /** Pack a text column as a VALID binary-PPM (P6) payload: dimensions
-    * are simple functions of the text length (w = len%16+1,
-    * h = len%8+1) and the pixel plane is the text repeated to exactly
-    * 3·w·h bytes — every derivation is a plain string expression, so a
-    * SQL oracle can reconstruct the payload byte-for-byte and
-    * independently re-derive what [[extractFeatures]] decodes from the
-    * header. Empty/null text packs as a single space (1×1 image) to
-    * keep the payload well-formed.
+    * are simple functions of the text's UTF-8 BYTE length (w =
+    * bytes%16+1, h = bytes%8+1) and the pixel plane is the text's bytes
+    * repeated and sliced to exactly 3·w·h BYTES (binary substring on
+    * the encoded form) — so the header-declared pixel count equals the
+    * actual payload byte count for ARBITRARY text, not just ASCII, and
+    * [[extractFeatures]]' byte-based decoder always sees a well-formed
+    * image. Every derivation is a plain expression, so a SQL oracle can
+    * reconstruct the payload and re-derive the decoded features; the
+    * q40 oracle does this with CHARACTER functions, which coincide with
+    * these byte derivations exactly on ASCII corpora (true of the test
+    * corpus — stated at the oracle). Empty/null text packs as a single
+    * space (1×1 image) to keep the payload well-formed.
     */
   def packPpm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = when(col(textCol).isNull || length(col(textCol)) === 0, lit(" "))
       .otherwise(col(textCol))
-    val w = pmod(length(t), lit(16)) + 1
-    val h = pmod(length(t), lit(8)) + 1
+    val bl = octet_length(encode(t, "UTF-8"))
+    val w = pmod(bl, lit(16)) + 1
+    val h = pmod(bl, lit(8)) + 1
     val npix = w * h * lit(3)
-    val reps = ceil(npix.cast("double") / length(t)).cast("int")
-    val pixels = repeat(t, reps).substr(lit(1), npix)
-    val body = concat(
-      lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"),
-      pixels)
+    // repeating the STRING r times repeats its UTF-8 bytes r times, so
+    // r = ceil(npix / byteLen) guarantees ≥ npix bytes before the slice
+    val reps = ceil(npix.cast("double") / bl).cast("int")
+    val pixels = encode(repeat(t, reps), "UTF-8").substr(lit(1), npix)
+    val hdr = encode(concat(
+      lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n")),
+      "UTF-8")
+    val body = concat(hdr, pixels)
     df.select(
       col(idCol).cast(LongType).as("media_id"),
-      encode(body, "UTF-8").as("payload"),
+      body.as("payload"),
       struct(lit("image").as("kind"), lit("ppm").as("format"),
-        octet_length(encode(body, "UTF-8")).cast(LongType).as("n_bytes")).as("meta"))
+        octet_length(body).cast(LongType).as("n_bytes")).as("meta"))
   }
 
   val featureSchema: StructType = StructType(Seq(

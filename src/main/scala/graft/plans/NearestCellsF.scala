@@ -92,10 +92,18 @@ object NearestCellsF {
     var s = 0
     while (s < m) {
       var best = -1
-      var bestD = Double.PositiveInfinity
+      var bestD = 0.0
       var c2 = 0
       while (c2 < nc) {
-        if (!used(c2) && dists(c2) < bestD) { bestD = dists(c2); best = c2 }
+        // total order with NaN greatest (java.lang.Double.compare) —
+        // exactly the kernel's sortBy under Scala 2.13's
+        // Ordering.Double.TotalOrdering, so a NaN distance (bad
+        // embedding) ranks last instead of leaving best = -1 and
+        // crashing the generated stage; strict < keeps the lowest index
+        // on ties, matching the kernel's stable sortBy
+        if (!used(c2) && (best < 0 || java.lang.Double.compare(dists(c2), bestD) < 0)) {
+          bestD = dists(c2); best = c2
+        }
         c2 += 1
       }
       used(best) = true

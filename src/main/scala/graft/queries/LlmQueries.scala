@@ -787,6 +787,12 @@ object LlmQueries {
                 ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
           SELECT query_id, neighbor_id, cosine, rk FROM r WHERE rk <= 5
           ORDER BY query_id, rk""",
+    // NOTE: this reconstruction uses CHARACTER functions (LENGTH,
+    // SUBSTRING, ord-per-char) while packPpm/extractFeatures operate on
+    // UTF-8 BYTES; the two derivations coincide exactly because the
+    // test corpus is ASCII (1 char = 1 byte = 1 codepoint). On
+    // non-ASCII text the byte-based packer stays self-consistent (valid
+    // P6) but this char-based SQL would diverge.
     "q40_multimodal" ->
       """WITH src AS (
            SELECT doc_id,

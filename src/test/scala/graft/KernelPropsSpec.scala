@@ -140,6 +140,31 @@ object KernelPropsSpec extends Properties("kernels") {
       got.toIntArray().toSeq == graft.llm.Similarity.nearestCells(v, cents, n)
     }
 
+  // ADVICE r10: a NaN element used to leave best = -1 in the selection
+  // scan (strict < never fires against a NaN) and crash the generated
+  // stage with ArrayIndexOutOfBounds; the expression must instead
+  // mirror the kernel's sortBy total order (NaN greatest, index ties)
+  property("NearestCellsF matches the kernel on NaN/Inf distances (no crash)") = {
+    val cases = Seq(
+      // NaN in the vector → every distance NaN
+      (Seq(Float.NaN, 1.0f), Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(2.0, 2.0)), 3),
+      // NaN in ONE centroid → mixed NaN / finite distances
+      (Seq(0.5f, 0.5f), Seq(Seq(Double.NaN, 0.0), Seq(1.0, 1.0), Seq(0.5, 0.5)), 3),
+      // infinite distances (overflowed diff²) — the old +Inf sentinel
+      // also left best = -1 here
+      (Seq(Float.MaxValue, 0.0f), Seq(Seq(-1.7e308, 0.0), Seq(1.7e308, 0.0)), 2))
+    cases.forall { case (v, cb, n) =>
+      val cents = cb.map(_.toArray).toArray
+      val cbData = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        cents.map(a =>
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a): Any))
+      val got = graft.plans.NearestCellsF.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v.toArray),
+        cbData, n)
+      got.toIntArray().toSeq == graft.llm.Similarity.nearestCells(v, cents, n)
+    }
+  }
+
   property("prefixLen is positive and never exceeds the set size") =
     forAll(Gen.chooseNum(1, 10000), Gen.chooseNum(0.01, 1.0)) { (n, t) =>
       val p = Dedup.prefixLen(n, t)

@@ -107,6 +107,22 @@ class DedupSpec extends SparkSuite {
     assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0))
   }
 
+  // ADVICE r10: null text used to flow into the null-intolerant shingle
+  // expression, giving every null-text doc the same hs=null fingerprint
+  // and declaring them all exact duplicates of each other
+  test("null-text docs never join a duplicate class (minhashLsh / ngramJaccard)") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, null), (4L, null), (5L, null))
+      .toDF("doc_id", "text")
+    val lsh = Dedup.minhashLsh(d, "doc_id", "text", 3, 64, 32, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((1L, 2L))) // nulls pair with nothing, incl. each other
+    val nj = Dedup.ngramJaccard(d.withColumn("blk", lit(1)),
+        "doc_id", "text", "blk", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nj == Set((1L, 2L)))
+  }
+
   test("ngramJaccard computes the exact set jaccard within blocks") {
     // doc1 shingles {a b c, b c d}; doc2 {b c d, c d e} → J = 1/3
     val d = Seq((1L, "a b c d", "blk"), (2L, "b c d e", "blk"),
@@ -646,6 +662,30 @@ class MultimodalSpec extends SparkSuite {
       assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
       assert(r.getSeq[Long](3).sum == 3L * w * h) // histogram = exactly the pixel plane
     }
+  }
+
+  // ADVICE r10: dims were derived from CHARACTER counts but the payload
+  // encodes UTF-8 — on non-ASCII text the header-declared 3wh no longer
+  // matched the pixel byte count. Now byte-derived: the contract holds
+  // for arbitrary text.
+  test("packPpm stays byte-consistent on non-ASCII text") {
+    val txt = "héllo wörld éü世界" // 2- and 3-byte UTF-8 chars
+    val nBytes = txt.getBytes("UTF-8").length
+    assert(nBytes != txt.length) // the case that used to break
+    val d = Seq((1L, txt)).toDF("doc_id", "text")
+    val packed = Multimodal.packPpm(d, "doc_id", "text").collect()(0)
+    val payload = packed.getAs[Array[Byte]]("payload")
+    val (w, h) = (nBytes % 16 + 1, nBytes % 8 + 1)
+    val parsed = Multimodal.parsePpmHeader(payload)
+    assert(parsed.isDefined)
+    val (pw, ph, _, pixelStart) = parsed.get
+    assert((pw, ph) == (w, h))
+    // header-declared pixel plane exactly fills the payload
+    assert(payload.length - pixelStart == 3 * w * h)
+    val feat = Multimodal.extractFeatures(
+      Multimodal.packPpm(d, "doc_id", "text")).collect()(0)
+    assert(feat.getAs[Int]("width") == w && feat.getAs[Int]("height") == h)
+    assert(feat.getSeq[Long](3).sum == 3L * w * h)
   }
 }
 
