@@ -56,25 +56,37 @@ object Multimodal {
     * corpus — stated at the oracle). Empty/null text packs as a single
     * space (1×1 image) to keep the payload well-formed.
     */
-  def packPpm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def packPpm(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    packPnm(df, idCol, textCol, "P6", "ppm", channels = 3)
+
+  /** PGM (P5) twin of [[packPpm]]: single gray channel, plane of
+    * exactly w·h bytes. Second REAL member of the decode registry — a
+    * mixed PPM/PGM/unrecognized corpus exercises both decoders plus
+    * the fallback in one pipeline (q81).
+    */
+  def packPgm(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    packPnm(df, idCol, textCol, "P5", "pgm", channels = 1)
+
+  private def packPnm(df: DataFrame, idCol: String, textCol: String,
+                      magic: String, format: String, channels: Int): DataFrame = {
     val t = when(col(textCol).isNull || length(col(textCol)) === 0, lit(" "))
       .otherwise(col(textCol))
     val bl = octet_length(encode(t, "UTF-8"))
     val w = pmod(bl, lit(16)) + 1
     val h = pmod(bl, lit(8)) + 1
-    val npix = w * h * lit(3)
+    val npix = w * h * lit(channels)
     // repeating the STRING r times repeats its UTF-8 bytes r times, so
     // r = ceil(npix / byteLen) guarantees ≥ npix bytes before the slice
     val reps = ceil(npix.cast("double") / bl).cast("int")
     val pixels = encode(repeat(t, reps), "UTF-8").substr(lit(1), npix)
     val hdr = encode(concat(
-      lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n")),
+      lit(magic + "\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n")),
       "UTF-8")
     val body = concat(hdr, pixels)
     df.select(
       col(idCol).cast(LongType).as("media_id"),
       body.as("payload"),
-      struct(lit("image").as("kind"), lit("ppm").as("format"),
+      struct(lit("image").as("kind"), lit(format).as("format"),
         octet_length(body).cast(LongType).as("n_bytes")).as("meta"))
   }
 
@@ -88,14 +100,22 @@ object Multimodal {
     StructField("width", IntegerType),             // decoded; 0 = unknown
     StructField("height", IntegerType)))
 
-  /** Parse a binary-PPM (P6) header: magic, then whitespace-separated
-    * width, height, maxval — `#` comments allowed between tokens — then
-    * EXACTLY one whitespace byte before the raw RGB pixel data (the
-    * netpbm spec's framing). Returns (width, height, maxval,
-    * pixelStart) or None if the payload is not well-formed P6.
+  /** Parse a binary netpbm header — P5 (PGM, 1 gray channel) or P6
+    * (PPM, 3 RGB channels): magic, then whitespace-separated width,
+    * height, maxval — `#` comments allowed between tokens — then
+    * EXACTLY one whitespace byte before the raw sample data (the
+    * netpbm spec's framing). Returns (channels, width, height, maxval,
+    * pixelStart) or None if the payload is neither well-formed P5 nor
+    * P6. Adding a magic here is the whole cost of a new registry
+    * format: decode, histogram clipping, and metadata flow unchanged.
     */
-  private[graft] def parsePpmHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
-    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+  private[graft] def parsePnmHeader(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (b.length < 2 || b(0) != 'P') return None
+    val channels = b(1) match {
+      case '6' => 3 // PPM: RGB triples
+      case '5' => 1 // PGM: single gray channel
+      case _ => return None
+    }
     var i = 2
     def skipSpaceAndComments(): Unit = {
       var more = true
@@ -120,14 +140,15 @@ object Multimodal {
       mx <- readInt()
       if w > 0 && h > 0 && mx > 0 && mx < 65536 &&
         i < b.length && Character.isWhitespace(b(i))
-    } yield (w, h, mx, i + 1)
+    } yield (channels, w, h, mx, i + 1)
   }
 
-  /** Batched decoder. P6 PPM payloads are decoded for real: dimensions
-    * come from the parsed header and the histogram covers only the
-    * pixel bytes (clipped to the header-declared 3·w·h, tolerating
-    * truncated payloads). Other formats get byte-level stats with 0×0
-    * dims — the registry slot for FFI decoders.
+  /** Batched decoder. P5 PGM and P6 PPM payloads are decoded for real:
+    * dimensions come from the parsed header and the histogram covers
+    * only the sample bytes (clipped to the header-declared
+    * channels·w·h, tolerating truncated payloads). Other formats get
+    * byte-level stats with 0×0 dims — the registry slot for FFI
+    * decoders.
     */
   private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[Row] =
     batch.map { case (id, bytes) =>
@@ -143,11 +164,11 @@ object Multimodal {
         var j = from
         while (j < until) { hist((b(j) & 0xFF) / 16) += 1; j += 1 }
       }
-      val (width, height) = parsePpmHeader(b) match {
-        case Some((w, h, mx, pixelStart)) =>
+      val (width, height) = parsePnmHeader(b) match {
+        case Some((channels, w, h, mx, pixelStart)) =>
           val bytesPerSample = if (mx > 255) 2 else 1 // netpbm 16-bit form
           histogramOf(pixelStart,
-            math.min(b.length, pixelStart + 3 * w * h * bytesPerSample))
+            math.min(b.length, pixelStart + channels * w * h * bytesPerSample))
           (w, h)
         case None =>
           histogramOf(0, b.length)

@@ -201,12 +201,16 @@ object Text {
       // fp ∈ [0, Mod): integer `div` by the ceil-width keeps bucket ids
       // in [0, buckets) and monotone in fp
       val width = (Mod + buckets - 1) / buckets
-      // persisted: the fingerprint scan over the full text is the
-      // expensive part, and both phases read these ~40-byte rows —
-      // without the persist the corpus is fingerprinted twice
-      val b = graft.dsl.Rel.track(
-        rec.withColumn("bkt", expr(s"fp div ${width}L"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // NOT persisted: r10 measured the MEMORY_AND_DISK persist of the
+      // full fingerprint scan as a ~2x pessimization at every factor
+      // (bench/scalecurve_r10_q78.jsonl — materializing the corpus
+      // records cost more than the serial sort it parallelized). The
+      // offsets subplan instead re-derives its tiny aggregate from a
+      // FRESH pass: phase 1's groupBy is map-side combinable down to
+      // |sources|·buckets partial rows, so its only real cost is a
+      // second fingerprint scan — the cheaper trade (measured:
+      // bench/scalecurve_r11_q78.jsonl).
+      val b = rec.withColumn("bkt", expr(s"fp div ${width}L"))
       // phase 1: per-(source, bucket) token totals — |sources|·buckets
       // rows — then each bucket's EXCLUSIVE prefix (its offset in the
       // source's global order). A bucket whose offset exceeds the

@@ -307,6 +307,28 @@ object CoreQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ASSERT rel BY cond, end-to-end on its passing side [Assert.java]
+    // (VERDICT r10 item 7 — last spec-only relational op): the
+    // pre-filter guarantees the invariant, assertBy re-validates it
+    // DISTRIBUTED (isEmpty over the violating subset — no driver
+    // collect), and the pipeline continues into the aggregation the
+    // oracle re-derives. A broken ASSERT either throws (entry errors)
+    // or stops filtering nothing — both caught, since the predicate is
+    // also the oracle's WHERE clause.
+    "q82_assert" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Rel(li)
+        .filterBy(col("l_quantity") > 0 &&
+          col("l_discount") >= 0 && col("l_discount") <= 0.1)
+        .assertBy(col("l_quantity") > 0, "quantity must be positive")
+        .assertBy(col("l_discount") >= 0 && col("l_discount") <= 0.1,
+          "discount within [0, 0.1]")
+        .group(col("l_returnflag"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")).df
+    }),
+
     // SAMPLE — seeded Bernoulli. The RNG can't match any oracle
     // row-for-row, so the emitted shape is the sample's deterministic
     // properties instead (VERDICT r6 item 8): source count, sample size
@@ -387,6 +409,13 @@ object CoreQueries {
     "q26_sample" ->
       """SELECT COUNT(*) AS n_src, TRUE AS sample_in_bounds,
          TRUE AS all_from_source FROM documents""",
+    "q82_assert" ->
+      """SELECT l_returnflag,
+         (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty,
+         COUNT(*) AS n
+         FROM lineitem
+         WHERE l_quantity > 0 AND l_discount >= 0 AND l_discount <= 0.1
+         GROUP BY 1 ORDER BY 1""",
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
          l_extendedprice * (1 - l_discount) AS revenue

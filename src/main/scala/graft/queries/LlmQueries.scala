@@ -296,6 +296,25 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // multimodal registry with TWO real decoders + the fallback in one
+    // pipeline: docs split 3 ways into PPM (P6, 3-channel), PGM (P5,
+    // 1-channel), and raw UTF-8 (unrecognized → byte stats, 0x0 dims).
+    // The oracle re-derives each branch's payload and features in SQL.
+    "q81_multimodal_mixed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ppm = Multimodal.packPpm(
+        d.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text")
+      val pgm = Multimodal.packPgm(
+        d.filter(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text")
+      val raw = Multimodal.pack(
+        d.filter(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text",
+        kind = "text", format = "utf8")
+      Multimodal.extractFeatures(ppm.unionByName(pgm).unionByName(raw))
+        .withColumn("histogram",
+          array_join(col("histogram").cast("array<string>"), ","))
+        .orderBy(col("media_id"))
+    }),
+
     // multimodal: frame sampling over binary payloads
     "q41_frame_sample" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -807,6 +826,38 @@ object LlmQueries {
              'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) AS hdr,
              SUBSTRING(REPEAT(t, CAST(CEIL((w * h * 3) * 1.0 / LENGTH(t)) AS BIGINT)),
                1, w * h * 3) AS pixels
+           FROM d)
+         SELECT doc_id AS media_id,
+           LENGTH(hdr || pixels)::BIGINT AS n_bytes,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(hdr || pixels, ''), c -> ord(c))),
+             (acc, c) -> (acc * 31 + c) % 2147483647)::BIGINT AS checksum,
+           array_to_string(list_transform(range(0, 16),
+             b -> len(list_filter(string_split(pixels, ''), c -> ord(c) // 16 = b))::BIGINT), ',') AS histogram,
+           w::INTEGER AS width, h::INTEGER AS height
+         FROM p ORDER BY media_id""",
+    // same ASCII-corpus scope note as q40; branch = doc_id % 3
+    // (0 = PPM 3-channel, 1 = PGM 1-channel, 2 = raw/unrecognized)
+    "q81_multimodal_mixed" ->
+      """WITH src AS (
+           SELECT doc_id, doc_id % 3 AS br,
+             CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN ' ' ELSE text END AS t,
+             COALESCE(text, '') AS rawt
+           FROM documents),
+         d AS (
+           SELECT doc_id, br, t, rawt,
+             LENGTH(t) % 16 + 1 AS w, LENGTH(t) % 8 + 1 AS h
+           FROM src),
+         p AS (
+           SELECT doc_id, br,
+             CASE WHEN br = 2 THEN 0 ELSE w END AS w,
+             CASE WHEN br = 2 THEN 0 ELSE h END AS h,
+             CASE WHEN br = 0 THEN 'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)
+                  WHEN br = 1 THEN 'P5' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10)
+                  ELSE '' END AS hdr,
+             CASE WHEN br = 0 THEN SUBSTRING(REPEAT(t, CAST(CEIL((w * h * 3) * 1.0 / LENGTH(t)) AS BIGINT)), 1, w * h * 3)
+                  WHEN br = 1 THEN SUBSTRING(REPEAT(t, CAST(CEIL((w * h) * 1.0 / LENGTH(t)) AS BIGINT)), 1, w * h)
+                  ELSE rawt END AS pixels
            FROM d)
          SELECT doc_id AS media_id,
            LENGTH(hdr || pixels)::BIGINT AS n_bytes,

@@ -18,9 +18,21 @@ object PlanCheck {
       "q67_text_analyze", "q68_unigram_logprob", "q69_curate", "q49_pipeline",
       "q43_embed_neardup", "q79_embed_multiprobe",
       "q70_pigmix_l1", "q71_pigmix_l6", "q72_pigmix_l7", "q73_pigmix_l8",
-      "q74_pigmix_l13", "q75_pigmix_l14", "q76_pigmix_l16")
-    interesting.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
+      "q74_pigmix_l13", "q75_pigmix_l14", "q76_pigmix_l16",
+      // VERDICT r10 item 5: the queries whose plans round 10 changed
+      // were exactly the ones missing here
+      "q42_ann_ivf", "q77_dedup_clusters", "q78_token_budget",
+      "q80_ann_multitable")
+    // the two-phase sampler knob is a caller flag, not a queries entry —
+    // probe it directly so BOTH physical forms get a printed plan
+    val extra: Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)] = Seq(
+      "q78_token_budget_twophase" -> (s =>
+        graft.llm.Text.sampleByTokenBudget(
+          graft.Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", budgetTokens = 2000L, buckets = 32)))
+    val plans = interesting.map(n => n -> SparkEntry.queries(n)(spark, dir)) ++
+      extra.map { case (n, f) => n -> f(spark) }
+    plans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       def has(s: String) = if (plan.contains(s)) s else ""
       val markers = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",

@@ -225,6 +225,26 @@ object ScaleCurve {
         rec78.withColumn("bkt", expr(s"fp div ${(2147483647L + 31) / 32}L"))
           .withColumn("cum", sum(col("n_tokens")).over(wBkt))
           .agg(max(col("cum"))).head().getLong(0))
+      // the two-phase knob's actual trigger shape, end-to-end: the SAME
+      // corpus re-cut into ~8-token fragments (think deduplicated chat
+      // turns or code lines), all in ONE source. Rows multiply ~7x while
+      // scan bytes stay flat, so the single-task window sort dominates
+      // the (fully parallel) fingerprint scan — the regime the docs-
+      // shaped skew probe above never reaches locally (54-token docs
+      // keep the scan and the serial sort the same size). Fragment ids
+      // are deterministic (doc_id * 256 + fragment position).
+      val frags = docs.select(col("doc_id"), lit("giant").as("source"),
+          posexplode(expr(
+            "transform(sequence(0, (size(split(text, ' ')) - 1) div 8), " +
+              "i -> concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8)))")))
+        .select((col("doc_id") * 256L + col("pos")).as("doc_id"),
+          col("source"), col("col").as("text"))
+      report("q78_frag_singlephase", () =>
+        graft.llm.Text.sampleByTokenBudget(frags, "doc_id", "text", "source",
+          budgetTokens = 10000L * m).count())
+      report("q78_frag_twophase", () =>
+        graft.llm.Text.sampleByTokenBudget(frags, "doc_id", "text", "source",
+          budgetTokens = 10000L * m, buckets = 32).count())
 
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()

@@ -413,6 +413,21 @@ class SimilaritySpec extends SparkSuite {
     assert(one.map(_._1).subsetOf(three.map(_._1)))
   }
 
+  // VERDICT r10 item 5: q80's whole pipeline (3 hyperplane-table
+  // bucketings + dedup + exact scoring) must stay native expressions —
+  // a Scala UDF anywhere would break whole-stage codegen on the path
+  // that fans out 3x per row
+  test("multi-table lshTopK plan contains no Scala UDF") {
+    val d = spark.range(30).select($"id".as("vec_id"),
+      expr("transform(sequence(0, 31), i -> cast(sin(id * (i + 1)) / 4 as float))")
+        .as("embedding"))
+    val plan = Similarity.lshTopK(d.filter($"vec_id" < 3), d,
+        "vec_id", "vec_id", "embedding", 3, 8, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan.take(3000))
+    assert(plan.contains("graft_lsh_bucket"), plan.take(3000))
+  }
+
   test("ivfTopK probes sibling cells and never returns self") {
     val rnd = new scala.util.Random(3)
     val d = vecs((0L to 20L).map(i =>
@@ -528,6 +543,21 @@ class TextSpec extends SparkSuite {
     assert(single.nonEmpty && single.exists(_._2 == "small"))
   }
 
+  // VERDICT r10 item 5: the two-phase plan's structure, asserted — the
+  // tiny offsets table must come back via a BROADCAST join (a shuffled
+  // join would re-exchange the full record stream just to attach one
+  // offset per bucket), and with the r11 persist removal there must be
+  // no InMemoryTableScan left in either phase
+  test("two-phase sampler plan broadcasts the offsets join, no persist") {
+    val df = (1L to 50L).map(i => (i, "s", s"w$i x$i")).toDF("doc_id", "src0", "text")
+    val plan = graft.llm.Text
+      .sampleByTokenBudget(df, "doc_id", "text", "src0", 40L, buckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      plan.take(3000))
+    assert(!plan.contains("InMemoryTableScan"), plan.take(3000))
+  }
+
   test("removeBoilerplate drops shared sentences, keeps order, drops empty docs") {
     val df = Seq(
       (1L, "common intro. unique one. tail bit"),
@@ -622,17 +652,20 @@ class MultimodalSpec extends SparkSuite {
     assert(frames == Seq(0, 2, 4)) // 600 bytes → frames 0..5, every 2nd
   }
 
-  test("parsePpmHeader reads dims/maxval, tolerates comments, rejects malformed") {
+  test("parsePnmHeader reads dims/maxval, tolerates comments, rejects malformed") {
     def bytes(s: String) = s.getBytes("UTF-8")
-    assert(Multimodal.parsePpmHeader(bytes("P6\n2 3\n255\nxxxxxx")) ==
-      Some((2, 3, 255, 11)))
+    assert(Multimodal.parsePnmHeader(bytes("P6\n2 3\n255\nxxxxxx")) ==
+      Some((3, 2, 3, 255, 11)))
     // comments between tokens, CRLF-ish whitespace mixing
-    assert(Multimodal.parsePpmHeader(bytes("P6\n# a comment\n4 1 # w h\n255\n" + "p" * 12))
-      .exists { case (w, h, mx, _) => w == 4 && h == 1 && mx == 255 })
-    assert(Multimodal.parsePpmHeader(bytes("P5\n2 2\n255\n")).isEmpty) // not P6
-    assert(Multimodal.parsePpmHeader(bytes("P6\n0 2\n255\n")).isEmpty) // zero dim
-    assert(Multimodal.parsePpmHeader(bytes("P6\n2 2\n")).isEmpty)      // truncated
-    assert(Multimodal.parsePpmHeader("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parsePnmHeader(bytes("P6\n# a comment\n4 1 # w h\n255\n" + "p" * 12))
+      .exists { case (ch, w, h, mx, _) => ch == 3 && w == 4 && h == 1 && mx == 255 })
+    // P5 = PGM, single gray channel
+    assert(Multimodal.parsePnmHeader(bytes("P5\n2 2\n255\n" + "g" * 4)) ==
+      Some((1, 2, 2, 255, 11)))
+    assert(Multimodal.parsePnmHeader(bytes("P4\n2 2\n")).isEmpty)      // PBM: not handled
+    assert(Multimodal.parsePnmHeader(bytes("P6\n0 2\n255\n")).isEmpty) // zero dim
+    assert(Multimodal.parsePnmHeader(bytes("P6\n2 2\n")).isEmpty)      // truncated
+    assert(Multimodal.parsePnmHeader("plain text".getBytes("UTF-8")).isEmpty)
   }
 
   test("extractFeatures really decodes PPM: header dims, pixel-only histogram") {
@@ -664,6 +697,24 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("packPgm emits well-formed P5; decoder clips histogram to the single channel") {
+    val d = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val rows = Multimodal.extractFeatures(Multimodal.packPgm(d, "doc_id", "text"))
+      .orderBy("media_id").collect()
+    for ((r, len) <- rows.zip(Seq(11, 1))) {
+      val (w, h) = (len % 16 + 1, len % 8 + 1)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getSeq[Long](3).sum == w.toLong * h) // 1 channel, not 3
+    }
+    // hand-built P5: 3x2 gray, 6 'A' samples (0x41 -> bin 4), trailing
+    // junk beyond the declared plane must NOT enter the histogram
+    val pgm = ("P5\n3 2\n255\n" + "A" * 6 + "zz").getBytes("UTF-8")
+    val g = Multimodal.extractFeatures(
+      Seq((9L, pgm)).toDF("media_id", "payload")).collect()(0)
+    assert(g.getAs[Int]("width") == 3 && g.getAs[Int]("height") == 2)
+    assert(g.getSeq[Long](3)(4) == 6L && g.getSeq[Long](3).sum == 6L)
+  }
+
   // ADVICE r10: dims were derived from CHARACTER counts but the payload
   // encodes UTF-8 — on non-ASCII text the header-declared 3wh no longer
   // matched the pixel byte count. Now byte-derived: the contract holds
@@ -676,9 +727,9 @@ class MultimodalSpec extends SparkSuite {
     val packed = Multimodal.packPpm(d, "doc_id", "text").collect()(0)
     val payload = packed.getAs[Array[Byte]]("payload")
     val (w, h) = (nBytes % 16 + 1, nBytes % 8 + 1)
-    val parsed = Multimodal.parsePpmHeader(payload)
+    val parsed = Multimodal.parsePnmHeader(payload)
     assert(parsed.isDefined)
-    val (pw, ph, _, pixelStart) = parsed.get
+    val (_, pw, ph, _, pixelStart) = parsed.get
     assert((pw, ph) == (w, h))
     // header-declared pixel plane exactly fills the payload
     assert(payload.length - pixelStart == 3 * w * h)
