@@ -178,10 +178,24 @@ object Text {
     * parallel sorts, and rows past the boundary never sort at all.
     * Output is IDENTICAL to the single-phase form (same order key,
     * same cumulative sums — spec-tested), so the knob is purely a
-    * physical choice: flip it when one source dominates the corpus.
-    * It stays a caller knob rather than a row-count trigger because
-    * auto-detection would cost a counting pass over the input at
-    * plan time.
+    * physical choice. It stays a caller knob rather than a row-count
+    * trigger because auto-detection would cost a counting pass over
+    * the input at plan time.
+    *
+    * MEASURED guidance for the knob (local[32] sf0.1,
+    * bench/scalecurve_r11_q78_frag32.jsonl): two-phase pays one extra
+    * fingerprint scan (phase 1 re-aggregates from its own projection —
+    * persisting the scan instead was measured ~2x worse, r10), so it
+    * LOSES ~1.2-1.6x while the dominant source's ROW COUNT is small
+    * relative to scan bytes (~54-token docs, ≤1.3M rows: 3.5 vs
+    * 4.1 s at the largest measured point) and WINS once the
+    * single-task sort dominates the scan — the many-short-docs shape:
+    * the same corpus re-cut into 8-token fragments in ONE source
+    * crosses over at ~2M rows (4.9 vs 6.0 s) and reaches 1.54x at
+    * ~9M rows (13.1 vs 20.2 s), the gap widening with scale since the
+    * serial sort is one task at ANY cluster size while every
+    * two-phase stage parallelizes. Flip it when one source holds
+    * multi-million short records; leave it off otherwise.
     *
     * @return (doc, src, n_tokens, cum_tokens) for kept docs.
     */

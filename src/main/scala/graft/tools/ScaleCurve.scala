@@ -180,6 +180,44 @@ object ScaleCurve {
         emb.unpersist(blocking = false)
       }
 
+      // ---- q80: multi-table LSH TOP-K — the `tables` knob's cost on
+      // the top-k path, measured rather than inferred (VERDICT r10
+      // item 8; q79's schedules cover near-dup only). Same multiplied
+      // embeddings as q79; a fixed 20-query panel probes the corpus.
+      // Per factor:
+      //  * the DEDUPED candidate-set size at tables=1 vs 3 — the rows
+      //    the exact scorer pays for; recall 1-(1-p)^T costs at most
+      //    T× candidates pre-dedup, less after (bucket overlap)
+      //  * the operator end-to-end at tables=1/2/3, planes scaled with
+      //    the corpus like q79 (+1 per 4× step)
+      if (only.forall(_.exists(p => p.startsWith("q80") || "q80".startsWith(p)))) {
+        val emb = (1 until m).map { c =>
+          embBase.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
+              .as("embedding"))
+        }.foldLeft(embBase)(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        emb.count()
+        val queries = emb.filter(col("vec_id") < 20)
+        val log2m = 31 - Integer.numberOfLeadingZeros(math.max(m, 1))
+        val scaledPlanes = 8 + log2m
+        def candTopK(tables: Int): Long =
+          graft.llm.Similarity.bandedBuckets(queries, "vec_id", "embedding",
+              scaledPlanes, tables, "query_id")
+            .join(graft.llm.Similarity.bandedBuckets(emb, "vec_id", "embedding",
+              scaledPlanes, tables, "neighbor_id"), Seq("tbl", "bucket"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .select(col("query_id"), col("neighbor_id")).distinct().count()
+        report("q80_topk_cand_t1", () => candTopK(1))
+        report("q80_topk_cand_t3", () => candTopK(3))
+        for (tb <- Seq(1, 2, 3))
+          report(s"q80_topk_tables$tb", () =>
+            graft.llm.Similarity.lshTopK(queries, emb, "vec_id", "vec_id",
+              "embedding", k = 5, planes = scaledPlanes, tables = tb).count())
+        emb.unpersist(blocking = false)
+      }
+
       // ---- q78: deterministic token-budget sampling ----
       // budget scales with the corpus (x m) so the kept FRACTION is
       // constant — the measured work is the per-source window sort over
