@@ -568,9 +568,15 @@ object Dedup {
   private[graft] def componentsImpl(pairs: DataFrame, idA: String, idB: String,
                                     maxIters: Int, starAfter: Int): (DataFrame, Int, Boolean) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // symmetric closure via a map-side explode, NOT a self-union: the
+    // incoming `pairs` is typically an expensive unpersisted plan (the
+    // whole LSH pipeline for q77), and a union would evaluate it once
+    // per branch — explode emits both orientations from a single scan
     val edges = graft.dsl.Rel.track(
-      pairs.select(col(idA).as("a"), col(idB).as("b"))
-        .union(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      pairs.select(explode(array(
+          struct(col(idA).as("a"), col(idB).as("b")),
+          struct(col(idB).as("a"), col(idA).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
         .distinct()
         .persist(MEMORY_AND_DISK))
     // eager localCheckpoint per round: materializes the labels AND
@@ -587,13 +593,15 @@ object Dedup {
       val prop = edges
         .join(lab.select(col("v").as("b"), col("lbl").as("nl")), "b")
         .groupBy(col("a")).agg(min(col("nl")).as("mn"))
-      val next = lab
+      // convergence flag rides the checkpointed rows — counting it is a
+      // scan of the checkpoint blocks, not another join against `lab`
+      val nextChg = lab
         .join(prop.select(col("a").as("v"), col("mn")), Seq("v"))
-        .select(col("v"), least(col("lbl"), col("mn")).as("lbl"))
+        .select(col("v"), least(col("lbl"), col("mn")).as("lbl"),
+          (col("mn") < col("lbl")).as("chg"))
         .localCheckpoint(true)
-      changed = next.join(lab.select(col("v"), col("lbl").as("old")), "v")
-        .filter(col("lbl") =!= col("old")).count()
-      lab = next
+      changed = nextChg.filter(col("chg")).count()
+      lab = nextChg.select(col("v"), col("lbl"))
       rounds += 1
     }
     val escalated = changed != 0L
