@@ -87,7 +87,18 @@ object Bench {
     // per round (VERDICT r9 item 3). Disable with
     // SPARK_GRAFT_BENCH_WARM=0 to reproduce the old cold-start shape.
     val warm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
-    val results = selected.map { case (name, fn) =>
+    def medianOf(ts: Vector[Double]): Double = ts.sorted.apply(ts.size / 2)
+    // a query whose min iteration is far below its median, or whose
+    // median is far above its last-3 median, did NOT measure a converged
+    // state — the warm-up stalled on a pre-JIT plateau (two warm passes
+    // can agree at 4 s while the compiled steady state is 0.4 s: r11
+    // run1's q53 timed [3.53, 4.01, 1.74, 0.44, 0.42])
+    def unconverged(ts: Vector[Double]): Boolean = {
+      val m = medianOf(ts)
+      val s = medianOf(ts.takeRight(math.min(3, ts.size)))
+      (ts.min > 0 && ts.min < 0.67 * m) || (s > 0 && m > 1.5 * s)
+    }
+    val measured = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -111,10 +122,22 @@ object Bench {
         var extra = 0
         while (prev > 1.3 * cur && extra < 6) { prev = cur; cur = once(); extra += 1 }
       }
-      name -> (1 to iters).map(_ => once()).toVector
+      val first = (1 to iters).map(_ => once()).toVector
+      // bounded post-hoc retry: convergence-checked warm-up still stalls
+      // when a query has TWO plateaus (interpreted vs JIT-compiled) and
+      // both warm passes land on the slow one. By the time the first
+      // timed set finishes the query has run 7+ times, so one fresh set
+      // of timed iterations measures the genuinely warm state. The
+      // original array is preserved in the artifact's `retried` field —
+      // the retry replaces the estimate, never hides the evidence. A
+      // query still unconverged after its retry stays flagged.
+      val retry = if (warm && unconverged(first)) Some((1 to iters).map(_ => once()).toVector)
+                  else None
+      (name, retry.getOrElse(first), retry.map(_ => first))
     }
+    val results = measured.map { case (name, ts, _) => name -> ts }
+    val retriedOrig = measured.collect { case (name, _, Some(orig)) => name -> orig }
     def f(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    def medianOf(ts: Vector[Double]): Double = ts.sorted.apply(ts.size / 2)
     val medians = results.map { case (k, ts) => k -> medianOf(ts) }
     // steady state = median of the LAST 3 iterations — the adjudication
     // statistic BENCH_NOTES' protocol reads by hand (a real regression
@@ -169,6 +192,13 @@ object Bench {
     // metric (ADVICE r3), and record the real heap so "ran with a small
     // JVM" is visible in the artifact rather than guessed from logs
     val onlyMark = only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")
+    // original (pre-retry) iteration arrays for any query that was
+    // re-measured — the evidence trail for the retry policy above
+    val retriedMark =
+      if (retriedOrig.isEmpty) ""
+      else retriedOrig.map { case (k, ts) =>
+        s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
+      }.mkString(""","retried":{""", ",", "}")
     val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
     // the artifact names the config family it may be compared against
     // (BENCH_NOTES protocol: same heap, same cores, same sf) — a
@@ -178,7 +208,7 @@ object Bench {
       else s"NONE (heap ${heapGb}g != pinned ${pin}g - per-query deltas vs pinned-config artifacts are unadjudicable)"
     val metric = if (only.isDefined) "subset_total" else "total"
     val json =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"$adjudication","iterations":$itersJson,"spread_max_over_min":$spread,"sf":"$sfDir","heap_gb":$heapGb,"comparable_to":"$comparableTo"$onlyMark}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"$adjudication","iterations":$itersJson,"spread_max_over_min":$spread,"sf":"$sfDir","heap_gb":$heapGb,"comparable_to":"$comparableTo"$onlyMark$retriedMark}"""
     println(json)
     // belt-and-braces: also a bare file, immune to any log-prefix wrapping
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
