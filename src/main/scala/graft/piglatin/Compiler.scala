@@ -14,7 +14,7 @@ import Ast._
   * `PigServer.registerQuery` [R: src/org/apache/pig/PigServer.java]).
   *
   * Supported subset: LOAD (PigStorage/TextLoader/JsonLoader/OrcStorage/
-  * parquet) AS schema, STORE, FILTER, FOREACH..GENERATE (+FLATTEN, AS),
+  * AvroStorage/parquet) AS schema, STORE, FILTER, FOREACH..GENERATE (+FLATTEN, AS),
   * GROUP/COGROUP [ALL], CUBE rel BY CUBE/ROLLUP(dims), JOIN (inner/
   * outer, USING 'replicated'|'skewed'|'merge'), CROSS, ORDER BY,
   * RANK [BY .. DENSE], LIMIT, DISTINCT, UNION [ONSCHEMA], SPLIT,
@@ -136,6 +136,7 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
           df.write.mode("overwrite").option("sep", sep).csv(target)
         case Some("jsonstorage") => df.write.mode("overwrite").json(target)
         case Some("orcstorage") => graft.sources.Loaders.storeOrc(df, target)
+        case Some("avrostorage") => graft.sources.Loaders.storeAvro(df, target)
         case _ => df.write.mode("overwrite").parquet(target)
       }
     case DumpStmt(alias) => relation(alias).show(100, truncate = false)
@@ -293,6 +294,9 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
         graft.sources.Loaders.jsonLoader(spark, target, st)
       case Some("orcstorage") =>
         val d = graft.sources.Loaders.orcLoader(spark, target)
+        schema.map(fs => d.toDF(fs.map(_.name): _*)).getOrElse(d)
+      case Some("avrostorage") =>
+        val d = graft.sources.Loaders.avroLoader(spark, target)
         schema.map(fs => d.toDF(fs.map(_.name): _*)).getOrElse(d)
       case _ => // parquet is this engine's native format (BinStorage analog)
         val d = graft.sources.Loaders.binStorage(spark, target)

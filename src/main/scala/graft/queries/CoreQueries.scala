@@ -402,10 +402,43 @@ object CoreQueries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // AvroStorage round-trip [AvroStorage.java analog, SURVEY §2.4]:
+    // documents enriched with an array and a nested record, STOREd as
+    // Avro container files (splittable, AvroKeyOutputFormat), LOADed
+    // back through AvroKeyInputFormat, then aggregated. The oracle
+    // re-derives the same aggregates from the parquet source directly —
+    // any type corruption in the string/long/array/record round-trip
+    // breaks the hash (array/struct CONTENT rides min/max, not just
+    // sizes).
+    "q83_avro_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val enriched = d.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"),
+        array(col("lang"), col("source")).as("tags"),
+        struct(col("lang").as("l"), col("n_chars").as("nc")).as("meta"))
+      val tmp = s"/tmp/graft_q83_avro_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Loaders.storeAvro(enriched, tmp)
+      graft.sources.Loaders.avroLoader(s, tmp)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"),
+          min(concat_ws("|", col("tags"))).as("min_tags"),
+          max(col("meta.nc")).as("max_meta_nc"))
+        .orderBy(col("source"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q83_avro_roundtrip" ->
+      """SELECT source, COUNT(*) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len,
+         MIN(lang || '|' || source) AS min_tags,
+         MAX(n_chars) AS max_meta_nc
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "q26_sample" ->
       """SELECT COUNT(*) AS n_src, TRUE AS sample_in_bounds,
          TRUE AS all_from_source FROM documents""",

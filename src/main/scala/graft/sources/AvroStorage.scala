@@ -1,0 +1,257 @@
+package graft.sources
+
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericFixed, GenericRecord}
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+import java.time.LocalDate
+import scala.jdk.CollectionConverters._
+
+/** AvroStorage analog [R: src/org/apache/pig/builtin/AvroStorage.java]:
+  * load/store Avro object-container files without the spark-avro
+  * connector (absent in this offline environment) — built directly on
+  * `avro` + `avro-mapred`, which DO ship with the Spark distribution.
+  *
+  * Scale design: reads go through `AvroKeyInputFormat`
+  * (`newAPIHadoopFile`), so container files SPLIT at their sync markers
+  * — a 100 TB Avro dataset fans out across executors exactly like
+  * parquet does, no whole-file reads. Writes go through
+  * `AvroKeyOutputFormat` (`saveAsNewAPIHadoopFile`), one container file
+  * per partition. The writer schema is read once on the driver from the
+  * first file header (the same discovery spark-avro performs); rows are
+  * converted streaming per partition — records are materialized to Rows
+  * immediately because the Hadoop record reader reuses its datum.
+  *
+  * Type surface (the subset the reference's AvroStorage maps to Pig
+  * types, SURVEY.md §2.4): boolean/int/long/float/double/string/
+  * bytes+fixed/enum(→string), array, map(string keys), nested record,
+  * and `union[null, T]` as nullability. Logical types date and
+  * timestamp-micros round-trip to DateType/TimestampType; other logical
+  * types read as their underlying primitive. Multi-branch unions and
+  * decimal are rejected loudly rather than silently coerced.
+  */
+object AvroStorage {
+
+  // ---------------------------------------------------------------- read
+
+  def avroLoader(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val writer = readWriterSchema(spark, path)
+    val struct = avroToSpark(writer) match {
+      case s: StructType => s
+      case other => throw new IllegalArgumentException(
+        s"top-level Avro schema must be a record, got $other")
+    }
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      path,
+      classOf[AvroKeyInputFormat[GenericRecord]],
+      classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable],
+      conf)
+    // convert inside the iterator, one record at a time: AvroKeyRecordReader
+    // reuses its datum, so holding raw records past the next() call is unsafe
+    val rows = rdd.mapPartitions(_.map { case (k, _) => recordToRow(k.datum(), struct) })
+    spark.createDataFrame(rows, struct)
+  }
+
+  /** Driver-side schema discovery: first `.avro` (or `part-*`) file's
+    * header under `path`. All files of one dataset are expected to share
+    * the writer schema (true of anything [[storeAvro]] wrote).
+    */
+  private def readWriterSchema(spark: SparkSession, path: String): Schema = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p).map(_.getPath)
+        .filter(f => f.getName.endsWith(".avro") || f.getName.startsWith("part-"))
+        .sortBy(_.getName)
+        .headOption
+        .getOrElse(throw new IllegalArgumentException(s"no avro files under $path"))
+    val in = fs.open(file)
+    try {
+      val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      try stream.getSchema finally stream.close()
+    } finally in.close()
+  }
+
+  private[graft] def avroToSpark(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT =>
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.Date]) DateType else IntegerType
+    case Schema.Type.LONG =>
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros]) TimestampType
+      else LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.STRING | Schema.Type.ENUM => StringType
+    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.ARRAY => ArrayType(avroToSpark(s.getElementType), containsNull = true)
+    case Schema.Type.MAP => MapType(StringType, avroToSpark(s.getValueType), valueContainsNull = true)
+    case Schema.Type.RECORD =>
+      StructType(s.getFields.asScala.toSeq.map { f =>
+        StructField(f.name, avroToSpark(f.schema), nullable = isNullable(f.schema))
+      })
+    case Schema.Type.UNION => avroToSpark(nonNullBranch(s))
+    case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
+  }
+
+  private def isNullable(s: Schema): Boolean =
+    s.getType == Schema.Type.UNION && s.getTypes.asScala.exists(_.getType == Schema.Type.NULL)
+
+  /** The single non-null branch of a `union[null, T]`; anything wider is
+    * rejected (the reference's Pig mapping has the same restriction for
+    * types it can't represent).
+    */
+  private def nonNullBranch(s: Schema): Schema = {
+    val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+    if (branches.size != 1) throw new IllegalArgumentException(
+      s"unsupported multi-branch Avro union: $s")
+    branches.head
+  }
+
+  private[sources] def recordToRow(rec: GenericRecord, struct: StructType): Row =
+    Row.fromSeq(struct.fields.indices.map(i => fromAvro(rec.get(i), struct.fields(i).dataType)))
+
+  private def fromAvro(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => v.toString // Utf8, String, EnumSymbol
+      case BinaryType => v match {
+        case b: ByteBuffer =>
+          val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+        case f: GenericFixed => f.bytes().clone()
+        case a: Array[Byte] => a
+      }
+      case TimestampType => // long micros (timestamp-micros logical type)
+        val micros = v.asInstanceOf[Long]
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case DateType =>
+        java.sql.Date.valueOf(LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case ArrayType(el, _) =>
+        v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq.map(fromAvro(_, el))
+      case MapType(_, vt, _) =>
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
+          case (k, mv) => k.toString -> fromAvro(mv, vt)
+        }.toMap
+      case st: StructType => recordToRow(v.asInstanceOf[GenericRecord], st)
+      case _ => v // boolean / int / long / float / double pass through
+    }
+
+  // --------------------------------------------------------------- write
+
+  /** Store with overwrite semantics, matching the other `store*` helpers
+    * in [[Loaders]]. One Avro container file per partition.
+    */
+  def storeAvro(df: DataFrame, path: String, recordName: String = "graft_record"): Unit = {
+    val spark = df.sparkSession
+    val avroSchema = sparkToAvroRecord(df.schema, recordName)
+    val schemaJson = avroSchema.toString
+    val struct = df.schema
+    val pairs = df.rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val nw = NullWritable.get()
+      it.map(row => (new AvroKey[GenericRecord](rowToRecord(row, struct, schema)), nw))
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(path)
+    val fs = target.getFileSystem(hconf)
+    if (fs.exists(target)) fs.delete(target, true)
+    val job = Job.getInstance(hconf)
+    AvroJob.setOutputKeySchema(job, avroSchema)
+    pairs.saveAsNewAPIHadoopFile(path, classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+      job.getConfiguration)
+  }
+
+  private[sources] def sparkToAvroRecord(st: StructType, name: String): Schema = {
+    val fields = st.fields.toSeq.map { f =>
+      val base = sparkToAvro(f.dataType, s"${name}_${f.name}")
+      val sch =
+        if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
+      new Schema.Field(f.name, sch, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(name, null, "graft.avro", false, fields.asJava)
+  }
+
+  private def sparkToAvro(dt: DataType, path: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case DateType => LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case ArrayType(el, containsNull) =>
+      val e = sparkToAvro(el, s"${path}_item")
+      Schema.createArray(
+        if (containsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), e) else e)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = sparkToAvro(vt, s"${path}_value")
+      Schema.createMap(
+        if (valueContainsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), v) else v)
+    case st: StructType => sparkToAvroRecord(st, path)
+    case other => throw new IllegalArgumentException(
+      s"unsupported Spark type for Avro store: $other (at $path)")
+  }
+
+  private[sources] def rowToRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    var i = 0
+    while (i < st.fields.length) {
+      val fieldSchema = unwrapNullable(schema.getFields.get(i).schema)
+      rec.put(i, toAvro(row.get(i), st.fields(i).dataType, fieldSchema))
+      i += 1
+    }
+    rec
+  }
+
+  private def unwrapNullable(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION) nonNullBranch(s) else s
+
+  private def toAvro(v: Any, dt: DataType, schema: Schema): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => v.toString
+      case BinaryType => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case TimestampType => v match {
+        case ts: java.sql.Timestamp =>
+          Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L) +
+            ts.getNanos / 1000L
+        case inst: java.time.Instant =>
+          Math.multiplyExact(inst.getEpochSecond, 1000000L) + inst.getNano / 1000L
+      }
+      case DateType => v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case ld: LocalDate => ld.toEpochDay.toInt
+      }
+      case ArrayType(el, _) =>
+        val elemSchema = unwrapNullable(schema.getElementType)
+        val out = new java.util.ArrayList[Any]()
+        v.asInstanceOf[scala.collection.Seq[Any]].foreach(x => out.add(toAvro(x, el, elemSchema)))
+        out
+      case MapType(_, vt, _) =>
+        val valSchema = unwrapNullable(schema.getValueType)
+        val out = new java.util.HashMap[String, Any]()
+        v.asInstanceOf[scala.collection.Map[Any, Any]].foreach {
+          case (k, mv) => out.put(k.toString, toAvro(mv, vt, valSchema))
+        }
+        out
+      case st: StructType => rowToRecord(v.asInstanceOf[Row], st, schema)
+      case _ => v
+    }
+}

@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.StructType
   * | TextLoader        | text (one chararray column) |
   * | JsonLoader/JsonStorage | json |
   * | BinStorage/InterStorage | parquet (the engine's binary format) |
-  * | AvroStorage/OrcStorage  | spark's avro/orc formats (same API)    |
+  * | OrcStorage        | spark's builtin orc format |
+  * | AvroStorage       | splittable avro-mapred reader/writer ([[AvroStorage]]) |
   */
 object Loaders {
 
@@ -41,16 +42,25 @@ object Loaders {
     spark.read.parquet(path)
 
   /** OrcStorage analog — Spark's builtin ORC source (predicate pushdown
-    * and column pruning come with it, like parquet). AvroStorage is NOT
-    * wired: the spark-avro connector jar is not part of the Spark
-    * distribution in this offline environment (only avro-core), so the
-    * format would fail at runtime; documented-out per SURVEY.md §7.3.
+    * and column pruning come with it, like parquet).
     */
   def orcLoader(spark: SparkSession, path: String,
                 schema: Option[StructType] = None): DataFrame = {
     val r = spark.read
     schema.map(r.schema).getOrElse(r).orc(path)
   }
+
+  /** AvroStorage analog. The spark-avro connector jar is absent in this
+    * offline environment, so this is NOT `spark.read.format("avro")` —
+    * it's a direct splittable reader/writer on `avro` + `avro-mapred`
+    * (which DO ship with the distribution); see
+    * [[graft.sources.AvroStorage]] for the type surface and scale notes.
+    */
+  def avroLoader(spark: SparkSession, path: String): DataFrame =
+    AvroStorage.avroLoader(spark, path)
+
+  def storeAvro(df: DataFrame, path: String): Unit =
+    AvroStorage.storeAvro(df, path)
 
   def storeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)

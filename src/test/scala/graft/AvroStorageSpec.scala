@@ -1,0 +1,105 @@
+package graft
+
+import graft.sources.{AvroStorage, Loaders}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** AvroStorage round-trip coverage (SURVEY §2.4): every supported Spark
+  * type survives store→load bit-exactly, nullability is preserved via
+  * `union[null, T]`, and the Pig-Latin front-end's `USING AvroStorage`
+  * path works end-to-end. The splittable-read claim is structural
+  * (AvroKeyInputFormat); these specs pin the value fidelity.
+  */
+class AvroStorageSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/data"
+
+  test("all supported types round-trip store -> load") {
+    val schema = StructType(Seq(
+      StructField("b", BooleanType, nullable = false),
+      StructField("i", IntegerType, nullable = false),
+      StructField("l", LongType, nullable = false),
+      StructField("f", FloatType, nullable = false),
+      StructField("d", DoubleType, nullable = false),
+      StructField("s", StringType, nullable = false),
+      StructField("bin", BinaryType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("dt", DateType, nullable = false),
+      StructField("arr", ArrayType(LongType), nullable = false),
+      StructField("m", MapType(StringType, DoubleType), nullable = false),
+      StructField("st", StructType(Seq(
+        StructField("x", LongType), StructField("y", StringType))), nullable = false)))
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123456")
+    val rows = Seq(
+      Row(true, 7, 42L, 1.5f, 2.25, "héllo", Array[Byte](1, 2, 3), ts,
+        java.sql.Date.valueOf("2024-03-01"), Seq(1L, 2L, 3L),
+        Map("a" -> 0.5, "b" -> 1.5), Row(9L, "nested")),
+      Row(false, -1, -42L, -1.5f, -2.25, "", Array[Byte](), ts,
+        java.sql.Date.valueOf("1969-12-31"), Seq.empty[Long],
+        Map.empty[String, Double], Row(0L, "")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val path = tmpDir("graft_avro_all")
+    Loaders.storeAvro(df, path)
+    val back = Loaders.avroLoader(spark, path)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val got = back.collect().map(r => r.toSeq.map {
+      case a: Array[Byte] => a.toSeq
+      case v => v
+    }).toSet
+    val want = rows.map(r => r.toSeq.map {
+      case a: Array[Byte] => a.toSeq
+      case v => v
+    }).toSet
+    assert(got == want)
+  }
+
+  test("nulls ride union[null, T] and come back as nulls") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("arr", ArrayType(StringType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, null, null),
+      Row(2L, "x", Seq("a", null, "c")),
+      Row(3L, "", Seq.empty[String]))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val path = tmpDir("graft_avro_nulls")
+    Loaders.storeAvro(df, path)
+    val back = Loaders.avroLoader(spark, path).orderBy("id").collect()
+    assert(back(0).isNullAt(1) && back(0).isNullAt(2))
+    assert(back(1).getSeq[String](2) == Seq("a", null, "c"))
+    assert(back(2).getString(1) == "" && back(2).getSeq[String](2).isEmpty)
+  }
+
+  test("unsupported shapes are rejected loudly") {
+    // decimal store
+    val dec = spark.range(1).select($"id".cast("decimal(10,2)").as("d"))
+    intercept[IllegalArgumentException] {
+      AvroStorage.storeAvro(dec, tmpDir("graft_avro_dec"))
+    }
+    // multi-branch union read
+    val u = org.apache.avro.Schema.createUnion(
+      org.apache.avro.Schema.create(org.apache.avro.Schema.Type.INT),
+      org.apache.avro.Schema.create(org.apache.avro.Schema.Type.STRING))
+    intercept[IllegalArgumentException] { AvroStorage.avroToSpark(u) }
+  }
+
+  test("Avro store + load round-trip through the Pig-Latin front-end") {
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avro_fe").toString
+    new graft.piglatin.PigEngine(spark, Some(dir)).run(s"""
+      r = LOAD 'region.parquet';
+      STORE r INTO '$tmp/region_avro' USING AvroStorage;
+      """)
+    val e2 = new graft.piglatin.PigEngine(spark, Some(dir)).run(s"""
+      r2 = LOAD '$tmp/region_avro' USING AvroStorage;
+      out = FOREACH r2 GENERATE r_regionkey, r_name;
+      """)
+    assert(rowsOf(e2.relation("out")).toSet ==
+      rowsOf(Tables.load(spark, dir, "region").select($"r_regionkey", $"r_name")).toSet)
+  }
+}
