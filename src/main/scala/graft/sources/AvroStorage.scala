@@ -42,20 +42,44 @@ object AvroStorage {
 
   // ---------------------------------------------------------------- read
 
-  def avroLoader(spark: SparkSession, path: String): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  def avroLoader(spark: SparkSession, path: String): DataFrame =
+    avroLoader(spark, path, None)
+
+  /** Load with optional column pruning. When `columns` is given, a
+    * projected READER schema (the requested fields only) is handed to
+    * `AvroKeyInputFormat` via `avro.schema.input.key` — Avro's schema
+    * resolution then binary-skips the dropped fields instead of
+    * decoding them (the column-pruning analog for a row-major format;
+    * a parquet scan prunes harder, but this is what Avro offers and it
+    * matters at scale: a 2-column projection of a wide-text corpus
+    * never materializes the text).
+    */
+  def avroLoader(spark: SparkSession, path: String,
+                 columns: Option[Seq[String]]): DataFrame = {
     val writer = readWriterSchema(spark, path)
-    val struct = avroToSpark(writer) match {
+    val reader = columns match {
+      case None => writer
+      case Some(cols) =>
+        val byName = writer.getFields.asScala.map(f => f.name -> f).toMap
+        val keep = cols.map(c => byName.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"column $c not in Avro writer schema ${writer.getFields.asScala.map(_.name).mkString("[", ",", "]")}")))
+        Schema.createRecord(writer.getName, null, writer.getNamespace, false,
+          keep.map(f => new Schema.Field(f.name, f.schema, null, f.defaultVal())).asJava)
+    }
+    val struct = avroToSpark(reader) match {
       case s: StructType => s
       case other => throw new IllegalArgumentException(
         s"top-level Avro schema must be a record, got $other")
     }
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(job, reader)
     val rdd = spark.sparkContext.newAPIHadoopFile(
       path,
       classOf[AvroKeyInputFormat[GenericRecord]],
       classOf[AvroKey[GenericRecord]],
       classOf[NullWritable],
-      conf)
+      job.getConfiguration)
     // convert inside the iterator, one record at a time: AvroKeyRecordReader
     // reuses its datum, so holding raw records past the next() call is unsafe
     val rows = rdd.mapPartitions(_.map { case (k, _) => recordToRow(k.datum(), struct) })

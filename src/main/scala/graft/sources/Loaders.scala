@@ -59,6 +59,12 @@ object Loaders {
   def avroLoader(spark: SparkSession, path: String): DataFrame =
     AvroStorage.avroLoader(spark, path)
 
+  /** Column-pruned Avro load: only `columns` are decoded (projected
+    * reader schema; dropped fields are binary-skipped). */
+  def avroLoader(spark: SparkSession, path: String,
+                 columns: Seq[String]): DataFrame =
+    AvroStorage.avroLoader(spark, path, Some(columns))
+
   def storeAvro(df: DataFrame, path: String): Unit =
     AvroStorage.storeAvro(df, path)
 

@@ -75,6 +75,22 @@ class AvroStorageSpec extends SparkSuite {
     assert(back(2).getString(1) == "" && back(2).getSeq[String](2).isEmpty)
   }
 
+  test("column-pruned load decodes only the projected fields") {
+    val df = Seq((1L, "wide text payload one", 10.5), (2L, "wide text payload two", 20.5))
+      .toDF("id", "text", "score")
+    val path = tmpDir("graft_avro_prune")
+    Loaders.storeAvro(df, path)
+    val pruned = Loaders.avroLoader(spark, path, Seq("score", "id"))
+    // projected order and fields, values intact
+    assert(pruned.schema.fieldNames.toSeq == Seq("score", "id"))
+    assert(pruned.orderBy("id").collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq ==
+      Seq((10.5, 1L), (20.5, 2L)))
+    // unknown column is a loud error, not a silent null column
+    intercept[IllegalArgumentException] {
+      Loaders.avroLoader(spark, path, Seq("nope")).collect()
+    }
+  }
+
   test("unsupported shapes are rejected loudly") {
     // decimal store
     val dec = spark.range(1).select($"id".cast("decimal(10,2)").as("d"))
