@@ -659,12 +659,18 @@ object Dedup {
     var rounds = 0
     var done = false
     while (!done && rounds < maxIters) {
+      // sym's two consumers (m1, ls) re-scan only checkpoint blocks, so
+      // the union here is NOT the q77 double-evaluation shape
       val sym = cur.union(cur.select(col("b").as("a"), col("a").as("b")))
       val m1 = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
         .select(col("a"), least(col("a"), col("mn")).as("m"))
+      // ls IS that shape: an unpersisted join+distinct consumed by m2
+      // AND by the ss join (and m2 again by ss's union branch) — without
+      // the persist the large-star subplan runs up to 3x per round
       val ls = sym.join(m1, "a").filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val m2 = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
       val ss = ls.join(m2, "a").filter(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
@@ -672,6 +678,7 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       val ssN = ss.count()
+      ls.unpersist(blocking = false)
       done = ssN == curN && ss.except(cur).isEmpty
       cur = ss
       curN = ssN
