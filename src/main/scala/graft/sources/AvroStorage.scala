@@ -142,8 +142,20 @@ object AvroStorage {
     branches.head
   }
 
-  private[sources] def recordToRow(rec: GenericRecord, struct: StructType): Row =
-    Row.fromSeq(struct.fields.indices.map(i => fromAvro(rec.get(i), struct.fields(i).dataType)))
+  private[sources] def recordToRow(rec: GenericRecord, struct: StructType): Row = {
+    // hot path: one Row per input record — fill a pre-sized array with a
+    // while loop rather than mapping an immutable Seq (the decode is
+    // row-at-a-time by nature; the least we can do is not double its
+    // allocation rate)
+    val fields = struct.fields
+    val vals = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      vals(i) = fromAvro(rec.get(i), fields(i).dataType)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vals, struct)
+  }
 
   private def fromAvro(v: Any, dt: DataType): Any =
     if (v == null) null

@@ -284,6 +284,29 @@ object ScaleCurve {
         graft.llm.Text.sampleByTokenBudget(frags, "doc_id", "text", "source",
           budgetTokens = 10000L * m, buckets = 32).count())
 
+      // ---- avro: the round-11 AvroStorage source/sink vs parquet ----
+      // four measurements per factor, same multiplied corpus: write and
+      // full-read+agg for both formats (is the splittable avro path's
+      // throughput LINEAR like parquet's, and what constant factor does
+      // row-major decode cost?) plus the pruned avro read (does the
+      // projected reader schema actually avoid decoding the text?).
+      if (only.forall(_.exists("avro".startsWith))) {
+        val avroTmp = s"/tmp/graft_scale_avro_m$m"
+        val parqTmp = s"/tmp/graft_scale_parq_m$m"
+        report("avro_write", () => {
+          graft.sources.Loaders.storeAvro(docs, avroTmp); nDocs })
+        report("avro_read_agg", () =>
+          graft.sources.Loaders.avroLoader(spark, avroTmp)
+            .agg(sum(length(col("text")))).head().getLong(0))
+        report("avro_read_pruned2col", () =>
+          graft.sources.Loaders.avroLoader(spark, avroTmp, Seq("doc_id", "source"))
+            .groupBy(col("source")).agg(count(lit(1))).count())
+        report("parquet_write", () => {
+          docs.write.mode("overwrite").parquet(parqTmp); nDocs })
+        report("parquet_read_agg", () =>
+          spark.read.parquet(parqTmp).agg(sum(length(col("text")))).head().getLong(0))
+      }
+
       docs.unpersist(blocking = false)
       spark.catalog.clearCache()
     }
