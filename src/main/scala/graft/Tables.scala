@@ -59,17 +59,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table from an sf directory. `events.ts` (parquet
-    * timestamp[ns], no Spark equivalent) is normalized to a
-    * session-UTC TimestampType truncated to microseconds — the same
-    * truncation DuckDB applies, so oracle comparisons line up.
+  /** Load one table from an sf directory. `events.ts` is normalized to
+    * a session-UTC TimestampType truncated to microseconds — the same
+    * truncation DuckDB applies, so oracle comparisons line up — for
+    * either physical encoding the generator has shipped: parquet
+    * timestamp[ns] (no Spark equivalent; read raw via `nanosAsLong`
+    * and divided down) or timestamp[us] (read as TIMESTAMP_NTZ under
+    * Spark's tz-naive inference; cast is identity in a UTC session).
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
       case "events" =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ =>
+            df.withColumn("ts", col("ts").cast("timestamp"))
+        }
       case _ => df
     }
   }

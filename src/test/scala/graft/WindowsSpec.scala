@@ -141,15 +141,22 @@ class StreamingParitySpec extends SparkSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
+    // declare the file's own ts encoding (timestamp[us] → NTZ under
+    // tz-naive inference), then normalize exactly as Tables.load does
+    val tsType = spark.read.parquet(dir.toString).schema("ts").dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", tsType),
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    val stream = tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val agg = Windows.streamingTumbling(stream, "ts", "1 hour", "10 minutes",
       Seq(col("event_type")), Seq(count(lit(1)).as("n")))
     val q = agg.writeStream.format("memory").queryName("parity_out")
