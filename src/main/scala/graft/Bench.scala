@@ -209,8 +209,26 @@ object Bench {
     val metric = if (only.isDefined) "subset_total" else "total"
     val json =
       s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"$adjudication","iterations":$itersJson,"spread_max_over_min":$spread,"sf":"$sfDir","heap_gb":$heapGb,"comparable_to":"$comparableTo"$onlyMark$retriedMark}"""
-    println(json)
-    // belt-and-braces: also a bare file, immune to any log-prefix wrapping
+    // The launcher that captures this main's stdout keeps only the LAST
+    // ~2000 characters; BENCH_r10/r11 show the full line (per-query
+    // iteration arrays push it past 10 KB) arriving head-truncated and
+    // therefore unparseable ("parsed": null). So stdout gets a COMPACT
+    // line guaranteed to fit that window — qNN-prefixed keys, 2-decimal
+    // values, a boolean-style adjudication — while the full-evidence
+    // JSON (full names, medians+steady+iterations+spread+retried) goes
+    // to bench_out.json, which BENCH_NOTES' protocol reads anyway.
+    def short(k: String) = k.takeWhile(_ != '_')
+    def f2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val qsShort = medians.map { case (k, v) => s"\"${short(k)}\":${f2(v)}" }
+      .mkString("{", ",", "}")
+    val adjShort =
+      if (inflated.isEmpty && warmupSuspect.isEmpty) "converged"
+      else "flagged:" + (inflated ++ warmupSuspect).distinct.map(short).mkString(",")
+    val compact =
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort","sf":"$sfDir","heap_gb":$heapGb,"comparable_to":"$comparableTo","detail":"bench_out.json"$onlyMark}"""
+    println(compact)
+    // the full-evidence artifact, immune to any log-prefix wrapping or
+    // tail truncation
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()

@@ -356,6 +356,62 @@ object Text {
     perRow.join(topWord, idCol)
   }
 
+  /** Gopher repetition signals (Rae et al. 2021 appendix A1.1 — public
+    * paper): the duplicate-n-gram filters that catch boilerplate-heavy
+    * and loop-generated documents, complementing [[qualityRules]]'s
+    * single-word `frac_top_word`:
+    *
+    *  - `frac_chars_top_2gram`  max over word-2-grams of
+    *    occurrences × gram-chars, over total chars — "how much of the
+    *    document is its single most repetition-heavy 2-gram". (Gopher
+    *    takes the char share of the MOST FREQUENT n-gram; maximising
+    *    count×chars directly is tie-break-free and therefore exactly
+    *    re-derivable by a SQL oracle — documented deviation.)
+    *  - `frac_chars_dup_5gram` / `frac_chars_dup_10gram`  sum over
+    *    n-grams occurring ≥2 times of occurrences × gram-chars, over
+    *    total chars — the duplicated-n-gram char fraction.
+    *
+    * Documents with fewer than n words have no n-grams → fraction 0.
+    *
+    * Scale shape: ONE explode emits (n, gram) rows for all three n in a
+    * single pass (three passes would triple the shuffle); the
+    * (doc, n, gram) count partial-aggregates map-side, and the per-doc
+    * rollup is a second combiner-friendly aggregation. Gram TEXT rides
+    * one shuffle — bounded at ~3 rows per word; at 100 TB this is the
+    * same explode→count shape as wordcount, the canonical map-side-
+    * combine workload. All column math, whole-stage codegen.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    def grams(n: Int): Column =
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => struct(lit(n).as("n"), array_join(slice(w, i + 1, n), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    val exploded = df.select(
+        col(idCol), length(col(textCol)).cast("double").as("n_chars"),
+        explode_outer(concat(grams(2), grams(5), grams(10))).as("g"))
+      .select(col(idCol), col("n_chars"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val perGram = exploded
+      .groupBy(col(idCol), col("n_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .select(col(idCol), col("n_chars"), col("n"), col("c"),
+        (col("c") * length(col("gram"))).as("prod"))
+    perGram
+      .groupBy(col(idCol), col("n_chars"))
+      .agg(
+        max(when(col("n") === 2, col("prod"))).as("top2"),
+        sum(when(col("n") === 5 && col("c") >= 2, col("prod"))).as("dup5"),
+        sum(when(col("n") === 10 && col("c") >= 2, col("prod"))).as("dup10"))
+      .select(col(idCol),
+        roundCompat(coalesce(col("top2"), lit(0L)).cast("double") / col("n_chars"), 4)
+          .as("frac_chars_top_2gram"),
+        roundCompat(coalesce(col("dup5"), lit(0L)).cast("double") / col("n_chars"), 4)
+          .as("frac_chars_dup_5gram"),
+        roundCompat(coalesce(col("dup10"), lit(0L)).cast("double") / col("n_chars"), 4)
+          .as("frac_chars_dup_10gram"))
+  }
+
   /** TF-IDF over the corpus: classic two-aggregation pipeline (term
     * frequencies per doc, document frequencies per term, log-idf join).
     * Returns (doc, term, tf, df, tfidf).
