@@ -217,13 +217,26 @@ object Bench {
     // values, a boolean-style adjudication — while the full-evidence
     // JSON (full names, medians+steady+iterations+spread+retried) goes
     // to bench_out.json, which BENCH_NOTES' protocol reads anyway.
-    def short(k: String) = k.takeWhile(_ != '_')
+    // qNN prefixes must stay unique keys in the compact JSON: on a
+    // collision (two queries sharing a prefix) fall back to full names
+    // for the colliding entries rather than silently emitting duplicate
+    // keys (ADVICE r12)
+    val prefixCount = medians.groupBy { case (k, _) => k.takeWhile(_ != '_') }
+      .map { case (p, g) => p -> g.size }
+    def short(k: String) = {
+      val p = k.takeWhile(_ != '_')
+      if (prefixCount.getOrElse(p, 1) > 1) k else p
+    }
     def f2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val qsShort = medians.map { case (k, v) => s"\"${short(k)}\":${f2(v)}" }
       .mkString("{", ",", "}")
+    // cap the flagged list so a pathological all-flagged run can't push
+    // the compact line past the launcher's ~2000-char stdout window
+    val flaggedAll = (inflated ++ warmupSuspect).distinct.map(short)
     val adjShort =
-      if (inflated.isEmpty && warmupSuspect.isEmpty) "converged"
-      else "flagged:" + (inflated ++ warmupSuspect).distinct.map(short).mkString(",")
+      if (flaggedAll.isEmpty) "converged"
+      else if (flaggedAll.size > 20) s"flagged:${flaggedAll.size} queries (see bench_out.json)"
+      else "flagged:" + flaggedAll.mkString(",")
     val compact =
       s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort","sf":"$sfDir","heap_gb":$heapGb,"comparable_to":"$comparableTo","detail":"bench_out.json"$onlyMark}"""
     println(compact)

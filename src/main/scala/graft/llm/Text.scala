@@ -368,10 +368,14 @@ object Text {
     *    count×chars directly is tie-break-free and therefore exactly
     *    re-derivable by a SQL oracle — documented deviation.)
     *  - `frac_chars_dup_5gram` / `frac_chars_dup_10gram`  sum over
-    *    n-grams occurring ≥2 times of occurrences × gram-chars, over
-    *    total chars — the duplicated-n-gram char fraction.
+    *    n-grams occurring ≥2 times of (occurrences − 1) × gram-chars,
+    *    over total chars — the duplicated-n-gram char fraction. The
+    *    first occurrence is excluded (it is not a duplicate, matching
+    *    Gopher A1.1); overlapping grams can still double-count a
+    *    character, so all three fractions are clamped to 1.0.
     *
-    * Documents with fewer than n words have no n-grams → fraction 0.
+    * Documents with fewer than n words have no n-grams → fraction 0,
+    * including the empty document (0 chars → 0, not null).
     *
     * Scale shape: ONE explode emits (n, gram) rows for all three n in a
     * single pass (three passes would triple the shuffle); the
@@ -381,12 +385,20 @@ object Text {
     * same explode→count shape as wordcount, the canonical map-side-
     * combine workload. All column math, whole-stage codegen.
     */
+  /** Char-fraction for repetition signals: null-safe numerator, clamped
+    * to [0, 1], and 0.0 (not null) for the zero-char document.
+    */
+  private def fracOfChars(num: Column, nChars: Column): Column =
+    when(nChars > 0,
+      roundCompat(least(coalesce(num, lit(0L)).cast("double") / nChars, lit(1.0)), 4))
+      .otherwise(0.0)
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = words(col(textCol))
     def grams(n: Int): Column =
       when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n),
-          i => struct(lit(n).as("n"), array_join(slice(w, i + 1, n), " ").as("gram"))))
+          i => struct(lit(n).as("n"), array_join(slice(w, i + 1, lit(n)), " ").as("gram"))))
         .otherwise(array().cast("array<struct<n:int,gram:string>>"))
     val exploded = df.select(
         col(idCol), length(col(textCol)).cast("double").as("n_chars"),
@@ -396,20 +408,18 @@ object Text {
       .groupBy(col(idCol), col("n_chars"), col("n"), col("gram"))
       .agg(count(lit(1)).as("c"))
       .select(col(idCol), col("n_chars"), col("n"), col("c"),
-        (col("c") * length(col("gram"))).as("prod"))
+        (col("c") * length(col("gram"))).as("prod"),
+        ((col("c") - 1) * length(col("gram"))).as("dup_prod"))
     perGram
       .groupBy(col(idCol), col("n_chars"))
       .agg(
         max(when(col("n") === 2, col("prod"))).as("top2"),
-        sum(when(col("n") === 5 && col("c") >= 2, col("prod"))).as("dup5"),
-        sum(when(col("n") === 10 && col("c") >= 2, col("prod"))).as("dup10"))
+        sum(when(col("n") === 5 && col("c") >= 2, col("dup_prod"))).as("dup5"),
+        sum(when(col("n") === 10 && col("c") >= 2, col("dup_prod"))).as("dup10"))
       .select(col(idCol),
-        roundCompat(coalesce(col("top2"), lit(0L)).cast("double") / col("n_chars"), 4)
-          .as("frac_chars_top_2gram"),
-        roundCompat(coalesce(col("dup5"), lit(0L)).cast("double") / col("n_chars"), 4)
-          .as("frac_chars_dup_5gram"),
-        roundCompat(coalesce(col("dup10"), lit(0L)).cast("double") / col("n_chars"), 4)
-          .as("frac_chars_dup_10gram"))
+        fracOfChars(col("top2"), col("n_chars")).as("frac_chars_top_2gram"),
+        fracOfChars(col("dup5"), col("n_chars")).as("frac_chars_dup_5gram"),
+        fracOfChars(col("dup10"), col("n_chars")).as("frac_chars_dup_10gram"))
   }
 
   /** TF-IDF over the corpus: classic two-aggregation pipeline (term

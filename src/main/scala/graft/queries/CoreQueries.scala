@@ -428,6 +428,34 @@ object CoreQueries {
           min(concat_ws("|", col("tags"))).as("min_tags"),
           max(col("meta.nc")).as("max_meta_nc"))
         .orderBy(col("source"))
+    }),
+
+    // OrcStorage round-trip [OrcStorage.java analog, SURVEY §2.4]:
+    // documents enriched with an array, a nested record and a map,
+    // STOREd as ORC, LOADed back through the builtin ORC reader with a
+    // filter (predicate pushdown reaches the ORC scan, like parquet),
+    // then aggregated. The oracle re-derives the aggregates from the
+    // parquet source — corruption anywhere in the
+    // string/long/array/struct/map round-trip breaks the hash.
+    "q85_orc_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val enriched = d.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"),
+        array(col("lang"), col("source")).as("tags"),
+        struct(col("lang").as("l"), col("n_chars").as("nc")).as("meta"),
+        map(lit("lang"), col("lang")).as("props"))
+      val tmp = s"/tmp/graft_q85_orc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Loaders.storeOrc(enriched, tmp)
+      graft.sources.Loaders.orcLoader(s, tmp)
+        .filter(pmod(col("n_chars"), lit(2)) === 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"),
+          min(concat_ws("|", col("tags"))).as("min_tags"),
+          max(col("meta.nc")).as("max_meta_nc"),
+          min(element_at(col("props"), "lang")).as("min_prop_lang"))
+        .orderBy(col("source"))
     })
   )
 
@@ -439,6 +467,15 @@ object CoreQueries {
          MIN(lang || '|' || source) AS min_tags,
          MAX(n_chars) AS max_meta_nc
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q85_orc_roundtrip" ->
+      """SELECT source, COUNT(*) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len,
+         MIN(lang || '|' || source) AS min_tags,
+         MAX(n_chars) AS max_meta_nc,
+         MIN(lang) AS min_prop_lang
+         FROM documents WHERE n_chars % 2 = 0
+         GROUP BY 1 ORDER BY 1""",
     "q26_sample" ->
       """SELECT COUNT(*) AS n_src, TRUE AS sample_in_bounds,
          TRUE AS all_from_source FROM documents""",

@@ -396,6 +396,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher duplicate-n-gram repetition signals: top-2gram char share,
+    // dup-5gram / dup-10gram duplicated-char fractions (first occurrence
+    // excluded, clamped to 1.0) — one explode for all three n
+    "q84_repetition" -> ((s, dir) => {
+      Text.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // the composed curation capstone: boilerplate removal → PII scrub →
     // quality filter → exact dedup → per-source stats, one call
     "q69_curate" -> ((s, dir) => {
@@ -673,6 +681,38 @@ object LlmQueries {
            rep.frac_top_word
          FROM documents d JOIN rep USING (doc_id)
          ORDER BY d.doc_id""",
+    "q84_repetition" ->
+      """WITH base AS (SELECT doc_id, len(text) AS n_chars,
+                         string_split(text, ' ') AS w
+                       FROM documents),
+         g AS (SELECT doc_id, n,
+                 UNNEST(list_transform(range(1, len(w) - n + 2),
+                        i -> array_to_string(w[i:i+n-1], ' '))) AS gram
+               FROM base, (VALUES (2), (5), (10)) AS ns(n)
+               WHERE len(w) >= n),
+         cnt AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+         roll AS (SELECT doc_id,
+                    MAX(CASE WHEN n = 2 THEN c * len(gram) END) AS top2,
+                    SUM(CASE WHEN n = 5 AND c >= 2
+                             THEN (c - 1) * len(gram) END) AS dup5,
+                    SUM(CASE WHEN n = 10 AND c >= 2
+                             THEN (c - 1) * len(gram) END) AS dup10
+                  FROM cnt GROUP BY 1)
+         SELECT b.doc_id,
+           CASE WHEN b.n_chars > 0
+                THEN FLOOR(LEAST(COALESCE(top2, 0)::DOUBLE / b.n_chars, 1.0)
+                           * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS frac_chars_top_2gram,
+           CASE WHEN b.n_chars > 0
+                THEN FLOOR(LEAST(COALESCE(dup5, 0)::DOUBLE / b.n_chars, 1.0)
+                           * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS frac_chars_dup_5gram,
+           CASE WHEN b.n_chars > 0
+                THEN FLOOR(LEAST(COALESCE(dup10, 0)::DOUBLE / b.n_chars, 1.0)
+                           * 10000 + 0.5) / 10000
+                ELSE 0.0 END AS frac_chars_dup_10gram
+         FROM base b LEFT JOIN roll USING (doc_id)
+         ORDER BY b.doc_id""",
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper_id""",

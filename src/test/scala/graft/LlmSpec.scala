@@ -463,6 +463,31 @@ class TextSpec extends SparkSuite {
     assert(ql >= 0.0 && qh <= 1.0 && qh > ql)
   }
 
+  test("repetitionSignals: hand-computed fractions, short-doc and empty-doc edges") {
+    // doc 1: words [a,b,a,b,c], 9 chars. 2-grams: "a b"×2 (len 3) → top2
+    //   = 2*3 = 6 → 6/9 = 0.6667; the single 5-gram is unique → dup5 0;
+    //   <10 words → dup10 0.
+    // doc 2: "v w x y z" ×3 = 15 words, 29 chars. top 2-gram "v w"×3,
+    //   len 3 → 9/29 = 0.3103. dup5: "v w x y z"×3 + four grams ×2, all
+    //   len 9 → (3-1)*9 + 4*(2-1)*9 = 54 → 54/29 clamps to 1.0. dup10:
+    //   positions 1 and 6 coincide → (2-1)*19 = 19 → 19/29 = 0.6552.
+    // doc 3: single word → no 2-grams → all 0.0 (not null).
+    // doc 4: empty text → n_chars 0 → all 0.0 (not null).
+    val df = Seq(
+      (1L, "a b a b c"),
+      (2L, "v w x y z v w x y z v w x y z"),
+      (3L, "hello"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Text.repetitionSignals(df, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0.6667, 0.0, 0.0),
+      (2L, 0.3103, 1.0, 0.6552),
+      (3L, 0.0, 0.0, 0.0),
+      (4L, 0.0, 0.0, 0.0)))
+  }
+
   test("fingerprint equals the driver-side polynomial hash") {
     val s = "abc xyz"
     def poly(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)

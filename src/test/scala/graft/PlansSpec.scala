@@ -49,6 +49,70 @@ class PlansSpec extends SparkSuite {
   }
 }
 
+/** DelayFlattenPastJoin optimizer rule (graft.plans): a Generate under
+  * a join whose condition ignores the generated columns must hoist
+  * above the join — the PushDownForEachFlatten analog.
+  */
+class DelayFlattenSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val fact = Seq(
+    (1, Seq("x", "y", "z")), (2, Seq("p")), (2, Seq.empty[String]), (3, Seq("q", "r")))
+    .toDF("k", "arr")
+  private lazy val dim = Seq((1, "one"), (2, "two"), (2, "dos"), (4, "four"))
+    .toDF("k", "name")
+
+  /** The Generate node must sit ABOVE the Join in the optimized plan. */
+  private def generateAboveJoin(q: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan}
+    def containsJoin(p: LogicalPlan): Boolean =
+      p.collectFirst { case j: Join => j }.isDefined
+    val gens = q.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    gens.nonEmpty && gens.forall(g => containsJoin(g.child))
+  }
+
+  test("explode below an inner join hoists past it, same result") {
+    val q = fact.select($"k", explode($"arr").as("w")).join(dim, "k")
+    assert(generateAboveJoin(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.select($"k", $"w", $"name").as[(Int, String, String)].collect().sorted
+    val want = fact.join(dim, "k")
+      .select($"k", explode($"arr").as("w"), $"name")
+      .select($"k", $"w", $"name").as[(Int, String, String)].collect().sorted
+    assert(got.sameElements(want) && got.length == 5) // k=1: 3, k=2: 1 arr × 2 dims... = 2
+  }
+
+  test("left-outer join with left-side explode hoists, preserves unmatched") {
+    val q = fact.select($"k", explode($"arr").as("w"))
+      .join(dim, Seq("k"), "left_outer")
+    assert(generateAboveJoin(q), q.queryExecution.optimizedPlan.toString)
+    // k=3 has no dim match: its 2 exploded rows survive with null name
+    val rows = q.as[(Int, String, Option[String])].collect()
+    assert(rows.count(_._1 == 3) == 2 && rows.filter(_._1 == 3).forall(_._3.isEmpty))
+  }
+
+  test("join condition on the exploded column blocks the rewrite") {
+    val words = Seq((10, "x"), (11, "q")).toDF("wid", "w")
+    val q = fact.select($"k", explode($"arr").as("w")).join(words, "w")
+    assert(!generateAboveJoin(q), q.queryExecution.optimizedPlan.toString)
+    assert(q.count() == 2) // "x" from k=1, "q" from k=3
+  }
+
+  test("right-outer with left-side explode is NOT rewritten (null-pad side)") {
+    val q = fact.select($"k", explode($"arr").as("w"))
+      .join(dim, Seq("k"), "right_outer")
+    assert(!generateAboveJoin(q), q.queryExecution.optimizedPlan.toString)
+    // k=4 dim row survives with null w
+    assert(q.filter($"name" === "four").count() == 1)
+  }
+
+  test("explode_outer hoists too and keeps empty-array rows") {
+    val q = fact.select($"k", explode_outer($"arr").as("w")).join(dim, "k")
+    assert(generateAboveJoin(q), q.queryExecution.optimizedPlan.toString)
+    // k=2 empty-arr row: explode_outer keeps it (null w) × 2 dim rows
+    assert(q.filter($"w".isNull).count() == 2)
+  }
+}
+
 /** Native graft_dot expression: codegen'd, bit-identical to the kernel. */
 class DotProductFSpec extends SparkSuite {
   import spark.implicits._
