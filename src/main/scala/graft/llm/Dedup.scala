@@ -44,13 +44,18 @@ object Dedup {
   /** k-word shingle set of a whitespace-tokenized text column; documents
     * shorter than k words contribute their whole text as one shingle.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val words = split(text, " ")
-    val grams = transform(
-      sequence(lit(0), greatest(size(words) - k, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(k))))
-    array_distinct(when(size(words) >= k, grams).otherwise(array(text)))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    // let-binding via a single-element transform: `ws` is the lambda
+    // variable, i.e. the words array MATERIALIZED ONCE — inlining
+    // `split` into the inner lambda would re-tokenize the text per
+    // element (O(words²) per row; the q84 lesson, see
+    // Text.repetitionSignals)
+    flatten(transform(array(split(text, " ")), ws => {
+      val grams = transform(
+        sequence(lit(0), greatest(size(ws) - k, lit(0))),
+        i => concat_ws(" ", slice(ws, i + 1, lit(k))))
+      array_distinct(when(size(ws) >= k, grams).otherwise(array(text)))
+    }))
 
   /** MinHash signature: numHashes independent hash functions, each the
     * min over the shingle set of xxhash64(seed_i, shingle). Computed as

@@ -305,12 +305,17 @@ object Similarity {
               k: Int, planes: Int = 6, nprobe: Int = 3): DataFrame = {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
       bucketExpr(planes)(col(vecCol)).as("cell"))
-    // probe cells: own bucket plus single-bit flips (deterministic order)
+    // probe cells: own bucket plus single-bit flips (deterministic
+    // order). The bucket is projected ONCE and the lambda references
+    // the attribute — capturing bucketExpr inline would re-hash the
+    // vector per probe.
     val probes = transform(sequence(lit(0), lit(nprobe - 1)), p =>
-      when(p === 0, bucketExpr(planes)(col(vecCol)))
-        .otherwise(bucketExpr(planes)(col(vecCol)).bitwiseXOR(call_function("shiftleft", lit(1L), p - 1))))
-    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
-      explode(probes).as("cell"))
+      when(p === 0, col("own_cell"))
+        .otherwise(col("own_cell").bitwiseXOR(call_function("shiftleft", lit(1L), p - 1))))
+    val q = queries
+      .select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+        bucketExpr(planes)(col(vecCol)).as("own_cell"))
+      .select(col("query_id"), col("qv"), explode(probes).as("cell"))
     val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

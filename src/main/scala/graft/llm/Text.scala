@@ -394,14 +394,23 @@ object Text {
       .otherwise(0.0)
 
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = words(col(textCol))
+    // The words array MUST be a materialized attribute, not an inline
+    // split(...) expression: a lambda body re-evaluates its captured
+    // expressions per array element, so inlining `split` into the
+    // transform below is O(words²) per document — measured 9.7 s vs
+    // ~1 s at sf0.1 for this query. Referencing `w` three times (one
+    // per n) also stops CollapseProject from inlining it back.
+    val pre = df.select(col(idCol),
+      length(col(textCol)).cast("double").as("n_chars"),
+      words(col(textCol)).as("graft_rep_w"))
+    val w = col("graft_rep_w")
     def grams(n: Int): Column =
       when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n),
           i => struct(lit(n).as("n"), array_join(slice(w, i + 1, lit(n)), " ").as("gram"))))
         .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-    val exploded = df.select(
-        col(idCol), length(col(textCol)).cast("double").as("n_chars"),
+    val exploded = pre.select(
+        col(idCol), col("n_chars"),
         explode_outer(concat(grams(2), grams(5), grams(10))).as("g"))
       .select(col(idCol), col("n_chars"), col("g.n").as("n"), col("g.gram").as("gram"))
     val perGram = exploded
