@@ -72,9 +72,32 @@ object EventQueries {
           Iterator.single(org.apache.spark.sql.Row(
             key.head.asInstanceOf[Long], n, maxGap))
       }.orderBy(col("user_id"))
+    }),
+
+    // as-of join: for each click, the latest purchase at-or-before it
+    // by the same user (point-in-time-correct feature attachment; see
+    // ops/AsofJoin for the union-window single-shuffle encoding)
+    "q86_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.ops.AsofJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("event_id", "value"), "prior_")
+        .select(col("event_id"), col("user_id"),
+          col("prior_event_id"), col("prior_value"))
+        .orderBy(col("event_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q86_asof_join" ->
+      """SELECT a.event_id, a.user_id,
+         b.event_id AS prior_event_id, b.value AS prior_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') a
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+           ON a.user_id = b.user_id AND a.ts >= b.ts
+         ORDER BY a.event_id""",
     "q47_secondary_sort" ->
       """SELECT user_id, COUNT(*) AS n_events,
          COALESCE(CAST(MAX(gap) AS BIGINT), 0) AS max_gap_us

@@ -132,3 +132,54 @@ class StorePartitionedSpec extends SparkSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("g1"), scan.take(1500))
   }
 }
+
+/** As-of join: backward-inclusive point-in-time match, LEFT semantics,
+  * deterministic tie-break, single-shuffle plan shape.
+  */
+class AsofJoinSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ops.AsofJoin
+
+  private lazy val left = Seq(
+    (1L, 10L, 100L), // user 10, t=100
+    (2L, 10L, 205L),
+    (3L, 20L, 50L),  // user 20: no purchase at or before 50
+    (4L, 30L, 300L)  // user 30: no right rows at all
+  ).toDF("event_id", "user_id", "t")
+
+  private lazy val right = Seq(
+    (100L, 10L, 100L, 1.0), // exactly at left t=100 → inclusive match
+    (101L, 10L, 200L, 2.0),
+    (102L, 10L, 201L, 3.0), // latest ≤205
+    (103L, 20L, 60L, 4.0)   // after left t=50 → no match
+  ).toDF("pid", "user_id", "t", "value")
+
+  private def run(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+    AsofJoin.asof(l, r, Seq("user_id"), "t", "t", Seq("pid", "value"), "prior_")
+      .select("event_id", "prior_pid", "prior_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, p, v) => k -> (p, v) }.toMap
+
+  test("backward-inclusive latest match; null when nothing at-or-before") {
+    val got = run(left, right)
+    assert(got(1L) == (Some(100L), Some(1.0)))   // equal timestamp matches
+    assert(got(2L) == (Some(102L), Some(3.0)))   // latest of three priors
+    assert(got(3L) == (None, None))              // right exists but only later
+    assert(got(4L) == (None, None))              // key absent on right
+  }
+
+  test("ties on right time break to the greatest payload, deterministically") {
+    val tied = Seq((200L, 10L, 100L, 9.0), (201L, 10L, 100L, 8.0))
+      .toDF("pid", "user_id", "t", "value")
+    val got = run(left.filter($"event_id" === 1L), tied)
+    assert(got(1L) == (Some(201L), Some(8.0)))   // max pid wins (struct order)
+  }
+
+  test("plan has exactly one shuffle and no cartesian/broadcast-nested-loop") {
+    val plan = AsofJoin.asof(left, right, Seq("user_id"), "t", "t",
+      Seq("pid"), "p_").queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+}
