@@ -88,9 +88,30 @@ object EventQueries {
         .select(col("event_id"), col("user_id"),
           col("prior_event_id"), col("prior_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // range join: per click, errors within ±5 minutes — NO equality
+    // key, so the naive plan is a nested loop; ops/RangeJoin buckets
+    // the time axis into an equi-join
+    "q87_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"))
+      val errors = e.filter(col("event_type") === "error").select(col("ts"))
+      graft.ops.RangeJoin.countWithinRadius(clicks, errors,
+          "event_id", "ts", "ts", 300000000L, as = "n_nearby_errors")
+        .select(col("event_id"), col("n_nearby_errors"))
+        .orderBy(col("event_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q87_range_join" ->
+      """SELECT a.event_id, COUNT(b.ts) AS n_nearby_errors
+         FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') a
+         LEFT JOIN (SELECT ts FROM events WHERE event_type = 'error') b
+           ON b.ts BETWEEN a.ts - INTERVAL 5 MINUTE
+                       AND a.ts + INTERVAL 5 MINUTE
+         GROUP BY 1 ORDER BY 1""",
     "q86_asof_join" ->
       """SELECT a.event_id, a.user_id,
          b.event_id AS prior_event_id, b.value AS prior_value

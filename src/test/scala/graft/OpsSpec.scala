@@ -183,3 +183,46 @@ class AsofJoinSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 }
+
+/** Bucketized range join: equals the naive quadratic join, zero-match
+  * rows kept, no nested-loop/cartesian in the plan.
+  */
+class RangeJoinSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ops.RangeJoin
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision inputs
+
+  test("counts match the naive cross filter, including zero-match rows") {
+    val rnd = new scala.util.Random(11)
+    val lefts = (1L to 200L).map(i => (i, rnd.nextInt(100000).toLong * 1000))
+    val rights = (1 to 300).map(_ => rnd.nextInt(100000).toLong * 1000)
+    val l = lefts.map { case (i, us) => (i, ts(us)) }.toDF("id", "t")
+    val r = rights.map(us => Tuple1(ts(us))).toDF("t")
+    val radius = 5000L * 1000 // 5s in us
+
+    val got = RangeJoin.countWithinRadius(l, r, "id", "t", "t", radius, as = "n")
+      .select("id", "n").as[(Long, Long)].collect().toMap
+    val want = lefts.map { case (i, us) =>
+      i -> rights.count(ru => math.abs(us - ru) <= radius).toLong }.toMap
+    assert(got == want)
+    assert(got.values.exists(_ == 0L) || want.values.forall(_ > 0L))
+  }
+
+  test("odd bucket width (width != radius) still exact") {
+    val l = Seq((1L, ts(10000000L)), (2L, ts(99000000L))).toDF("id", "t")
+    val r = Seq(ts(9000000L), ts(11500000L), ts(50000000L)).map(Tuple1(_)).toDF("t")
+    val got = RangeJoin.countWithinRadius(l, r, "id", "t", "t",
+        2000000L, widthUs = 700000L, as = "n")
+      .select("id", "n").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L))
+  }
+
+  test("plan is a hash equi-join on buckets, not a nested loop") {
+    val l = Seq((1L, ts(1000L))).toDF("id", "t")
+    val r = Seq(Tuple1(ts(2000L))).toDF("t")
+    val plan = RangeJoin.countWithinRadius(l, r, "id", "t", "t", 1000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+  }
+}
