@@ -31,7 +31,13 @@ import org.apache.spark.sql.functions._
   *   4. keep side=1, unpack the struct.
   *
   * Cost is a single Exchange + sort over |L|+|R| rows — no row blowup,
-  * no per-key iteration, skew handled by AQE like any other window.
+  * no per-key iteration. Skew envelope: a window partition is one
+  * task's sort (AQE does not split window partitions), so a single
+  * key holding ~10⁸+ rows serializes on that key; the refinement for
+  * that regime is to sub-partition by (key, coarse time bucket) and
+  * prefix-scan the tiny per-bucket "last right payload" summary per
+  * key before the window — not needed at current scales, documented
+  * here so the bound is explicit.
   * Ties on right-time within a key break deterministically to the
   * greatest payload struct (lexicographic by field order), so results
   * are reproducible and oracle-checkable even with duplicate

@@ -284,6 +284,53 @@ object ScaleCurve {
         graft.llm.Text.sampleByTokenBudget(frags, "doc_id", "text", "source",
           budgetTokens = 10000L * m, buckets = 32).count())
 
+      // ---- q84: duplicate-n-gram repetition signals (r13) ----
+      // same multiplied corpus: the word-prefixed copies preserve each
+      // document's internal n-gram repetition structure exactly, so
+      // per-doc work is constant and the curve must be linear. This is
+      // also the regression guard for the lambda-capture bug (an
+      // O(words²) re-tokenization shows up as a big constant, not a
+      // curve bend — compare the absolute to wordcount-class queries).
+      report("q84_repetition", () =>
+        graft.llm.Text.repetitionSignals(docs, "doc_id", "text").count())
+
+      // ---- q86/q87: as-of + range join over multiplied events (r13) ----
+      // copy c offsets user_id (disjoint key spaces → per-user as-of
+      // structure preserved), event_id (uniqueness), and shifts ts by
+      // c×(span+1h) so TIME DENSITY is constant — otherwise q87's
+      // within-radius pair count would grow m² by construction rather
+      // than by plan defect. Both curves must be linear: q86 is one
+      // shuffle+window, q87 one bucket equi-join with ≤3× blowup.
+      if (only.forall(_.exists(p => "q86_asof".startsWith(p) ||
+          "q87_range".startsWith(p)))) {
+        val evBase = Tables.load(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"))
+        val bounds = evBase.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).head()
+        val shift = bounds.getLong(1) - bounds.getLong(0) + 3600000000L
+        val ev = (1 until m).map { c =>
+          evBase.select((col("event_id") + c.toLong * 100000000L).as("event_id"),
+            (col("user_id") + c.toLong * 10000000L).as("user_id"),
+            timestamp_micros(unix_micros(col("ts")) + c * shift).as("ts"),
+            col("event_type"), col("value"))
+        }.foldLeft(evBase)(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ev.count()
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val errors = ev.filter(col("event_type") === "error").select(col("ts"))
+        report("q86_asof", () =>
+          graft.ops.AsofJoin.asof(clicks, purchases, Seq("user_id"),
+            "ts", "ts", Seq("event_id", "value"), "prior_").count())
+        report("q87_range", () =>
+          graft.ops.RangeJoin.countWithinRadius(clicks, errors,
+            "event_id", "ts", "ts", 300000000L).count())
+        ev.unpersist(blocking = false)
+      }
+
       // ---- avro: the round-11 AvroStorage source/sink vs parquet ----
       // four measurements per factor, same multiplied corpus: write and
       // full-read+agg for both formats (is the splittable avro path's
