@@ -69,6 +69,30 @@ object Windows {
     stream.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream inner join bounded by an event-time interval: keeps
+    * (l, r) pairs sharing the keys with l.ts in [r.ts, r.ts + within).
+    * Both sides are watermarked, and the interval condition gives the
+    * state store a provable eviction bound — rows older than
+    * watermark + within are dropped, so state is O(rate × horizon),
+    * not unbounded (the requirement for a 100 TB/day stream). Output
+    * columns are prefixed `l_`/`r_` (both sides often share names).
+    */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+                            leftTs: String, rightTs: String,
+                            keys: Seq[String], within: String,
+                            delay: String): DataFrame = {
+    val l0 = left
+      .select(left.columns.toIndexedSeq.map(c => col(c).as("l_" + c)): _*)
+      .withWatermark("l_" + leftTs, delay)
+    val r0 = right
+      .select(right.columns.toIndexedSeq.map(c => col(c).as("r_" + c)): _*)
+      .withWatermark("r_" + rightTs, delay)
+    val keyCond = keys.map(k => col("l_" + k) === col("r_" + k)).reduce(_ && _)
+    val timeCond = col("l_" + leftTs) >= col("r_" + rightTs) &&
+      col("l_" + leftTs) < col("r_" + rightTs) + expr(s"INTERVAL $within")
+    l0.join(r0, keyCond && timeCond)
+  }
+
   // ------------------------- custom state (flatMapGroupsWithState) ------
 
   /** Input/output records for the custom stateful sessionizer. */

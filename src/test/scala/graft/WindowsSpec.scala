@@ -127,6 +127,34 @@ class WindowsSpec extends SparkSuite {
       assert(spark.table("dedup_out").count() == 2)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches pairs and bounds state by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Windows.streamingIntervalJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "value"),
+      "ts", "ts", Seq("user_id"), "30 MINUTES", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("interval_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      purchases.addData((1L, ts("2024-01-01 00:00:00"), 9.99))
+      clicks.addData(
+        (1L, ts("2024-01-01 00:10:00")),  // inside [purchase, +30min) -> match
+        (1L, ts("2024-01-01 00:40:00")),  // past the interval -> no match
+        (2L, ts("2024-01-01 00:10:00"))) // different user -> no match
+      q.processAllAvailable()
+      // advance both watermarks so matched rows emit in append mode
+      clicks.addData((8L, ts("2024-01-01 06:00:00")))
+      purchases.addData((9L, ts("2024-01-01 06:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("interval_join")
+        .select($"l_user_id", $"l_ts".cast("string"), $"r_value")
+        .as[(Long, String, Double)].collect().toSet
+      assert(got == Set((1L, "2024-01-01 00:10:00", 9.99)))
+    } finally q.stop()
+  }
 }
 
 /** Batch/streaming parity: the same tumbling aggregation over the real
