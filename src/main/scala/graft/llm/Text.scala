@@ -250,6 +250,44 @@ object Text {
     }
   }
 
+  /** Deterministic MIXTURE sampling — per-source token budgets
+    * proportional to caller-supplied weights (the published-recipe
+    * shape: a target corpus mixture like 50% web / 20% books / …,
+    * applied as hard token quotas). Each source keeps its
+    * fingerprint-ordered prefix up to `floor(total × w_s / Σw)`
+    * tokens — the same RNG-free, any-engine-re-derivable order as
+    * [[sampleByTokenBudget]] (q78), so the selection is reproducible
+    * row-for-row. Sources absent from `weights` get budget 0 and are
+    * excluded entirely.
+    *
+    * Scale shape: one fingerprint scan + one per-source window prefix
+    * sum (map-side-combinable, no driver materialization); per-source
+    * budgets ride as a literal when-chain (codegen'd, no join). For a
+    * skewed giant source, the q78 two-phase bucketed refinement
+    * applies unchanged — compose via [[sampleByTokenBudget]] per
+    * source if that regime appears.
+    */
+  def sampleByMixture(df: DataFrame, idCol: String, textCol: String,
+                      srcCol: String, totalTokens: Long,
+                      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "mixture sampling needs at least one weight")
+    val wsum = weights.values.sum
+    require(wsum > 0, "mixture weights must sum to a positive value")
+    val budgets: Seq[(String, Long)] = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s -> math.floor(totalTokens * w / wsum).toLong }
+    val budgetCol = budgets.foldLeft(lit(0L)) {
+      case (acc, (s, b)) => when(col("src") === s, lit(b)).otherwise(acc)
+    }
+    val rec = df.select(col(idCol).as("doc"), col(srcCol).as("src"),
+      tokenCountWs(col(textCol)).as("n_tokens"),
+      fingerprint(col(textCol)).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("fp"), col("doc"))
+    rec.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetCol)
+      .select(col("doc"), col("src"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Per-document analysis record: one pass producing the standard text
     * statistics (used by quality filtering pipelines). */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {

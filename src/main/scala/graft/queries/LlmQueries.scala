@@ -237,6 +237,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // weighted mixture sampling: even-numbered sources get 3× the
+    // token quota of odd ones, 6000-token total — deterministic
+    // (fingerprint-ordered, RNG-free), re-derivable in SQL
+    "q88_mixture" -> ((s, dir) => {
+      val weights = (0 until 20)
+        .map(i => s"src$i" -> (if (i % 2 == 0) 3.0 else 1.0)).toMap
+      Text.sampleByMixture(t(s, dir, "documents"),
+          "doc_id", "text", "source", totalTokens = 6000L, weights)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF ANN with a k-means coarse quantizer. WHICH neighbors the probe
     // returns is approximation-dependent (no SQL re-derivation), so the
     // emitted shape is the result's deterministic PROPERTIES instead —
@@ -529,6 +541,20 @@ object LlmQueries {
            FROM f)
          SELECT doc_id, source AS src, n_tokens, cum_tokens FROM c
          WHERE cum_tokens <= 2000 ORDER BY doc_id""",
+    "q88_mixture" ->
+      """WITH f AS (SELECT doc_id, source,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), c -> ord(c))),
+             (h, c) -> (h * 31 + c) % 2147483647)::BIGINT AS fp
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           (SUM(n_tokens) OVER (PARTITION BY source ORDER BY fp, doc_id))::BIGINT AS cum_tokens
+           FROM f)
+         SELECT doc_id, source AS src, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0
+                                  THEN 450 ELSE 150 END
+         ORDER BY doc_id""",
     "q42_ann_ivf" ->
       """SELECT COUNT(*) AS n_queries, TRUE AS k_rows_each,
          TRUE AS rk_ordered, TRUE AS cosine_exact

@@ -545,6 +545,33 @@ class TextSpec extends SparkSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("sampleByMixture applies weight-proportional budgets; unweighted sources drop") {
+    val df = Seq(
+      (1L, "a", "a b c"),           // 3 tokens
+      (2L, "a", "d e f g"),         // 4
+      (3L, "b", "h i"),             // 2
+      (4L, "b", "one two three"),   // 3
+      (5L, "c", "x y z")            // source without a weight -> excluded
+    ).toDF("doc_id", "src0", "text")
+    // total 8, weights a:3 b:1 -> budgets floor(8*3/4)=6, floor(8*1/4)=2
+    val got = graft.llm.Text.sampleByMixture(df, "doc_id", "text", "src0", 8L,
+        Map("a" -> 3.0, "b" -> 1.0))
+      .as[(Long, String, Long, Long)].collect().toSet
+    def poly(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+    val texts = Map(1L -> "a b c", 2L -> "d e f g", 3L -> "h i", 4L -> "one two three")
+    val rows = Seq((1L, "a", 3L), (2L, "a", 4L), (3L, "b", 2L), (4L, "b", 3L))
+    val budget = Map("a" -> 6L, "b" -> 2L)
+    val want = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (poly(texts(r._1)), r._1)).flatMap { r =>
+        cum += r._3
+        if (cum <= budget(src)) Some((r._1, r._2, r._3, cum)) else None
+      }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    assert(!got.exists(_._2 == "c"))
+  }
+
   test("two-phase sampleByTokenBudget is identical to single-phase on a giant skewed source") {
     // one giant source (590 docs, incl. zero-token texts past the
     // boundary) + one tiny source — the skew shape the two-phase form
