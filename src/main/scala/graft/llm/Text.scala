@@ -486,4 +486,45 @@ object Text {
       .select(col("doc"), col("term"), col("tf"), col("df"),
         roundCompat(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
   }
+
+  /** Lexical-diversity signals: the vocabulary-richness filters used
+    * alongside repetition stats when curating training text (a
+    * low-diversity document is boilerplate or template spam even when
+    * no single n-gram repeats):
+    *
+    *  - `n_words`           whitespace token count
+    *  - `type_token_ratio`  distinct words / total words (round 4)
+    *  - `word_entropy`      Shannon entropy of the word distribution in
+    *    bits (round 4), via H = log2(n) − (Σ c·ln c) / (n·ln 2) so the
+    *    only corpus-order-dependent term is a sum
+    *
+    * Determinism: the Σ c·ln c partial sums would drift with partition
+    * order in double; each term is cast to decimal(28,12) first (the
+    * [[unigramLogProb]] trick), so the sum is exact and the result is
+    * bit-identical to a SQL oracle regardless of parallelism.
+    *
+    * Scale shape: explode → (doc, word) count → per-doc rollup. Both
+    * aggregations partial-aggregate map-side; nothing is holistic, no
+    * bags materialize. The empty document tokenizes to one empty word
+    * (split semantics), giving TTR 1.0 and entropy 0 — consistent on
+    * both sides of the oracle.
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col("c").cast("double")
+    df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        sum((c * log(c)).cast("decimal(28,12)")).as("sum_clnc"))
+      .select(col(idCol),
+        col("n_words"),
+        roundCompat(col("n_types").cast("double") / col("n_words"), 4)
+          .as("type_token_ratio"),
+        roundCompat(
+          (log(col("n_words").cast("double"))
+            - col("sum_clnc").cast("double") / col("n_words")) / math.log(2.0), 4)
+          .as("word_entropy"))
+  }
 }

@@ -416,6 +416,13 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // lexical diversity: type-token ratio + word-distribution entropy
+    // (decimal-summed c·ln c terms → bit-exact under any partitioning)
+    "q89_lexical_diversity" -> ((s, dir) => {
+      Text.lexicalDiversity(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // the composed curation capstone: boilerplate removal → PII scrub →
     // quality filter → exact dedup → per-source stats, one call
     "q69_curate" -> ((s, dir) => {
@@ -739,6 +746,22 @@ object LlmQueries {
                 ELSE 0.0 END AS frac_chars_dup_10gram
          FROM base b LEFT JOIN roll USING (doc_id)
          ORDER BY b.doc_id""",
+    "q89_lexical_diversity" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         wc AS (SELECT doc_id, word, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         agg AS (SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_words,
+                   COUNT(*) AS n_types,
+                   SUM(CAST(c::DOUBLE * LN(c::DOUBLE) AS DECIMAL(28,12)))
+                     AS sum_clnc
+                 FROM wc GROUP BY 1)
+         SELECT doc_id, n_words,
+           FLOOR((n_types::DOUBLE / n_words) * 10000 + 0.5) / 10000
+             AS type_token_ratio,
+           FLOOR(((LN(n_words::DOUBLE) - sum_clnc::DOUBLE / n_words)
+                  / LN(2.0)) * 10000 + 0.5) / 10000 AS word_entropy
+         FROM agg ORDER BY doc_id""",
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper_id""",

@@ -488,6 +488,27 @@ class TextSpec extends SparkSuite {
       (4L, 0.0, 0.0, 0.0)))
   }
 
+  test("lexicalDiversity: hand-computed TTR and entropy, degenerate edges") {
+    // doc 1: [a,b,a,b,c] → n=5, types=3, TTR 0.6;
+    //   H = −(0.4·log2 0.4 ·2 + 0.2·log2 0.2) = 1.5219
+    // doc 2: four copies of one word → TTR 0.25, H 0
+    // doc 3: empty text → one empty word → TTR 1.0, H 0
+    // doc 4: four distinct words → TTR 1.0, H = log2 4 = 2
+    val df = Seq(
+      (1L, "a b a b c"),
+      (2L, "x x x x"),
+      (3L, ""),
+      (4L, "a b c d")).toDF("doc_id", "text")
+    val got = Text.lexicalDiversity(df, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 0.6, 1.5219),
+      (2L, 4L, 0.25, 0.0),
+      (3L, 1L, 1.0, 0.0),
+      (4L, 4L, 1.0, 2.0)))
+  }
+
   test("fingerprint equals the driver-side polynomial hash") {
     val s = "abc xyz"
     def poly(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
