@@ -288,6 +288,68 @@ object Text {
       .select(col("doc"), col("src"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Quality-stratified deterministic subsample — the curation recipe
+    * that keeps high-quality documents at a higher rate than low-quality
+    * ones instead of applying one hard threshold. Each document is
+    * assigned its quality-score stratum s ∈ [0, strata) (equal-count
+    * strata over the corpus-wide (quality, id) order) and kept iff
+    * `id mod strata < s + 1` — so stratum 0 keeps 1/strata of its docs
+    * and the top stratum keeps all of them. Entirely RNG-free: the
+    * stratum comes from a deterministic global rank and the keep rule
+    * from the id, so any engine re-derives the exact row set.
+    *
+    * Scale shape: the global rank uses [[graft.ops.Rank.rowNumber]]'s
+    * 2-pass range-partition + per-partition-offset pipeline — fully
+    * parallel, NOT a single-partition `row_number()` window. The rank
+    * input is the narrow (id, quality) projection (16 bytes/row), never
+    * the text. One count action on the persisted projection supplies
+    * the corpus size as a literal. For the regime where even the
+    * narrow sort is unwelcome, [[qualityStrataApprox]] trades exact
+    * equal-count strata for percentile_approx boundaries with no
+    * global sort at all.
+    */
+  def sampleByQualityStrata(df: DataFrame, idCol: String, textCol: String,
+                            strata: Int = 10): DataFrame = {
+    require(strata >= 2, "stratified sampling needs at least two strata")
+    val scored = graft.dsl.Rel.track(
+      df.select(col(idCol), qualityScore(col(textCol)).as("quality"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = scored.count()
+    val rn = graft.ops.Rank.rowNumber(
+      scored, Seq(col("quality").asc, col(idCol).asc), "_rn")
+    rn.withColumn("stratum",
+        floor(lit(strata) * (col("_rn") - 1).cast("double") / lit(n.toDouble))
+          .cast("int"))
+      .filter(pmod(col(idCol), lit(strata)) < col("stratum") + 1)
+      .select(col(idCol), col("stratum"), col("quality"))
+  }
+
+  /** Sort-free variant of [[sampleByQualityStrata]] for the 100 TB
+    * regime: stratum boundaries from `percentile_approx` (fixed-size
+    * QuantileSummaries sketch, partial/final merge — one combiner-
+    * friendly aggregation instead of a corpus-wide sort), broadcast
+    * back as a literal when-chain. Strata are approximately equal-count
+    * (sketch error) rather than exactly; the keep rule is unchanged.
+    */
+  def qualityStrataApprox(df: DataFrame, idCol: String, textCol: String,
+                          strata: Int = 10, accuracy: Int = 10000): DataFrame = {
+    require(strata >= 2, "stratified sampling needs at least two strata")
+    val scored = graft.dsl.Rel.track(
+      df.select(col(idCol), qualityScore(col(textCol)).as("quality"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val qs = (1 until strata).map(_.toDouble / strata)
+    val bounds = scored.select(
+        percentile_approx(col("quality"),
+          array(qs.map(lit): _*), lit(accuracy)).as("b"))
+      .head().getSeq[Double](0)
+    val stratum = bounds.foldLeft(lit(0)) {
+      (acc, b) => acc + when(col("quality") >= b, 1).otherwise(0)
+    }
+    scored.withColumn("stratum", stratum.cast("int"))
+      .filter(pmod(col(idCol), lit(strata)) < col("stratum") + 1)
+      .select(col(idCol), col("stratum"), col("quality"))
+  }
+
   /** Per-document analysis record: one pass producing the standard text
     * statistics (used by quality filtering pipelines). */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {

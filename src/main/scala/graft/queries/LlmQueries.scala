@@ -249,6 +249,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // quality-stratified subsample: equal-count quality deciles from a
+    // deterministic global rank, keep rate (stratum+1)/strata by id mod
+    "q90_stratified_sample" -> ((s, dir) => {
+      Text.sampleByQualityStrata(t(s, dir, "documents"),
+          "doc_id", "text", strata = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF ANN with a k-means coarse quantizer. WHICH neighbors the probe
     // returns is approximation-dependent (no SQL re-derivation), so the
     // emitted shape is the result's deterministic PROPERTIES instead —
@@ -835,6 +843,24 @@ object LlmQueries {
            len(list_filter(string_split(text,' '), w -> w='der' OR w='die' OR w='das' OR w='und')) AS de
            FROM documents)
          ORDER BY doc_id""",
+    "q90_stratified_sample" ->
+      """WITH scored AS (SELECT doc_id,
+           FLOOR(((lnd / n) * 0.4
+             + (LEAST(nch / n, 8.0) / 8.0) * 0.3
+             + LEAST(n / 100.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality
+           FROM (SELECT doc_id,
+             len(string_split(text,' '))::DOUBLE AS n,
+             len(list_distinct(string_split(text,' ')))::DOUBLE AS lnd,
+             LENGTH(text)::DOUBLE AS nch
+             FROM documents)),
+         rn AS (SELECT doc_id, quality,
+           ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rn,
+           COUNT(*) OVER () AS n FROM scored),
+         st AS (SELECT doc_id, quality,
+           CAST(FLOOR(10 * (rn - 1)::DOUBLE / n::DOUBLE) AS INT) AS stratum
+           FROM rn)
+         SELECT doc_id, stratum, quality FROM st
+         WHERE doc_id % 10 < stratum + 1 ORDER BY doc_id""",
     "q36_quality" ->
       """SELECT doc_id,
          FLOOR(((lnd / n) * 0.4

@@ -509,6 +509,42 @@ class TextSpec extends SparkSuite {
       (4L, 4L, 1.0, 2.0)))
   }
 
+  test("sampleByQualityStrata matches a driver-side re-derivation of rank, stratum and keep rule") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val strata = 10
+    // independent local re-derivation from the scored projection
+    val scored = docs.select($"doc_id", Text.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().sortBy { case (id, q) => (q, id) }
+    val n = scored.length
+    val expected = scored.zipWithIndex.collect {
+      case ((id, q), i)
+          if id % strata < math.floor(strata * i.toDouble / n).toInt + 1 =>
+        (id, math.floor(strata * i.toDouble / n).toInt, q)
+    }.sortBy(_._1).toSeq
+    val got = Text.sampleByQualityStrata(docs, "doc_id", "text", strata)
+      .orderBy($"doc_id").as[(Long, Int, Double)].collect().toSeq
+    assert(got == expected)
+    // strata are equal-count over the full corpus: every stratum holds
+    // floor(n/strata) or ceil(n/strata) docs
+    val sizes = scored.indices.groupBy(i => math.floor(strata * i.toDouble / n).toInt)
+      .view.mapValues(_.size).values.toSet
+    assert(sizes.subsetOf(Set(n / strata, n / strata + 1)))
+  }
+
+  test("qualityStrataApprox agrees with the exact strata within sketch error") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Text.sampleByQualityStrata(docs, "doc_id", "text", 10)
+      .select($"doc_id", $"stratum").as[(Long, Int)].collect().toMap
+    val approx = Text.qualityStrataApprox(docs, "doc_id", "text", 10)
+      .select($"doc_id", $"stratum").as[(Long, Int)].collect().toMap
+    // same keep rule, so compare strata on the intersection of kept ids
+    val common = exact.keySet intersect approx.keySet
+    assert(common.nonEmpty)
+    val close = common.count(id => math.abs(exact(id) - approx(id)) <= 1)
+    assert(close.toDouble / common.size >= 0.9,
+      s"only $close/${common.size} kept docs within ±1 stratum")
+  }
+
   test("fingerprint equals the driver-side polynomial hash") {
     val s = "abc xyz"
     def poly(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
