@@ -257,6 +257,23 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // mergeable HLL distinct sketches: per-source vocabulary estimate
+    // checked against the exact distinct count (q42 properties pattern —
+    // the estimate itself is approximation-dependent, its 5%-band
+    // membership and the exact count are the oracle-stable outputs)
+    "q91_sketch_distinct" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      val approx = graft.ops.Sketches.approxDistinct(toks, Seq("source"), "word")
+      val exact = toks.groupBy(col("source"))
+        .agg(countDistinct(col("word")).as("exact_vocab"))
+      exact.join(approx, "source")
+        .select(col("source"), col("exact_vocab"),
+          (abs(col("approx_nd") - col("exact_vocab"))
+            <= col("exact_vocab").cast("double") * 0.05).as("sketch_within_5pct"))
+        .orderBy(col("source"))
+    }),
+
     // IVF ANN with a k-means coarse quantizer. WHICH neighbors the probe
     // returns is approximation-dependent (no SQL re-derivation), so the
     // emitted shape is the result's deterministic PROPERTIES instead —
@@ -843,6 +860,12 @@ object LlmQueries {
            len(list_filter(string_split(text,' '), w -> w='der' OR w='die' OR w='das' OR w='und')) AS de
            FROM documents)
          ORDER BY doc_id""",
+    "q91_sketch_distinct" ->
+      """SELECT source, COUNT(DISTINCT word) AS exact_vocab,
+           TRUE AS sketch_within_5pct
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         GROUP BY 1 ORDER BY 1""",
     "q90_stratified_sample" ->
       """WITH scored AS (SELECT doc_id,
            FLOOR(((lnd / n) * 0.4

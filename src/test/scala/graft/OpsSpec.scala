@@ -226,3 +226,39 @@ class RangeJoinSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(2000))
   }
 }
+
+/** Mergeable HLL distinct sketches: error band + exact merge identity. */
+class SketchesSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ops.Sketches
+
+  private lazy val vals = (1 to 20000).map(i => (i % 4, s"v${i % 7919}")).toDF("g", "x")
+
+  test("approxDistinct lands within 5% of the exact distinct count per group") {
+    val approx = Sketches.approxDistinct(vals, Seq("g"), "x")
+      .as[(Int, Long)].collect().toMap
+    val exact = vals.groupBy($"g").agg(countDistinct($"x").cast("long"))
+      .as[(Int, Long)].collect().toMap
+    exact.foreach { case (g, nd) =>
+      assert(math.abs(approx(g) - nd) <= nd * 0.05, s"group $g: ${approx(g)} vs $nd")
+    }
+  }
+
+  test("merging per-part sketches equals the single whole-set sketch exactly") {
+    val perPart = Sketches.distinctSketch(
+      vals.withColumn("part", pmod(length($"x"), lit(3))), Seq("g", "part"), "x")
+    val merged = Sketches.mergeSketches(perPart, Seq("g"))
+      .select($"g", Sketches.estimate($"sketch").as("nd")).as[(Int, Long)].collect().toMap
+    val whole = Sketches.distinctSketch(vals, Seq("g"), "x")
+      .select($"g", Sketches.estimate($"sketch").as("nd")).as[(Int, Long)].collect().toMap
+    assert(merged == whole)
+  }
+
+  test("global merge (no group cols) unions every sketch") {
+    val perGroup = Sketches.distinctSketch(vals, Seq("g"), "x")
+    val global = Sketches.mergeSketches(perGroup, Nil)
+      .select(Sketches.estimate($"sketch").cast("long")).as[Long].head()
+    val exact = vals.select(countDistinct($"x").cast("long")).as[Long].head()
+    assert(math.abs(global - exact) <= exact * 0.05, s"$global vs $exact")
+  }
+}
