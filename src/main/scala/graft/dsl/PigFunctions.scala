@@ -65,6 +65,22 @@ object PigFunctions {
   def regexExtract(str: Column, pattern: String, idx: Int): Column =
     when(str.rlike(pattern), regexp_extract(str, pattern, idx))
 
+  /** REGEX_EXTRACT_ALL(str, pattern) — whole-string anchored match
+    * returning every captured group as an array (Pig returns a tuple;
+    * positional access maps to array indexing), null when the string
+    * does not match [R: src/org/apache/pig/builtin/REGEX_EXTRACT_ALL.java].
+    * The group count comes from compiling the literal pattern, so the
+    * expression stays a codegen'd regexp_extract chain — no UDF. A
+    * non-participating optional group yields "" (Spark regexp_extract
+    * semantics; Pig yields null there — documented deviation).
+    */
+  def regexExtractAll(str: Column, pattern: String): Column = {
+    val g = java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
+    val anchored = "\\A(?:" + pattern + ")\\z"
+    when(str.rlike(anchored),
+      array((1 to g).map(i => regexp_extract(str, anchored, i)): _*))
+  }
+
   /** STRSPLIT → array of tokens (Pig returns a tuple; positional access
     * maps to array indexing) [R: src/org/apache/pig/builtin/STRSPLIT.java]. */
   def strSplit(str: Column, regex: String): Column = split(str, regex)

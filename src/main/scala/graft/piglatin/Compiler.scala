@@ -721,6 +721,10 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       case List(_, Lit(p: String), Lit(i: Int)) => PF.regexExtract(cs.head, p, i)
       case _ => sys.error("REGEX_EXTRACT needs literal pattern/index")
     }
+    case "REGEX_EXTRACT_ALL" => raw match {
+      case List(_, Lit(p: String)) => PF.regexExtractAll(cs.head, p)
+      case _ => sys.error("REGEX_EXTRACT_ALL needs a literal pattern")
+    }
     case "STRSPLIT" => raw match {
       case List(_, Lit(p: String)) => split(cs.head, p)
       case _ => sys.error("STRSPLIT needs a literal pattern")

@@ -43,6 +43,15 @@ class PigFunctionsSpec extends SparkSuite {
     assert(col0(df.select(PF.regexExtract($"s", "(xyz)", 1))) == Seq(null))
   }
 
+  test("REGEX_EXTRACT_ALL anchors the whole string and returns all groups, null on no match") {
+    val df = Seq("192.168.1.5:8080").toDF("s")
+    assert(col0(df.select(PF.regexExtractAll($"s", "([0-9.]+):([0-9]+)")))
+      == Seq(Seq("192.168.1.5", "8080")))
+    // find()-style partial match is NOT enough: the whole string must match
+    assert(col0(df.select(PF.regexExtractAll($"s", "([0-9.]+):"))) == Seq(null))
+    assert(col0(df.select(PF.regexExtractAll($"s", "(xyz)(q)"))) == Seq(null))
+  }
+
   test("TOKENIZE splits on pig default delims and drops empties") {
     val df = Seq("""a b,c(d)e"f**g""").toDF("s")
     assert(col0(df.select(PF.tokenize($"s"))) ==

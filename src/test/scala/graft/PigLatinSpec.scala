@@ -421,6 +421,21 @@ class PigLatinSpec extends SparkSuite {
     val want = Tables.load(spark, dir, "orders").count()
     assert(col0(e.relation("out")) == Seq(want))
   }
+
+  test("REGEX_EXTRACT_ALL in a FOREACH yields the group array, null when unmatched") {
+    val e = engine.run("""
+      d = LOAD 'documents.parquet';
+      out = FOREACH d GENERATE doc_id, REGEX_EXTRACT_ALL(source, '([a-z]+)([0-9]+)') AS parts;
+      """)
+    val got = e.relation("out").selectExpr("doc_id", "parts[0]", "parts[1]")
+      .as[(Long, String, String)].collect().toSet
+    val want = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        regexp_extract($"source", "^([a-z]+)([0-9]+)$", 1),
+        regexp_extract($"source", "^([a-z]+)([0-9]+)$", 2))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
 
 /** Preprocessor: %declare/%default parameters, DEFINE aliases, macros. */
