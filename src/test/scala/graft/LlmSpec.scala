@@ -545,6 +545,25 @@ class TextSpec extends SparkSuite {
       s"only $close/${common.size} kept docs within ±1 stratum")
   }
 
+  test("r13 operator plans: no single-partition window in strata; entropy and sketch aggs stay partial") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // q90 exact path: the global rank must ride the 2-pass pipeline, not
+    // a row_number() window collapsed onto one partition
+    val strataPlan = Text.sampleByQualityStrata(docs, "doc_id", "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(!strataPlan.contains("Window"), strataPlan.take(2000))
+    // q89: the word-count and per-doc rollup both keep a map-side phase
+    val lexPlan = Text.lexicalDiversity(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(lexPlan.contains("partial_"), lexPlan.take(2000))
+    // q91: hll_sketch_agg partial-aggregates before the shuffle
+    val skPlan = graft.ops.Sketches.approxDistinct(
+        docs.select($"source", explode(split($"text", " ")).as("word")),
+        Seq("source"), "word")
+      .queryExecution.executedPlan.toString
+    assert(skPlan.contains("partial_hll_sketch_agg"), skPlan.take(2000))
+  }
+
   test("fingerprint equals the driver-side polynomial hash") {
     val s = "abc xyz"
     def poly(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
