@@ -71,8 +71,18 @@ object Loaders {
   def storeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
-  def storePigStorage(df: DataFrame, path: String, delim: String = "\t"): Unit =
-    df.write.mode("overwrite").option("sep", delim).csv(path)
+  /** PigStorage sink; `codec` mirrors Pig's transparent Hadoop
+    * compression (a `.gz`/`.bz2` path compresses on write, and ANY
+    * loader reads compressed parts back transparently
+    * [R: src/org/apache/pig/builtin/PigStorage.java] — splittability
+    * caveat: gzip parts are one split each, so at 100 TB prefer many
+    * medium parts or a splittable codec).
+    */
+  def storePigStorage(df: DataFrame, path: String, delim: String = "\t",
+                      codec: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").option("sep", delim)
+    codec.fold(w)(c => w.option("compression", c)).csv(path)
+  }
 
   def storeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

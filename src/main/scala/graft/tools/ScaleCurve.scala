@@ -294,6 +294,27 @@ object ScaleCurve {
       report("q84_repetition", () =>
         graft.llm.Text.repetitionSignals(docs, "doc_id", "text").count())
 
+      // ---- q89/q90/q91 (r13): lexical diversity, stratified sampling,
+      // HLL distinct sketches — same multiplied corpus. q89/q91 are
+      // wordcount-class (one explode + combiner-friendly aggs ⇒ the
+      // curve must be linear; the prefixed copies grow the vocabulary
+      // m×, which is the hard case for the sketch agg's hash state).
+      // q90 exact is the 2-pass global rank over the narrow (id, score)
+      // projection — n·log n with a small constant — while its
+      // sort-free percentile_approx twin must stay linear: that gap,
+      // measured, is the reason the approx path exists at 100 TB.
+      report("q89_lexical", () =>
+        graft.llm.Text.lexicalDiversity(docs, "doc_id", "text").count())
+      report("q90_strata_exact", () =>
+        graft.llm.Text.sampleByQualityStrata(docs, "doc_id", "text").count())
+      report("q90_strata_approx", () =>
+        graft.llm.Text.qualityStrataApprox(docs, "doc_id", "text").count())
+      report("q91_sketch", () =>
+        graft.ops.Sketches.approxDistinct(
+          docs.select(col("source"),
+            explode(split(col("text"), " ")).as("word")),
+          Seq("source"), "word").count())
+
       // ---- q86/q87: as-of + range join over multiplied events (r13) ----
       // copy c offsets user_id (disjoint key spaces → per-user as-of
       // structure preserved), event_id (uniqueness), and shifts ts by

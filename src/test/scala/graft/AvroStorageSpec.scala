@@ -119,3 +119,23 @@ class AvroStorageSpec extends SparkSuite {
       rowsOf(Tables.load(spark, dir, "region").select($"r_regionkey", $"r_name")).toSet)
   }
 }
+
+/** PigStorage transparent compression: gzip parts write and read back
+  * with no loader-side configuration (Hadoop codec inference by file
+  * extension, as in the reference's PigStorage).
+  */
+class CompressedStorageSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.sources.Loaders
+
+  test("gzip PigStorage round-trip: .gz parts on disk, transparent read-back") {
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "with,comma")).toDF("k", "v")
+    val tmp = "/tmp/graft_gz_roundtrip"
+    Loaders.storePigStorage(df, tmp, delim = "\t", codec = Some("gzip"))
+    val parts = new java.io.File(tmp).listFiles.map(_.getName).filter(_.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".gz")), parts.mkString(","))
+    val back = Loaders.pigStorage(spark, tmp, delim = "\t")
+      .toDF("k", "v").as[(Long, String)].collect().toSet
+    assert(back == df.as[(Long, String)].collect().toSet)
+  }
+}
