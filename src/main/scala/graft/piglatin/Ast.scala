@@ -84,6 +84,7 @@ object Ast {
   final case class UnionOp(inputs: List[String], onSchema: Boolean) extends RelOp
   final case class SampleOp(input: String, p: Double) extends RelOp
   final case class AliasRef(input: String) extends RelOp // B = A;
+  final case class CacheOp(input: String) extends RelOp // B = CACHE A; (spork)
 
   // -------------------------------------------------------------- statements
   sealed trait Stmt
@@ -98,4 +99,5 @@ object Ast {
   final case class ExplainStmt(alias: String) extends Stmt
   final case class IllustrateStmt(alias: String) extends Stmt
   final case class AssertStmt(alias: String, cond: Expr, msg: Option[String]) extends Stmt
+  final case class CacheStmt(alias: String) extends Stmt // CACHE A; (spork)
 }

@@ -147,6 +147,16 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       val df = relation(alias)
       if (!df.filter(!coalesce(compileExpr(df, cond), lit(false))).isEmpty)
         throw new IllegalStateException(s"ASSERT $alias failed: ${msg.getOrElse("")}")
+    // spork's fork-specific CACHE statement
+    // [R: …/spark/converter/CacheConverter.java — Pig-on-Spark adds an
+    // explicit cache hint; plain Apache Pig has no analog]: pin the
+    // relation so later statements reuse the materialization instead of
+    // recomputing the lineage. MEMORY_AND_DISK (not MEMORY_ONLY): at
+    // scale an over-memory cache must spill, not evict-and-recompute.
+    case CacheStmt(alias) =>
+      val df = relation(alias)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      env(alias) = RelInfo(() => df)
   }
 
   // -------------------------------------------------------------- operators
@@ -262,6 +272,12 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case SampleOp(in, p) => RelInfo(() => relation(in).sample(p, 42L))
 
     case AliasRef(in) => env.getOrElse(in, sys.error(s"unknown alias $in"))
+
+    // b = CACHE a; — the relational form of spork's cache hint
+    case CacheOp(in) =>
+      val df = relation(in)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      RelInfo(() => df)
   }
 
   // ------------------------------------------------------------------- load

@@ -70,6 +70,11 @@ object Parser {
       else if (atKw("explain")) { eatKw("explain"); ExplainStmt(ident()) }
       else if (atKw("illustrate")) { eatKw("illustrate"); IllustrateStmt(ident()) }
       else if (atKw("split")) splitStmt()
+      // spork's CACHE statement; `cache = …` (an alias named cache at an
+      // assign) is disambiguated by the following token not being an ident
+      else if (atKw("cache") && toks.lift(p + 1).exists(_.isInstanceOf[Ident])) {
+        eatKw("cache"); CacheStmt(ident())
+      }
       else if (atKw("assert")) { eatKw("assert"); val a = ident(); eatKw("by"); val c = expr()
         val msg = if (trySym(",")) Some(str()) else None
         AssertStmt(a, c, msg)
@@ -252,6 +257,11 @@ object Parser {
           })
           case _ => fail("expected sample probability")
         }
+      }
+      // spork relational form: b = CACHE a; (a bare `x = cache;` alias
+      // copy still parses — the next token is not an ident then)
+      else if (atKw("cache") && toks.lift(p + 1).exists(_.isInstanceOf[Ident])) {
+        eatKw("cache"); CacheOp(ident())
       }
       else AliasRef(ident())
     }

@@ -436,6 +436,26 @@ class PigLatinSpec extends SparkSuite {
       .as[(Long, String, String)].collect().toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("CACHE persists the relation: statement and relational forms") {
+    val e = engine.run("""
+      li = LOAD 'lineitem.parquet';
+      small = FILTER li BY l_quantity < 10.0;
+      CACHE small;
+      c2 = CACHE small;
+      out = FOREACH small GENERATE l_orderkey;
+      """)
+    assert(e.relation("small").storageLevel.useMemory, "CACHE stmt must persist")
+    assert(e.relation("c2").storageLevel.useMemory, "CACHE relop must persist")
+    assert(e.relation("out").count() == e.relation("small").count())
+    // an alias literally named cache still assigns (disambiguation guard)
+    val e2 = engine.run("""
+      li = LOAD 'lineitem.parquet';
+      cache = FILTER li BY l_quantity < 5.0;
+      out = FOREACH cache GENERATE l_orderkey;
+      """)
+    assert(e2.relation("out").count() == e2.relation("cache").count())
+  }
 }
 
 /** Preprocessor: %declare/%default parameters, DEFINE aliases, macros. */
