@@ -300,6 +300,105 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  // --------------------------------- product quantization (PQ + ADC)
+
+  /** Train per-subspace PQ codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search" — public paper): the
+    * vector splits into `m` coordinate blocks of d/m dims; each block
+    * gets its own `k`-codeword k-means codebook (reusing
+    * [[kmeansCentroids]] — bounded seeded training sample, Lloyd
+    * iterations as DataFrame aggregations). The model is m·k·(d/m)
+    * doubles — driver-tiny at any corpus size.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 8, k: Int = 16,
+                  iters: Int = 3): Array[Array[Array[Double]]] = {
+    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    // persisted once: each subspace's training otherwise re-reads the
+    // full vector column m times from source
+    val proj = graft.dsl.Rel.track(
+      corpus.select(col(idCol), col(vecCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    proj.count()
+    (0 until m).map { s =>
+      kmeansCentroids(
+        proj.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as(vecCol)),
+        idCol, vecCol, k, iters)
+    }.toArray
+  }
+
+  /** Encode the corpus against trained codebooks: per-subspace
+    * nearest-codeword ids (one byte each at k ≤ 256 — at d=64, m=8
+    * that is 8 bytes vs 256 bytes of float32, 32× compression: the
+    * reason a 100 TB embedding corpus can live in executor memory as
+    * codes) plus the reconstruction norm the ADC cosine divides by
+    * (subspaces are disjoint coordinate blocks, so |x̂|² = Σ_s |cw_s|²,
+    * precomputed per codeword and looked up as a foldable literal).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val codes = array((0 until m).map { s =>
+      nearestCellsExpr(books(s), 1)(slice(col(vecCol), s * dsub + 1, dsub))(0)
+    }: _*)
+    val norms = (0 until m).map { s =>
+      typedLit(books(s).map(cw => cw.map(x => x * x).sum).toSeq)
+    }
+    val rnorm2 = (0 until m).map(s =>
+      element_at(norms(s), col("codes")(s) + 1)).reduce(_ + _)
+    corpus.select(col(idCol), codes.as("codes"))
+      .withColumn("rnorm", sqrt(rnorm2))
+  }
+
+  /** PQ ANN top-k with asymmetric-distance shortlist and exact
+    * re-rank: the ADC pass scores every CODE row (8 bytes each, no
+    * float vectors move — a broadcast of the query panel against the
+    * compressed corpus, shuffle-free and whole-stage-codegen'd via a
+    * zip_with/aggregate fold per subspace), keeps `k·rerank`
+    * candidates per query, then re-reads ONLY those candidates'
+    * true vectors for an exact cosine re-rank. Returned cosines are
+    * therefore EXACT (oracle-verifiable, the q42 pattern) while the
+    * scan cost rides the 32×-compressed representation. Compose with
+    * [[ivfKmeansTopK]]'s cells (encode per cell, probe nprobe cells)
+    * when even the compressed full scan is too much — the classic
+    * IVFPQ layout.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             queryId: String, corpusId: String, vecCol: String,
+             k: Int, m: Int = 8, codewords: Int = 16,
+             rerank: Int = 4, iters: Int = 3): DataFrame = {
+    val books = pqCodebooks(corpus, corpusId, vecCol, m, codewords, iters)
+    val dsub = books(0)(0).length
+    val enc = pqEncode(corpus, corpusId, vecCol, books)
+      .withColumnRenamed(corpusId, "neighbor_id")
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qnorm"))
+    val adc = (0 until m).map { s =>
+      val sub = slice(col("qv"), s * dsub + 1, dsub)
+      val cb = typedLit(books(s).map(_.toSeq).toSeq)
+      aggregate(
+        zip_with(sub, element_at(cb, col("codes")(s) + 1), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+    }.reduce(_ + _)
+    val shortlist = enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (adc / (col("qnorm") * col("rnorm"))).as("cosine"))
+    val cand = topKSelect(shortlist, k * rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = cand
+      .join(queries.select(col(queryId).as("query_id"), col(vecCol).as("qv")),
+        "query_id")
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineExpr(col("qv"), col("cv")).as("cosine"))
+    topKSelect(exact, k)
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               queryId: String, corpusId: String, vecCol: String,
               k: Int, planes: Int = 6, nprobe: Int = 3): DataFrame = {

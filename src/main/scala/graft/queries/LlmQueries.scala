@@ -282,6 +282,47 @@ object LlmQueries {
     // equals the exact cosine recomputed from the embeddings table
     // (joined back by id, same codegen'd graft_dot fold) — all
     // oracle-checkable as constants plus COUNT(*).
+    // PQ/ADC ANN with exact re-rank (16 bytes/vector codes, 16×
+    // compression at d=64): same properties pattern as q42 — WHICH
+    // neighbors the shortlist keeps is approximation-dependent, but
+    // the exact re-rank makes every returned cosine recomputable, and
+    // row/rank-shape invariants are oracle constants. Parameters
+    // (m=16, cw=16, rerank=8) carry measured recall 0.88–0.94 vs
+    // brute force (tools/PqProbe; PqSpec pins the floor).
+    "q92_pq_topk" -> ((s, dir) => {
+      import s.implicits._
+      val v = t(s, dir, "embeddings")
+      val k = 5
+      val res = graft.dsl.Rel.track(
+        Similarity.pqTopK(v.filter(col("vec_id") < 10), v,
+            "vec_id", "vec_id", "embedding", k = k,
+            m = 16, codewords = 16, rerank = 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nQueries = v.filter(col("vec_id") < 10).count()
+      val byRk = sort_array(collect_list(struct(col("rk"), col("cosine"))))
+      val ordered = forall(
+        zip_with(slice(byRk, 1, k - 1), slice(byRk, 2, k - 1),
+          (a, b) => a.getField("cosine") >= b.getField("cosine")),
+        x => x)
+      val perQ = res.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n"), min(col("rk")).as("mn"),
+          max(col("rk")).as("mx"), countDistinct(col("rk")).as("nd"),
+          coalesce(ordered, lit(false)).as("ord"))
+        .collect()
+      val kRowsEach = perQ.length.toLong == nQueries &&
+        perQ.forall(r => r.getLong(1) == k && r.getInt(2) == 1 &&
+          r.getInt(3) == k && r.getLong(4) == k)
+      val rkOrdered = perQ.forall(_.getBoolean(5))
+      val emb = v.select(col("vec_id"), col("embedding"))
+      val cosineExact = res
+        .join(emb.toDF("query_id", "qv"), "query_id")
+        .join(emb.toDF("neighbor_id", "cv"), "neighbor_id")
+        .filter(!(Similarity.cosineExpr(col("qv"), col("cv")) <=> col("cosine")))
+        .count() == 0L
+      Seq((nQueries, kRowsEach, rkOrdered, cosineExact))
+        .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")
+    }),
+
     "q42_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       val v = t(s, dir, "embeddings")
@@ -588,6 +629,10 @@ object LlmQueries {
                                   THEN 450 ELSE 150 END
          ORDER BY doc_id""",
     "q42_ann_ivf" ->
+      """SELECT COUNT(*) AS n_queries, TRUE AS k_rows_each,
+         TRUE AS rk_ordered, TRUE AS cosine_exact
+         FROM embeddings WHERE vec_id < 10""",
+    "q92_pq_topk" ->
       """SELECT COUNT(*) AS n_queries, TRUE AS k_rows_each,
          TRUE AS rk_ordered, TRUE AS cosine_exact
          FROM embeddings WHERE vec_id < 10""",

@@ -911,3 +911,68 @@ class IvfKmeansSpec extends SparkSuite {
     assert(c1.length == 4)
   }
 }
+
+/** Product quantization: compression invariants, exact re-rank, recall. */
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.llm.Similarity
+
+  private lazy val corpus =
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("pqEncode: codes in range, one per subspace, deterministic; rnorm positive") {
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, k = 16)
+    assert(books.length == 8 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 8)))
+    val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", books)
+      .select($"vec_id", $"codes", $"rnorm")
+      .as[(Long, Seq[Int], Double)].collect()
+    assert(enc.forall { case (_, codes, rnorm) =>
+      codes.length == 8 && codes.forall(c => c >= 0 && c < 16) && rnorm > 0.0 })
+    val enc2 = Similarity.pqEncode(corpus, "vec_id", "embedding", books)
+      .select($"vec_id", $"codes", $"rnorm")
+      .as[(Long, Seq[Int], Double)].collect()
+    assert(enc.sortBy(_._1).toSeq == enc2.sortBy(_._1).toSeq)
+  }
+
+  test("pqTopK returns k exact-cosine rows per query (ADC shortlist, exact re-rank)") {
+    val q = corpus.filter($"vec_id" < 5)
+    val k = 3
+    val res = Similarity.pqTopK(q, corpus, "vec_id", "vec_id", "embedding",
+        k = k, m = 16, codewords = 16, rerank = 8)
+      .persist()
+    val perQ = res.groupBy($"query_id").count().as[(Long, Long)].collect().toMap
+    assert(perQ.size == 5 && perQ.values.forall(_ == k))
+    // every returned cosine equals the exact cosine recomputed from vectors
+    val emb = corpus.select($"vec_id", $"embedding")
+    val bad = res
+      .join(emb.toDF("query_id", "qv"), "query_id")
+      .join(emb.toDF("neighbor_id", "cv"), "neighbor_id")
+      .filter(!(Similarity.cosineExpr($"qv", $"cv") <=> $"cosine"))
+      .count()
+    assert(bad == 0L)
+    res.unpersist()
+  }
+
+  test("pqTopK recall vs brute force clears the measured floor") {
+    val q = corpus.filter($"vec_id" < 10)
+    val k = 5
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(Similarity.bruteForceTopK(q, corpus, "vec_id", "vec_id", "embedding", k))
+    val pq = sets(Similarity.pqTopK(q, corpus, "vec_id", "vec_id", "embedding",
+      k, m = 16, codewords = 16, rerank = 8))
+    val recalls = exact.map { case (id, ex) => (pq.getOrElse(id, Set.empty[Long]) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    // measured 0.88 on this table (tools/PqProbe) -- 0.6 leaves margin
+    assert(mean >= 0.6, f"mean recall $mean%.3f")
+  }
+
+  test("ADC scan plan: codegen'd fold over literal codebooks, no UDF, queries broadcast") {
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", books)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_nearest_cells") && !plan.contains("UDF"), plan.take(2000))
+  }
+}
