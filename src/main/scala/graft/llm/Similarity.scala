@@ -399,6 +399,76 @@ object Similarity {
     topKSelect(exact, k)
   }
 
+  /** IVFPQ: the coarse k-means cells of [[ivfKmeansTopK]] composed
+    * with residual product quantization — the classic billion-scale
+    * layout (Jégou et al. 2011 §IV). Each corpus vector is assigned to
+    * its nearest coarse cell and only the RESIDUAL x − c(cell) is
+    * PQ-encoded (residuals are smaller and better centered than raw
+    * vectors, so the same codebook budget quantizes finer). Queries
+    * probe `nprobe` cells; the shortlist score is a true cosine
+    * approximation
+    *
+    *   (⟨q, c⟩ + ⟨q, r̂⟩) / (|q| · |x|)
+    *
+    * with ⟨q, c⟩ exact per probed cell, ⟨q, r̂⟩ the per-subspace ADC
+    * fold, and |x| the EXACT vector norm stored at encode time (one
+    * float per row — the codes stay the compressed payload). The
+    * cell equi-join prunes the scan to the probed inverted lists;
+    * the exact re-rank then makes returned cosines oracle-exact,
+    * as in [[pqTopK]].
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                queryId: String, corpusId: String, vecCol: String,
+                k: Int, nCells: Int = 16, nprobe: Int = 3,
+                m: Int = 16, codewords: Int = 16,
+                rerank: Int = 8, iters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(corpus, corpusId, vecCol, nCells, iters)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, element_at(centsLit, cell + 1), (x, c) => x - c)
+        .cast("array<float>")
+    // corpus side: cell assignment, residual PQ codes, exact norm
+    val assigned = graft.dsl.Rel.track(
+      corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
+          nearestCellsExpr(cents, 1)(col(vecCol))(0).as("cell"))
+        .withColumn("rv", residual(col("cv"), col("cell")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val books = pqCodebooks(assigned, "neighbor_id", "rv", m, codewords, iters)
+    val dsub = books(0)(0).length
+    val enc = pqEncode(assigned, "neighbor_id", "rv", books)
+      .join(assigned.select(col("neighbor_id"), col("cell"),
+        norm(col("cv")).as("xnorm")), "neighbor_id")
+    // query side: one row per probed cell with the exact ⟨q, c⟩ term
+    val q = queries
+      .select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qnorm"),
+        explode(nearestCellsExpr(cents, nprobe)(col(vecCol))).as("cell"))
+      .withColumn("qc_dot",
+        aggregate(zip_with(col("qv"), element_at(centsLit, col("cell") + 1),
+          (x, c) => x * c), lit(0.0), (acc, v) => acc + v))
+    val adcResid = (0 until m).map { s =>
+      val sub = slice(col("qv"), s * dsub + 1, dsub)
+      val cb = typedLit(books(s).map(_.toSeq).toSeq)
+      aggregate(
+        zip_with(sub, element_at(cb, col("codes")(s) + 1), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+    }.reduce(_ + _)
+    val shortlist = broadcast(q).join(enc, Seq("cell")) // inverted-list pruning
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ((col("qc_dot") + adcResid) / (col("qnorm") * col("xnorm"))).as("cosine"))
+    val cand = topKSelect(shortlist, k * rerank)
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val exact = cand
+      .join(queries.select(col(queryId).as("query_id"), col(vecCol).as("qv")),
+        "query_id")
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineExpr(col("qv"), col("cv")).as("cosine"))
+    topKSelect(exact, k)
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               queryId: String, corpusId: String, vecCol: String,
               k: Int, planes: Int = 6, nprobe: Int = 3): DataFrame = {

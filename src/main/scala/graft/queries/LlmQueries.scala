@@ -323,6 +323,43 @@ object LlmQueries {
         .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")
     }),
 
+    // IVFPQ: coarse cells + residual PQ + cell-pruned ADC shortlist +
+    // exact re-rank — same properties pattern; recall 0.88 at nprobe=4
+    // scanning ~25% of the compressed lists (tools/PqProbe)
+    "q93_ivfpq_topk" -> ((s, dir) => {
+      import s.implicits._
+      val v = t(s, dir, "embeddings")
+      val k = 5
+      val res = graft.dsl.Rel.track(
+        Similarity.ivfPqTopK(v.filter(col("vec_id") < 10), v,
+            "vec_id", "vec_id", "embedding", k = k,
+            nCells = 16, nprobe = 4, m = 16, codewords = 16, rerank = 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nQueries = v.filter(col("vec_id") < 10).count()
+      val byRk = sort_array(collect_list(struct(col("rk"), col("cosine"))))
+      val ordered = forall(
+        zip_with(slice(byRk, 1, k - 1), slice(byRk, 2, k - 1),
+          (a, b) => a.getField("cosine") >= b.getField("cosine")),
+        x => x)
+      val perQ = res.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n"), min(col("rk")).as("mn"),
+          max(col("rk")).as("mx"), countDistinct(col("rk")).as("nd"),
+          coalesce(ordered, lit(false)).as("ord"))
+        .collect()
+      val kRowsEach = perQ.length.toLong == nQueries &&
+        perQ.forall(r => r.getLong(1) == k && r.getInt(2) == 1 &&
+          r.getInt(3) == k && r.getLong(4) == k)
+      val rkOrdered = perQ.forall(_.getBoolean(5))
+      val emb = v.select(col("vec_id"), col("embedding"))
+      val cosineExact = res
+        .join(emb.toDF("query_id", "qv"), "query_id")
+        .join(emb.toDF("neighbor_id", "cv"), "neighbor_id")
+        .filter(!(Similarity.cosineExpr(col("qv"), col("cv")) <=> col("cosine")))
+        .count() == 0L
+      Seq((nQueries, kRowsEach, rkOrdered, cosineExact))
+        .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")
+    }),
+
     "q42_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       val v = t(s, dir, "embeddings")
@@ -633,6 +670,10 @@ object LlmQueries {
          TRUE AS rk_ordered, TRUE AS cosine_exact
          FROM embeddings WHERE vec_id < 10""",
     "q92_pq_topk" ->
+      """SELECT COUNT(*) AS n_queries, TRUE AS k_rows_each,
+         TRUE AS rk_ordered, TRUE AS cosine_exact
+         FROM embeddings WHERE vec_id < 10""",
+    "q93_ivfpq_topk" ->
       """SELECT COUNT(*) AS n_queries, TRUE AS k_rows_each,
          TRUE AS rk_ordered, TRUE AS cosine_exact
          FROM embeddings WHERE vec_id < 10""",
