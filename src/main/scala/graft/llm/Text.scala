@@ -421,6 +421,108 @@ object Text {
           .as("mean_logprob"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public paper):
+    * each document scored by its mean per-token
+    * ln p_target(w) − ln p_raw(w) under bag-of-words unigram models,
+    * where the target model is estimated from the rows matching
+    * `targetPred` (the small high-quality corpus) and the raw model
+    * from the whole input. Documents whose vocabulary looks like the
+    * target score high; resampling proportional to the weight shifts
+    * the corpus mixture toward the target domain without training a
+    * classifier. (DSIR proper uses hashed n-gram features; unigram
+    * features keep the weight exactly re-derivable by a SQL oracle —
+    * documented simplification, same pipeline shape.)
+    *
+    * Laplace smoothing `alpha` on BOTH models over the raw vocabulary
+    * V, so target-unseen words stay finite:
+    *   p_m(w) = (c_m(w) + α) / (N_m + α·|V|).
+    *
+    * Determinism: per-token log-ratio terms are cast to decimal(28,12)
+    * before the per-doc sum (the [[unigramLogProb]] trick), so the
+    * aggregate is partition-order-exact and matches a SQL oracle
+    * bit-for-bit.
+    *
+    * Scale shape: ONE token explode; ONE vocabulary aggregation
+    * carries both models' counts (the target count is a conditional
+    * sum in the same pass — the target subset never re-scans); the
+    * three scalars (N_raw, N_tgt, |V|) ride a broadcast 1-row cross
+    * join; the token→counts join broadcasts below
+    * `broadcastVocabRows` exactly as [[unigramLogProb]] (and shares
+    * its documented EAGER `wc.count()` trade).
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        targetPred: Column, alpha: Double = 0.5,
+                        broadcastVocabRows: Long = 250000): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      targetPred.as("is_target"),
+      explode(words(col(textCol))).as("word"))
+    val wc = graft.dsl.Rel.track(
+      toks.groupBy(col("word"))
+        .agg(count(lit(1)).as("c_raw"),
+          sum(when(col("is_target"), 1L).otherwise(0L)).as("c_tgt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wcSide = if (wc.count() <= broadcastVocabRows) broadcast(wc) else wc
+    val scalars = wc.agg(
+      sum(col("c_raw")).as("n_raw"),
+      sum(col("c_tgt")).as("n_tgt"),
+      count(lit(1)).as("v"))
+    toks.join(wcSide, "word")
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum((log((col("c_tgt") + alpha) / (col("n_tgt") + col("v") * alpha))
+            - log((col("c_raw") + alpha) / (col("n_raw") + col("v") * alpha)))
+          .cast("decimal(28,12)")).as("sum_lr"))
+      .select(col("doc"), col("n_tokens"),
+        roundCompat(col("sum_lr").cast("double"), 6).as("logratio"),
+        roundCompat(col("sum_lr").cast("double") / col("n_tokens"), 6)
+          .as("mean_logratio"))
+  }
+
+  /** Sliding-window document chunking — the context-window splitter a
+    * training/embedding pipeline runs before tokenize-and-pack or
+    * chunk-embedding: each document becomes overlapping word windows of
+    * `chunkWords` words advancing by `stride`.
+    *
+    * Start-index rule (the tokenizer "overflow" convention, chosen so a
+    * SQL oracle re-derives chunk boundaries exactly):
+    *  - n ≤ chunkWords → one chunk, the whole document;
+    *  - else strided starts k·stride while k·stride + chunkWords < n,
+    *    then a final chunk anchored at n − chunkWords, so the tail is
+    *    always a FULL window and no chunk is a suffix of another.
+    *
+    * Output: (doc, chunk_id 0-based, start_word, n_words, chunk_text).
+    * Deterministic, no RNG, pure column math.
+    *
+    * Scale shape: per-row transform + posexplode — embarrassingly
+    * parallel, no shuffle at all (Verify's ORDER BY is presentation).
+    * The words array is materialized ONCE as an attribute before the
+    * lambda ([[repetitionSignals]]'s lesson: inlining split() into a
+    * higher-order function re-evaluates it per element, O(words²)).
+    * Row blowup is bounded by ~n/stride per doc — the explode feeds
+    * the next stage without materializing bags.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkWords: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkWords > 0 && stride > 0, "chunkWords and stride must be positive")
+    val pre = df.select(col(idCol).as("doc"), words(col(textCol)).as("graft_chunk_w"))
+    val w = col("graft_chunk_w")
+    val n = size(w)
+    // m strided starts strictly before the anchored tail start (n - cw):
+    // k·stride + cw < n  ⟺  k < (n-cw)/stride  ⟹  m = ceil((n-cw)/stride)
+    val m = when(n <= chunkWords, 0)
+      .otherwise(ceil((n - chunkWords).cast("double") / stride).cast("int"))
+    val starts = transform(sequence(lit(0), m),
+      k => when(k < m, k * stride).otherwise(greatest(n - chunkWords, lit(0))))
+    pre.select(col("doc"), w, posexplode(starts).as(Seq("chunk_id", "start_word")))
+      .select(col("doc"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_word").cast("long").as("start_word"),
+        least(lit(chunkWords), size(w) - col("start_word")).cast("long").as("n_words"),
+        array_join(slice(w, col("start_word") + 1, lit(chunkWords)), " ").as("chunk_text"))
+  }
+
   /** Gopher-style quality-rule signals (Rae et al. 2021, "Scaling
     * Language Models" appendix A1.1 — public paper): per-document
     * repetition and composition statistics used as training-data

@@ -526,6 +526,26 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR-style importance weights: per-doc unigram log-ratio of a
+    // target model (source = 'src0', the high-quality stand-in) vs the
+    // raw corpus model, Laplace α=0.5 over the raw vocabulary —
+    // decimal-summed terms → exact oracle
+    "q94_dsir_weights" -> ((s, dir) => {
+      Text.importanceWeights(t(s, dir, "documents"), "doc_id", "text",
+          targetPred = col("source") === "src0")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // sliding-window chunking: 12-word windows advancing by 8, with an
+    // anchored full-window tail — the pre-tokenization splitter
+    "q95_chunk" -> ((s, dir) => {
+      Text.chunk(t(s, dir, "documents"), "doc_id", "text",
+          chunkWords = 12, stride = 8)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // the composed curation capstone: boilerplate removal → PII scrub →
     // quality filter → exact dedup → per-source stats, one call
     "q69_curate" -> ((s, dir) => {
@@ -873,6 +893,44 @@ object LlmQueries {
            FLOOR(((LN(n_words::DOUBLE) - sum_clnc::DOUBLE / n_words)
                   / LN(2.0)) * 10000 + 0.5) / 10000 AS word_entropy
          FROM agg ORDER BY doc_id""",
+    "q94_dsir_weights" ->
+      """WITH toks AS (
+           SELECT doc_id, source = 'src0' AS is_target,
+             unnest(string_split(text, ' ')) AS word FROM documents),
+         wc AS (SELECT word, COUNT(*) AS c_raw,
+                  SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+                FROM toks GROUP BY 1),
+         tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt,
+                   COUNT(*) AS v FROM wc)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           FLOOR(SUM(CAST(LN((c_tgt + 0.5) / (n_tgt + 0.5 * v))
+                          - LN((c_raw + 0.5) / (n_raw + 0.5 * v))
+                     AS DECIMAL(28,12)))::DOUBLE * 1000000 + 0.5) / 1000000
+             AS logratio,
+           FLOOR((SUM(CAST(LN((c_tgt + 0.5) / (n_tgt + 0.5 * v))
+                           - LN((c_raw + 0.5) / (n_raw + 0.5 * v))
+                      AS DECIMAL(28,12)))::DOUBLE / COUNT(*)) * 1000000 + 0.5)
+             / 1000000 AS mean_logratio
+         FROM toks JOIN wc USING (word), tot
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q95_chunk" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n FROM documents),
+         pre AS (SELECT doc_id, w, n,
+                   CASE WHEN n <= 12 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(CEIL((n - 12) / 8.0) AS BIGINT) END AS m
+                 FROM base),
+         g AS (SELECT doc_id, w, n,
+                 UNNEST(list_transform(range(0, m + 1),
+                   k -> {'cid': k,
+                         's': CASE WHEN k < m THEN k * 8
+                                   ELSE GREATEST(n - 12, 0) END})) AS c
+               FROM pre)
+         SELECT doc_id, c.cid AS chunk_id, c.s AS start_word,
+           CAST(LEAST(12, n - c.s) AS BIGINT) AS n_words,
+           array_to_string(w[c.s + 1 : c.s + 12], ' ') AS chunk_text
+         FROM g ORDER BY doc_id, chunk_id""",
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper_id""",

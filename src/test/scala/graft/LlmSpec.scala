@@ -509,6 +509,58 @@ class TextSpec extends SparkSuite {
       (4L, 4L, 1.0, 2.0)))
   }
 
+  test("importanceWeights: exact decimal re-derivation; target-domain doc outscores disjoint-vocab doc") {
+    val df = Seq(
+      (1L, "a b", "src0"),
+      (2L, "a c", "src1"),
+      (3L, "c c c", "src1")).toDF("doc_id", "text", "source")
+    val got = Text.importanceWeights(df, "doc_id", "text", $"source" === "src0")
+      .orderBy($"doc").as[(Long, Long, Double, Double)].collect().toSeq
+    // driver-side re-derivation with the same decimal(28,12) term cast
+    val corpus = Seq(1L -> ("a b", true), 2L -> ("a c", false), 3L -> ("c c c", false))
+    val toks = corpus.flatMap { case (id, (t, tgt)) => t.split(" ").map(w => (id, w, tgt)) }
+    val byWord = toks.groupBy(_._2)
+    val nRaw = toks.size.toDouble
+    val nTgt = toks.count(_._3).toDouble
+    val v = byWord.size.toDouble
+    def term(w: String): BigDecimal = BigDecimal(
+      math.log((byWord(w).count(_._3) + 0.5) / (nTgt + 0.5 * v))
+        - math.log((byWord(w).size + 0.5) / (nRaw + 0.5 * v)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = corpus.map { case (id, (t, _)) =>
+      val ws = t.split(" ").toSeq
+      val s = ws.map(term).sum.toDouble
+      (id, ws.size.toLong, r6(s), r6(s / ws.size))
+    }
+    assert(got == expected)
+    // doc 1 shares the target's vocabulary; doc 3 is disjoint from it
+    assert(got.head._4 > got.last._4)
+  }
+
+  test("chunk: strided starts + anchored full-window tail; short and empty docs give one chunk") {
+    val df = Seq(
+      (1L, "w1 w2 w3"),
+      (2L, (1 to 10).map("t" + _).mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    val got = Text.chunk(df, "doc_id", "text", chunkWords = 4, stride = 3)
+      .orderBy($"doc", $"chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 2: n=10 → m = ceil(6/3) = 2 strided starts {0, 3}, tail at 6 —
+    // the tail is a FULL window ending exactly at the last word
+    assert(got == Seq(
+      (1L, 0L, 0L, 3L, "w1 w2 w3"),
+      (2L, 0L, 0L, 4L, "t1 t2 t3 t4"),
+      (2L, 1L, 3L, 4L, "t4 t5 t6 t7"),
+      (2L, 2L, 6L, 4L, "t7 t8 t9 t10"),
+      (3L, 0L, 0L, 1L, "")))
+    // divisible case: the last strided start must not duplicate the tail
+    val div = Seq((9L, (1 to 8).map("u" + _).mkString(" "))).toDF("doc_id", "text")
+    val starts = Text.chunk(div, "doc_id", "text", chunkWords = 4, stride = 2)
+      .select($"start_word").as[Long].collect().toSeq.sorted
+    assert(starts == Seq(0L, 2L, 4L))
+  }
+
   test("sampleByQualityStrata matches a driver-side re-derivation of rank, stratum and keep rule") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val strata = 10
