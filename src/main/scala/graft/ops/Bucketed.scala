@@ -40,4 +40,21 @@ object Bucketed {
     * a shuffle (the COLLECTED-group analog). */
   def groupBucketed(spark: SparkSession, table: String, key: String): DataFrame =
     spark.table(table).groupBy(key).count()
+
+  /** COLLECTED group [R: …/relationalOperators/POCollectedGroup.java]:
+    * `GROUP … USING 'collected'` with arbitrary algebraic aggregates.
+    * Pig requires a CollectableLoadFunc whose splits each hold complete
+    * key groups, then groups entirely map-side with no shuffle; a
+    * bucketed table IS that guarantee in Spark — the scan reports
+    * HashPartitioning(bucket key), the aggregation's required
+    * distribution is already satisfied, and the plan is a single
+    * map-side-complete HashAggregate with ZERO Exchange (asserted in
+    * BucketedSpec). At 100 TB: one bucketed write amortizes away every
+    * future shuffle of repeated aggregations on that key.
+    */
+  def collectedGroup(spark: SparkSession, table: String, key: String,
+                     aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(aggs.nonEmpty, "collectedGroup needs at least one aggregate")
+    spark.table(table).groupBy(key).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -52,7 +52,15 @@ object Ast {
   final case class ForeachNestedOp(input: String,
                                    inner: List[(String, NestedOp)],
                                    gens: List[GenItem]) extends RelOp
-  final case class GroupOp(inputs: List[(String, List[Expr])], all: Boolean) extends RelOp
+  /** GROUP/COGROUP. `using` carries Pig's execution hints
+    * ('collected' [R: …/relationalOperators/POCollectedGroup.java],
+    * 'merge' [R: …/relationalOperators/POMergeCogroup.java]) — pure
+    * physical hints with identical semantics; accepted and compiled to
+    * the same groupBy, where Catalyst elides the Exchange on its own
+    * whenever the input's partitioning already satisfies the key
+    * (bucketed tables — see ops/Bucketed.collectedGroup). */
+  final case class GroupOp(inputs: List[(String, List[Expr])], all: Boolean,
+                           using: Option[String] = None) extends RelOp
 
   /** CUBE rel BY CUBE(dims) / ROLLUP(dims) [, …] — grouping-set
     * aggregation [R: src/org/apache/pig/newplan/logical/relational/LOCube.java].

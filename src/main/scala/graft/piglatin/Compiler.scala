@@ -171,7 +171,7 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
 
     case op: ForeachNestedOp => compileForeachNested(op)
 
-    case GroupOp(inputs, all) => compileGroup(inputs, all)
+    case GroupOp(inputs, all, _) => compileGroup(inputs, all)
 
     case CubeOp(in, List((mode, dims))) =>
       // grouping-set keys stay top-level columns (Catalyst Expand needs

@@ -204,7 +204,16 @@ object Parser {
           val inputs = List.newBuilder[(String, List[Expr])]
           inputs += first
           while (trySym(",")) inputs += groupInput()
-          GroupOp(inputs.result(), all = false)
+          // USING 'collected' (GROUP) / 'merge' (COGROUP): physical
+          // hints only — same result, shuffle elided by Catalyst when
+          // the input is already partitioned by the key
+          val using = if (tryKw("using")) {
+            val h = str().toLowerCase
+            if (h != "collected" && h != "merge")
+              fail(s"unsupported GROUP hint '$h' (collected|merge)")
+            Some(h)
+          } else None
+          GroupOp(inputs.result(), all = false, using)
         }
       }
       else if (atKw("join")) { eatKw("join")

@@ -373,6 +373,28 @@ object CoreQueries {
         .orderBy(col("o_orderstatus")).df
     }),
 
+    // COLLECTED group [POCollectedGroup analog, GROUP … USING
+    // 'collected']: aggregation on the bucket key of a bucketed copy —
+    // map-side-complete HashAggregate, ZERO Exchange (plan-asserted in
+    // BucketedSpec). Results are identical to a plain GROUP BY (the
+    // hint is purely physical), which is what the oracle re-derives.
+    "q96_collected_group" -> ((s, dir) => {
+      val tbl = "graft_q96_li_b"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+      graft.ops.Bucketed.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        tbl, "l_orderkey", buckets = 8)
+      graft.ops.Bucketed.collectedGroup(s, tbl, "l_orderkey", Seq(
+          count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty")))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // STREAM rel THROUGH external command [POStream / rdd.pipe analog]:
     // rows piped tab-delimited through `cat`, parsed back, re-aggregated
     "q48_stream_through" -> ((s, dir) => {
@@ -647,6 +669,10 @@ object CoreQueries {
       """SELECT o_orderstatus, COUNT(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
+    "q96_collected_group" ->
+      """SELECT l_orderkey, COUNT(*) AS n,
+         (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q48_stream_through" ->
       """SELECT r_name, COUNT(*) AS n FROM region GROUP BY 1 ORDER BY 1""",
     "q57_median_agg" ->

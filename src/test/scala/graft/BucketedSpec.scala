@@ -41,5 +41,19 @@ class BucketedSpec extends SparkSuite {
     val expected = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey").distinct().count()
     assert(grouped.count() == expected)
+
+    // COLLECTED group with real aggregates (q96): still zero Exchange,
+    // and values equal the plain shuffled groupBy on the raw table
+    import org.apache.spark.sql.functions._
+    val collected = Bucketed.collectedGroup(spark, "li_b", "l_orderkey", Seq(
+      count(lit(1)).as("n"),
+      sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty")))
+    val cPlan = collected.queryExecution.executedPlan.toString
+    assert(!cPlan.contains("Exchange"), cPlan)
+    val plain = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_orderkey").agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    assert(collected.exceptAll(plain).isEmpty && plain.exceptAll(collected).isEmpty)
   }
 }

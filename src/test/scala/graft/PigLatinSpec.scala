@@ -52,6 +52,32 @@ class PigLatinSpec extends SparkSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("GROUP … USING 'collected' / COGROUP … USING 'merge' accepted as physical hints; unknown hint rejected") {
+    // hints never change results — same rows as the unhinted group
+    val e = engine.run("""
+      li = LOAD 'lineitem.parquet';
+      g = GROUP li BY l_returnflag USING 'collected';
+      out = FOREACH g GENERATE group, COUNT(li) AS n;
+      """)
+    val got = e.relation("out").as[(String, Long)].collect().toMap
+    val want = Tables.load(spark, dir, "lineitem").groupBy("l_returnflag")
+      .agg(count(lit(1))).as[(String, Long)].collect().toMap
+    assert(got == want)
+    val e2 = engine.run("""
+      o = LOAD 'orders.parquet';
+      c = LOAD 'customer.parquet';
+      g = COGROUP o BY o_custkey, c BY c_custkey USING 'merge';
+      out = FOREACH g GENERATE group, SIZE(o) AS n_orders;
+      """)
+    assert(e2.relation("out").count() > 0)
+    intercept[Exception] {
+      engine.run("""
+        li = LOAD 'lineitem.parquet';
+        g = GROUP li BY l_returnflag USING 'hashed';
+        """)
+    }
+  }
+
   test("GROUP + FOREACH aggregates fuse to groupBy().agg() (combiner path)") {
     val e = engine.run("""
       li = LOAD 'lineitem.parquet';
