@@ -421,6 +421,32 @@ object Text {
           .as("mean_logprob"))
   }
 
+  /** Sequence packing — the concat-and-chunk bin assignment a training
+    * pipeline runs to pack tokenized documents into fixed-length
+    * sequences: documents in a deterministic global order (by id), each
+    * assigned to the training sequence its FIRST token lands in, i.e.
+    * bin = exclusive-prefix-tokens div seqTokens.
+    *
+    * The prefix sum is [[graft.ops.Rank.prefixSum]] — the reference's
+    * POCounter 2-pass shape generalized to sums: per-partition totals
+    * (one tiny job, numPartitions longs on the driver), then offsets
+    * embedded map-side. NO single-partition window, so the operator
+    * holds at 100 TB where `SUM() OVER (ORDER BY …)` without a
+    * PARTITION BY would collapse onto one task. A SQL oracle, which
+    * doesn't have that constraint, re-derives it exactly with the
+    * windowed form.
+    *
+    * Output: (doc, n_tokens, cum_tokens inclusive, bin 0-based).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqTokens: Long): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    val rec = df.select(col(idCol).as("doc"),
+      tokenCountWs(col(textCol)).as("n_tokens"))
+    graft.ops.Rank.prefixSum(rec, Seq(col("doc")), "n_tokens", "cum_tokens")
+      .withColumn("bin", expr(s"(cum_tokens - n_tokens) div ${seqTokens}L"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — public paper):
     * each document scored by its mean per-token

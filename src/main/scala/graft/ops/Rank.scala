@@ -37,6 +37,37 @@ object Rank {
     df.sparkSession.createDataFrame(withIdx, schema)
   }
 
+  /** Global running sum of a long column in a total order — the
+    * POCounter 2-pass pattern generalized from counting rows to
+    * summing a value: range-repartition + local sort, one tiny job
+    * collecting per-partition totals (numPartitions longs on the
+    * driver — bounded by cluster size, not data), then a map embedding
+    * each partition's exclusive offset. No single-partition Window
+    * anywhere; both passes fully parallel.
+    *
+    * Appends `as` = inclusive prefix sum of `valueCol` over sortCols
+    * order.
+    */
+  def prefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                as: String = "cum"): DataFrame = {
+    // like rowNumber: sortCols MUST be a deterministic total order —
+    // the totals job and the embedding job each evaluate the sorted
+    // lineage, and ties re-ordered between runs would split offsets
+    val sorted = df.orderBy(sortCols: _*)
+    val valIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(valIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = StructType(sorted.schema.fields :+ StructField(as, LongType, nullable = false))
+    val withCum = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { r => run += r.getLong(valIdx); Row.fromSeq(r.toSeq :+ run) }
+    }
+    df.sparkSession.createDataFrame(withCum, schema)
+  }
+
   /** RANK rel BY keys — standard competition rank (ties share the
     * minimum row number; gaps after ties). Scalable: row numbers from
     * the 2-pass pipeline, then per-key min broadcast back. When the

@@ -546,6 +546,16 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // sequence packing: concat-and-chunk bin assignment over the
+    // doc_id-ordered corpus, 512-token training sequences — distributed
+    // prefix sum (POCounter 2-pass shape), no single-partition window
+    "q97_pack" -> ((s, dir) => {
+      Text.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          seqTokens = 512L)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // the composed curation capstone: boilerplate removal → PII scrub →
     // quality filter → exact dedup → per-source stats, one call
     "q69_curate" -> ((s, dir) => {
@@ -931,6 +941,18 @@ object LlmQueries {
            CAST(LEAST(12, n - c.s) AS BIGINT) AS n_words,
            array_to_string(w[c.s + 1 : c.s + 12], ' ') AS chunk_text
          FROM g ORDER BY doc_id, chunk_id""",
+    "q97_pack" ->
+      """WITH rec AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM rec)
+         SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+         FROM c ORDER BY doc_id""",
     "q30_dedup_exact" ->
       """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper_id""",

@@ -561,6 +561,27 @@ class TextSpec extends SparkSuite {
     assert(starts == Seq(0L, 2L, 4L))
   }
 
+  test("packSequences: bin = exclusive-prefix div budget; invariant under input partitioning") {
+    // docs of 3, 4, 5, 2 words; budget 6 → exclusive prefixes 0,3,7,12
+    // → bins 0,0,1,2
+    val df = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l"), (4L, "m n"))
+      .toDF("doc_id", "text")
+    val got = Text.packSequences(df, "doc_id", "text", seqTokens = 6L)
+      .orderBy($"doc").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 0L), (2L, 4L, 7L, 0L), (3L, 5L, 12L, 1L), (4L, 2L, 14L, 2L)))
+    // the 2-pass prefix sum must give identical results however the
+    // input is partitioned (offsets embed per partition)
+    val sprayed = Text.packSequences(df.repartition(7), "doc_id", "text", 6L)
+      .orderBy($"doc").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(sprayed == got)
+    // and no single-partition Window in the physical plan
+    val plan = Text.packSequences(df, "doc_id", "text", 6L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("sampleByQualityStrata matches a driver-side re-derivation of rank, stratum and keep rule") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val strata = 10
