@@ -311,22 +311,45 @@ object Similarity {
     * doubles — driver-tiny at any corpus size.
     */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                  m: Int = 8, k: Int = 16,
-                  iters: Int = 3): Array[Array[Array[Double]]] = {
+                  m: Int = 8, k: Int = 16, iters: Int = 3,
+                  maxTrain: Long = 100000L): Array[Array[Array[Double]]] = {
     val d = corpus.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val dsub = d / m
-    // persisted once: each subspace's training otherwise re-reads the
-    // full vector column m times from source
-    val proj = graft.dsl.Rel.track(
-      corpus.select(col(idCol), col(vecCol))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    proj.count()
-    (0 until m).map { s =>
-      kmeansCentroids(
-        proj.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as(vecCol)),
-        idCol, vecCol, k, iters)
-    }.toArray
+    // ALL m subspaces train together: one bounded seeded sample, one
+    // init collect, and ONE aggregation job per Lloyd iteration (the
+    // per-subspace formulation ran count+sample+3 iterations × m — ~80
+    // driver-scheduled jobs at m=16, which DOMINATED q92/q93 wall time
+    // at every factor of the r13 scale curve). Per-row work is
+    // unchanged: each subspace's assignment is a slice against its own
+    // foldable codebook literal; the dim explode happens once with
+    // subspace = pos div dsub.
+    val v0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val total = v0.count()
+    val v = (if (total > maxTrain) v0.sample(maxTrain.toDouble / total, 42L) else v0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val initRows = v.orderBy("id").limit(k).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => initRows.map(r => r.slice(s * dsub, (s + 1) * dsub)))
+    for (_ <- 1 to iters) {
+      val cells = array((0 until m).map { s =>
+        nearestCellsExpr(books(s), 1)(slice(col("v"), s * dsub + 1, dsub))(0)
+      }: _*)
+      val dims = v.select(cells.as("cells"), posexplode(col("v")))
+        .select(col("cells"), expr(s"pos div $dsub").cast("int").as("s"),
+          pmod(col("pos"), lit(dsub)).as("p"), col("col"))
+        .withColumn("cell", element_at(col("cells"), col("s") + 1))
+        .groupBy("s", "cell", "p").agg(avg(col("col")).as("mean"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      dims.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
+    }
+    v.unpersist(blocking = false)
+    books
   }
 
   /** Encode the corpus against trained codebooks: per-subspace
@@ -338,7 +361,8 @@ object Similarity {
     * precomputed per codeword and looked up as a foldable literal).
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               books: Array[Array[Array[Double]]]): DataFrame = {
+               books: Array[Array[Array[Double]]],
+               passthrough: Seq[String] = Nil): DataFrame = {
     val m = books.length
     val dsub = books(0)(0).length
     val codes = array((0 until m).map { s =>
@@ -349,7 +373,10 @@ object Similarity {
     }
     val rnorm2 = (0 until m).map(s =>
       element_at(norms(s), col("codes")(s) + 1)).reduce(_ + _)
-    corpus.select(col(idCol), codes.as("codes"))
+    // passthrough: extra columns carried into the encoded frame in the
+    // SAME projection (IVFPQ's cell + exact norm) — attaching them
+    // post-hoc would be a full corpus self-join
+    corpus.select((col(idCol) +: passthrough.map(col)) :+ codes.as("codes"): _*)
       .withColumn("rnorm", sqrt(rnorm2))
   }
 
@@ -427,17 +454,21 @@ object Similarity {
     def residual(v: Column, cell: Column): Column =
       zip_with(v, element_at(centsLit, cell + 1), (x, c) => x - c)
         .cast("array<float>")
-    // corpus side: cell assignment, residual PQ codes, exact norm
+    // corpus side: cell assignment, residual, exact norm — the cached
+    // frame carries ONLY (id, cell, xnorm, rv): the raw vector is not
+    // needed downstream (the exact re-rank reads the corpus directly),
+    // and cell/xnorm ride pqEncode's passthrough so no corpus self-join
+    // re-attaches them (both were measured scale costs in the r13 curve)
     val assigned = graft.dsl.Rel.track(
       corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
           nearestCellsExpr(cents, 1)(col(vecCol))(0).as("cell"))
-        .withColumn("rv", residual(col("cv"), col("cell")))
+        .select(col("neighbor_id"), col("cell"), norm(col("cv")).as("xnorm"),
+          residual(col("cv"), col("cell")).as("rv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val books = pqCodebooks(assigned, "neighbor_id", "rv", m, codewords, iters)
     val dsub = books(0)(0).length
-    val enc = pqEncode(assigned, "neighbor_id", "rv", books)
-      .join(assigned.select(col("neighbor_id"), col("cell"),
-        norm(col("cv")).as("xnorm")), "neighbor_id")
+    val enc = pqEncode(assigned, "neighbor_id", "rv", books,
+      passthrough = Seq("cell", "xnorm"))
     // query side: one row per probed cell with the exact ⟨q, c⟩ term
     val q = queries
       .select(col(queryId).as("query_id"), col(vecCol).as("qv"),

@@ -315,6 +315,52 @@ object ScaleCurve {
             explode(split(col("text"), " ")).as("word")),
           Seq("source"), "word").count())
 
+      // ---- q94/q95/q97 (r13 session 3): importance weights, chunking,
+      // sequence packing — all over the same multiplied corpus.
+      // q94 is unigramLogProb-shaped (explode → vocab agg → join →
+      // per-doc sum); the prefixed copies grow the VOCABULARY m×, so
+      // the broadcast-vocab threshold (250k rows) is crossed at the
+      // large factors and the measured curve includes the documented
+      // broadcast→shuffle-join fallback transition. q95 is shuffle-free
+      // per-row transform+explode (must be linear, scan-bound). q97 is
+      // the 2-pass prefix sum — same machinery as q90's global rank,
+      // n·log n with the range-sort constant.
+      report("q94_dsir", () =>
+        graft.llm.Text.importanceWeights(docs, "doc_id", "text",
+          col("source") === "src0").count())
+      report("q95_chunk", () =>
+        graft.llm.Text.chunk(docs, "doc_id", "text", 32, 24).count())
+      report("q97_pack", () =>
+        graft.llm.Text.packSequences(docs, "doc_id", "text", 4096L).count())
+
+      // ---- q92/q93 (r13): PQ-ADC vs IVFPQ ANN under corpus growth ----
+      // same sign-flip multiplied embeddings as q80; fixed 10-query
+      // panel, t2 parameters. Both curves must be linear (training is
+      // driver-side on a bounded sample; encode scans the corpus once);
+      // the structural claim measured here is the CONSTANT: q92's ADC
+      // fold touches every code row while q93 prunes the scan to
+      // nprobe/nCells (~25%) of the inverted lists, so q93's advantage
+      // should hold or widen as m grows.
+      if (only.forall(_.exists(p => "q92_pq".startsWith(p) || "q93_ivfpq".startsWith(p)))) {
+        val emb = (1 until m).map { c =>
+          embBase.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
+              .as("embedding"))
+        }.foldLeft(embBase)(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        emb.count()
+        val queries = emb.filter(col("vec_id") < 10)
+        report("q92_pq", () =>
+          graft.llm.Similarity.pqTopK(queries, emb, "vec_id", "vec_id",
+            "embedding", k = 5, m = 16, codewords = 16, rerank = 8).count())
+        report("q93_ivfpq", () =>
+          graft.llm.Similarity.ivfPqTopK(queries, emb, "vec_id", "vec_id",
+            "embedding", k = 5, nCells = 16, nprobe = 4, m = 16,
+            codewords = 16, rerank = 8).count())
+        emb.unpersist(blocking = false)
+      }
+
       // ---- q86/q87: as-of + range join over multiplied events (r13) ----
       // copy c offsets user_id (disjoint key spaces → per-user as-of
       // structure preserved), event_id (uniqueness), and shifts ts by
