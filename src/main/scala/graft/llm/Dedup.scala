@@ -738,4 +738,54 @@ object Dedup {
         Similarity.cosineExpr(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup — semantic deduplication over an embedding column
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — public paper):
+    * embeddings cluster into k-means cells; ONLY within-cell pairs are
+    * cosine-compared (the cells shard the quadratic, exactly the
+    * paper's use of clustering — never all-pairs); pairs at or above
+    * `threshold` form a duplicate graph whose connected components
+    * each keep one representative. Keeper = min id (deterministic and
+    * re-checkable; the paper keeps the item with the lowest similarity
+    * to the centroid — documented deviation, identical removal sets up
+    * to choice of representative).
+    *
+    * Scale shape: assignment is one codegen'd pass over the corpus
+    * (foldable codebook literal, [[Similarity.nearestCellsExpr]]); the
+    * pair join is a cell equi-join whose cost is bounded by cell
+    * population — `nCells` is the budget knob, growing with the corpus
+    * like the paper's cluster count; components run the
+    * large-star/small-star min-label machinery of [[components]].
+    * Vectors do NOT ride the pair shuffle: the cell join carries ids,
+    * and vectors re-join by id for the exact cosine (the bucketPairs
+    * discipline above).
+    *
+    * @return (id, cell, component, is_keeper) for every input row.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               nCells: Int = 16, threshold: Double = 0.8,
+               iters: Int = 3): DataFrame = {
+    val cents = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val assigned = graft.dsl.Rel.track(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+          Similarity.nearestCellsExpr(cents, 1)(col(vecCol))(0).as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ids = assigned.select(col("cell"), col("id"))
+    val cand = ids.toDF("cell", "id_a")
+      .join(ids.toDF("cell", "id_b"), "cell")
+      .filter(col("id_a") < col("id_b"))
+    val vecs = assigned.select(col("id"), col("v"))
+    val pairs = cand
+      .join(vecs.toDF("id_a", "va"), "id_a")
+      .join(vecs.toDF("id_b", "vb"), "id_b")
+      .filter(Similarity.cosineExpr(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = components(pairs).withColumnRenamed("doc", "id")
+    assigned.select(col("id"), col("cell"))
+      .join(comp, Seq("id"), "left_outer")
+      .select(col("id"), col("cell"),
+        coalesce(col("component"), col("id")).as("component"),
+        coalesce(col("is_keeper"), lit(true)).as("is_keeper"))
+  }
 }

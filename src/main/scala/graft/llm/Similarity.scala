@@ -396,8 +396,14 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame,
              queryId: String, corpusId: String, vecCol: String,
              k: Int, m: Int = 8, codewords: Int = 16,
-             rerank: Int = 4, iters: Int = 3): DataFrame = {
-    val books = pqCodebooks(corpus, corpusId, vecCol, m, codewords, iters)
+             rerank: Int = 4, iters: Int = 3,
+             maxTrain: Long = 16384L): DataFrame = {
+    // maxTrain bounds codebook training INDEPENDENT of corpus size:
+    // 16k vectors give ~1k training points per codeword per subspace
+    // at the default (m, codewords) — sampling past that buys nothing
+    // (PqProbe recall flat), while training on the corpus would make
+    // the Lloyd aggregations scale with the data
+    val books = pqCodebooks(corpus, corpusId, vecCol, m, codewords, iters, maxTrain)
     val dsub = books(0)(0).length
     val enc = pqEncode(corpus, corpusId, vecCol, books)
       .withColumnRenamed(corpusId, "neighbor_id")
@@ -448,8 +454,11 @@ object Similarity {
                 queryId: String, corpusId: String, vecCol: String,
                 k: Int, nCells: Int = 16, nprobe: Int = 3,
                 m: Int = 16, codewords: Int = 16,
-                rerank: Int = 8, iters: Int = 3): DataFrame = {
-    val cents = kmeansCentroids(corpus, corpusId, vecCol, nCells, iters)
+                rerank: Int = 8, iters: Int = 3,
+                maxTrain: Long = 16384L): DataFrame = {
+    // both quantizers train on the same bounded sample budget — see
+    // pqTopK's maxTrain note
+    val cents = kmeansCentroids(corpus, corpusId, vecCol, nCells, iters, maxTrain)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     def residual(v: Column, cell: Column): Column =
       zip_with(v, element_at(centsLit, cell + 1), (x, c) => x - c)
@@ -465,7 +474,7 @@ object Similarity {
         .select(col("neighbor_id"), col("cell"), norm(col("cv")).as("xnorm"),
           residual(col("cv"), col("cell")).as("rv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val books = pqCodebooks(assigned, "neighbor_id", "rv", m, codewords, iters)
+    val books = pqCodebooks(assigned, "neighbor_id", "rv", m, codewords, iters, maxTrain)
     val dsub = books(0)(0).length
     val enc = pqEncode(assigned, "neighbor_id", "rv", books,
       passthrough = Seq("cell", "xnorm"))

@@ -360,6 +360,46 @@ object LlmQueries {
         .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")
     }),
 
+    // SemDeDup: k-means cells → within-cell cosine pairs → connected
+    // components → min-id keeper. WHICH docs pair up depends on the
+    // trained cells (no SQL re-derivation), so the q42 properties
+    // pattern applies: the SQL-derivable total plus structural
+    // invariants re-checked exactly from the emitted labels and raw
+    // vectors, emitted as booleans the oracle states as constants.
+    "q98_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val v = t(s, dir, "embeddings")
+      val res = graft.dsl.Rel.track(
+        Dedup.semDedup(v, "vec_id", "embedding", nCells = 16, threshold = 0.4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nTotal = res.count()
+      val nRemoved = res.filter(!col("is_keeper")).count()
+      // per component: keeper is the min id and there is exactly one
+      val compOk = res.groupBy(col("component"))
+        .agg(min(col("id")).as("mn"),
+          sum(when(col("is_keeper"), 1L).otherwise(0L)).as("nk"))
+        .filter(col("mn") =!= col("component") || col("nk") =!= 1L)
+        .count() == 0L
+      // components never span cells (edges are within-cell only)
+      val cellOk = res.groupBy(col("component"))
+        .agg(countDistinct(col("cell")).as("nc"))
+        .filter(col("nc") > 1).count() == 0L
+      // every removed doc really has a same-cell partner at exact
+      // cosine ≥ τ, recomputed from the raw vectors
+      val emb = v.select(col("vec_id").as("id"), col("embedding"))
+      val removed = res.filter(!col("is_keeper")).select(col("id"), col("cell"))
+        .join(emb, "id")
+      val members = res.select(col("id").as("oid"), col("cell"))
+        .join(emb.toDF("oid", "ov"), "oid")
+      val partnered = removed.join(members, "cell")
+        .filter(col("id") =!= col("oid") &&
+          Similarity.cosineExpr(col("embedding"), col("ov")) >= 0.4)
+        .select(col("id")).distinct().count()
+      Seq((nTotal, nRemoved > 0, partnered == nRemoved, compOk, cellOk))
+        .toDF("n_total", "any_removed", "removed_have_partner",
+          "keeper_is_min", "components_within_cell")
+    }),
+
     "q42_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       val v = t(s, dir, "embeddings")
@@ -699,6 +739,11 @@ object LlmQueries {
       """SELECT COUNT(*) AS n_queries, TRUE AS k_rows_each,
          TRUE AS rk_ordered, TRUE AS cosine_exact
          FROM embeddings WHERE vec_id < 10""",
+    "q98_semdedup" ->
+      """SELECT COUNT(*) AS n_total, TRUE AS any_removed,
+         TRUE AS removed_have_partner, TRUE AS keeper_is_min,
+         TRUE AS components_within_cell
+         FROM embeddings""",
     "q92_pq_topk" ->
       """SELECT COUNT(*) AS n_queries, TRUE AS k_rows_each,
          TRUE AS rk_ordered, TRUE AS cosine_exact

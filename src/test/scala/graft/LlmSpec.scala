@@ -317,6 +317,40 @@ class DedupSpec extends SparkSuite {
   }
 }
 
+class SemDedupSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.llm.Dedup
+
+  test("semDedup: transitive components, min-id keepers, isolated rows kept") {
+    // 1–2–6 chain one semantic-dup component (keeper 1), 3–4 another
+    // (keeper 3), 5 isolated (its own keeper)
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0.99f, 0.01f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)),
+      (4L, Seq(0f, 0.98f, 0.02f, 0f)),
+      (5L, Seq(0f, 0f, 1f, 0f)),
+      (6L, Seq(0.995f, 0.005f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(vecs, "vec_id", "embedding", nCells = 1, threshold = 0.95)
+      .orderBy($"id").as[(Long, Int, Long, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._3, r._4)) == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 3L, true),
+      (4L, 3L, false), (5L, 5L, true), (6L, 1L, false)))
+  }
+
+  test("semDedup invariants on real embeddings: full cover, one keeper per component, within-cell") {
+    val v = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val res = Dedup.semDedup(v, "vec_id", "embedding", nCells = 8, threshold = 0.4)
+    assert(res.count() == v.count())
+    val bad = res.groupBy($"component")
+      .agg(min($"id").as("mn"),
+        sum(when($"is_keeper", 1L).otherwise(0L)).as("nk"),
+        countDistinct($"cell").as("nc"))
+      .filter($"mn" =!= $"component" || $"nk" =!= 1L || $"nc" > 1)
+    assert(bad.isEmpty)
+  }
+}
+
 class SimilaritySpec extends SparkSuite {
   import spark.implicits._
 
