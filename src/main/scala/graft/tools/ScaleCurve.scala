@@ -361,6 +361,26 @@ object ScaleCurve {
         emb.unpersist(blocking = false)
       }
 
+      // ---- q98 (r13): SemDeDup — cells shard the within-cell pair
+      // quadratic. Sign-flip multiplied embeddings; nCells grows with
+      // the corpus (×4 data → ×4 cells) so CELL POPULATION is constant,
+      // the paper's own scaling discipline — the curve must then be
+      // linear; a fixed nCells would grow m² by construction.
+      if (only.forall(_.exists(p => "q98_semdedup".startsWith(p)))) {
+        val emb = (1 until m).map { c =>
+          embBase.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
+              .as("embedding"))
+        }.foldLeft(embBase)(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        emb.count()
+        report("q98_semdedup", () =>
+          graft.llm.Dedup.semDedup(emb, "vec_id", "embedding",
+            nCells = 16 * m, threshold = 0.4).filter(!col("is_keeper")).count())
+        emb.unpersist(blocking = false)
+      }
+
       // ---- q86/q87: as-of + range join over multiplied events (r13) ----
       // copy c offsets user_id (disjoint key spaces → per-user as-of
       // structure preserved), event_id (uniqueness), and shifts ts by
