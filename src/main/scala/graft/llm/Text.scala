@@ -549,6 +549,69 @@ object Text {
         array_join(slice(w, col("start_word") + 1, lit(chunkWords)), " ").as("chunk_text"))
   }
 
+  /** Bigram-LM quality score — the perplexity-style filter one step up
+    * from [[unigramLogProb]] (the CCNet-lineage shape: score text under
+    * an n-gram LM, drop the tails): each document's mean
+    * ln p(w_i | w_{i-1}) under the corpus's own bigram model with
+    * unigram-backoff smoothing,
+    *
+    *   p(w | v) = (c(v,w) + α·p1(w)) / (c(v) + α),   p1(w) = c(w)/N
+    *
+    * so unseen bigrams fall back to the unigram distribution instead
+    * of −∞. Documents with fewer than two words have no bigrams and
+    * are dropped (documented; the corpus tables have none).
+    *
+    * Determinism: per-bigram terms cast to decimal(28,12) before the
+    * per-doc sum — partition-order-exact, bit-matched by the SQL
+    * oracle.
+    *
+    * Scale shape: ONE bigram explode (the words array is materialized
+    * before the transform — the [[repetitionSignals]] lambda-capture
+    * lesson); bigram and unigram counts partial-aggregate map-side and
+    * are vocabulary-bounded; both count sides BROADCAST below
+    * `broadcastVocabRows` (Heaps' law — same rationale and same eager
+    * `count()` trade as [[unigramLogProb]]); N rides a broadcast 1-row
+    * cross join.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    alpha: Double = 0.5,
+                    broadcastVocabRows: Long = 250000): DataFrame = {
+    val pre = df.select(col(idCol).as("doc"), words(col(textCol)).as("graft_bg_w"))
+    val w = col("graft_bg_w")
+    val pairs = pre.select(col("doc"),
+        explode(when(size(w) >= 2,
+            transform(sequence(lit(1), size(w) - 1),
+              i => struct(element_at(w, i).as("prev"), element_at(w, i + 1).as("cur"))))
+          .otherwise(array().cast("array<struct<prev:string,cur:string>>"))).as("bg"))
+      .select(col("doc"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val toks = df.select(explode(words(col(textCol))).as("word"))
+    val ug = graft.dsl.Rel.track(
+      toks.groupBy(col("word")).agg(count(lit(1)).as("c_w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bgc = graft.dsl.Rel.track(
+      pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_vw"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val vocabSmall = ug.count() <= broadcastVocabRows
+    val bgSmall = bgc.count() <= broadcastVocabRows
+    val ugPrev = ug.select(col("word").as("prev"), col("c_w").as("c_prev"))
+    val ugCur = ug.select(col("word").as("cur"), col("c_w").as("c_cur"))
+    val total = ug.agg(sum(col("c_w")).as("n_total"))
+    pairs
+      .join(if (bgSmall) broadcast(bgc) else bgc, Seq("prev", "cur"))
+      .join(if (vocabSmall) broadcast(ugPrev) else ugPrev, Seq("prev"))
+      .join(if (vocabSmall) broadcast(ugCur) else ugCur, Seq("cur"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(log((col("c_vw") + (col("c_cur").cast("double") / col("n_total")) * alpha)
+              / (col("c_prev") + alpha))
+          .cast("decimal(28,12)")).as("sum_lp"))
+      .select(col("doc"), col("n_bigrams"),
+        roundCompat(col("sum_lp").cast("double") / col("n_bigrams"), 6)
+          .as("mean_logprob"))
+  }
+
   /** Gopher-style quality-rule signals (Rae et al. 2021, "Scaling
     * Language Models" appendix A1.1 — public paper): per-document
     * repetition and composition statistics used as training-data

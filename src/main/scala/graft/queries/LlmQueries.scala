@@ -611,6 +611,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // bigram-LM quality score with unigram backoff (the CCNet-lineage
+    // perplexity filter one step up from q68) — decimal-summed terms
+    "q99_bigram_logprob" -> ((s, dir) => {
+      Text.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // one-pass per-document analysis record (the standard pre-filter
     // stats bundle) + winnowing-style shingle fingerprint
     "q67_text_analyze" -> ((s, dir) => {
@@ -792,6 +800,26 @@ object LlmQueries {
            FLOOR((SUM(CAST(LN(c::DOUBLE / n_total) AS DECIMAL(28,12)))::DOUBLE
                   / COUNT(*)) * 1000000 + 0.5) / 1000000 AS mean_logprob
          FROM toks JOIN wc USING (word), tot
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q99_bigram_logprob" ->
+      """WITH wlist AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         pairs AS (SELECT doc_id,
+                     UNNEST(list_transform(range(1, len(w)),
+                       i -> {'prev': w[i], 'cur': w[i+1]})) AS bg
+                   FROM wlist WHERE len(w) >= 2),
+         p AS (SELECT doc_id, bg.prev AS prev, bg.cur AS cur FROM pairs),
+         toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         ug AS (SELECT word, COUNT(*) AS c_w FROM toks GROUP BY 1),
+         bgc AS (SELECT prev, cur, COUNT(*) AS c_vw FROM p GROUP BY 1, 2),
+         tot AS (SELECT SUM(c_w) AS n_total FROM ug)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           FLOOR((SUM(CAST(LN((c_vw + (uc.c_w::DOUBLE / n_total) * 0.5)
+                              / (up.c_w + 0.5)) AS DECIMAL(28,12)))::DOUBLE
+                  / COUNT(*)) * 1000000 + 0.5) / 1000000 AS mean_logprob
+         FROM p
+         JOIN bgc USING (prev, cur)
+         JOIN ug up ON up.word = p.prev
+         JOIN ug uc ON uc.word = p.cur, tot
          GROUP BY doc_id ORDER BY doc_id""",
     "q67_text_analyze" ->
       s"""SELECT doc_id, n_tokens_ws, n_tokens_re, n_chars,

@@ -595,6 +595,21 @@ class TextSpec extends SparkSuite {
     assert(starts == Seq(0L, 2L, 4L))
   }
 
+  test("bigramLogProb: exact decimal re-derivation; <2-word docs dropped") {
+    val df = Seq(
+      (1L, "a b a"), (2L, "b b"), (3L, "solo"), (4L, "")).toDF("doc_id", "text")
+    val got = Text.bigramLogProb(df, "doc_id", "text")
+      .orderBy($"doc").as[(Long, Long, Double)].collect().toSeq
+    // corpus: ug a:2 b:3 solo:1 "":1, N=7; bigrams (a,b):1 (b,a):1 (b,b):1
+    def term(cVw: Long, cPrev: Long, cCur: Long): BigDecimal = BigDecimal(
+      math.log((cVw + (cCur.toDouble / 7L) * 0.5) / (cPrev + 0.5)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val d1 = (term(1, 2, 3) + term(1, 3, 2)).toDouble // (a,b) then (b,a)
+    val d2 = term(1, 3, 3).toDouble                   // (b,b)
+    assert(got == Seq((1L, 2L, r6(d1 / 2)), (2L, 1L, r6(d2))))
+  }
+
   test("packSequences: bin = exclusive-prefix div budget; invariant under input partitioning") {
     // docs of 3, 4, 5, 2 words; budget 6 → exclusive prefixes 0,3,7,12
     // → bins 0,0,1,2
