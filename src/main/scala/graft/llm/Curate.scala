@@ -47,4 +47,28 @@ object Curate {
         sum(Text.tokenCountWs(col("clean"))).as("sum_tokens"),
         sum(col("quality").cast("decimal(18,4)")).cast("double").as("sum_quality"))
   }
+
+  /** The sequence-preparation capstone (the other half of the curation
+    * story): quality-filter → sliding-window [[Text.chunk]] → pack the
+    * chunk stream into fixed-token training sequences (the
+    * [[graft.ops.Rank.prefixSum]] 2-pass, ordered by (doc, chunk_id))
+    * → per-sequence stats. Deterministic end-to-end, composed SQL
+    * oracle (q100); no single-partition window anywhere.
+    *
+    * @return (bin, n_chunks, n_tokens, n_docs) per training sequence.
+    */
+  def prepSequences(docs: DataFrame, idCol: String, textCol: String,
+                    minQuality: Double = 0.5, chunkWords: Int = 12,
+                    stride: Int = 8, seqTokens: Long = 256L): DataFrame = {
+    val kept = docs.filter(Text.qualityScore(col(textCol)) >= minQuality)
+    val chunks = Text.chunk(kept, idCol, textCol, chunkWords, stride)
+      .select(col("doc"), col("chunk_id"), col("n_words"))
+    val cum = graft.ops.Rank.prefixSum(chunks,
+      Seq(col("doc"), col("chunk_id")), "n_words", "cum_tokens")
+    cum.withColumn("bin", expr(s"(cum_tokens - n_words) div ${seqTokens}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("n_tokens"),
+        countDistinct(col("doc")).as("n_docs"))
+  }
 }

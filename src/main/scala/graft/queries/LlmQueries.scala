@@ -596,6 +596,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the sequence-preparation capstone: quality filter → sliding
+    // chunking → pack into 256-token training sequences (2-pass prefix
+    // sum) → per-sequence stats, all composed from oracle-checked ops
+    "q100_prep_pipeline" -> ((s, dir) => {
+      graft.llm.Curate.prepSequences(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("bin"))
+    }),
+
     // the composed curation capstone: boilerplate removal → PII scrub →
     // quality filter → exact dedup → per-source stats, one call
     "q69_curate" -> ((s, dir) => {
@@ -1014,6 +1022,42 @@ object LlmQueries {
            CAST(LEAST(12, n - c.s) AS BIGINT) AS n_words,
            array_to_string(w[c.s + 1 : c.s + 12], ' ') AS chunk_text
          FROM g ORDER BY doc_id, chunk_id""",
+    "q100_prep_pipeline" ->
+      """WITH scored AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               FLOOR(((lnd / n) * 0.4 + (LEAST(nc / n, 8.0) / 8.0) * 0.3
+                      + LEAST(n / 100.0, 1.0) * 0.3) * 10000 + 0.5) / 10000
+                 AS quality
+             FROM (SELECT doc_id, text,
+                     len(string_split(text, ' '))::DOUBLE AS n,
+                     len(list_distinct(string_split(text, ' ')))::DOUBLE AS lnd,
+                     LENGTH(text)::DOUBLE AS nc
+                   FROM documents))
+           WHERE quality >= 0.5),
+         base AS (SELECT doc_id, string_split(text, ' ') AS w,
+                    len(string_split(text, ' ')) AS n FROM scored),
+         pre AS (SELECT doc_id, w, n,
+                   CASE WHEN n <= 12 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(CEIL((n - 12) / 8.0) AS BIGINT) END AS m
+                 FROM base),
+         g AS (SELECT doc_id, n,
+                 UNNEST(list_transform(range(0, m + 1),
+                   k -> {'cid': k,
+                         's': CASE WHEN k < m THEN k * 8
+                                   ELSE GREATEST(n - 12, 0) END})) AS c
+               FROM pre),
+         ch AS (SELECT doc_id, c.cid AS chunk_id,
+                  CAST(LEAST(12, n - c.s) AS BIGINT) AS n_words FROM g),
+         cum AS (SELECT doc_id, chunk_id, n_words,
+                   SUM(n_words) OVER (ORDER BY doc_id, chunk_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM ch)
+         SELECT CAST((cum - n_words) // 256 AS BIGINT) AS bin,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT doc_id) AS n_docs
+         FROM cum GROUP BY 1 ORDER BY 1""",
     "q97_pack" ->
       """WITH rec AS (
            SELECT doc_id,

@@ -686,6 +686,63 @@ class TextSpec extends SparkSuite {
     assert(skPlan.contains("partial_hll_sketch_agg"), skPlan.take(2000))
   }
 
+  test("r13 session-3 plans: vocab joins broadcast (q94/q99); chunk is exchange-free (q95)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // q94/q99: the token→vocabulary joins must BROADCAST at corpus
+    // vocab sizes (the explode side never shuffles by word)
+    val dsir = Text.importanceWeights(docs, "doc_id", "text", $"source" === "src0")
+      .queryExecution.executedPlan.toString
+    assert(dsir.contains("BroadcastHashJoin"), dsir.take(2000))
+    val bg = Text.bigramLogProb(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(bg.contains("BroadcastHashJoin"), bg.take(2000))
+    // q95: pure per-row transform + explode — no Exchange anywhere
+    val ch = Text.chunk(docs, "doc_id", "text", 12, 8)
+      .queryExecution.executedPlan.toString
+    assert(!ch.contains("Exchange"), ch.take(2000))
+  }
+
+  test("chunk coverage properties over doc lengths 1..40 × three (cw, stride) shapes") {
+    // docs d = 1..40 with d words each; per config one Spark job, then
+    // per-doc boundary laws checked driver-side
+    val docs = (1 to 40).map(d => (d.toLong, (1 to d).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((cw, stride) <- Seq((4, 3), (5, 5), (7, 2), (12, 8))) {
+      val byDoc = Text.chunk(docs, "doc_id", "text", cw, stride)
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+        .groupBy(_._1)
+      for (n <- 1 to 40) {
+        val rows = byDoc(n.toLong).sortBy(_._2)
+        // full cover: the union of [start, start + n_words) is [0, n)
+        val covered = rows.flatMap(r => r._3 until (r._3 + r._4)).toSet
+        assert(covered == (0L until n.toLong).toSet, s"n=$n cw=$cw stride=$stride")
+        // with at least cw words every chunk is exactly full-width
+        if (n >= cw) assert(rows.forall(_._4 == cw), s"n=$n cw=$cw stride=$stride")
+        // starts strictly increase; the last chunk ends at the last word
+        assert(rows.map(_._3) == rows.map(_._3).sorted.distinct)
+        assert(rows.last._3 + rows.last._4 == n.toLong)
+        // chunk text really is the slice it claims to be
+        val r0 = rows.head
+        assert(r0._5 == ((r0._3 + 1) to (r0._3 + r0._4)).map("w" + _).mkString(" "))
+      }
+    }
+  }
+
+  test("prepSequences: contiguous bins, conserved tokens, non-final bins near budget") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bins = graft.llm.Curate.prepSequences(docs, "doc_id", "text").orderBy($"bin")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(bins.map(_._1) == bins.indices.map(_.toLong))
+    val kept = docs.filter(Text.qualityScore($"text") >= 0.5)
+    val totalTokens = Text.chunk(kept, "doc_id", "text", 12, 8)
+      .agg(sum($"n_words")).as[Long].head()
+    assert(bins.map(_._3).sum == totalTokens)
+    // prefix contiguity: every non-final bin spans at least
+    // seqTokens − (chunkWords − 1) tokens (a chunk can spill at most
+    // chunkWords − 1 tokens across the boundary)
+    assert(bins.dropRight(1).forall(_._3 >= 256 - 11))
+  }
+
   test("fingerprint equals the driver-side polynomial hash") {
     val s = "abc xyz"
     def poly(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
