@@ -20,6 +20,44 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map[String, Q](
 
+    // funnel conversion: per user, first signup → first purchase at or
+    // after it → within-24h conversion. Per-user aggregation + one
+    // equi-join — at 100 TB both aggregations partial-aggregate and the
+    // join shuffles by user_id once; no window, no self-cross.
+    "q101_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      su.join(pu, Seq("user_id"), "left_outer")
+        .groupBy(col("user_id"), col("signup_ts"))
+        .agg(min(when(col("p_ts") >= col("signup_ts"), col("p_ts"))).as("first_p"))
+        .agg(
+          count(lit(1)).as("n_signup_users"),
+          sum(when(col("first_p").isNotNull, 1L).otherwise(0L)).as("n_purchased_after"),
+          sum(when(col("first_p") <= col("signup_ts") + expr("INTERVAL 24 HOURS"), 1L)
+            .otherwise(0L)).as("n_converted_24h"))
+    }),
+
+    // retention cohorts: users bucketed by first-seen day, distinct
+    // actives per (cohort, day-offset ≤ 7) — the standard cohort grid
+    "q102_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+      ev.join(first, "user_id")
+        .select(col("cohort"),
+          datediff(date_trunc("day", col("ts")), col("cohort")).cast("long")
+            .as("day_offset"), col("user_id"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cohort").cast("timestamp_ntz").as("cohort"),
+          col("day_offset"), col("n_users"))
+        .orderBy(col("cohort"), col("day_offset"))
+    }),
+
     // tumbling 1-hour windows per event_type
     "q27_window_tumbling" -> ((s, dir) => {
       Windows.tumbling(t(s, dir, "events"), "ts", "1 hour",
@@ -127,6 +165,29 @@ object EventQueries {
                  PARTITION BY user_id ORDER BY ts) AS gap
                FROM events)
          GROUP BY 1 ORDER BY 1""",
+    "q101_funnel" ->
+      """WITH su AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+         fc AS (SELECT su.user_id, signup_ts,
+                  MIN(CASE WHEN e.ts >= signup_ts THEN e.ts END) AS first_p
+                FROM su LEFT JOIN events e
+                  ON e.user_id = su.user_id AND e.event_type = 'purchase'
+                GROUP BY 1, 2)
+         SELECT COUNT(*) AS n_signup_users,
+           SUM(CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_purchased_after,
+           SUM(CASE WHEN first_p <= signup_ts + INTERVAL 24 HOURS
+                    THEN 1 ELSE 0 END)::BIGINT AS n_converted_24h
+         FROM fc""",
+    "q102_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+                    FROM events GROUP BY 1)
+         SELECT cohort,
+           datediff('day', cohort, date_trunc('day', e.ts)) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+         FROM events e JOIN f USING (user_id)
+         WHERE datediff('day', cohort, date_trunc('day', e.ts)) <= 7
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q27_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          COUNT(*) AS n, (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS sum_value
