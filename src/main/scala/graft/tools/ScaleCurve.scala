@@ -333,6 +333,18 @@ object ScaleCurve {
       report("q97_pack", () =>
         graft.llm.Text.packSequences(docs, "doc_id", "text", 4096L).count())
 
+      // ---- q99/q100 (r13 session 3): bigram LM + sequence-prep
+      // capstone. q99 is q94's shape one n-gram up: the bigram
+      // vocabulary grows faster than the unigram one (prefixed copies
+      // make copies' bigram spaces disjoint), so the broadcast→shuffle
+      // fallback hits EARLIER — the curve includes that transition.
+      // q100 composes scan-local scoring, the chunk explode and the
+      // 2-pass prefix sum; its curve must track q95 + q97.
+      report("q99_bigram", () =>
+        graft.llm.Text.bigramLogProb(docs, "doc_id", "text").count())
+      report("q100_prep", () =>
+        graft.llm.Curate.prepSequences(docs, "doc_id", "text").count())
+
       // ---- q92/q93 (r13): PQ-ADC vs IVFPQ ANN under corpus growth ----
       // same sign-flip multiplied embeddings as q80; fixed 10-query
       // panel, t2 parameters. Both curves must be linear (training is
@@ -389,7 +401,8 @@ object ScaleCurve {
       // than by plan defect. Both curves must be linear: q86 is one
       // shuffle+window, q87 one bucket equi-join with ≤3× blowup.
       if (only.forall(_.exists(p => "q86_asof".startsWith(p) ||
-          "q87_range".startsWith(p)))) {
+          "q87_range".startsWith(p) || "q101_funnel".startsWith(p) ||
+          "q102_retention".startsWith(p)))) {
         val evBase = Tables.load(spark, dir, "events")
           .select(col("event_id"), col("user_id"), col("ts"),
             col("event_type"), col("value"))
@@ -415,6 +428,34 @@ object ScaleCurve {
         report("q87_range", () =>
           graft.ops.RangeJoin.countWithinRadius(clicks, errors,
             "event_id", "ts", "ts", 300000000L).count())
+        // q101/q102 (r13 s3): funnel + retention over the same
+        // multiplied events — per-user aggregations and one equi-join,
+        // so both must be linear (user space grows m×, per-user event
+        // counts constant).
+        report("q101_funnel", () => {
+          val su = ev.filter(col("event_type") === "signup")
+            .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+          val pu = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts"))
+          su.join(pu, Seq("user_id"), "left_outer")
+            .groupBy(col("user_id"), col("signup_ts"))
+            .agg(min(when(col("p_ts") >= col("signup_ts"), col("p_ts"))).as("first_p"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("first_p").isNotNull, 1L).otherwise(0L)).as("np"))
+            .count()
+        })
+        report("q102_retention", () => {
+          val first = ev.groupBy(col("user_id"))
+            .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+          ev.select(col("user_id"), col("ts")).join(first, "user_id")
+            .select(col("cohort"),
+              datediff(date_trunc("day", col("ts")), col("cohort")).as("off"),
+              col("user_id"))
+            .filter(col("off") <= 7)
+            .groupBy(col("cohort"), col("off"))
+            .agg(countDistinct(col("user_id")).as("n_users"))
+            .count()
+        })
         ev.unpersist(blocking = false)
       }
 
