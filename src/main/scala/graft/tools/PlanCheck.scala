@@ -22,7 +22,11 @@ object PlanCheck {
       // VERDICT r10 item 5: the queries whose plans round 10 changed
       // were exactly the ones missing here
       "q42_ann_ivf", "q77_dedup_clusters", "q78_token_budget",
-      "q80_ann_multitable")
+      "q80_ann_multitable",
+      // r13 session 3
+      "q94_dsir_weights", "q95_chunk", "q96_collected_group", "q97_pack",
+      "q99_bigram_logprob", "q100_prep_pipeline", "q101_funnel",
+      "q102_retention")
     // the two-phase sampler knob is a caller flag, not a queries entry —
     // probe it directly so BOTH physical forms get a printed plan
     val extra: Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)] = Seq(
