@@ -447,6 +447,32 @@ object Text {
       .withColumn("bin", expr(s"(cum_tokens - n_tokens) div ${seqTokens}L"))
   }
 
+  /** Deterministic fixed-count per-group sample: the "k docs per
+    * source" sampler (inspection sets, eval slices, few-shot pools).
+    * RNG-free — rows rank by (fingerprint, id) inside each group and
+    * the first k win, so any SQL engine re-derives the selection
+    * row-for-row and reruns are identical.
+    *
+    * Scale shape: ONE window partitioned by the group key — parallel
+    * across groups (this is the partitioned-window form that is fine
+    * at scale; it is the GLOBAL window with no partitioning that
+    * serializes). A skewed giant group ranks within one task but only
+    * until k winners emerge upstream of the filter; for pathological
+    * group sizes compose with the bucketed two-phase trick of
+    * [[sampleByTokenBudget]].
+    */
+  def samplePerGroup(df: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.select(col(idCol), col(groupCol).as("grp"),
+        fingerprint(col(textCol)).as("fp"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("fp"), col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("grp"), col("rk").cast("long").as("rk"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — public paper):
     * each document scored by its mean per-token

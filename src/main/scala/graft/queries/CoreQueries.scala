@@ -373,6 +373,15 @@ object CoreQueries {
         .orderBy(col("o_orderstatus")).df
     }),
 
+    // per-column table profiling: one-scan stats (non-null/null/exact
+    // distinct/min/max) unpivoted to one row per column — the
+    // pre-training data-quality pass; approx twin is q91's sketches
+    "q104_profile" -> ((s, dir) => {
+      graft.ops.Profile.profile(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_returnflag"))
+        .orderBy(col("col_name"))
+    }),
+
     // COLLECTED group [POCollectedGroup analog, GROUP … USING
     // 'collected']: aggregation on the bucket key of a bucketed copy —
     // map-side-complete HashAggregate, ZERO Exchange (plan-asserted in
@@ -673,6 +682,27 @@ object CoreQueries {
       """SELECT l_orderkey, COUNT(*) AS n,
          (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q104_profile" ->
+      """SELECT * FROM (
+           SELECT 'l_orderkey' AS col_name, COUNT(l_orderkey) AS n_nonnull,
+             SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             COUNT(DISTINCT l_orderkey) AS n_distinct,
+             MIN(l_orderkey)::VARCHAR AS min_str,
+             MAX(l_orderkey)::VARCHAR AS max_str
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', COUNT(l_quantity),
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             COUNT(DISTINCT l_quantity),
+             MIN(l_quantity)::VARCHAR, MAX(l_quantity)::VARCHAR
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', COUNT(l_returnflag),
+             SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             COUNT(DISTINCT l_returnflag),
+             MIN(l_returnflag)::VARCHAR, MAX(l_returnflag)::VARCHAR
+           FROM lineitem)
+         ORDER BY col_name""",
     "q48_stream_through" ->
       """SELECT r_name, COUNT(*) AS n FROM region GROUP BY 1 ORDER BY 1""",
     "q57_median_agg" ->

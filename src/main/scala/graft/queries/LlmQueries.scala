@@ -596,6 +596,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic k-per-group sample: 5 docs per source by
+    // (fingerprint, id) rank — RNG-free, row-for-row SQL-re-derivable
+    "q103_group_sample" -> ((s, dir) => {
+      Text.samplePerGroup(t(s, dir, "documents"), "doc_id", "text",
+          "source", k = 5)
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // the sequence-preparation capstone: quality filter → sliding
     // chunking → pack into 256-token training sequences (2-pass prefix
     // sum) → per-sequence stats, all composed from oracle-checked ops
@@ -725,6 +734,17 @@ object LlmQueries {
             SELECT reach.v, edges.b FROM reach JOIN edges ON reach.u = edges.a)
           SELECT v AS doc_id, MIN(u) AS component, MIN(u) = v AS is_keeper
           FROM reach GROUP BY v ORDER BY doc_id""",
+    "q103_group_sample" ->
+      """WITH f AS (SELECT doc_id, source,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), c -> ord(c))),
+             (h, c) -> (h * 31 + c) % 2147483647)::BIGINT AS fp
+           FROM documents),
+         r AS (SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rk
+           FROM f)
+         SELECT doc_id, source, rk FROM r WHERE rk <= 5
+         ORDER BY source, rk""",
     "q78_token_budget" ->
       """WITH f AS (SELECT doc_id, source,
            len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -728,6 +728,32 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("samplePerGroup: exactly k per group (or all when smaller), stable under partitioning") {
+    val df = (1 to 30).map(i => (i.toLong, s"doc number $i words", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val got = Text.samplePerGroup(df, "doc_id", "text", "source", k = 4)
+      .orderBy($"grp", $"rk").as[(Long, String, Long)].collect().toSeq
+    assert(got.groupBy(_._2).forall(_._2.size == 4))
+    assert(got.map(_._3).forall(r => r >= 1 && r <= 4))
+    val sprayed = Text.samplePerGroup(df.repartition(11), "doc_id", "text", "source", 4)
+      .orderBy($"grp", $"rk").as[(Long, String, Long)].collect().toSeq
+    assert(sprayed == got)
+    // a group smaller than k yields all its rows
+    val tiny = Seq((1L, "a", "s"), (2L, "b", "s")).toDF("doc_id", "text", "source")
+    assert(Text.samplePerGroup(tiny, "doc_id", "text", "source", 5).count() == 2)
+  }
+
+  test("Profile.profile: one-scan stats with nulls, unpivoted per column") {
+    val df = Seq[(java.lang.Long, String)]((1L, "x"), (2L, null), (null, "x"), (3L, "y"))
+      .toDF("id", "tag")
+    val got = graft.ops.Profile.profile(df, Seq("id", "tag"))
+      .orderBy($"col_name").as[(String, Long, Long, Long, String, String)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("id", 3L, 1L, 3L, "1", "3"),
+      ("tag", 3L, 1L, 2L, "x", "y")))
+  }
+
   test("prepSequences: contiguous bins, conserved tokens, non-final bins near budget") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val bins = graft.llm.Curate.prepSequences(docs, "doc_id", "text").orderBy($"bin")
