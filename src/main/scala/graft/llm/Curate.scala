@@ -48,6 +48,24 @@ object Curate {
         sum(col("quality").cast("decimal(18,4)")).cast("double").as("sum_quality"))
   }
 
+  /** Streaming curation — the batch quality-filter + exact-dedup
+    * stages as a Structured Streaming pipeline: per-row quality
+    * threshold (pure column math, streaming-safe), then
+    * fingerprint-keyed `dropDuplicatesWithinWatermark` so the dedup
+    * state is bounded by the watermark horizon instead of corpus
+    * history (the 100 TB continuous-ingest shape: the batch engine
+    * curates the backfill, this curates the live feed with the SAME
+    * quality/fingerprint kernels, so batch and stream agree).
+    */
+  def streamingCurate(stream: DataFrame, textCol: String, tsCol: String,
+                      watermark: String = "1 hour",
+                      minQuality: Double = 0.5): DataFrame =
+    stream
+      .filter(Text.qualityScore(col(textCol)) >= minQuality)
+      .withColumn("fp", Text.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** The sequence-preparation capstone (the other half of the curation
     * story): quality-filter → sliding-window [[Text.chunk]] → pack the
     * chunk stream into fixed-token training sequences (the

@@ -128,6 +128,26 @@ class WindowsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: low-quality rows filtered, watermark-bounded exact dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val highQ = (1 to 120).map(i => s"w$i").mkString(" ") // diverse, long → quality ≥ 0.5
+    val lowQ = "a a a a a"                                // repetitive, short → filtered
+    val out = graft.llm.Curate.streamingCurate(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("curate_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), highQ),
+        (2L, ts("2024-01-01 00:01:00"), highQ),  // duplicate text within watermark
+        (3L, ts("2024-01-01 00:02:00"), lowQ))   // quality-filtered
+      q.processAllAvailable()
+      val got = spark.table("curate_stream").select($"doc_id").as[Long].collect().toSet
+      assert(got == Set(1L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches pairs and bounds state by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]
