@@ -344,6 +344,15 @@ object ScaleCurve {
         graft.llm.Text.bigramLogProb(docs, "doc_id", "text").count())
       report("q100_prep", () =>
         graft.llm.Curate.prepSequences(docs, "doc_id", "text").count())
+      // q103: k-per-group — the per-source window ranks in parallel
+      // across sources; constant output (k×sources), so the measured
+      // term is the fingerprint scan + the partitioned rank. q104:
+      // one-scan profile over the text column id/source — multi-
+      // distinct aggregation, cardinality-bounded shuffle.
+      report("q103_group_sample", () =>
+        graft.llm.Text.samplePerGroup(docs, "doc_id", "text", "source", 5).count())
+      report("q104_profile", () =>
+        graft.ops.Profile.profile(docs, Seq("doc_id", "source", "text")).count())
 
       // ---- q92/q93 (r13): PQ-ADC vs IVFPQ ANN under corpus growth ----
       // same sign-flip multiplied embeddings as q80; fixed 10-query
