@@ -35,4 +35,30 @@ object Profile {
         ") as (col_name, n_nonnull, n_null, n_distinct, min_str, max_str)"
     row.selectExpr(stackExpr)
   }
+
+  /** The 100 TB form of [[profile]]: `approx_count_distinct` (HLL++,
+    * fixed-size sketch, partial/final) instead of exact distinct, so
+    * the whole profile is ONE map-side-combinable pass with no
+    * multi-distinct Expand (the exact form triples rows per distinct
+    * column before its shuffle). `rsd` is the usual HLL++ relative
+    * standard deviation knob (default 2%; ProfileSpec bounds the
+    * observed error at 3·rsd).
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr =
+      s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', ${c}__n, ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ") +
+        ") as (col_name, n_nonnull, n_null, approx_distinct, min_str, max_str)"
+    row.selectExpr(stackExpr)
+  }
 }

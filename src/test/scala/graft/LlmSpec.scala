@@ -754,6 +754,25 @@ class TextSpec extends SparkSuite {
       ("tag", 3L, 1L, 2L, "x", "y")))
   }
 
+  test("Profile.profileApprox: single-pass plan (no Expand), estimates within 3·rsd of exact") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val cols = Seq("doc_id", "source", "text")
+    val approx = graft.ops.Profile.profileApprox(docs, cols, rsd = 0.02)
+    // no multi-distinct Expand: the approx sketch partial-aggregates
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(2000))
+    val exactPlan = graft.ops.Profile.profile(docs, cols)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), exactPlan.take(2000)) // the trade it removes
+    val exact = graft.ops.Profile.profile(docs, cols)
+      .select($"col_name", $"n_distinct").as[(String, Long)].collect().toMap
+    val est = approx.select($"col_name", $"approx_distinct").as[(String, Long)].collect().toMap
+    for (c <- cols) {
+      val (e, a) = (exact(c).toDouble, est(c).toDouble)
+      assert(math.abs(a - e) / e <= 0.06, s"$c: exact $e approx $a")
+    }
+  }
+
   test("prepSequences: contiguous bins, conserved tokens, non-final bins near budget") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val bins = graft.llm.Curate.prepSequences(docs, "doc_id", "text").orderBy($"bin")
