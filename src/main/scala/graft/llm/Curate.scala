@@ -65,6 +65,7 @@ object Curate {
       .withColumn("fp", Text.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+      .drop("fp") // internal dedup key — output schema matches the input
 
   /** The sequence-preparation capstone (the other half of the curation
     * story): quality-filter → sliding-window [[Text.chunk]] → pack the

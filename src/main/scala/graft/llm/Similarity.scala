@@ -216,6 +216,32 @@ object Similarity {
     * before training. A coarse quantizer needs only a representative
     * sample (k ≪ sample ≪ corpus); assignment still covers every row.
     */
+  /** First `k` distinct vectors from an ordered candidate pool; if the
+    * pool holds fewer than k distinct values, the remainder are filled
+    * by deterministically jittering the distinct ones — k-means init
+    * must never start with coincident centroids (ties assign to the
+    * lower index, so a duplicate seed's twin cell would stay empty for
+    * every Lloyd iteration).
+    */
+  private[graft] def distinctSeeds(cands: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    cands.iterator.takeWhile(_ => out.length < k).foreach { c =>
+      if (seen.add(c.toSeq)) out += c
+    }
+    require(out.nonEmpty, "k-means init: no training vectors")
+    var j = 0
+    while (out.length < k) {
+      val base = out(j % out.length)
+      val jit = base.zipWithIndex.map { case (x, i) =>
+        x + 1e-4 * (j + 1) * (if (i % 2 == 0) 1 else -1)
+      }
+      if (seen.add(jit.toSeq)) out += jit
+      j += 1
+    }
+    out.toArray
+  }
+
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 3,
                       maxTrain: Long = 100000L): Array[Array[Double]] = {
@@ -226,8 +252,11 @@ object Similarity {
     // the id+vector slice of a bounded sample, not the full table
     val v = (if (total > maxTrain) v0.sample(maxTrain.toDouble / total, 42L) else v0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids: Array[Array[Double]] = v.orderBy("id").limit(k)
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // same distinct-seed discipline as pqCodebooks: duplicate early
+    // vectors must not seed duplicate (hence permanently twinned) cells
+    var centroids: Array[Array[Double]] = distinctSeeds(
+      v.orderBy("id").limit(k * 4)
+        .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray), k)
     for (_ <- 1 to iters) {
       // per-cell per-dimension means via posexplode + two-level agg;
       // assignment through the codegen'd graft_nearest_cells (codebook
@@ -328,10 +357,16 @@ object Similarity {
     val total = v0.count()
     val v = (if (total > maxTrain) v0.sample(maxTrain.toDouble / total, 42L) else v0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val initRows = v.orderBy("id").limit(k).collect()
+    // init: over-collect candidates and take the first k DISTINCT
+    // slices per subspace — duplicate early rows would otherwise seed
+    // duplicate codewords (ties assign to the lower index, leaving the
+    // higher-index twin permanently empty). Falls back to deterministic
+    // jitter when the sample has < k distinct slices in a subspace.
+    val initRows = v.orderBy("id").limit(k * 4).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     var books: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(s => initRows.map(r => r.slice(s * dsub, (s + 1) * dsub)))
+      Array.tabulate(m)(s => distinctSeeds(
+        initRows.map(r => r.slice(s * dsub, (s + 1) * dsub)), k))
     for (_ <- 1 to iters) {
       val cells = array((0 until m).map { s =>
         nearestCellsExpr(books(s), 1)(slice(col("v"), s * dsub + 1, dsub))(0)
@@ -340,11 +375,26 @@ object Similarity {
         .select(col("cells"), expr(s"pos div $dsub").cast("int").as("s"),
           pmod(col("pos"), lit(dsub)).as("p"), col("col"))
         .withColumn("cell", element_at(col("cells"), col("s") + 1))
-        .groupBy("s", "cell", "p").agg(avg(col("col")).as("mean"))
+        .groupBy("s", "cell", "p").agg(avg(col("col")).as("mean"),
+          count(lit(1)).as("cnt"))
         .collect()
       val next = books.map(_.map(_.clone()))
+      val counts = Array.fill(m, k)(0L)
       dims.foreach { r =>
         next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+        counts(r.getInt(0))(r.getInt(1)) = r.getLong(4)
+      }
+      // re-seed cells that attracted no points: split the most
+      // populated cell in that subspace (its centroid plus a small
+      // deterministic offset) so the codebook never silently shrinks.
+      // Driver-side, no extra job — the alternative (re-seed from the
+      // farthest point) costs one aggregation per subspace per
+      // iteration, against the bounded-job-count design.
+      for (s <- 0 until m; c <- 0 until k if counts(s)(c) == 0L) {
+        val big = counts(s).indices.maxBy(counts(s)(_))
+        next(s)(c) = next(s)(big).zipWithIndex.map { case (x, i) =>
+          x + 1e-4 * (c + 1) * (if (i % 2 == 0) 1 else -1)
+        }
       }
       books = next
     }

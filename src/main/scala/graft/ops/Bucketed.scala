@@ -55,6 +55,15 @@ object Bucketed {
   def collectedGroup(spark: SparkSession, table: String, key: String,
                      aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(aggs.nonEmpty, "collectedGroup needs at least one aggregate")
+    // Pig raises a front-end error when the loader can't guarantee
+    // collected grouping; mirror that: fail loudly if the table isn't
+    // bucketed by `key`, instead of silently degrading to a shuffle.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val bucketSpec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+    require(bucketSpec.exists(_.bucketColumnNames.map(_.toLowerCase) == Seq(key.toLowerCase)),
+      s"collectedGroup: table '$table' is not bucketed by '$key' " +
+        s"(bucketSpec=$bucketSpec) — a COLLECTED group requires co-located input; " +
+        "write it with Bucketed.writeBucketed first or use a plain groupBy")
     spark.table(table).groupBy(key).agg(aggs.head, aggs.tail: _*)
   }
 }

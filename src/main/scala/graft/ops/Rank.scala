@@ -49,15 +49,36 @@ object Rank {
     * order.
     */
   def prefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
-                as: String = "cum"): DataFrame = {
+                as: String = "cum", checkUniqueSort: Boolean = false): DataFrame = {
     // like rowNumber: sortCols MUST be a deterministic total order —
     // the totals job and the embedding job each evaluate the sorted
-    // lineage, and ties re-ordered between runs would split offsets
+    // lineage, and ties re-ordered between runs would split offsets.
+    // checkUniqueSort=true runs one extra debug aggregation asserting
+    // the sort keys really are unique (off by default: it costs a scan).
+    val vf = df.schema(df.schema.fieldIndex(valueCol))
+    require(vf.dataType == LongType,
+      s"prefixSum: column '$valueCol' must be LongType, got ${vf.dataType} — cast it first")
+    if (checkUniqueSort) {
+      // sortCols may carry SortOrder wrappers (col.asc/desc), which are
+      // not selectable — strip the ordering down to the key expression
+      val keys = sortCols.map(org.apache.spark.sql.graftshims.GraftSqlShims.sortKey)
+      val sortOnly = df.select(keys: _*)
+      val total = sortOnly.count()
+      val dist = sortOnly.distinct().count()
+      require(dist == total,
+        s"prefixSum: sortCols are not a unique total order ($dist distinct keys over $total rows) — offsets would split nondeterministically")
+    }
     val sorted = df.orderBy(sortCols: _*)
     val valIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
     val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(valIdx)); Iterator((i, s))
+      var s = 0L
+      it.foreach { r =>
+        if (r.isNullAt(valIdx))
+          throw new IllegalArgumentException(s"prefixSum: null in value column '$valueCol'")
+        s += r.getLong(valIdx)
+      }
+      Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
     val schema = StructType(sorted.schema.fields :+ StructField(as, LongType, nullable = false))

@@ -56,4 +56,25 @@ class BucketedSpec extends SparkSuite {
         sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
     assert(collected.exceptAll(plain).isEmpty && plain.exceptAll(collected).isEmpty)
   }
+
+  test("collectedGroup refuses a table not bucketed by the group key") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS li_flat")
+    val loc = new java.io.File("spark-warehouse/li_flat")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .limit(10).write.format("parquet").saveAsTable("li_flat")
+    val ex = intercept[IllegalArgumentException] {
+      Bucketed.collectedGroup(spark, "li_flat", "l_orderkey", Seq(count(lit(1)).as("n")))
+    }
+    assert(ex.getMessage.contains("not bucketed"))
+    // wrong bucket key is also refused (li_b is bucketed by l_orderkey)
+    val ex2 = intercept[IllegalArgumentException] {
+      Bucketed.collectedGroup(spark, "li_b", "l_quantity", Seq(count(lit(1)).as("n")))
+    }
+    assert(ex2.getMessage.contains("not bucketed"))
+  }
 }

@@ -754,6 +754,20 @@ class TextSpec extends SparkSuite {
       ("tag", 3L, 1L, 2L, "x", "y")))
   }
 
+  test("Profile.profile: awkward column names (dots, spaces, alias-shaped) profile correctly") {
+    // names that would break a stack()/selectExpr string build: dots,
+    // spaces, hyphens, and a name shaped like an internal alias
+    val df = Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "y", "b"))
+      .toDF("user.id", "col name-x", "_graft_p0_n")
+    val got = graft.ops.Profile.profile(df, Seq("user.id", "col name-x", "_graft_p0_n"))
+      .orderBy($"col_name").as[(String, Long, Long, Long, String, String)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("_graft_p0_n", 3L, 0L, 2L, "a", "b"),
+      ("col name-x", 3L, 0L, 2L, "x", "y"),
+      ("user.id", 3L, 0L, 3L, "1", "3")))
+  }
+
   test("Profile.profileApprox: single-pass plan (no Expand), estimates within 3·rsd of exact") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val cols = Seq("doc_id", "source", "text")

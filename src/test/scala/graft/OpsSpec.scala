@@ -45,6 +45,24 @@ class RankSpec extends SparkSuite {
       .queryExecution.logical.toString
     assert(!plan.toLowerCase.contains("window"))
   }
+
+  test("prefixSum guards: non-Long value column and duplicate sort keys fail loudly") {
+    val ints = Seq((1, 10), (2, 20)).toDF("id", "v") // v is IntegerType
+    val ex = intercept[IllegalArgumentException] {
+      Rank.prefixSum(ints, Seq($"id".asc), "v")
+    }
+    assert(ex.getMessage.contains("LongType"))
+    val dups = Seq((1L, 10L), (1L, 20L)).toDF("id", "v") // id not unique
+    val ex2 = intercept[IllegalArgumentException] {
+      Rank.prefixSum(dups, Seq($"id".asc), "v", checkUniqueSort = true)
+    }
+    assert(ex2.getMessage.contains("unique total order"))
+    // the happy path with the debug check on still matches the window form
+    val ok = Seq((3L, 5L), (1L, 2L), (2L, 4L)).toDF("id", "v")
+    val got = Rank.prefixSum(ok, Seq($"id".asc), "v", "cum", checkUniqueSort = true)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 6L, 3L -> 11L))
+  }
 }
 
 /** Salted join must produce exactly the rows of the plain join. */

@@ -135,6 +135,8 @@ class WindowsSpec extends SparkSuite {
     val lowQ = "a a a a a"                                // repetitive, short → filtered
     val out = graft.llm.Curate.streamingCurate(
       input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "1 hour")
+    // internal fingerprint column must not leak into the curated schema
+    assert(out.columns.toSeq == Seq("doc_id", "ts", "text"))
     val q = out.writeStream.format("memory").queryName("curate_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
     try {
