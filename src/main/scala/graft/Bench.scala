@@ -75,6 +75,26 @@ object Bench {
     // isn't charged for JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "lineitem").groupBy("l_returnflag").count().collect()
+    // machine-speed calibration probe (VERDICT r13 task 1): a FIXED,
+    // sf-independent workload — 20M-row codegen'd arithmetic scan into
+    // an 8191-key hash aggregation (one shuffle) — timed as median of
+    // 5 after its own warm pass. Two same-config artifacts that differ
+    // by ambient machine load (r13: builder 46.0 s vs driver 60.6 s,
+    // a ~1.3× near-uniform factor) can be normalized by the ratio of
+    // their calibration medians; BENCH_NOTES' protocol states headline
+    // ratios from the driver artifact, probe-normalized.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, cpus.toInt)
+        .selectExpr("id % 8191 AS k", "(id * 2654435761) % 1000003 AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("s"),
+          org.apache.spark.sql.functions.max("v").as("m"))
+        .selectExpr("sum(s + m)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce() // probe's own warm pass (codegen compile)
+    val calib = (1 to 5).map(_ => probeOnce()).toVector
     // optional subset filter for local iteration: comma-separated prefixes
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -207,8 +227,10 @@ object Bench {
       if (math.abs(heapGb - pin) <= 1) s"heap${pin}g,local[$cpus],$sfDir"
       else s"NONE (heap ${heapGb}g != pinned ${pin}g - per-query deltas vs pinned-config artifacts are unadjudicable)"
     val metric = if (only.isDefined) "subset_total" else "total"
+    val calibMed = medianOf(calib)
+    val calibJson = calib.map(f).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"$adjudication","iterations":$itersJson,"spread_max_over_min":$spread,"sf":"$sfDir","heap_gb":$heapGb,"comparable_to":"$comparableTo"$onlyMark$retriedMark}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"$adjudication","iterations":$itersJson,"spread_max_over_min":$spread,"calibration_sec":${f(calibMed)},"calibration_iters":$calibJson,"sf":"$sfDir","heap_gb":$heapGb,"comparable_to":"$comparableTo"$onlyMark$retriedMark}"""
     // The launcher that captures this main's stdout keeps only the LAST
     // ~2000 characters; BENCH_r10/r11 show the full line (per-query
     // iteration arrays push it past 10 KB) arriving head-truncated and
@@ -238,7 +260,7 @@ object Bench {
       else if (flaggedAll.size > 20) s"flagged:${flaggedAll.size} queries (see bench_out.json)"
       else "flagged:" + flaggedAll.mkString(",")
     val compact =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort","sf":"$sfDir","heap_gb":$heapGb,"comparable_to":"$comparableTo","detail":"bench_out.json"$onlyMark}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort","calibration_sec":${f2(calibMed)},"sf":"$sfDir","heap_gb":$heapGb,"comparable_to":"$comparableTo","detail":"bench_out.json"$onlyMark}"""
     println(compact)
     // the full-evidence artifact, immune to any log-prefix wrapping or
     // tail truncation

@@ -242,43 +242,89 @@ object Similarity {
     out.toArray
   }
 
-  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int = 3,
-                      maxTrain: Long = 100000L): Array[Array[Double]] = {
+  /** Collect a bounded, seeded, id-sorted training sample as driver
+    * arrays. The sample is `maxTrain × d` doubles — a MODEL-SIZED
+    * object by construction (16k × 64-dim ≈ 8 MB), independent of
+    * corpus size; cap `maxTrain` down for very wide vectors. Sorting by
+    * id makes the collected order (hence everything trained from it)
+    * deterministic regardless of input partitioning.
+    */
+  private[graft] def sampleVectors(corpus: DataFrame, idCol: String, vecCol: String,
+                                   maxTrain: Long): Array[Array[Double]] = {
     val v0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val total = v0.count()
-    // cache the (sampled) training projection: every Lloyd iteration
-    // re-reads it (init + iters scans), and at 100 TB the projection is
-    // the id+vector slice of a bounded sample, not the full table
-    val v = (if (total > maxTrain) v0.sample(maxTrain.toDouble / total, 42L) else v0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // same distinct-seed discipline as pqCodebooks: duplicate early
-    // vectors must not seed duplicate (hence permanently twinned) cells
-    var centroids: Array[Array[Double]] = distinctSeeds(
-      v.orderBy("id").limit(k * 4)
-        .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray), k)
-    for (_ <- 1 to iters) {
-      // per-cell per-dimension means via posexplode + two-level agg;
-      // assignment through the codegen'd graft_nearest_cells (codebook
-      // embedded as a foldable literal — no UDF, no broadcast handle)
-      val assigned = v.withColumn("cell", nearestCellsExpr(centroids, 1)(col("v"))(0))
-      val dims = assigned.select(col("cell"), posexplode(col("v")))
-        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
-        .groupBy("cell").agg(
-          org.apache.spark.sql.functions.map_from_arrays(
-            collect_list(col("pos")), collect_list(col("m"))).as("dims"))
-        .collect()
-      val next = centroids.clone()
-      dims.foreach { r =>
-        val cell = r.getInt(0)
-        val m = r.getMap[Int, Double](1)
-        next(cell) = Array.tabulate(centroids(cell).length)(i => m.getOrElse(i, 0.0))
-      }
-      centroids = next
-    }
-    v.unpersist(blocking = false)
-    centroids
+    val s = if (total > maxTrain) v0.sample(maxTrain.toDouble / total, 42L) else v0
+    s.orderBy("id").collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
   }
+
+  /** Nearest centroid by L2 for a driver-side double vector — same
+    * distance arithmetic and (distance, index) tie order as
+    * [[nearestCells]]/the codegen kernel. */
+  private[graft] def nearestCellD(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      val ct = cents(c)
+      while (i < ct.length) { val diff = x(i) - ct(i); d += diff * diff; i += 1 }
+      if (d < bestD) { bestD = d; best = c } // strict < keeps the lowest index on ties
+      c += 1
+    }
+    best
+  }
+
+  /** Driver-side Lloyd iterations over an in-memory training sample.
+    * The r13 formulation ran every iteration as a posexplode +
+    * two-level DataFrame aggregation — correct, but the sample is
+    * bounded at `maxTrain` rows by design, so each "iteration" was a
+    * full driver-scheduled job (plan + codegen compile of a
+    * codebook-literal expression that CHANGES every iteration) over a
+    * few MB of data. Stage-timing (tools/PqTime) put q92's codebook
+    * training at 2.7 s of its 4 s total, all scheduling/codegen. A
+    * model fit on a model-sized sample belongs on the driver: training
+    * is now ONE count + ONE collect, and the cluster only ever runs
+    * the corpus-wide assignment/encode (which stays codegen'd and
+    * distributed). Empty cells re-seed by splitting the largest cell
+    * (deterministic jitter), so the codebook never silently shrinks.
+    */
+  private[graft] def lloydLocal(data: Array[Array[Double]],
+                                init: Array[Array[Double]],
+                                iters: Int): Array[Array[Double]] = {
+    var cents = init
+    val k = init.length
+    val d = init(0).length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k, d)(0.0)
+      val cnt = new Array[Long](k)
+      data.foreach { x =>
+        val c = nearestCellD(x, cents)
+        cnt(c) += 1
+        var i = 0; while (i < d) { sums(c)(i) += x(i); i += 1 }
+      }
+      val next = Array.tabulate(k, d) { (c, i) =>
+        if (cnt(c) > 0) sums(c)(i) / cnt(c) else cents(c)(i)
+      }
+      for (c <- 0 until k if cnt(c) == 0L) {
+        val big = (0 until k).maxBy(cnt(_))
+        next(c) = next(big).zipWithIndex.map { case (x, i) =>
+          x + 1e-4 * (c + 1) * (if (i % 2 == 0) 1 else -1)
+        }
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Train from an already-collected sample (shared by ivfPqTopK so
+    * coarse + PQ quantizers ride ONE sample collect). */
+  private[graft] def kmeansFromSample(sample: Array[Array[Double]], k: Int,
+                                      iters: Int): Array[Array[Double]] =
+    lloydLocal(sample, distinctSeeds(sample.take(k * 4), k), iters)
+
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 3,
+                      maxTrain: Long = 100000L): Array[Array[Double]] =
+    kmeansFromSample(sampleVectors(corpus, idCol, vecCol, maxTrain), k, iters)
 
   /** Codegen'd `n`-nearest-centroid assignment through the native
     * `graft_nearest_cells` expression ([[graft.plans.NearestCellsF]],
@@ -331,76 +377,34 @@ object Similarity {
 
   // --------------------------------- product quantization (PQ + ADC)
 
-  /** Train per-subspace PQ codebooks (Jégou et al. 2011, "Product
-    * Quantization for Nearest Neighbor Search" — public paper): the
-    * vector splits into `m` coordinate blocks of d/m dims; each block
-    * gets its own `k`-codeword k-means codebook (reusing
-    * [[kmeansCentroids]] — bounded seeded training sample, Lloyd
-    * iterations as DataFrame aggregations). The model is m·k·(d/m)
-    * doubles — driver-tiny at any corpus size.
+  // Per-subspace PQ codebooks (Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search" — public paper): the vector splits
+  // into `m` coordinate blocks of d/m dims; each block gets its own
+  // `k`-codeword k-means codebook. The model is m·k·(d/m) doubles —
+  // driver-tiny at any corpus size.
+
+  /** Train from an already-collected sample: per-subspace slice +
+    * driver Lloyd (see [[lloydLocal]] for why training does not run as
+    * cluster jobs — the sample is model-sized by construction). Init
+    * takes the first k DISTINCT slices per subspace: duplicate early
+    * rows would otherwise seed duplicate codewords (ties assign to the
+    * lower index, leaving the higher-index twin permanently empty).
     */
-  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                  m: Int = 8, k: Int = 16, iters: Int = 3,
-                  maxTrain: Long = 100000L): Array[Array[Array[Double]]] = {
-    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+  private[graft] def pqBooksFromSample(sample: Array[Array[Double]], m: Int,
+                                       k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val d = sample(0).length
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val dsub = d / m
-    // ALL m subspaces train together: one bounded seeded sample, one
-    // init collect, and ONE aggregation job per Lloyd iteration (the
-    // per-subspace formulation ran count+sample+3 iterations × m — ~80
-    // driver-scheduled jobs at m=16, which DOMINATED q92/q93 wall time
-    // at every factor of the r13 scale curve). Per-row work is
-    // unchanged: each subspace's assignment is a slice against its own
-    // foldable codebook literal; the dim explode happens once with
-    // subspace = pos div dsub.
-    val v0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val total = v0.count()
-    val v = (if (total > maxTrain) v0.sample(maxTrain.toDouble / total, 42L) else v0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // init: over-collect candidates and take the first k DISTINCT
-    // slices per subspace — duplicate early rows would otherwise seed
-    // duplicate codewords (ties assign to the lower index, leaving the
-    // higher-index twin permanently empty). Falls back to deterministic
-    // jitter when the sample has < k distinct slices in a subspace.
-    val initRows = v.orderBy("id").limit(k * 4).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    var books: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(s => distinctSeeds(
-        initRows.map(r => r.slice(s * dsub, (s + 1) * dsub)), k))
-    for (_ <- 1 to iters) {
-      val cells = array((0 until m).map { s =>
-        nearestCellsExpr(books(s), 1)(slice(col("v"), s * dsub + 1, dsub))(0)
-      }: _*)
-      val dims = v.select(cells.as("cells"), posexplode(col("v")))
-        .select(col("cells"), expr(s"pos div $dsub").cast("int").as("s"),
-          pmod(col("pos"), lit(dsub)).as("p"), col("col"))
-        .withColumn("cell", element_at(col("cells"), col("s") + 1))
-        .groupBy("s", "cell", "p").agg(avg(col("col")).as("mean"),
-          count(lit(1)).as("cnt"))
-        .collect()
-      val next = books.map(_.map(_.clone()))
-      val counts = Array.fill(m, k)(0L)
-      dims.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
-        counts(r.getInt(0))(r.getInt(1)) = r.getLong(4)
-      }
-      // re-seed cells that attracted no points: split the most
-      // populated cell in that subspace (its centroid plus a small
-      // deterministic offset) so the codebook never silently shrinks.
-      // Driver-side, no extra job — the alternative (re-seed from the
-      // farthest point) costs one aggregation per subspace per
-      // iteration, against the bounded-job-count design.
-      for (s <- 0 until m; c <- 0 until k if counts(s)(c) == 0L) {
-        val big = counts(s).indices.maxBy(counts(s)(_))
-        next(s)(c) = next(s)(big).zipWithIndex.map { case (x, i) =>
-          x + 1e-4 * (c + 1) * (if (i % 2 == 0) 1 else -1)
-        }
-      }
-      books = next
+    Array.tabulate(m) { s =>
+      val sub = sample.map(_.slice(s * dsub, (s + 1) * dsub))
+      lloydLocal(sub, distinctSeeds(sub.take(k * 4), k), iters)
     }
-    v.unpersist(blocking = false)
-    books
   }
+
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 8, k: Int = 16, iters: Int = 3,
+                  maxTrain: Long = 100000L): Array[Array[Array[Double]]] =
+    pqBooksFromSample(sampleVectors(corpus, idCol, vecCol, maxTrain), m, k, iters)
 
   /** Encode the corpus against trained codebooks: per-subspace
     * nearest-codeword ids (one byte each at k ≤ 256 — at d=64, m=8
@@ -459,12 +463,15 @@ object Similarity {
       .withColumnRenamed(corpusId, "neighbor_id")
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qnorm"))
+    // ADC fold through the native graft_dot expression (whole-stage
+    // codegen — the aggregate/zip_with HOF form is interpreted
+    // per-row, on THE hot scan of the compressed corpus). Codewords
+    // ride as float32 literals: shortlist scores only — the exact
+    // re-rank below fixes the returned cosines either way.
     val adc = (0 until m).map { s =>
       val sub = slice(col("qv"), s * dsub + 1, dsub)
-      val cb = typedLit(books(s).map(_.toSeq).toSeq)
-      aggregate(
-        zip_with(sub, element_at(cb, col("codes")(s) + 1), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val cbF = typedLit(books(s).map(_.map(_.toFloat).toSeq).toSeq)
+      call_function("graft_dot", sub, element_at(cbF, col("codes")(s) + 1))
     }.reduce(_ + _)
     val shortlist = enc.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -506,25 +513,36 @@ object Similarity {
                 m: Int = 16, codewords: Int = 16,
                 rerank: Int = 8, iters: Int = 3,
                 maxTrain: Long = 16384L): DataFrame = {
-    // both quantizers train on the same bounded sample budget — see
-    // pqTopK's maxTrain note
-    val cents = kmeansCentroids(corpus, corpusId, vecCol, nCells, iters, maxTrain)
+    // BOTH quantizers train from ONE collected sample (one count + one
+    // collect total): coarse cells directly, then PQ books on the
+    // sample's residuals computed driver-side with the identical
+    // assignment kernel and float32 rounding the distributed residual
+    // encode applies — no second corpus-side count/sample pipeline
+    // (r13 ran ~10 training jobs here; tools/PqTime showed they were
+    // most of q93's wall time)
+    val sample = sampleVectors(corpus, corpusId, vecCol, maxTrain)
+    val cents = kmeansFromSample(sample, nCells, iters)
+    val resSample = sample.map { x =>
+      val ct = cents(nearestCellD(x, cents))
+      Array.tabulate(x.length)(i => (x(i) - ct(i)).toFloat.toDouble)
+    }
+    val books = pqBooksFromSample(resSample, m, codewords, iters)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     def residual(v: Column, cell: Column): Column =
       zip_with(v, element_at(centsLit, cell + 1), (x, c) => x - c)
         .cast("array<float>")
-    // corpus side: cell assignment, residual, exact norm — the cached
-    // frame carries ONLY (id, cell, xnorm, rv): the raw vector is not
-    // needed downstream (the exact re-rank reads the corpus directly),
-    // and cell/xnorm ride pqEncode's passthrough so no corpus self-join
-    // re-attaches them (both were measured scale costs in the r13 curve)
-    val assigned = graft.dsl.Rel.track(
+    // corpus side: cell assignment, residual, exact norm — carries ONLY
+    // (id, cell, xnorm, rv): the raw vector is not needed downstream
+    // (the exact re-rank reads the corpus directly), and cell/xnorm
+    // ride pqEncode's passthrough so no corpus self-join re-attaches
+    // them (both were measured scale costs in the r13 curve). No
+    // persist: with training driver-side, the encode scan is this
+    // frame's ONLY consumer.
+    val assigned =
       corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
           nearestCellsExpr(cents, 1)(col(vecCol))(0).as("cell"))
         .select(col("neighbor_id"), col("cell"), norm(col("cv")).as("xnorm"),
           residual(col("cv"), col("cell")).as("rv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val books = pqCodebooks(assigned, "neighbor_id", "rv", m, codewords, iters, maxTrain)
     val dsub = books(0)(0).length
     val enc = pqEncode(assigned, "neighbor_id", "rv", books,
       passthrough = Seq("cell", "xnorm"))
@@ -534,14 +552,15 @@ object Similarity {
         norm(col(vecCol)).as("qnorm"),
         explode(nearestCellsExpr(cents, nprobe)(col(vecCol))).as("cell"))
       .withColumn("qc_dot",
-        aggregate(zip_with(col("qv"), element_at(centsLit, col("cell") + 1),
-          (x, c) => x * c), lit(0.0), (acc, v) => acc + v))
+        call_function("graft_dot", col("qv"),
+          element_at(typedLit(cents.map(_.map(_.toFloat).toSeq).toSeq),
+            col("cell") + 1)))
+    // same native-graft_dot ADC as pqTopK (float32 codeword literals;
+    // shortlist-only precision, exact re-rank downstream)
     val adcResid = (0 until m).map { s =>
       val sub = slice(col("qv"), s * dsub + 1, dsub)
-      val cb = typedLit(books(s).map(_.toSeq).toSeq)
-      aggregate(
-        zip_with(sub, element_at(cb, col("codes")(s) + 1), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
+      val cbF = typedLit(books(s).map(_.map(_.toFloat).toSeq).toSeq)
+      call_function("graft_dot", sub, element_at(cbF, col("codes")(s) + 1))
     }.reduce(_ + _)
     val shortlist = broadcast(q).join(enc, Seq("cell")) // inverted-list pruning
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -18,6 +18,10 @@ object Ast {
   final case class FieldRef(name: String) extends Expr            // name or a::b
   final case class PosRef(index: Int) extends Expr                // $0
   case object Star extends Expr                                   // *
+  /** Project-range `a..b` / `$0..$3` / `..f` / `f..` in GENERATE
+    * [R: src/org/apache/pig/parser/QueryParser.g col_range]; endpoints
+    * are FieldRef/PosRef, None = first/last column. */
+  final case class RangeProj(from: Option[Expr], to: Option[Expr]) extends Expr
   final case class Deref(base: Expr, field: String) extends Expr  // rel.f / t.f
   final case class MapLookup(base: Expr, key: String) extends Expr // m#'k'
   final case class FuncCall(name: String, args: List[Expr]) extends Expr

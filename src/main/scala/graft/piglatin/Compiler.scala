@@ -616,6 +616,27 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     val cols = gens.zipWithIndex.flatMap { case (gi, i) =>
       gi.expr match {
         case Star if !gi.flatten => df.columns.map(col).toSeq
+        case RangeProj(f, t) =>
+          // `a..b` expands positionally against the input schema
+          // [R: src/org/apache/pig/parser/QueryParser.g col_range]
+          val cs = df.columns
+          def idx(eo: Option[Expr], dflt: Int): Int = eo match {
+            case None => dflt
+            case Some(PosRef(j)) =>
+              require(j >= 0 && j < cs.length,
+                s"range projection: $$$j out of range for ${cs.length} columns")
+              j
+            case Some(FieldRef(n)) =>
+              val j = cs.indexWhere(_.equalsIgnoreCase(n.split("::").last))
+              require(j >= 0, s"range projection: unknown column '$n'")
+              j
+            case Some(other) =>
+              throw new IllegalArgumentException(
+                s"range projection endpoints must be columns or $$n, got $other")
+          }
+          val lo = idx(f, 0); val hi = idx(t, cs.length - 1)
+          require(lo <= hi, s"range projection '$lo..$hi' selects nothing")
+          cs.slice(lo, hi + 1).map(col).toSeq
         case e =>
           val name = gi.alias.getOrElse(defaultName(e, i))
           Seq(compileExpr(df, e).as(name))
@@ -660,6 +681,9 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
   // ------------------------------------------------------------ expressions
 
   private def compileExpr(df: DataFrame, e: Expr): Column = e match {
+    case RangeProj(_, _) =>
+      throw new IllegalArgumentException(
+        "a..b project-range is only supported as a top-level GENERATE item")
     case Lit(v) => lit(v)
     case NullLit => lit(null)
     case Star => struct(df.columns.map(col).toIndexedSeq: _*)

@@ -308,9 +308,24 @@ object Parser {
     private def genItems(): List[GenItem] = {
       val items = List.newBuilder[GenItem]
       def one(): Unit = {
+        // project-range `a..b` (open at either end); no alias/flatten —
+        // the range expands to the underlying columns under their names
+        if (atSym("..")) {
+          p += 1
+          items += GenItem(RangeProj(None, Some(expr())), None, flatten = false)
+          return
+        }
         val flat = if (atKw("flatten")) { p += 1; eatSym("("); true } else false
         val e = expr()
         if (flat) eatSym(")")
+        if (!flat && atSym("..")) {
+          p += 1
+          val to =
+            if (atSym(",") || atSym(";") || atSym("}") || cur.isInstanceOf[Eof]) None
+            else Some(expr())
+          items += GenItem(RangeProj(Some(e), to), None, flatten = false)
+          return
+        }
         val alias = if (tryKw("as")) {
           // AS name or AS (name:type) — keep simple name form
           if (trySym("(")) { val n = ident(); if (trySym(":")) ident(); eatSym(")"); Some(n) }

@@ -19,6 +19,20 @@ object Preprocessor {
 
   private val DeclareRe = """(?i)^\s*%(declare|default)\s+(\w+)\s+(?:'([^']*)'|(\S+))\s*;?\s*$""".r
   private val DefineFuncRe = """(?i)^\s*define\s+(\w+)\s+([\w.]+)\s*;\s*$""".r
+  /** `DEFINE alias `cmd` [SHIP(…)] [CACHE(…)] [INPUT(…)] [OUTPUT(…)]
+    * [STDERR(…)];` — a streaming-command definition
+    * [R: src/org/apache/pig/impl/streaming/StreamingCommand.java]. The
+    * command is recorded and substituted at `STREAM … THROUGH alias`;
+    * the clauses are parsed-and-ignored: SHIP/CACHE distribute
+    * artifacts to task hosts (meaningless in a single-JVM Spark-local
+    * deployment; on a cluster, `spark.files` is the analog), and
+    * INPUT/OUTPUT/STDERR select serializers beyond the default
+    * tab-delimited stdin/stdout transport, which is the only one
+    * [[graft.dsl.Rel.streamThrough]] implements (documented subset,
+    * SURVEY §7.4 #7).
+    */
+  private val StreamDefineRe =
+    """(?i)^\s*define\s+(\w+)\s+`([^`]*)`\s*((?:(?:ship|cache|input|output|stderr)\s*\([^)]*\)\s*)*);\s*$""".r
   private val MacroStartRe = """(?i)^\s*define\s+(\w+)\s*\(([^)]*)\)\s+returns\s+(\w+)\s*\{\s*$""".r
   private val MacroCallRe = """(?i)^\s*(\w+)\s*=\s*(\w+)\s*\(([^)]*)\)\s*;\s*$""".r
   private val AssignRe = """(?m)^\s*(\w+)\s*=""".r
@@ -29,6 +43,7 @@ object Preprocessor {
     val params = scala.collection.mutable.Map[String, String]()
     val defaults = scala.collection.mutable.Map[String, String]()
     val funcAliases = scala.collection.mutable.Map[String, String]()
+    val streamCmds = scala.collection.mutable.Map[String, String]()
     val macros = scala.collection.mutable.Map[String, Macro]()
 
     // pass 1: strip directives, collect macros
@@ -41,6 +56,8 @@ object Preprocessor {
           val v = Option(quoted).getOrElse(bare)
           if (kind.equalsIgnoreCase("declare")) params(name) = v
           else defaults(name) = v
+        case StreamDefineRe(alias, cmd, _) =>
+          streamCmds(alias) = cmd
         case DefineFuncRe(alias, target) =>
           funcAliases(alias) = target
         case MacroStartRe(name, ps, ret) =>
@@ -89,6 +106,11 @@ object Preprocessor {
     }
     funcAliases.foreach { case (a, t) =>
       out = out.replaceAll(s"\\b$a\\s*\\(", java.util.regex.Matcher.quoteReplacement(t) + "(")
+    }
+    // DEFINE'd stream commands expand at their THROUGH site
+    streamCmds.foreach { case (a, cmd) =>
+      out = out.replaceAll(s"(?i)(\\bthrough\\s+)$a\\b",
+        "$1" + java.util.regex.Matcher.quoteReplacement(s"`$cmd`"))
     }
     out
   }

@@ -200,6 +200,47 @@ class AsofJoinSpec extends SparkSuite {
     assert(exchanges == 1, plan.take(2000))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
+
+  private def runBucketed(l: org.apache.spark.sql.DataFrame,
+                          r: org.apache.spark.sql.DataFrame, width: Long) =
+    AsofJoin.asof(l, r, Seq("user_id"), "t", "t", Seq("pid", "value"), "prior_",
+        bucketWidth = Some(width))
+      .select("event_id", "prior_pid", "prior_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, p, v) => k -> (p, v) }.toMap
+
+  test("hot-key bucketed form equals the single-window form, across widths") {
+    // widths chosen so matches land within-bucket (1000), one bucket per
+    // row (1), and mixed (64: some matches cross bucket boundaries and
+    // must ride the carry-in prefix scan)
+    val want = run(left, right)
+    for (w <- Seq(1L, 64L, 1000L))
+      assert(runBucketed(left, right, w) == want, s"width $w")
+    // randomized cross-check: many keys, duplicate timestamps, left rows
+    // before/after all right rows
+    val rnd = new scala.util.Random(3)
+    val bigL = (1 to 400).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 10).toLong, rnd.nextInt(500).toLong))
+      .toDF("event_id", "user_id", "t")
+    val bigR = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(6) + 10).toLong, rnd.nextInt(500).toLong, rnd.nextInt(9).toDouble))
+      .toDF("pid", "user_id", "t", "value")
+    val wantBig = run(bigL, bigR)
+    for (w <- Seq(7L, 100L))
+      assert(runBucketed(bigL, bigR, w) == wantBig, s"width $w")
+  }
+
+  test("bucketed plan windows on (key, bucket) — no whole-key window partition") {
+    val plan = AsofJoin.asof(left, right, Seq("user_id"), "t", "t",
+      Seq("pid"), "p_", bucketWidth = Some(64L)).queryExecution.executedPlan.toString
+    // the big row-level window must partition by key AND time bucket;
+    // the only per-key window runs over the bucket-summary stream
+    assert(plan.contains("graft_asof_b"), plan.take(3000))
+    val rowWindow = "windowspecdefinition\\(user_id[^)]*graft_asof_b".r
+    assert(rowWindow.findFirstIn(plan.toLowerCase).isDefined
+      || plan.contains("partitionBy: [user_id"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
 }
 
 /** Bucketized range join: equals the naive quadratic join, zero-match

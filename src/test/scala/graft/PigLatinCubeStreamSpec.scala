@@ -92,6 +92,49 @@ class PigLatinCubeStreamSpec extends SparkSuite {
     assert(got == want && got.size == 5)
   }
 
+  test("DEFINE `cmd` with SHIP/CACHE/INPUT/OUTPUT clauses feeds STREAM THROUGH") {
+    val e = engine.run("""
+      DEFINE mycut `cut -f2` SHIP('/usr/bin/cut') CACHE('/tmp/x#x') INPUT(stdin) OUTPUT(stdout) STDERR('/tmp/logs' LIMIT 5);
+      r = LOAD 'region.parquet';
+      p = FOREACH r GENERATE r_regionkey, r_name;
+      out = STREAM p THROUGH mycut;
+      """)
+    val got = col0(e.relation("out")).toSet
+    val want = col0(Tables.load(spark, dir, "region").select($"r_name")).toSet
+    assert(got == want)
+    // bare DEFINE `cmd`; (no clauses) also works, with AS schema at the site
+    val e2 = engine.run("""
+      DEFINE passthru `cat`;
+      r = LOAD 'region.parquet';
+      p = FOREACH r GENERATE r_regionkey, r_name;
+      s = STREAM p THROUGH passthru AS (k:long, name:chararray);
+      out = ORDER s BY k;
+      """)
+    assert(e2.relation("out").count() == 5)
+  }
+
+  test("project-range a..b, $n..$m, and open-ended forms in GENERATE") {
+    val e = engine.run("""
+      r = LOAD 'region.parquet';
+      a = FOREACH r GENERATE r_regionkey .. r_name;
+      b = FOREACH r GENERATE $0 .. $1;
+      c = FOREACH r GENERATE .. r_name;
+      d = FOREACH r GENERATE r_name ..;
+      """)
+    val cols = Tables.load(spark, dir, "region").columns.toSeq // key, name, comment
+    assert(e.relation("a").columns.toSeq == cols.take(2))
+    assert(e.relation("b").columns.toSeq == cols.take(2))
+    assert(e.relation("c").columns.toSeq == cols.take(2))
+    assert(e.relation("d").columns.toSeq == cols.drop(1))
+    assert(e.relation("a").count() == 5 && e.relation("d").count() == 5)
+    // a range can sit among ordinary items
+    val e2 = engine.run("""
+      r = LOAD 'region.parquet';
+      m = FOREACH r GENERATE r_regionkey * 2 AS dbl, r_regionkey .. r_name;
+      """)
+    assert(e2.relation("m").columns.toSeq == ("dbl" +: cols.take(2)))
+  }
+
   test("STREAM THROUGH a real pipeline command (cut) without schema") {
     val e = engine.run("""
       r = LOAD 'region.parquet';

@@ -31,6 +31,35 @@ class PigMixSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("L1-shape: FLATTEN(TOKENIZE) before a JOIN hoists past it (DelayFlattenPastJoin)") {
+    // PigMix L1 explodes a bag and then joins on the ORIGINAL key — the
+    // exact shape PushDownForEachFlatten rewrites in the reference. The
+    // front-end compiles FLATTEN to a Generate; our Catalyst rule must
+    // hoist it above the join so un-exploded rows ride the shuffle.
+    val e = engine.run("""
+      d = LOAD 'documents.parquet';
+      w = FOREACH d GENERATE doc_id, FLATTEN(TOKENIZE(text)) AS word;
+      d2 = LOAD 'documents.parquet';
+      m = FOREACH d2 GENERATE doc_id AS did, source;
+      j = JOIN w BY doc_id, m BY did;
+      out = FOREACH j GENERATE doc_id, word, source;
+      """)
+    val df = e.relation("out")
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan}
+    def containsJoin(p: LogicalPlan): Boolean =
+      p.collectFirst { case jj: Join => jj }.isDefined
+    val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.nonEmpty && gens.forall(g => containsJoin(g.child)),
+      df.queryExecution.optimizedPlan.toString.take(3000))
+    // and the hoisted plan still computes the un-hoisted result
+    val docs = Tables.load(spark, dir, "documents")
+    val want = docs.select($"doc_id", explode(split(coalesce($"text", lit("")), "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .join(docs.select($"doc_id".as("did"), $"source"), $"doc_id" === $"did")
+      .select($"doc_id", $"word", $"source")
+    assert(df.count() == want.count() && df.exceptAll(want).isEmpty)
+  }
+
   test("L5-shape: anti-join via COGROUP + ISEMPTY filter") {
     val e = engine.run("""
       c = LOAD 'customer.parquet';
