@@ -382,6 +382,25 @@ object CoreQueries {
         .orderBy(col("col_name"))
     }),
 
+    // the 100 TB profiling form (profileApprox — HLL++ sketches, ONE
+    // combinable pass, no multi-distinct Expand): exact counts/min/max
+    // are SQL-derivable; the sketch estimate is emitted as its
+    // 3·rsd-band membership against the exact distinct computed
+    // alongside (q91's pattern — VERDICT r13 task 8)
+    "q105_profile_approx" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")
+      val li = t(s, dir, "lineitem")
+      val approx = graft.ops.Profile.profileApprox(li, cols, rsd = 0.02)
+      val exact = graft.ops.Profile.profile(li, cols)
+        .select(col("col_name"), col("n_distinct"))
+      approx.join(exact, "col_name")
+        .select(col("col_name"), col("n_nonnull"), col("n_null"),
+          col("min_str"), col("max_str"),
+          (abs(col("approx_distinct") - col("n_distinct")).cast("double")
+            <= col("n_distinct").cast("double") * 0.06).as("within_3rsd"))
+        .orderBy(col("col_name"))
+    }),
+
     // COLLECTED group [POCollectedGroup analog, GROUP … USING
     // 'collected']: aggregation on the bucket key of a bucketed copy —
     // map-side-complete HashAggregate, ZERO Exchange (plan-asserted in
@@ -701,6 +720,24 @@ object CoreQueries {
              SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
              COUNT(DISTINCT l_returnflag),
              MIN(l_returnflag)::VARCHAR, MAX(l_returnflag)::VARCHAR
+           FROM lineitem)
+         ORDER BY col_name""",
+    "q105_profile_approx" ->
+      """SELECT * FROM (
+           SELECT 'l_orderkey' AS col_name, COUNT(l_orderkey) AS n_nonnull,
+             SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             MIN(l_orderkey)::VARCHAR AS min_str,
+             MAX(l_orderkey)::VARCHAR AS max_str, TRUE AS within_3rsd
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', COUNT(l_quantity),
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             MIN(l_quantity)::VARCHAR, MAX(l_quantity)::VARCHAR, TRUE
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', COUNT(l_returnflag),
+             SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             MIN(l_returnflag)::VARCHAR, MAX(l_returnflag)::VARCHAR, TRUE
            FROM lineitem)
          ORDER BY col_name""",
     "q48_stream_through" ->

@@ -257,6 +257,42 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // sort-free approximate quality-stratification (the 100 TB twin of
+    // q90: percentile_approx boundaries, no global sort). Stratum
+    // placement is sketch-dependent (no SQL re-derivation), so — the
+    // q26/q42 properties pattern — the emitted row states the
+    // deterministic invariants: corpus size (SQL-derivable), the keep
+    // rule holds exactly, strata are order-consistent with quality
+    // (max of stratum s ≤ min of s+1), ids in range (VERDICT r13
+    // task 8)
+    "q106_strata_approx" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val res = graft.dsl.Rel.track(
+        Text.qualityStrataApprox(docs, "doc_id", "text", strata = 10)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nTotal = docs.count()
+      val props = res.agg(
+        count(lit(1)).as("n_kept"),
+        coalesce(min(pmod(col("doc_id"), lit(10)) < col("stratum") + 1), lit(true))
+          .as("keep_rule"),
+        coalesce(min(col("stratum") >= 0 && col("stratum") <= 9), lit(true))
+          .as("in_range")).head()
+      // order consistency: per-stratum (min, max) quality bands must not
+      // interleave — stratum is a monotone function of quality
+      val bands = res.groupBy(col("stratum"))
+        .agg(min(col("quality")).as("mn"), max(col("quality")).as("mx"))
+        .orderBy(col("stratum")).collect()
+      val ordered = bands.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) <= b.getDouble(1)
+        case _ => true
+      }
+      Seq((nTotal, props.getLong(0) > 0L, props.getBoolean(1),
+          props.getBoolean(2), ordered))
+        .toDF("n_total", "any_kept", "keep_rule_ok", "strata_in_range",
+          "strata_ordered")
+    }),
+
     // mergeable HLL distinct sketches: per-source vocabulary estimate
     // checked against the exact distinct count (q42 properties pattern —
     // the estimate itself is approximation-dependent, its 5%-band
@@ -1169,6 +1205,10 @@ object LlmQueries {
          FROM (SELECT source, unnest(string_split(text, ' ')) AS word
                FROM documents)
          GROUP BY 1 ORDER BY 1""",
+    "q106_strata_approx" ->
+      """SELECT COUNT(*) AS n_total, TRUE AS any_kept, TRUE AS keep_rule_ok,
+           TRUE AS strata_in_range, TRUE AS strata_ordered
+         FROM documents""",
     "q90_stratified_sample" ->
       """WITH scored AS (SELECT doc_id,
            FLOOR(((lnd / n) * 0.4
