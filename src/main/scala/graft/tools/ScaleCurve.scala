@@ -434,6 +434,27 @@ object ScaleCurve {
         report("q86_asof", () =>
           graft.ops.AsofJoin.asof(clicks, purchases, Seq("user_id"),
             "ts", "ts", Seq("event_id", "value"), "prior_").count())
+        // r14: the hot-key two-level form on the same data (1-day
+        // buckets) — must stay linear with a constant-factor overhead
+        // vs the single-window form (two windows + one extra join)
+        report("q86_asof_bucketed", () =>
+          graft.ops.AsofJoin.asof(clicks, purchases, Seq("user_id"),
+            "ts", "ts", Seq("event_id", "value"), "prior_",
+            bucketWidth = Some(86400L)).count())
+        // r14: DELIBERATE hot key — every row on user 0, so the
+        // single-window form serializes its sort on ONE task while the
+        // bucketed form splits it across hour buckets (time span grows
+        // m×, so bucket count grows m× at constant per-bucket size:
+        // the curve stays linear exactly when the refinement works)
+        val hotC = clicks.withColumn("user_id", lit(0L))
+        val hotP = purchases.withColumn("user_id", lit(0L))
+        report("q86_asof_hot_single", () =>
+          graft.ops.AsofJoin.asof(hotC, hotP, Seq("user_id"),
+            "ts", "ts", Seq("event_id", "value"), "prior_").count())
+        report("q86_asof_hot_bucketed", () =>
+          graft.ops.AsofJoin.asof(hotC, hotP, Seq("user_id"),
+            "ts", "ts", Seq("event_id", "value"), "prior_",
+            bucketWidth = Some(3600L)).count())
         report("q87_range", () =>
           graft.ops.RangeJoin.countWithinRadius(clicks, errors,
             "event_id", "ts", "ts", 300000000L).count())
