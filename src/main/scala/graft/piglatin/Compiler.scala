@@ -52,6 +52,10 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
 
   private val env = mutable.LinkedHashMap[String, RelInfo]()
 
+  /** Statement trace for ILLUSTRATE lineage (alias → the RelOp that
+    * produced it, in script order; SPLIT branches record as filters). */
+  private val history = mutable.ArrayBuffer[(String, RelOp)]()
+
   // ---------------------------------------------------- user extensibility
   //
   // The reference's core extensibility surface is EvalFunc + DEFINE
@@ -117,7 +121,9 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
   // ------------------------------------------------------------- statements
 
   private def exec(stmt: Stmt): Unit = stmt match {
-    case Assign(alias, op) => env(alias) = compileOp(alias, op)
+    case Assign(alias, op) =>
+      env(alias) = compileOp(alias, op)
+      history += ((alias, op))
     case SplitStmt(in, branches, otherwise) =>
       val parent = relation(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val conds = branches.map { case (_, c) => compileExpr(parent, c) }
@@ -126,6 +132,11 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       }
       otherwise.foreach { a =>
         env(a) = RelInfo(() => parent.filter(!conds.reduce(_ || _)))
+      }
+      // lineage view of SPLIT: each branch is a filter over the parent
+      branches.foreach { case (a, c) => history += ((a, FilterOp(in, c))) }
+      otherwise.foreach { a =>
+        history += ((a, FilterOp(in, Not(branches.map(_._2: Expr).reduceLeft((l, r) => Or(l, r))))))
       }
     case StoreStmt(alias, path, using) =>
       val df = relation(alias)
@@ -142,7 +153,11 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case DumpStmt(alias) => relation(alias).show(100, truncate = false)
     case DescribeStmt(alias) => println(s"$alias: ${relation(alias).schema.simpleString}")
     case ExplainStmt(alias) => relation(alias).explain("formatted")
-    case IllustrateStmt(alias) => relation(alias).sample(0.1).show(10, truncate = false)
+    case IllustrateStmt(alias) =>
+      illustrate(alias).foreach { case (a, df) =>
+        println(s"--- $a: ${df.schema.simpleString}")
+        df.show(8, truncate = false)
+      }
     case AssertStmt(alias, cond, msg) =>
       val df = relation(alias)
       if (!df.filter(!coalesce(compileExpr(df, cond), lit(false))).isEmpty)
@@ -157,6 +172,142 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       val df = relation(alias)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       env(alias) = RelInfo(() => df)
+  }
+
+  // ------------------------------------------------------------ ILLUSTRATE
+
+  private def inputsOf(op: RelOp): Seq[String] = op match {
+    case _: Load => Nil
+    case FilterOp(in, _) => Seq(in)
+    case ForeachOp(in, _) => Seq(in)
+    case ForeachNestedOp(in, _, _) => Seq(in)
+    case GroupOp(ins, _, _) => ins.map(_._1)
+    case CubeOp(in, _) => Seq(in)
+    case StreamOp(in, _, _) => Seq(in)
+    case JoinOp(ins, _, _) => ins.map(_._1)
+    case CrossOp(ins) => ins
+    case OrderOp(in, _, _) => Seq(in)
+    case RankOp(in, _, _) => Seq(in)
+    case LimitOp(in, _) => Seq(in)
+    case DistinctOp(in) => Seq(in)
+    case UnionOp(ins, _) => ins
+    case SampleOp(in, _) => Seq(in)
+    case AliasRef(in) => Seq(in)
+    case CacheOp(in) => Seq(in)
+  }
+
+  /** ILLUSTRATE's lineage-aware example generator — a bounded
+    * re-expression of the reference's `pen` example-data machinery
+    * [R: src/org/apache/pig/pen/ExampleGenerator.java; Olston & Das
+    * Sarma, "Generating Example Data for Dataflow Programs",
+    * SIGMOD'09]: for the target alias and every relation in its
+    * lineage, produce a SMALL example table such that each operator on
+    * the path is exercised — a FILTER has passing rows, a JOIN has
+    * matching rows, a GROUP has a multi-row group — by replaying the
+    * compiled operators over LOAD samples and, where the samples miss
+    * an operator's semantic path, REPAIRING with real rows pulled from
+    * the full relation (realism over synthesis: the reference
+    * synthesizes tuples when no real witness exists; here the absence
+    * of a real witness is itself the diagnostic, so repair stops).
+    *
+    * Documented simplifications vs the reference: repair rows are
+    * appended at the operator's immediate input (not provenance-traced
+    * back to the LOAD tables, except when the input IS a LOAD); n-way
+    * (>2) joins and grouped inputs are replayed but not repaired;
+    * aliases are assumed single-assignment. This is a driver-side
+    * debugging verb over `limit`-bounded frames — never a production
+    * path, so the handful of tiny repair jobs it runs is fine.
+    *
+    * @return (alias, example DataFrame) for the whole lineage in
+    *         topological order; frames are detached local copies.
+    */
+  def illustrate(target: String, maxRows: Int = 4): Seq[(String, DataFrame)] = {
+    require(env.contains(target), s"unknown alias $target")
+    val lastOp = mutable.LinkedHashMap[String, RelOp]()
+    history.foreach { case (a, op) => lastOp(a) = op }
+    val lineage = mutable.LinkedHashSet[String]()
+    def visit(a: String): Unit = if (!lineage.contains(a))
+      lastOp.get(a).foreach { op => inputsOf(op).foreach(visit); lineage += a }
+    visit(target)
+    val order = lineage.toSeq // inputs-first by construction
+    require(order.nonEmpty, s"no lineage recorded for $target")
+    val saved = order.flatMap(a => env.get(a).map(a -> _)).toMap
+    val fullDfs = order.map(a => a -> relation(a)).toMap // resolved BEFORE the swap
+    val extra = mutable.Map[String, DataFrame]() // repair rows per alias
+    def replay(): Unit = order.foreach { a =>
+      val op = lastOp(a)
+      val ri = op match {
+        case _: Load =>
+          val base = fullDfs(a).limit(maxRows)
+          val ex = extra.get(a).map(e => base.unionByName(e).distinct()).getOrElse(base)
+          RelInfo(() => ex)
+        case _ =>
+          val compiled = compileOp(a, op)
+          extra.get(a) match {
+            case Some(e) if compiled.grouped.isEmpty =>
+              RelInfo(() => compiled.df().unionByName(e).distinct())
+            case _ => compiled
+          }
+      }
+      env(a) = ri
+    }
+    def repairable(a: String): Boolean = env.get(a).forall(_.grouped.isEmpty)
+    def addExtra(a: String, rows: DataFrame): Boolean = {
+      val r = rows.limit(2)
+      if (!repairable(a) || r.isEmpty) false
+      else { extra(a) = extra.get(a).map(_.unionByName(r)).getOrElse(r); true }
+    }
+    try {
+      replay()
+      var pass = 0
+      var changed = true
+      while (changed && pass < 3) {
+        changed = false; pass += 1
+        order.foreach { a =>
+          lastOp(a) match {
+            case FilterOp(in, cond) if env(a).df().isEmpty =>
+              val fullIn = fullDfs(in)
+              if (addExtra(in, fullIn.filter(compileExpr(fullIn, cond)))) {
+                changed = true; replay()
+              }
+            case JoinOp(List((la, lk), (ra, rk)), _, _) if env(a).df().isEmpty =>
+              val lf = fullDfs(la); val rf = fullDfs(ra)
+              val cond = lk.map(e => compileExpr(lf, e))
+                .zip(rk.map(e => compileExpr(rf, e)))
+                .map { case (x, y) => x === y }.reduce(_ && _)
+              val lrows = lf.join(rf, cond, "left_semi").limit(2)
+              val rrows = rf.join(lrows, cond, "left_semi")
+              var ch = addExtra(la, lrows)
+              ch = addExtra(ra, rrows) || ch
+              if (ch) { changed = true; replay() }
+            case GroupOp(List((in, keys)), false, _) if keys.nonEmpty =>
+              val exIn = env(in).df()
+              val kex = keys.map(e => compileExpr(exIn, e))
+              val maxSz =
+                if (exIn.isEmpty) 0L
+                else exIn.groupBy(kex: _*).count().agg(max("count")).head().getLong(0)
+              if (maxSz < 2) {
+                val fullIn = fullDfs(in)
+                val keyed = fullIn.withColumn("_ill_k",
+                  struct(keys.map(e => compileExpr(fullIn, e)): _*))
+                val dupKey = keyed.groupBy(col("_ill_k")).count()
+                  .filter(col("count") >= 2).limit(1).drop("count")
+                val rows = keyed.join(dupKey, "_ill_k").drop("_ill_k")
+                if (addExtra(in, rows)) { changed = true; replay() }
+              }
+            case _ => ()
+          }
+        }
+      }
+      // detach: materialize example rows locally BEFORE the env restore
+      // (the replayed RelInfos read the example env lazily)
+      order.map { a =>
+        val ex = env(a).df().limit(math.max(maxRows * 2, 8))
+        val local = spark.createDataFrame(
+          spark.sparkContext.parallelize(ex.collect().toIndexedSeq, 1), ex.schema)
+        a -> local
+      }
+    } finally saved.foreach { case (a, ri) => env(a) = ri }
   }
 
   // -------------------------------------------------------------- operators
