@@ -563,15 +563,29 @@ object Dedup {
     *         is_keeper = (doc == component).
     */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                 maxIters: Int = 20, starAfter: Int = 5): DataFrame =
-    componentsImpl(pairs, idA, idB, maxIters, starAfter)._1
+                 maxIters: Int = 20, starAfter: Int = 5,
+                 smallGraph: Long = 200000L): DataFrame =
+    componentsImpl(pairs, idA, idB, maxIters, starAfter, smallGraph)._1
 
   /** [[components]] plus its execution stats — (labels, propagation
     * rounds run, whether it escalated to [[starContraction]]). The
     * ScaleCurve harness charts rounds-vs-corpus-size from this.
+    *
+    * `smallGraph`: when the DISTINCT symmetric edge list holds at most
+    * this many rows (and ids are longs), components are computed
+    * driver-side with union-find over the collected edges — the same
+    * model-sized-object reasoning as the ANN codebook training:
+    * 2·10⁵ edge rows ≈ 3 MB, while the iterative path costs
+    * rounds × (join + aggregate + checkpoint) driver-scheduled jobs.
+    * Labels are IDENTICAL (min-id component, property-tested against
+    * the distributed path); ≤ 0 disables the shortcut (the scale
+    * harness and the propagation/star-machinery specs force the
+    * distributed path this way). The threshold check is one count on
+    * the already-persisted edge frame the loop would scan anyway.
     */
   private[graft] def componentsImpl(pairs: DataFrame, idA: String, idB: String,
-                                    maxIters: Int, starAfter: Int): (DataFrame, Int, Boolean) = {
+                                    maxIters: Int, starAfter: Int,
+                                    smallGraph: Long = 200000L): (DataFrame, Int, Boolean) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // symmetric closure via a map-side explode, NOT a self-union: the
     // incoming `pairs` is typically an expensive unpersisted plan (the
@@ -584,6 +598,37 @@ object Dedup {
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .distinct()
         .persist(MEMORY_AND_DISK))
+    if (smallGraph > 0 &&
+        edges.schema("a").dataType == org.apache.spark.sql.types.LongType &&
+        edges.count() <= smallGraph) {
+      val rows = edges.collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      // union-by-min: the root of every set IS the min id, so find()
+      // directly yields the component label
+      rows.foreach { r =>
+        val x = find(r.getLong(0)); val y = find(r.getLong(1))
+        if (x != y) { if (x < y) parent.put(y, x) else parent.put(x, y) }
+      }
+      val verts = scala.collection.mutable.LinkedHashSet[Long]()
+      rows.foreach { r => verts += r.getLong(0); verts += r.getLong(1) }
+      val out = verts.toSeq.map { v =>
+        val c = find(v)
+        org.apache.spark.sql.Row(v, c, v == c)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("is_keeper", org.apache.spark.sql.types.BooleanType, nullable = false)))
+      return (pairs.sparkSession.createDataFrame(
+        pairs.sparkSession.sparkContext.parallelize(out, 1), schema), 0, false)
+    }
     // eager localCheckpoint per round: materializes the labels AND
     // truncates lineage — without it each round's plan embeds every
     // previous round's joins and Catalyst analysis time explodes with

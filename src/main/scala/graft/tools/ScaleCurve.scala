@@ -136,7 +136,10 @@ object ScaleCurve {
             shingleK = 3, numHashes = 64, bands = 32, threshold = 0.6)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pairs77.count()
-        report("q77_components", () => Dedup.components(pairs77).count(),
+        // smallGraph=0: the curve's purpose is the DISTRIBUTED
+        // machinery; the driver shortcut would absorb every factor here
+        report("q77_components", () =>
+          Dedup.components(pairs77, smallGraph = 0L).count(),
           stages = () => componentStages(pairs77))
         pairs77.unpersist(blocking = false)
       }
@@ -622,7 +625,7 @@ object ScaleCurve {
   private def componentStages(pairs: DataFrame): Seq[(String, Double, Long)] = {
     val t0 = System.nanoTime()
     val (lab, rounds, escalated) =
-      Dedup.componentsImpl(pairs, "id_a", "id_b", 20, 5)
+      Dedup.componentsImpl(pairs, "id_a", "id_b", 20, 5, smallGraph = 0L)
     val n = lab.count()
     val dt = (System.nanoTime() - t0) / 1e9
     Seq(("components_total", dt, n),

@@ -184,9 +184,20 @@ class DedupSpec extends SparkSuite {
       (4L, 1L, false), (5L, 5L, true), (6L, 5L, false)))
   }
 
+  test("small-graph shortcut labels equal the distributed path, incl. schema") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val viaDriver = Dedup.components(pairs) // default: under the threshold
+    val viaDist = Dedup.components(pairs, smallGraph = 0L)
+    assert(viaDriver.schema == viaDist.schema)
+    assert(viaDriver.as[(Long, Long, Boolean)].collect().toSet ==
+      viaDist.as[(Long, Long, Boolean)].collect().toSet)
+  }
+
   test("components converges on a long chain (diameter rounds)") {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.components(chain).as[(Long, Long, Boolean)].collect()
+    val got = Dedup.components(chain, smallGraph = 0L).as[(Long, Long, Boolean)].collect()
     assert(got.length == 12 && got.forall(_._2 == 1L))
   }
 
@@ -194,7 +205,7 @@ class DedupSpec extends SparkSuite {
     // diameter 999 ≫ the propagation budget: before round 9 this threw
     // at maxIters; now it must degrade to the O(log² n) contraction
     val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.components(chain).as[(Long, Long, Boolean)].collect()
+    val got = Dedup.components(chain, smallGraph = 0L).as[(Long, Long, Boolean)].collect()
     assert(got.length == 1000 && got.forall(_._2 == 0L) && got.count(_._3) == 1)
   }
 
@@ -203,7 +214,7 @@ class DedupSpec extends SparkSuite {
     // shrink with it, or the escalation re-aborts on the long chains it
     // exists for
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.components(chain, maxIters = 6, starAfter = 2)
+    val got = Dedup.components(chain, maxIters = 6, starAfter = 2, smallGraph = 0L)
       .as[(Long, Long, Boolean)].collect()
     assert(got.length == 201 && got.forall(_._2 == 0L))
   }
@@ -212,9 +223,9 @@ class DedupSpec extends SparkSuite {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
       .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
-    val viaProp = Dedup.components(pairs, maxIters = 60, starAfter = 60)
+    val viaProp = Dedup.components(pairs, maxIters = 60, starAfter = 60, smallGraph = 0L)
       .as[(Long, Long, Boolean)].collect().toSet
-    val viaStar = Dedup.components(pairs, maxIters = 60, starAfter = 0)
+    val viaStar = Dedup.components(pairs, maxIters = 60, starAfter = 0, smallGraph = 0L)
       .as[(Long, Long, Boolean)].collect().toSet
     assert(viaStar == viaProp)
   }
@@ -248,7 +259,7 @@ class DedupSpec extends SparkSuite {
       edges.isEmpty || {
         val pairs = edges.toDF("id_a", "id_b")
         // starAfter = 0 forces the contraction path immediately
-        val got = Dedup.components(pairs, maxIters = 60, starAfter = 0)
+        val got = Dedup.components(pairs, maxIters = 60, starAfter = 0, smallGraph = 0L)
           .select("doc", "component").as[(Long, Long)].collect().toMap
         got == unionFindLabels(edges)
       }
