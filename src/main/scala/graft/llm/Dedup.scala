@@ -810,7 +810,7 @@ object Dedup {
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                nCells: Int = 16, threshold: Double = 0.8,
-               iters: Int = 3): DataFrame = {
+               iters: Int = 3, smallGraph: Long = 200000L): DataFrame = {
     val cents = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
     val assigned = graft.dsl.Rel.track(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -826,7 +826,7 @@ object Dedup {
       .join(vecs.toDF("id_b", "vb"), "id_b")
       .filter(Similarity.cosineExpr(col("va"), col("vb")) >= threshold)
       .select(col("id_a"), col("id_b"))
-    val comp = components(pairs).withColumnRenamed("doc", "id")
+    val comp = components(pairs, smallGraph = smallGraph).withColumnRenamed("doc", "id")
     assigned.select(col("id"), col("cell"))
       .join(comp, Seq("id"), "left_outer")
       .select(col("id"), col("cell"),

@@ -399,9 +399,12 @@ object ScaleCurve {
         }.foldLeft(embBase)(_ union _)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         emb.count()
+        // smallGraph=0: the curve pins the DISTRIBUTED components path
+        // (the driver shortcut would absorb the graph at every factor)
         report("q98_semdedup", () =>
           graft.llm.Dedup.semDedup(emb, "vec_id", "embedding",
-            nCells = 16 * m, threshold = 0.4).filter(!col("is_keeper")).count())
+            nCells = 16 * m, threshold = 0.4, smallGraph = 0L)
+            .filter(!col("is_keeper")).count())
         emb.unpersist(blocking = false)
       }
 
