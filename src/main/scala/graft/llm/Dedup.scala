@@ -499,6 +499,46 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Global sentence-level exact dedup — the C4/Dolma "keep one copy
+    * of every three-sentence span / line across the corpus" operation,
+    * at sentence granularity: each distinct sentence keeps ONLY its
+    * first occurrence corpus-wide (first = smallest (doc id, position)
+    * pair, deterministic), every later copy is dropped, and documents
+    * are reassembled in original sentence order. Distinct from
+    * [[graft.llm.Text.removeBoilerplate]], which drops sentences whose
+    * DOCUMENT FREQUENCY exceeds a threshold from every document —
+    * here frequent sentences survive exactly once, in their earliest
+    * document.
+    *
+    * Scale shape: one hash-aggregation keyed on the 8-byte sentence
+    * hash carrying the (doc, pos) argmin as a struct-min (fully
+    * combiner-friendly), one join back on (hash, doc, pos), one
+    * per-doc reassembly aggregation. Sentences travel the shuffle once
+    * as hashes, not text. Documents whose every sentence is a later
+    * copy vanish from the output (they have no content left).
+    *
+    * @return (doc, clean, n_kept): reassembled text + surviving
+    *         sentence count.
+    */
+  def sentenceDedup(df: DataFrame, idCol: String, textCol: String,
+                    sep: String = ". "): DataFrame = {
+    val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val lines = df.select(col(idCol).as("doc"),
+        posexplode(arr).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val firsts = lines.groupBy(col("lh"))
+      .agg(min(struct(col("doc"), col("pos"))).as("f"))
+      .select(col("lh"), col("f.doc").as("doc"), col("f.pos").as("pos"))
+    lines.join(firsts, Seq("lh", "doc", "pos"))
+      .groupBy(col("doc"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          sep).as("clean"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Benchmark-contamination scan: for every corpus document, count the
     * distinct k-word shingles it shares with a benchmark/eval set — the
     * standard decontamination pass (k = 8 by convention) run before

@@ -748,6 +748,43 @@ object Text {
         fracOfChars(col("dup10"), col("n_chars")).as("frac_chars_dup_10gram"))
   }
 
+  /** Top-`size` corpus vocabulary with cumulative coverage — the
+    * vocabulary-construction / OOV-rate pass a tokenizer pipeline runs
+    * before committing to a token inventory: words ranked by corpus
+    * frequency (ties break lexicographically, so the ranking is a
+    * deterministic total order), each row carrying the cumulative
+    * fraction of all token occurrences the vocabulary up to that rank
+    * covers (1 − cum_coverage at rank k = the OOV rate of a k-word
+    * vocab).
+    *
+    * Scale shape: one word-count aggregation (map-side combine), a
+    * TakeOrdered top-`size` (per-partition top-k, no global sort), and
+    * a window over the RESULT — `size` rows by construction, so the
+    * unpartitioned window is bounded by the parameter, not the data.
+    *
+    * @return (rank, word, cnt, cum_coverage), `size` rows.
+    */
+  def vocabulary(df: DataFrame, textCol: String, size: Int = 100): DataFrame = {
+    require(size > 0, "vocabulary size must be positive")
+    val counts = graft.dsl.Rel.track(
+      df.select(explode(words(col(textCol))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    counts.orderBy(col("cnt").desc, col("word").asc).limit(size)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("word").asc)).cast("long"))
+      .withColumn("cum_coverage",
+        roundCompat(sum(col("cnt")).over(w).cast("double") / total.toDouble, 6))
+      .select(col("rank"), col("word"), col("cnt"), col("cum_coverage"))
+  }
+
   /** TF-IDF over the corpus: classic two-aggregation pipeline (term
     * frequencies per doc, document frequencies per term, log-idf join).
     * Returns (doc, term, tf, df, tfidf).

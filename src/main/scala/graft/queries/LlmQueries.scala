@@ -257,6 +257,26 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // global sentence-level exact dedup (C4/Dolma line dedup): every
+    // distinct sentence keeps only its first corpus-wide occurrence
+    // (min (doc, pos)), documents reassembled in order — SQL-derivable
+    // end to end (the oracle partitions by the sentence STRING where
+    // the operator groups by its 64-bit hash; identical modulo a
+    // ≈ n²/2⁶⁵ collision)
+    "q107_sentence_dedup" -> ((s, dir) => {
+      Dedup.sentenceDedup(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // vocabulary construction with cumulative coverage / OOV rate —
+    // deterministic total order (cnt desc, word asc), roundCompat'd
+    // coverage, fully SQL-derivable
+    "q108_vocab" -> ((s, dir) => {
+      Text.vocabulary(t(s, dir, "documents"), "text", size = 100)
+        .orderBy(col("rank"))
+    }),
+
     // sort-free approximate quality-stratification (the 100 TB twin of
     // q90: percentile_approx boundaries, no global sort). Stratum
     // placement is sketch-dependent (no SQL re-derivation), so — the
@@ -1209,6 +1229,28 @@ object LlmQueries {
       """SELECT COUNT(*) AS n_total, TRUE AS any_kept, TRUE AS keep_rule_ok,
            TRUE AS strata_in_range, TRUE AS strata_ordered
          FROM documents""",
+    "q107_sentence_dedup" ->
+      """WITH ls AS (SELECT doc_id, string_split(text, '. ') AS arr FROM documents),
+         lines AS (SELECT doc_id, unnest(arr) AS line,
+                   generate_subscripts(arr, 1) AS pos FROM ls),
+         ranked AS (SELECT doc_id, pos, line,
+                    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+                    FROM lines)
+         SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS clean,
+           COUNT(*) AS n_kept
+         FROM ranked WHERE rn = 1
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q108_vocab" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         cnts AS (SELECT word, COUNT(*) AS cnt FROM toks WHERE word <> '' GROUP BY 1),
+         tot AS (SELECT SUM(cnt)::DOUBLE AS total FROM cnts),
+         top AS (SELECT word, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank
+                 FROM cnts ORDER BY cnt DESC, word LIMIT 100)
+         SELECT rank, word, cnt,
+           FLOOR((SUM(cnt) OVER (ORDER BY rank))::DOUBLE
+                 / (SELECT total FROM tot) * 1000000 + 0.5) / 1000000 AS cum_coverage
+         FROM top ORDER BY rank""",
     "q90_stratified_sample" ->
       """WITH scored AS (SELECT doc_id,
            FLOOR(((lnd / n) * 0.4

@@ -948,6 +948,39 @@ class TextSpec extends SparkSuite {
     assert(got == Seq(1L -> "unique one", 2L -> "unique two", 3L -> "unique three"))
   }
 
+  test("sentenceDedup keeps only the first corpus-wide copy of each sentence") {
+    val df = Seq(
+      (2L, "shared line. own two. common tail"),
+      (1L, "shared line. own one. common tail"),
+      (3L, "shared line. common tail"),          // nothing of its own → vanishes
+      (4L, "own four. shared line")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.sentenceDedup(df, "doc_id", "text")
+      .orderBy("doc").as[(Long, String, Long)].collect().toSeq
+    // first occurrence = min (doc_id, pos): doc 1 owns "shared line"
+    // (pos 0) and "common tail"; docs 2/4 keep only their unique
+    // sentences; doc 3 loses everything and drops out
+    assert(got == Seq(
+      (1L, "shared line. own one. common tail", 3L),
+      (2L, "own two", 1L),
+      (4L, "own four", 1L)))
+    // a sentence repeated WITHIN a doc also keeps only its first copy
+    val self = Seq((7L, "a b. a b. c d")).toDF("doc_id", "text")
+    val got2 = graft.llm.Dedup.sentenceDedup(self, "doc_id", "text")
+      .as[(Long, String, Long)].head()
+    assert(got2 == ((7L, "a b. c d", 2L)))
+  }
+
+  test("vocabulary ranks by count then word, with exact cumulative coverage") {
+    val df = Seq("b b b a a c", "a d", "").toDF("text")
+    val got = graft.llm.Text.vocabulary(df, "text", size = 3)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // 8 tokens total: a=3, b=3, c=1, d=1 — ties break lexicographically
+    assert(got == Seq(
+      (1L, "a", 3L, 0.375),
+      (2L, "b", 3L, 0.75),
+      (3L, "c", 1L, 0.875)))
+  }
+
   test("scrubPii replaces emails, phones and IPs with placeholders") {
     val df = Seq(
       "mail me at john.doe+x@sub.example.org today",
