@@ -499,6 +499,36 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Incremental exact dedup — the continuous-ingest production shape:
+    * dedup a NEW batch against an EXISTING corpus fingerprint store
+    * without ever rescanning the corpus. A 100 TB pipeline dedups each
+    * arriving batch in two steps: (1) within-batch exact dedup (the
+    * [[exactByFingerprint]] hash-aggregation over the batch only),
+    * (2) anti-join of the batch's surviving fingerprints against the
+    * store (hash equi-join on two 8-byte columns; the store side is
+    * the only corpus-sized input and it carries 24 bytes/row, not
+    * documents). Returns the batch rows that are new to the corpus,
+    * plus the updated fingerprint rows to append to the store — the
+    * caller persists those (e.g. a bucketed table on fp_a, making the
+    * anti-join zero-Exchange on the store side).
+    *
+    * @param store existing fingerprints: (fp_a, fp_b) — extra columns
+    *        ignored
+    * @return (id, fp_a, fp_b) — one row per surviving NEW document
+    *         (within-batch keeper AND absent from the store)
+    */
+  def exactIncremental(batch: DataFrame, contentCol: String, idCol: String,
+                       store: DataFrame): DataFrame = {
+    val fps = batch.select(col(idCol).as("id"),
+      xxhash64(col(contentCol)).as("fp_a"),
+      xxhash64(lit("graft-fp2"), col(contentCol)).as("fp_b"))
+    val keepers = fps.groupBy(col("fp_a"), col("fp_b"))
+      .agg(min(col("id")).as("id"))
+    keepers.join(store.select(col("fp_a"), col("fp_b")),
+        Seq("fp_a", "fp_b"), "left_anti")
+      .select(col("id"), col("fp_a"), col("fp_b"))
+  }
+
   /** Global sentence-level exact dedup — the C4/Dolma "keep one copy
     * of every three-sentence span / line across the corpus" operation,
     * at sentence granularity: each distinct sentence keeps ONLY its

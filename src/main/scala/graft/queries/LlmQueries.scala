@@ -257,6 +257,26 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental exact dedup: batch = odd docs + duplicated copies of
+    // the even docs; store = the even docs' fingerprints. The copies
+    // MUST be eliminated by the store anti-join, within-batch dups by
+    // the keeper aggregation — both SQL-derivable on the text itself
+    // (the operator's 128-bit fingerprints equal text-grouping modulo
+    // a ≈ n²/2¹²⁸ collision). Output is the surviving new-doc id set.
+    "q109_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val storeDocs = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val store = storeDocs.select(
+        xxhash64(col("text")).as("fp_a"),
+        xxhash64(lit("graft-fp2"), col("text")).as("fp_b"))
+      val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .unionByName(storeDocs.select(
+          (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactIncremental(batch, "text", "doc_id", store)
+        .select(col("id"))
+        .orderBy(col("id"))
+    }),
+
     // global sentence-level exact dedup (C4/Dolma line dedup): every
     // distinct sentence keeps only its first corpus-wide occurrence
     // (min (doc, pos)), documents reassembled in order — SQL-derivable
@@ -1229,6 +1249,15 @@ object LlmQueries {
       """SELECT COUNT(*) AS n_total, TRUE AS any_kept, TRUE AS keep_rule_ok,
            TRUE AS strata_in_range, TRUE AS strata_ordered
          FROM documents""",
+    "q109_incremental_dedup" ->
+      """WITH store AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+         batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                   UNION ALL
+                   SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0),
+         keep AS (SELECT text, MIN(doc_id) AS id FROM batch GROUP BY text)
+         SELECT id FROM keep
+         WHERE text NOT IN (SELECT text FROM store)
+         ORDER BY id""",
     "q107_sentence_dedup" ->
       """WITH ls AS (SELECT doc_id, string_split(text, '. ') AS arr FROM documents),
          lines AS (SELECT doc_id, unnest(arr) AS line,

@@ -948,6 +948,19 @@ class TextSpec extends SparkSuite {
     assert(got == Seq(1L -> "unique one", 2L -> "unique two", 3L -> "unique three"))
   }
 
+  test("exactIncremental: within-batch keepers minus the fingerprint store") {
+    val store = Seq("known one", "known two").toDF("text")
+      .select(xxhash64($"text").as("fp_a"),
+        xxhash64(lit("graft-fp2"), $"text").as("fp_b"))
+    val batch = Seq(
+      (10L, "fresh a"), (11L, "fresh a"),  // within-batch dup → keeper 10
+      (12L, "known one"),                  // already in the store → dropped
+      (13L, "fresh b")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.exactIncremental(batch, "text", "doc_id", store)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(10L, 13L))
+  }
+
   test("sentenceDedup keeps only the first corpus-wide copy of each sentence") {
     val df = Seq(
       (2L, "shared line. own two. common tail"),
