@@ -26,7 +26,10 @@ object PlanCheck {
       // r13 session 3
       "q94_dsir_weights", "q95_chunk", "q96_collected_group", "q97_pack",
       "q99_bigram_logprob", "q100_prep_pipeline", "q101_funnel",
-      "q102_retention")
+      "q102_retention",
+      // r14
+      "q105_profile_approx", "q107_sentence_dedup", "q108_vocab",
+      "q109_incremental_dedup")
     // the two-phase sampler knob is a caller flag, not a queries entry —
     // probe it directly so BOTH physical forms get a printed plan
     val extra: Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)] = Seq(
