@@ -120,6 +120,13 @@ object ScaleCurve {
         Dedup.contamination(docs, "doc_id", "text", bench, "excerpt", k = 8)
           .count())
 
+      // ---- q107: global sentence-level exact dedup (r14) ----
+      // copies' word spaces are disjoint, so cross-copy sentences never
+      // collide: duplicate density constant, volume m× — the curve must
+      // stay linear (one struct-min agg + join-back + reassembly)
+      report("q107_sentence_dedup", () =>
+        Dedup.sentenceDedup(docs, "doc_id", "text").count())
+
       // ---- q69: curation capstone (t2 parameters) ----
       report("q69_curate", () =>
         Curate.curate(docs, "doc_id", "text", "source").count(),
