@@ -433,8 +433,12 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
 
   // ------------------------------------------------------------------- load
 
-  private def resolvePath(p: String): String =
+  private def resolvePath(p: String): String = {
+    // an empty path would resolve to the base DIRECTORY and silently
+    // scan whatever parquet happens to live there (PigFuzzSpec find)
+    require(p.trim.nonEmpty, "LOAD/STORE path must be non-empty")
     if (p.startsWith("/") || baseDir.isEmpty) p else s"${baseDir.get}/$p"
+  }
 
   private def pigType(t: String): DataType = t match {
     case "int" => IntegerType; case "long" => LongType

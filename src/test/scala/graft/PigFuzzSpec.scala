@@ -1,0 +1,100 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import graft.piglatin.{Lexer, Parser}
+
+/** Front-end robustness fuzz — the parser must never crash with a
+  * non-parse-error exception: any byte soup either tokenizes+parses or
+  * is rejected with a diagnostic (Left / a "parse error"-style
+  * exception), and generated VALID scripts always parse AND compile to
+  * runnable DataFrames. The reference leans on ANTLR's generated
+  * recovery [R: src/org/apache/pig/parser/QueryParser.g]; a hand-rolled
+  * recursive-descent parser earns the same confidence by fuzz.
+  */
+class PigFuzzSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // -------------------------------------------------- generators
+
+  private val identGen: Gen[String] =
+    for {
+      h <- Gen.alphaLowerChar
+      t <- Gen.listOfN(4, Gen.oneOf(Gen.alphaNumChar, Gen.const('_')))
+    } yield (h :: t).mkString
+
+  private val colGen: Gen[String] =
+    Gen.oneOf("r_regionkey", "r_name")
+
+  /** One random statement producing `out` from `in` over region cols. */
+  private def stmtGen(in: String, out: String): Gen[String] = Gen.oneOf(
+    colGen.map(c => s"$out = FILTER $in BY $c IS NOT NULL;"),
+    colGen.map(c => s"$out = FOREACH $in GENERATE $c;"),
+    Gen.zip(colGen, colGen).map { case (a, b) =>
+      s"$out = FOREACH $in GENERATE $a, $b;" },
+    colGen.map(c => s"$out = ORDER $in BY $c;"),
+    Gen.chooseNum(1, 10).map(n => s"$out = LIMIT $in $n;"),
+    Gen.const(s"$out = DISTINCT $in;"),
+    Gen.chooseNum(1, 9).map(n =>
+      s"$out = FILTER $in BY r_regionkey < $n;"),
+    Gen.const(s"$out = FOREACH $in GENERATE r_regionkey * 2 AS dbl, r_name;"),
+    Gen.const(s"$out = FOREACH $in GENERATE ..r_name;"),
+    Gen.const(s"$out = SAMPLE $in 0.9;"))
+
+  /** A full random-but-valid script: LOAD then a chain of 1–5 ops.
+    * Only projection-stable ops chain after a FOREACH may have narrowed
+    * the schema — the generator tracks which columns survive.
+    */
+  private val scriptGen: Gen[(String, String)] = for {
+    n <- Gen.chooseNum(1, 5)
+    names <- Gen.listOfN(n, identGen).map(_.distinct)
+  } yield {
+    val aliases = ("rel0" +: names.zipWithIndex.map { case (s, i) => s"${s}_$i" })
+    val sb = new StringBuilder("rel0 = LOAD 'region.parquet';\n")
+    var narrowed = false
+    var prev = "rel0"
+    val rnd = new scala.util.Random(names.hashCode)
+    for (a <- aliases.tail) {
+      // once a FOREACH narrowed the schema, only schema-free ops follow
+      val stmt =
+        if (narrowed) rnd.nextInt(3) match {
+          case 0 => s"$a = DISTINCT $prev;"
+          case 1 => s"$a = LIMIT $prev ${1 + rnd.nextInt(9)};"
+          case _ => s"$a = $prev;"
+        }
+        else stmtGen(prev, a).sample.getOrElse(s"$a = DISTINCT $prev;")
+      if (stmt.contains("GENERATE")) narrowed = true
+      sb.append(stmt).append('\n')
+      prev = a
+    }
+    (sb.toString, prev)
+  }
+
+  // -------------------------------------------------- properties
+
+  test("generated valid scripts parse, compile, and run (ScalaCheck)") {
+    val prop = Prop.forAllNoShrink(scriptGen) { case (script, last) =>
+      val e = new graft.piglatin.PigEngine(spark, Some(dir)).run(script)
+      e.relation(last).count() >= 0L
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("arbitrary garbage never escapes as a non-diagnostic crash (ScalaCheck)") {
+    val junkGen = Gen.listOfN(40, Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', ';', '=', '(', ')', ',', '.', '\'', '`', '$',
+        '{', '}', '#', ':', '*', '+', '-', '<', '>', '!'),
+      1 -> Gen.oneOf('\n', '\t'))).map(_.mkString)
+    val prop = Prop.forAllNoShrink(junkGen) { junk =>
+      // Parser.parse returns Left(diagnostic) for anything it rejects
+      // (lexer errors and ParseErrors both); ANY thrown exception is a
+      // crash escaping the diagnostic channel
+      try { Parser.parse(junk); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
