@@ -57,6 +57,41 @@ class BucketedSpec extends SparkSuite {
     assert(collected.exceptAll(plain).isEmpty && plain.exceptAll(collected).isEmpty)
   }
 
+  test("incremental-dedup store bucketed on fp_a: anti-join reads it shuffle-free") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS fp_store")
+    val loc = new java.io.File("spark-warehouse/fp_store")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    val docs = Tables.load(spark, dir, "documents")
+    Bucketed.writeBucketed(
+      docs.filter($"doc_id" % 2 === 0).select(
+        xxhash64($"text").as("fp_a"),
+        xxhash64(lit("graft-fp2"), $"text").as("fp_b")),
+      "fp_store", "fp_a", buckets = 4)
+    val batch = docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle path
+    val res = graft.llm.Dedup.exactIncremental(
+      batch, "text", "doc_id", spark.table("fp_store"))
+    val plan = res.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the STORE side (the only corpus-sized input) must read its
+    // buckets directly — exactly the batch-side exchanges remain
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(exchanges <= 2, s"store side shuffled: $exchanges exchanges\n" + plan.take(3000))
+    // and the result equals the text-level derivation
+    val got = res.select($"id").as[Long].collect().toSet
+    val storeTexts = docs.filter($"doc_id" % 2 === 0).select($"text")
+    val want = batch.groupBy($"text").agg(min($"doc_id").as("id"))
+      .join(storeTexts, Seq("text"), "left_anti")
+      .select($"id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
   test("collectedGroup refuses a table not bucketed by the group key") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS li_flat")
