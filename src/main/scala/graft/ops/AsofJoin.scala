@@ -5,30 +5,38 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed as-of (point-in-time) join — for each left row, attach
-  * the payload of the right row with the greatest right-time ≤ the
-  * left row's time among rows sharing the join keys (backward,
-  * inclusive — the DuckDB `ASOF JOIN`/pandas `merge_asof` default),
-  * or nulls when no such row exists (LEFT semantics).
+  * the payload of the matching right row among rows sharing the join
+  * keys, or nulls when no such row exists (LEFT semantics). Directions
+  * (the pandas `merge_asof` surface):
+  *
+  *  - `backward` (default, the DuckDB `ASOF JOIN` semantics): the
+  *    right row with the GREATEST right-time ≤ the left time;
+  *  - `forward`: the right row with the SMALLEST right-time ≥ the
+  *    left time;
+  *  - `nearest`: whichever of the two is closer in time (equal
+  *    distance breaks to backward — no future leakage on ties).
   *
   * The reference has no as-of operator (time-series joins in Pig are
   * written as COGROUP + nested ORDER/LIMIT per key, materializing the
   * bag); this is the additive capability a feature-store /
   * training-data pipeline needs for point-in-time-correct feature
-  * attachment without future leakage.
+  * attachment.
   *
   * Scale shape — the canonical union-window encoding, NOT a per-key
   * bag sort and NOT a range cross-join:
   *
-  *   1. tag right rows side=0 carrying a payload struct, left rows
-  *      side=1 with a null payload, union by name;
-  *   2. ONE hash shuffle on the keys + ONE local sort on
-  *      (time, side, payload);
-  *   3. `last(payload, ignoreNulls) OVER (PARTITION BY keys ORDER BY
-  *      time, side, payload ROWS UNBOUNDED PRECEDING..CURRENT ROW)` —
-  *      each left row sees exactly the latest right payload at-or-
-  *      before its time (right sorts before left at equal times,
-  *      giving the inclusive bound);
-  *   4. keep side=1, unpack the struct.
+  *   1. tag right rows side=0 carrying a (time, payload) struct, left
+  *      rows side=1 with a null struct, union by name;
+  *   2. ONE hash shuffle on the keys + a local sort on
+  *      (time, side, payload) — ascending for backward, time/payload
+  *      descending for forward (right still sorts before left at equal
+  *      times, giving the inclusive bound in both directions);
+  *   3. `last(match_struct, ignoreNulls) OVER (PARTITION BY keys …
+  *      ROWS UNBOUNDED PRECEDING..CURRENT ROW)` — each left row sees
+  *      exactly its direction's match;
+  *   4. keep side=1, unpack the struct. `nearest` runs BOTH window
+  *      orders over the same exchange (one shuffle, two local sorts)
+  *      and picks the closer match per row.
   *
   * Cost is a single Exchange + sort over |L|+|R| rows — no row blowup,
   * no per-key iteration. Skew envelope: a window partition is one
@@ -36,16 +44,18 @@ import org.apache.spark.sql.functions._
   * key holding ~10⁸+ rows serializes on that key. For that regime pass
   * `bucketWidth` — the two-level form sub-partitions every key by a
   * coarse time bucket, windows WITHIN (key, bucket), and prefix-scans
-  * the tiny per-bucket "latest right payload" summary stream per key,
-  * so the hot key's sort splits across time buckets and the only
-  * per-key-serial work is one row per non-empty bucket.
+  * the tiny per-bucket "boundary right payload" summary stream per key
+  * (latest for backward, earliest for forward), so the hot key's sort
+  * splits across time buckets and the only per-key-serial work is one
+  * row per non-empty bucket. All three directions support it.
   *
-  * Ties on right-time within a key break deterministically to the
-  * greatest payload struct (lexicographic by field order), so results
-  * are reproducible and oracle-checkable even with duplicate
-  * timestamps — identical in both forms (the bucket summary is
-  * `max(struct(t, payload))`, the same (t, payload) order the window
-  * sorts by).
+  * Ties on right-time within a key break deterministically — backward
+  * to the GREATEST payload struct, forward to the SMALLEST
+  * (mirror-symmetric, lexicographic by field order) — so results are
+  * reproducible and oracle-checkable even with duplicate timestamps,
+  * identically in the single-window and bucketed forms (the bucket
+  * summaries are max/min(struct(t, payload)), the same order the
+  * windows sort by).
   */
 object AsofJoin {
 
@@ -60,14 +70,18 @@ object AsofJoin {
     *        Pick a width giving ~10³–10⁴ buckets over the hot key's
     *        time range so no (key, bucket) cell exceeds one task's
     *        comfortable sort size.
+    *  @param direction "backward" | "forward" | "nearest"
     */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
            payload: Seq[String], prefix: String = "asof_",
-           bucketWidth: Option[Long] = None): DataFrame = {
+           bucketWidth: Option[Long] = None,
+           direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     require(bucketWidth.forall(_ > 0), "bucketWidth must be positive")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
 
     val leftCols = left.columns.toSeq
     val p = struct(payload.map(col).toIndexedSeq: _*)
@@ -81,63 +95,94 @@ object AsofJoin {
 
     // unionByName fills l-only columns with typed nulls on the right
     // side and graft_asof_p with nulls on the left side
-    val u = l.unionByName(r, allowMissingColumns = true)
+    val u0 = l.unionByName(r, allowMissingColumns = true)
+    // the carried match value: whole-struct null on left rows so the
+    // window's ignoreNulls skips them; carries the matched TIME too
+    // (nearest needs it for the distance comparison)
+    val u = u0.withColumn("graft_asof_v",
+      when(col("graft_asof_side") === 0,
+        struct(col("graft_asof_t").as("t"), col("graft_asof_p").as("p"))))
+
+    // exact floor division via long+decimal (double division rounds for
+    // large longs; `div` truncates toward zero for negative times)
+    def bucketOf(t: Column): Column =
+      floor(t.cast("long").cast("decimal(38,0)") / lit(bucketWidth.get)).cast("long")
+
+    /** Adds `graft_asof_m_<dir>` = struct(t, p) of the dir's match. */
+    def attachDir(df0: DataFrame, dir: String): DataFrame = {
+      val back = dir == "backward"
+      val ord: Seq[Column] =
+        if (back) Seq(col("graft_asof_t").asc, col("graft_asof_side").asc,
+          col("graft_asof_p").asc)
+        else Seq(col("graft_asof_t").desc, col("graft_asof_side").asc,
+          col("graft_asof_p").desc)
+      val out = s"graft_asof_m_$dir"
+      bucketWidth match {
+        case None =>
+          val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+            .orderBy(ord: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          df0.withColumn(out, last(col("graft_asof_v"), ignoreNulls = true).over(w))
+
+        case Some(_) =>
+          val df = if (df0.columns.contains("graft_asof_b")) df0
+            else df0.withColumn("graft_asof_b", bucketOf(col("graft_asof_t")))
+          val keyB = (keys :+ "graft_asof_b").map(col).toIndexedSeq
+          // per-(key, bucket) boundary summary: the direction's best
+          // right row in the bucket — max(struct) IS the backward
+          // (t, payload) order restricted to right rows; min(struct)
+          // the forward one
+          val summAgg = if (back) max(col("graft_asof_v")) else min(col("graft_asof_v"))
+          val summ = df.filter(col("graft_asof_side") === 0)
+            .groupBy(keyB: _*).agg(summAgg.as("graft_asof_s"))
+          // carry-in per (key, bucket): the boundary summary of the
+          // nearest preceding (backward) / following (forward)
+          // non-empty bucket — the per-key window runs over the
+          // bucket-summary stream (≤ one row per bucket), so a hot
+          // key's serial work is O(#buckets), not O(#rows)
+          val allBuckets = df.select(keyB: _*).distinct()
+          val wCarry = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+            .orderBy(if (back) col("graft_asof_b").asc else col("graft_asof_b").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val carries = allBuckets
+            .join(summ, keys :+ "graft_asof_b", "left")
+            .withColumn("graft_asof_c",
+              last(col("graft_asof_s"), ignoreNulls = true).over(wCarry))
+            .select((keyB :+ col("graft_asof_c").as(s"${out}_carry")).toIndexedSeq: _*)
+          // main window WITHIN (key, bucket): splits the hot key's
+          // sort across buckets; no within-bucket match falls back to
+          // the bucket's carry-in
+          val wIn = Window.partitionBy(keyB: _*)
+            .orderBy(ord: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          df.withColumn(s"${out}_in",
+              last(col("graft_asof_v"), ignoreNulls = true).over(wIn))
+            .join(carries, keys :+ "graft_asof_b")
+            .withColumn(out, coalesce(col(s"${out}_in"), col(s"${out}_carry")))
+            .drop(s"${out}_in", s"${out}_carry")
+      }
+    }
+
+    val withM = direction match {
+      case "nearest" => attachDir(attachDir(u, "backward"), "forward")
+      case d => attachDir(u, d)
+    }
+    val m: Column = direction match {
+      case "nearest" =>
+        val b = col("graft_asof_m_backward")
+        val f = col("graft_asof_m_forward")
+        val t = col("graft_asof_t").cast("double")
+        // both distances are ≥ 0 by construction; equal distance → the
+        // backward match (no future leakage on ties)
+        when(b.isNull, f).when(f.isNull, b)
+          .when(t - b.getField("t").cast("double")
+            <= f.getField("t").cast("double") - t, b)
+          .otherwise(f)
+      case d => col(s"graft_asof_m_$d")
+    }
 
     val out: Seq[Column] = leftCols.map(col) ++
-      payload.map(c => col("graft_asof_m").getField(c).as(prefix + c))
-
-    bucketWidth match {
-      case None =>
-        val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
-          .orderBy(col("graft_asof_t"), col("graft_asof_side"), col("graft_asof_p"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val matched = u.withColumn("graft_asof_m",
-          last(col("graft_asof_p"), ignoreNulls = true).over(w))
-        matched.filter(col("graft_asof_side") === 1).select(out.toIndexedSeq: _*)
-
-      case Some(width) =>
-        // exact floor division via decimal (double division rounds for
-        // large longs; `div` truncates toward zero for negative times)
-        def bucketOf(t: Column): Column =
-          floor(t.cast("long").cast("decimal(38,0)") / lit(width)).cast("long")
-        val ub = u.withColumn("graft_asof_b", bucketOf(col("graft_asof_t")))
-
-        // per-(key, bucket) "latest right payload" summary: one row per
-        // non-empty bucket; max(struct(t, payload)) IS the window's
-        // (t, side, payload) order restricted to right rows (side=0)
-        val keyB = (keys :+ "graft_asof_b").map(col).toIndexedSeq
-        val summ = ub.filter(col("graft_asof_side") === 0)
-          .groupBy(keyB: _*)
-          .agg(max(struct(col("graft_asof_t"), col("graft_asof_p"))).as("graft_asof_s"))
-
-        // carry-in per (key, bucket): the summary of the latest
-        // PRECEDING non-empty bucket — the per-key window now runs over
-        // the bucket-summary stream (≤ one row per bucket), so a hot
-        // key's serial work is O(#buckets), not O(#rows)
-        val allBuckets = ub.select(keyB: _*).distinct()
-        val wCarry = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
-          .orderBy(col("graft_asof_b"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val carries = allBuckets
-          .join(summ, keys :+ "graft_asof_b", "left")
-          .withColumn("graft_asof_c",
-            last(col("graft_asof_s"), ignoreNulls = true).over(wCarry))
-          .select((keyB :+ col("graft_asof_c").getField("graft_asof_p")
-            .as("graft_asof_carry")).toIndexedSeq: _*)
-
-        // main window WITHIN (key, bucket): splits the hot key's sort
-        // across buckets; a left row with no within-bucket match falls
-        // back to the bucket's carry-in
-        val wIn = Window.partitionBy(keyB: _*)
-          .orderBy(col("graft_asof_t"), col("graft_asof_side"), col("graft_asof_p"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val matched = ub
-          .withColumn("graft_asof_in",
-            last(col("graft_asof_p"), ignoreNulls = true).over(wIn))
-          .join(carries, keys :+ "graft_asof_b")
-          .withColumn("graft_asof_m",
-            coalesce(col("graft_asof_in"), col("graft_asof_carry")))
-        matched.filter(col("graft_asof_side") === 1).select(out.toIndexedSeq: _*)
-    }
+      payload.map(c => m.getField("p").getField(c).as(prefix + c))
+    withM.filter(col("graft_asof_side") === 1).select(out.toIndexedSeq: _*)
   }
 }

@@ -128,6 +128,24 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // forward as-of join (r14): for each click, the EARLIEST purchase
+    // at-or-after it by the same user — the merge_asof 'forward'
+    // direction, oracle-checked against DuckDB's native forward ASOF
+    // (a.ts <= b.ts); 'nearest' is spec-tested (AsofJoinSpec) since
+    // DuckDB has no native form for it
+    "q110_asof_forward" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.ops.AsofJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("event_id", "value"), "next_", direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("next_event_id"), col("next_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // range join: per click, errors within ±5 minutes — NO equality
     // key, so the naive plan is a nested loop; ops/RangeJoin buckets
     // the time axis into an equi-join
@@ -156,6 +174,13 @@ object EventQueries {
          FROM (SELECT * FROM events WHERE event_type = 'click') a
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
            ON a.user_id = b.user_id AND a.ts >= b.ts
+         ORDER BY a.event_id""",
+    "q110_asof_forward" ->
+      """SELECT a.event_id, a.user_id,
+         b.event_id AS next_event_id, b.value AS next_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') a
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+           ON a.user_id = b.user_id AND a.ts <= b.ts
          ORDER BY a.event_id""",
     "q47_secondary_sort" ->
       """SELECT user_id, COUNT(*) AS n_events,

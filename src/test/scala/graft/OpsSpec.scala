@@ -230,6 +230,78 @@ class AsofJoinSpec extends SparkSuite {
       assert(runBucketed(bigL, bigR, w) == wantBig, s"width $w")
   }
 
+  private def runDir(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+                     dir: String, width: Option[Long] = None) =
+    AsofJoin.asof(l, r, Seq("user_id"), "t", "t", Seq("pid", "value"), "prior_",
+        bucketWidth = width, direction = dir)
+      .select("event_id", "prior_pid", "prior_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, p, v) => k -> (p, v) }.toMap
+
+  test("forward direction: smallest right time at-or-after; ties to smallest payload") {
+    val got = runDir(left, right, "forward")
+    assert(got(1L) == (Some(100L), Some(1.0)))  // equal timestamp still inclusive
+    assert(got(2L) == (None, None))             // nothing at-or-after 205
+    assert(got(3L) == (Some(103L), Some(4.0)))  // t=60 is the first ≥ 50
+    assert(got(4L) == (None, None))
+    val tied = Seq((201L, 10L, 150L, 9.0), (200L, 10L, 150L, 8.0))
+      .toDF("pid", "user_id", "t", "value")
+    val g2 = runDir(left.filter($"event_id" === 1L), tied, "forward")
+    assert(g2(1L) == (Some(200L), Some(8.0)))   // min payload struct wins
+  }
+
+  test("forward equals backward under time negation (mirror property)") {
+    val rnd = new scala.util.Random(5)
+    val bigL = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(4) + 10).toLong, rnd.nextInt(400).toLong))
+      .toDF("event_id", "user_id", "t")
+    val bigR = (1 to 200).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 10).toLong, rnd.nextInt(400).toLong, rnd.nextInt(9).toDouble))
+      .toDF("pid", "user_id", "t", "value")
+    val fwd = runDir(bigL, bigR, "forward")
+    // mirror: negate all times and run backward — matched ROW TIMES
+    // mirror exactly; payload tie-break mirrors too (greatest payload on
+    // negated-backward vs smallest on forward differ), so compare on
+    // the matched pid SET per (event, |t|) only where times are unique
+    val uniqR = bigR.groupBy($"user_id", $"t").count().filter($"count" === 1)
+      .select($"user_id", $"t")
+    val bigRu = bigR.join(uniqR, Seq("user_id", "t"))
+    val fwdU = runDir(bigL, bigRu, "forward")
+    val mirrored = runDir(
+      bigL.withColumn("t", -$"t"), bigRu.withColumn("t", -$"t"), "backward")
+    assert(fwdU == mirrored)
+    assert(fwd.size == bigL.count()) // all left rows survive regardless
+  }
+
+  test("nearest direction: closer of the two matches; equal distance breaks backward") {
+    val got = runDir(left, right, "nearest")
+    assert(got(1L) == (Some(100L), Some(1.0)))  // exact hit → backward d=0
+    assert(got(2L) == (Some(102L), Some(3.0)))  // only backward exists
+    assert(got(3L) == (Some(103L), Some(4.0)))  // only forward exists
+    assert(got(4L) == (None, None))             // no right rows at all
+    val sides = Seq((300L, 10L, 90L, 1.5), (301L, 10L, 110L, 2.5))
+      .toDF("pid", "user_id", "t", "value")
+    val g2 = runDir(left.filter($"event_id" === 1L), sides, "nearest")
+    assert(g2(1L) == (Some(300L), Some(1.5)))   // d=10 both ways → backward
+    val closer = Seq((300L, 10L, 80L, 1.5), (301L, 10L, 105L, 2.5))
+      .toDF("pid", "user_id", "t", "value")
+    val g3 = runDir(left.filter($"event_id" === 1L), closer, "nearest")
+    assert(g3(1L) == (Some(301L), Some(2.5)))   // forward d=5 beats backward d=20
+  }
+
+  test("forward and nearest bucketed forms equal their single-window forms") {
+    val rnd = new scala.util.Random(9)
+    val bigL = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(4) + 10).toLong, rnd.nextInt(400).toLong))
+      .toDF("event_id", "user_id", "t")
+    val bigR = (1 to 200).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 10).toLong, rnd.nextInt(400).toLong, rnd.nextInt(9).toDouble))
+      .toDF("pid", "user_id", "t", "value")
+    for (dir <- Seq("forward", "nearest"); w <- Seq(7L, 100L))
+      assert(runDir(bigL, bigR, dir, Some(w)) == runDir(bigL, bigR, dir),
+        s"$dir width $w")
+  }
+
   test("bucketed plan windows on (key, bucket) — no whole-key window partition") {
     val plan = AsofJoin.asof(left, right, Seq("user_id"), "t", "t",
       Seq("pid"), "p_", bucketWidth = Some(64L)).queryExecution.executedPlan.toString
