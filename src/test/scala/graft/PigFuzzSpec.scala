@@ -81,6 +81,81 @@ class PigFuzzSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // ------------------------------- differential: script ≡ DataFrame
+
+  /** Deterministic op alphabet rendered BOTH as a Pig statement and as
+    * the equivalent DataFrame transform — the differential form of the
+    * hand-written PigMix specs, over random chains. (No LIMIT/SAMPLE
+    * here: their row CHOICE is legitimately nondeterministic without a
+    * total order, so they stay in the run-only property above.)
+    */
+  private sealed trait DOp
+  private case class DFilterLt(n: Int) extends DOp
+  private case object DFilterNotNull extends DOp
+  private case object DProjName extends DOp
+  private case object DProjDbl extends DOp
+  private case object DDistinct extends DOp
+  private case object DOrder extends DOp
+
+  private val dOpGen: Gen[DOp] = Gen.oneOf(
+    Gen.chooseNum(0, 6).map(DFilterLt),
+    Gen.const(DFilterNotNull), Gen.const(DProjName),
+    Gen.const(DProjDbl), Gen.const(DDistinct), Gen.const(DOrder))
+
+  test("random op chains: front-end result equals the direct DataFrame result") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    def stmt(op: DOp, in: String, out: String): String = op match {
+      case DFilterLt(n) => s"$out = FILTER $in BY r_regionkey < $n;"
+      case DFilterNotNull => s"$out = FILTER $in BY r_name IS NOT NULL;"
+      case DProjName => s"$out = FOREACH $in GENERATE r_regionkey;"
+      case DProjDbl => s"$out = FOREACH $in GENERATE r_regionkey, r_regionkey * 2 AS dbl;"
+      case DDistinct => s"$out = DISTINCT $in;"
+      case DOrder => s"$out = ORDER $in BY r_regionkey DESC;"
+    }
+    def apply(op: DOp, df: DataFrame): DataFrame = op match {
+      case DFilterLt(n) => df.filter(col("r_regionkey") < n)
+      case DFilterNotNull => df.filter(col("r_name").isNotNull)
+      case DProjName => df.select(col("r_regionkey"))
+      case DProjDbl => df.select(col("r_regionkey"), (col("r_regionkey") * 2).as("dbl"))
+      case DDistinct => df.distinct()
+      case DOrder => df.orderBy(col("r_regionkey").desc)
+    }
+    // a projection can drop r_name; later ops referencing it must not
+    // be generated — the generator filters chains to schema-valid ones
+    def valid(ops: List[DOp]): Boolean = {
+      var hasName = true
+      ops.forall { op =>
+        val ok = op match {
+          case DFilterNotNull => hasName
+          case _ => true
+        }
+        op match { case DProjName | DProjDbl => hasName = false; case _ => () }
+        ok
+      }
+    }
+    val chainGen = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, dOpGen)).retryUntil(valid, 100)
+    val prop = Prop.forAllNoShrink(chainGen) { ops =>
+      val script = new StringBuilder("rel0 = LOAD 'region.parquet';\n")
+      var prev = "rel0"
+      ops.zipWithIndex.foreach { case (op, i) =>
+        script.append(stmt(op, prev, s"rel${i + 1}")).append('\n')
+        prev = s"rel${i + 1}"
+      }
+      val e = new graft.piglatin.PigEngine(spark, Some(dir)).run(script.toString)
+      val got = e.relation(prev)
+      val want = ops.foldLeft(Tables.load(spark, dir, "region")) {
+        (df, op) => apply(op, df)
+      }
+      got.columns.toSeq == want.columns.toSeq &&
+        got.collect().map(_.toSeq).sortBy(_.toString())
+          .sameElements(want.collect().map(_.toSeq).sortBy(_.toString()))
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("arbitrary garbage never escapes as a non-diagnostic crash (ScalaCheck)") {
     val junkGen = Gen.listOfN(40, Gen.frequency(
       8 -> Gen.alphaNumChar,
