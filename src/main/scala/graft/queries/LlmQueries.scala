@@ -297,6 +297,39 @@ object LlmQueries {
         .orderBy(col("rank"))
     }),
 
+    // Misra–Gries heavy-hitters sketch over corpus words — the 100 TB
+    // twin of q108's exact vocabulary (bounded buffer per map task,
+    // partial/final like any algebraic agg). WHICH estimates come out
+    // depends on partition order, so — the q26/q42 properties
+    // pattern — the emitted row states the sketch's INVARIANT
+    // guarantees, each computed against the exact counts: size ≤
+    // capacity, no overestimate, underestimate ≤ N/(cap+1), and every
+    // word with true freq > N/(cap+1) reported. N is SQL-derivable.
+    "q111_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val cap = 64
+      val words = graft.dsl.Rel.track(
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("k"))
+          .filter(col("k") =!= "")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val n = words.count()
+      val bound = n / (cap + 1)
+      val got = words.agg(graft.ops.HeavyHitters.heavyHitters(cap)(col("k")).as("hh"))
+        .selectExpr("explode(hh) AS e").select(col("e._1").as("k"), col("e._2").as("est"))
+      val exact = words.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val joined = got.join(exact, Seq("k")).persist()
+      val nReported = joined.count()
+      val noOver = joined.filter(col("est") > col("cnt")).count() == 0L
+      val errOk = joined.filter(col("cnt") - col("est") > bound).count() == 0L
+      val missingHeavy = exact.filter(col("cnt") > bound)
+        .join(got.select(col("k")), Seq("k"), "left_anti").count()
+      joined.unpersist(blocking = false)
+      Seq((n, nReported <= cap, noOver, errOk, missingHeavy == 0L))
+        .toDF("n_words", "size_within_capacity", "no_overestimate",
+          "error_within_bound", "all_heavy_reported")
+    }),
+
     // sort-free approximate quality-stratification (the 100 TB twin of
     // q90: percentile_approx boundaries, no global sort). Stratum
     // placement is sketch-dependent (no SQL re-derivation), so — the
@@ -1249,6 +1282,12 @@ object LlmQueries {
       """SELECT COUNT(*) AS n_total, TRUE AS any_kept, TRUE AS keep_rule_ok,
            TRUE AS strata_in_range, TRUE AS strata_ordered
          FROM documents""",
+    "q111_heavy_hitters" ->
+      """SELECT COUNT(*) AS n_words, TRUE AS size_within_capacity,
+           TRUE AS no_overestimate, TRUE AS error_within_bound,
+           TRUE AS all_heavy_reported
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> ''""",
     "q109_incremental_dedup" ->
       """WITH store AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
          batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

@@ -65,6 +65,45 @@ class RankSpec extends SparkSuite {
   }
 }
 
+/** Misra–Gries heavy-hitters: exact under capacity, MG guarantees over
+  * capacity, partition-order-invariant guarantees. */
+class HeavyHittersSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ops.HeavyHitters
+
+  private def sketch(df: org.apache.spark.sql.DataFrame, cap: Int): Map[String, Long] =
+    df.agg(HeavyHitters.heavyHitters(cap)($"k").as("hh"))
+      .selectExpr("explode(hh) AS e").select("e._1", "e._2")
+      .as[(String, Long)].collect().toMap
+
+  test("distinct keys within capacity: exact counts, sorted output") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    assert(sketch(df, 10) == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+  }
+
+  test("over capacity: every heavy item reported, estimates within the MG bound") {
+    val rnd = new scala.util.Random(13)
+    // zipf-ish: key i with frequency ~ 3000/i over 60 keys
+    val data = (1 to 60).flatMap(i => Seq.fill(3000 / i)(s"k$i"))
+    val shuffled = rnd.shuffle(data)
+    val n = shuffled.size.toLong
+    val exact = shuffled.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 13); cap <- Seq(8, 20)) {
+      val df = shuffled.toDF("k").repartition(parts)
+      val got = sketch(df, cap)
+      val bound = n / (cap + 1)
+      assert(got.size <= cap)
+      got.foreach { case (k, est) =>
+        assert(est <= exact(k), s"overestimate $k parts=$parts cap=$cap")
+        assert(exact(k) - est <= bound, s"error bound $k parts=$parts cap=$cap")
+      }
+      exact.filter(_._2 > bound).keys.foreach { k =>
+        assert(got.contains(k), s"heavy item $k missing parts=$parts cap=$cap")
+      }
+    }
+  }
+}
+
 /** Salted join must produce exactly the rows of the plain join. */
 class SaltSpec extends SparkSuite {
   import spark.implicits._
