@@ -127,6 +127,17 @@ object ScaleCurve {
       report("q107_sentence_dedup", () =>
         Dedup.sentenceDedup(docs, "doc_id", "text").count())
 
+      // ---- q111: Misra-Gries heavy hitters (r14) ----
+      // per-copy word prefixes make vocab grow m x while each copy's
+      // internal skew repeats: the sketch buffer stays at `capacity`
+      // per task regardless, so the curve must track the explode scan
+      report("q111_heavy_hitters", () => {
+        val words = docs.select(explode(split(col("text"), " ")).as("k"))
+          .filter(col("k") =!= "")
+        words.agg(graft.ops.HeavyHitters.heavyHitters(64)(col("k")).as("hh"))
+          .selectExpr("size(hh) AS n").head().getInt(0).toLong
+      })
+
       // ---- q69: curation capstone (t2 parameters) ----
       report("q69_curate", () =>
         Curate.curate(docs, "doc_id", "text", "source").count(),
