@@ -86,7 +86,11 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     val p = struct(payload.map(col).toIndexedSeq: _*)
 
-    val r = right.select(
+    // a right row with NULL time matches nothing (the DuckDB ASOF
+    // rule): drop it here — otherwise null-first/null-last window
+    // ordering would let it surface as a spurious "earliest"/"latest"
+    // match in one of the directions
+    val r = right.filter(col(rightTime).isNotNull).select(
       (keys.map(col) :+ col(rightTime).as("graft_asof_t")
         :+ lit(0).as("graft_asof_side") :+ p.as("graft_asof_p")).toIndexedSeq: _*)
     val l = left
@@ -181,8 +185,12 @@ object AsofJoin {
       case d => col(s"graft_asof_m_$d")
     }
 
+    // a LEFT row with NULL time has no as-of position: null payload
+    // regardless of direction (desc ordering would otherwise park it
+    // after every right row and hand it the forward-minimum match)
+    val mSafe = when(col("graft_asof_t").isNotNull, m)
     val out: Seq[Column] = leftCols.map(col) ++
-      payload.map(c => m.getField("p").getField(c).as(prefix + c))
+      payload.map(c => mSafe.getField("p").getField(c).as(prefix + c))
     withM.filter(col("graft_asof_side") === 1).select(out.toIndexedSeq: _*)
   }
 }

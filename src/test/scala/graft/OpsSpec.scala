@@ -328,6 +328,27 @@ class AsofJoinSpec extends SparkSuite {
     assert(g3(1L) == (Some(301L), Some(2.5)))   // forward d=5 beats backward d=20
   }
 
+  test("null times: null-time right rows never match; null-time left rows get nulls") {
+    val nl = Seq((1L, 10L, Some(100L)), (2L, 10L, None))
+      .toDF("event_id", "user_id", "t")
+    val nr = Seq(
+      (500L, 10L, None, 7.0),        // null-time right row — must be ignored
+      (501L, 10L, Some(90L), 1.0))
+      .toDF("pid", "user_id", "t", "value")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = AsofJoin.asof(nl, nr, Seq("user_id"), "t", "t",
+          Seq("pid", "value"), "m_", direction = dir)
+        .select("event_id", "m_pid").as[(Long, Option[Long])].collect().toMap
+      assert(got(2L).isEmpty, s"null-time left row matched in $dir")
+      assert(got(1L) != Some(500L), s"null-time right row matched in $dir")
+    }
+    // and the real match still works where direction semantics allow
+    val back = AsofJoin.asof(nl, nr, Seq("user_id"), "t", "t",
+        Seq("pid", "value"), "m_", direction = "backward")
+      .select("event_id", "m_pid").as[(Long, Option[Long])].collect().toMap
+    assert(back(1L) == Some(501L))
+  }
+
   test("forward and nearest bucketed forms equal their single-window forms") {
     val rnd = new scala.util.Random(9)
     val bigL = (1 to 300).map(i =>
