@@ -748,6 +748,36 @@ object Text {
         fracOfChars(col("dup10"), col("n_chars")).as("frac_chars_dup_10gram"))
   }
 
+  /** Deterministic train/val/test split assignment — the standard
+    * corpus partition every training pipeline needs, RNG-free: each
+    * row's split comes from `xxhash64(salt, id) mod 10⁶` against the
+    * cumulative weight boundaries, so the assignment is reproducible
+    * run-to-run and machine-to-machine, stable under repartitioning,
+    * and adding documents later never moves an existing document's
+    * split (the property a random split lacks and leakage audits
+    * need). Change `salt` for an independent re-split.
+    *
+    * Pure column math — no shuffle, no state; proportions hold to
+    * binomial accuracy (q112's property oracle pins ±6σ).
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)] =
+                    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                  salt: String = "graft-split",
+                  as: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split weights must sum to 1")
+    val buckets = 1000000L
+    val h = pmod(xxhash64(lit(salt), col(idCol)), lit(buckets))
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => math.round(c * buckets))
+    val label = splits.map(_._1).zip(bounds)
+      .foldRight(lit(splits.last._1): Column) { case ((name, b), rest) =>
+        when(h < b, name).otherwise(rest)
+      }
+    df.withColumn(as, label)
+  }
+
   /** Top-`size` corpus vocabulary with cumulative coverage — the
     * vocabulary-construction / OOV-rate pass a tokenizer pipeline runs
     * before committing to a token inventory: words ranked by corpus

@@ -297,6 +297,37 @@ object LlmQueries {
         .orderBy(col("rank"))
     }),
 
+    // deterministic train/val/test split: label choice is
+    // hash-dependent (no SQL xxhash64), so — the q26 pattern — the
+    // emitted row states the invariants: total (SQL-derivable), every
+    // row labeled from the declared set, per-split sizes within ±6σ
+    // binomial bounds, and the assignment is idempotent (re-running
+    // yields identical labels)
+    "q112_split_assign" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val res = graft.dsl.Rel.track(
+        Text.assignSplit(d, "doc_id")
+          .select(col("doc_id"), col("split"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val n = d.count()
+      val sizes = res.groupBy(col("split")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val weights = Map("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+      val allLabeled = sizes.keySet.subsetOf(weights.keySet) &&
+        sizes.values.sum == n
+      val inBounds = weights.forall { case (k, w) =>
+        val c = sizes.getOrElse(k, 0L).toDouble
+        math.abs(c - n * w) <= 6 * math.sqrt(n * w * (1 - w))
+      }
+      val rerun = Text.assignSplit(d, "doc_id")
+        .select(col("doc_id"), col("split").as("split2"))
+      val idempotent = res.join(rerun, "doc_id")
+        .filter(col("split") =!= col("split2")).count() == 0L
+      Seq((n, allLabeled, inBounds, idempotent))
+        .toDF("n_total", "all_labeled", "sizes_in_bounds", "idempotent")
+    }),
+
     // Misra–Gries heavy-hitters sketch over corpus words — the 100 TB
     // twin of q108's exact vocabulary (bounded buffer per map task,
     // partial/final like any algebraic agg). WHICH estimates come out
@@ -1281,6 +1312,10 @@ object LlmQueries {
     "q106_strata_approx" ->
       """SELECT COUNT(*) AS n_total, TRUE AS any_kept, TRUE AS keep_rule_ok,
            TRUE AS strata_in_range, TRUE AS strata_ordered
+         FROM documents""",
+    "q112_split_assign" ->
+      """SELECT COUNT(*) AS n_total, TRUE AS all_labeled,
+           TRUE AS sizes_in_bounds, TRUE AS idempotent
          FROM documents""",
     "q111_heavy_hitters" ->
       """SELECT COUNT(*) AS n_words, TRUE AS size_within_capacity,

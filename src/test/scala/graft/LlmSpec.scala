@@ -983,6 +983,29 @@ class TextSpec extends SparkSuite {
     assert(got2 == ((7L, "a b. c d", 2L)))
   }
 
+  test("assignSplit: deterministic, repartition-stable, complete, custom weights") {
+    val df = (1L to 2000L).toDF("id")
+    val a = graft.llm.Text.assignSplit(df, "id")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    val b = graft.llm.Text.assignSplit(df.repartition(17), "id")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(a == b) // partitioning cannot move a document's split
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(sizes("train") - 1800) <= 6 * math.sqrt(2000 * 0.9 * 0.1))
+    // adding rows never moves existing assignments
+    val grown = graft.llm.Text.assignSplit((1L to 3000L).toDF("id"), "id")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(a.forall { case (k, v) => grown(k) == v })
+    // custom two-way split + a different salt re-splits independently
+    val two = graft.llm.Text.assignSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .select($"split").as[String].collect()
+    assert(two.toSet == Set("a", "b"))
+    val resalted = graft.llm.Text.assignSplit(df, "id", salt = "other")
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(resalted != a)
+  }
+
   test("vocabulary ranks by count then word, with exact cumulative coverage") {
     val df = Seq("b b b a a c", "a d", "").toDF("text")
     val got = graft.llm.Text.vocabulary(df, "text", size = 3)
