@@ -62,10 +62,12 @@ object Curate {
                       minQuality: Double = 0.5): DataFrame =
     stream
       .filter(Text.qualityScore(col(textCol)) >= minQuality)
-      .withColumn("fp", Text.fingerprint(col(textCol)))
+      // collision-proof internal name: a user column literally named
+      // "fp" must survive untouched (graft_-prefix convention)
+      .withColumn("graft_curate_fp", Text.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("fp")
-      .drop("fp") // internal dedup key — output schema matches the input
+      .dropDuplicatesWithinWatermark("graft_curate_fp")
+      .drop("graft_curate_fp") // output schema matches the input
 
   /** The sequence-preparation capstone (the other half of the curation
     * story): quality-filter → sliding-window [[Text.chunk]] → pack the

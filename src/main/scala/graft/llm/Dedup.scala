@@ -518,16 +518,14 @@ object Dedup {
     *         (within-batch keeper AND absent from the store)
     */
   def exactIncremental(batch: DataFrame, contentCol: String, idCol: String,
-                       store: DataFrame): DataFrame = {
-    val fps = batch.select(col(idCol).as("id"),
-      xxhash64(col(contentCol)).as("fp_a"),
-      xxhash64(lit("graft-fp2"), col(contentCol)).as("fp_b"))
-    val keepers = fps.groupBy(col("fp_a"), col("fp_b"))
-      .agg(min(col("id")).as("id"))
-    keepers.join(store.select(col("fp_a"), col("fp_b")),
+                       store: DataFrame): DataFrame =
+    // step 1 IS exactByFingerprint — shared code so the incremental
+    // path can never diverge from the batch fingerprint scheme
+    exactByFingerprint(batch, contentCol, idCol)
+      .select(col("keeper_id").as("id"), col("fp_a"), col("fp_b"))
+      .join(store.select(col("fp_a"), col("fp_b")),
         Seq("fp_a", "fp_b"), "left_anti")
       .select(col("id"), col("fp_a"), col("fp_b"))
-  }
 
   /** Global sentence-level exact dedup — the C4/Dolma "keep one copy
     * of every three-sentence span / line across the corpus" operation,

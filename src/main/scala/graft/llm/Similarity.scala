@@ -230,14 +230,21 @@ object Similarity {
       if (seen.add(c.toSeq)) out += c
     }
     require(out.nonEmpty, "k-means init: no training vectors")
+    require(out.head.length > 0,
+      "k-means init: zero-dimensional vectors cannot seed distinct centroids")
     var j = 0
     while (out.length < k) {
       val base = out(j % out.length)
+      // RELATIVE jitter: an absolute 1e-4 step vanishes below ulp(x)
+      // for coordinates ≳ 1e13, which would spin this loop ~forever
       val jit = base.zipWithIndex.map { case (x, i) =>
-        x + 1e-4 * (j + 1) * (if (i % 2 == 0) 1 else -1)
+        x + 1e-4 * (j + 1) * math.max(1.0, math.abs(x) * 1e-6) *
+          (if (i % 2 == 0) 1 else -1)
       }
       if (seen.add(jit.toSeq)) out += jit
       j += 1
+      require(j < 100000 * k,
+        "k-means init: could not derive distinct seed centroids (degenerate sample)")
     }
     out.toArray
   }

@@ -801,7 +801,13 @@ object Text {
         .filter(col("word") =!= "")
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    // sum over zero rows is NULL: an empty/all-blank corpus yields the
+    // empty vocabulary, not an NPE or a 0-division
+    val total = Option(counts.agg(sum(col("cnt"))).head().getAs[java.lang.Long](0))
+      .map(_.toLong).getOrElse(0L)
+    if (total == 0L)
+      return counts.limit(0).select(lit(0L).as("rank"), col("word"), col("cnt"),
+        lit(0.0).as("cum_coverage"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("word").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

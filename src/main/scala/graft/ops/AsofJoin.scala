@@ -108,9 +108,22 @@ object AsofJoin {
         struct(col("graft_asof_t").as("t"), col("graft_asof_p").as("p"))))
 
     // exact floor division via long+decimal (double division rounds for
-    // large longs; `div` truncates toward zero for negative times)
-    def bucketOf(t: Column): Column =
-      floor(t.cast("long").cast("decimal(38,0)") / lit(bucketWidth.get)).cast("long")
+    // large longs; `div` truncates toward zero for negative times).
+    // A null left time gets the SENTINEL bucket so the row survives the
+    // carry join (LEFT semantics — its payload is nulled below anyway);
+    // null-time right rows were already filtered out.
+    def bucketOf(t: Column): Column = coalesce(
+      floor(t.cast("long").cast("decimal(38,0)") / lit(bucketWidth.getOrElse(1L)))
+        .cast("long"),
+      lit(Long.MinValue))
+
+    // bucket column + the (key, bucket) universe are direction-
+    // independent: computed ONCE and shared by both of nearest's
+    // attachDir passes (each pass previously re-ran the distinct)
+    val uB = bucketWidth.map(_ => u.withColumn("graft_asof_b", bucketOf(col("graft_asof_t"))))
+    val allBucketsShared = uB.map { d =>
+      d.select((keys :+ "graft_asof_b").map(col).toIndexedSeq: _*).distinct()
+    }
 
     /** Adds `graft_asof_m_<dir>` = struct(t, p) of the dir's match. */
     def attachDir(df0: DataFrame, dir: String): DataFrame = {
@@ -129,8 +142,7 @@ object AsofJoin {
           df0.withColumn(out, last(col("graft_asof_v"), ignoreNulls = true).over(w))
 
         case Some(_) =>
-          val df = if (df0.columns.contains("graft_asof_b")) df0
-            else df0.withColumn("graft_asof_b", bucketOf(col("graft_asof_t")))
+          val df = df0
           val keyB = (keys :+ "graft_asof_b").map(col).toIndexedSeq
           // per-(key, bucket) boundary summary: the direction's best
           // right row in the bucket — max(struct) IS the backward
@@ -144,15 +156,22 @@ object AsofJoin {
           // non-empty bucket — the per-key window runs over the
           // bucket-summary stream (≤ one row per bucket), so a hot
           // key's serial work is O(#buckets), not O(#rows)
-          val allBuckets = df.select(keyB: _*).distinct()
           val wCarry = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
             .orderBy(if (back) col("graft_asof_b").asc else col("graft_asof_b").desc)
             .rowsBetween(Window.unboundedPreceding, -1)
-          val carries = allBuckets
+          // null-SAFE key equality on the carry join: a left row with a
+          // null join key must survive (the single-window form keeps it
+          // via partitionBy, which groups nulls together — <=> mirrors
+          // that grouping exactly)
+          val carries = allBucketsShared.get
             .join(summ, keys :+ "graft_asof_b", "left")
             .withColumn("graft_asof_c",
               last(col("graft_asof_s"), ignoreNulls = true).over(wCarry))
-            .select((keyB :+ col("graft_asof_c").as(s"${out}_carry")).toIndexedSeq: _*)
+            .select((keys.map(k => col(k).as(s"graft_asof_ck_$k"))
+              :+ col("graft_asof_b").as("graft_asof_cb")
+              :+ col("graft_asof_c").as(s"${out}_carry")).toIndexedSeq: _*)
+          val joinCond = keys.map(k => col(k) <=> col(s"graft_asof_ck_$k"))
+            .reduce(_ && _) && col("graft_asof_b") === col("graft_asof_cb")
           // main window WITHIN (key, bucket): splits the hot key's
           // sort across buckets; no within-bucket match falls back to
           // the bucket's carry-in
@@ -161,26 +180,30 @@ object AsofJoin {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
           df.withColumn(s"${out}_in",
               last(col("graft_asof_v"), ignoreNulls = true).over(wIn))
-            .join(carries, keys :+ "graft_asof_b")
+            .join(carries, joinCond)
             .withColumn(out, coalesce(col(s"${out}_in"), col(s"${out}_carry")))
-            .drop(s"${out}_in", s"${out}_carry")
+            .drop((keys.map(k => s"graft_asof_ck_$k")
+              ++ Seq("graft_asof_cb", s"${out}_in", s"${out}_carry")): _*)
       }
     }
 
+    val base = uB.getOrElse(u)
     val withM = direction match {
-      case "nearest" => attachDir(attachDir(u, "backward"), "forward")
-      case d => attachDir(u, d)
+      case "nearest" => attachDir(attachDir(base, "backward"), "forward")
+      case d => attachDir(base, d)
     }
     val m: Column = direction match {
       case "nearest" =>
         val b = col("graft_asof_m_backward")
         val f = col("graft_asof_m_forward")
-        val t = col("graft_asof_t").cast("double")
+        // EXACT distance comparison in decimal — double rounds above
+        // 2^53 and could hand a true tie to the forward (future) side
+        val t = col("graft_asof_t").cast("decimal(38,6)")
         // both distances are ≥ 0 by construction; equal distance → the
         // backward match (no future leakage on ties)
         when(b.isNull, f).when(f.isNull, b)
-          .when(t - b.getField("t").cast("double")
-            <= f.getField("t").cast("double") - t, b)
+          .when(t - b.getField("t").cast("decimal(38,6)")
+            <= f.getField("t").cast("decimal(38,6)") - t, b)
           .otherwise(f)
       case d => col(s"graft_asof_m_$d")
     }

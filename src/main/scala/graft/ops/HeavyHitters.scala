@@ -45,7 +45,12 @@ class HeavyHittersAgg(capacity: Int)
     }
 
   override def reduce(buf: Map[String, Long], key: String): Map[String, Long] =
-    trim(buf.updated(key, buf.getOrElse(key, 0L) + 1L))
+    // null inputs are ignored, like count/countDistinct — udaf-wrapped
+    // Aggregators receive them un-filtered, and a null key would both
+    // surface as a bogus heavy hitter and NPE finish()'s tie-order
+    // String comparison
+    if (key == null) buf
+    else trim(buf.updated(key, buf.getOrElse(key, 0L) + 1L))
 
   override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
     val summed = b.foldLeft(a) { case (acc, (k, c)) =>

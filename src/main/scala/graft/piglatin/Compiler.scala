@@ -226,8 +226,18 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     val lastOp = mutable.LinkedHashMap[String, RelOp]()
     history.foreach { case (a, op) => lastOp(a) = op }
     val lineage = mutable.LinkedHashSet[String]()
+    val visiting = mutable.Set[String]()
     def visit(a: String): Unit = if (!lineage.contains(a))
-      lastOp.get(a).foreach { op => inputsOf(op).foreach(visit); lineage += a }
+      lastOp.get(a).foreach { op =>
+        // a self-referential last assignment (A = FILTER A BY …) has no
+        // single-assignment lineage — diagnose instead of recursing
+        require(visiting.add(a),
+          s"ILLUSTRATE: alias '$a' is reassigned in terms of itself — " +
+            "lineage replay assumes single-assignment aliases")
+        inputsOf(op).foreach(visit)
+        visiting -= a
+        lineage += a
+      }
     visit(target)
     val order = lineage.toSeq // inputs-first by construction
     require(order.nonEmpty, s"no lineage recorded for $target")

@@ -107,10 +107,14 @@ object Preprocessor {
     funcAliases.foreach { case (a, t) =>
       out = out.replaceAll(s"\\b$a\\s*\\(", java.util.regex.Matcher.quoteReplacement(t) + "(")
     }
-    // DEFINE'd stream commands expand at their THROUGH site
+    // DEFINE'd stream commands expand at their THROUGH site — the
+    // THROUGH keyword matches case-insensitively but the ALIAS is
+    // case-sensitive (Pig aliases are; the sibling funcAliases
+    // substitution has no (?i) either)
     streamCmds.foreach { case (a, cmd) =>
-      out = out.replaceAll(s"(?i)(\\bthrough\\s+)$a\\b",
-        "$1" + java.util.regex.Matcher.quoteReplacement(s"`$cmd`"))
+      out = out.replaceAll(
+        "(?i:\\bthrough\\s+)" + java.util.regex.Pattern.quote(a) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(s"THROUGH `$cmd`"))
     }
     out
   }

@@ -1015,6 +1015,10 @@ class TextSpec extends SparkSuite {
       (1L, "a", 3L, 0.375),
       (2L, "b", 3L, 0.75),
       (3L, "c", 1L, 0.875)))
+    // an all-blank corpus yields the EMPTY vocabulary (no NPE/NaN)
+    val empty = graft.llm.Text.vocabulary(Seq("", " ", "  ").toDF("text"), "text", 5)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("rank", "word", "cnt", "cum_coverage"))
   }
 
   test("scrubPii replaces emails, phones and IPs with placeholders") {

@@ -81,6 +81,12 @@ class HeavyHittersSpec extends SparkSuite {
     assert(sketch(df, 10) == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
   }
 
+  test("null keys are ignored, not counted (and never NPE the tie sort)") {
+    val df = (Seq("a", null, "a", null, "b", "c") : Seq[String]).toDF("k")
+    val got = sketch(df, 10)
+    assert(got == Map("a" -> 2L, "b" -> 1L, "c" -> 1L)) // b/c tie at 1 sorts fine
+  }
+
   test("over capacity: every heavy item reported, estimates within the MG bound") {
     val rnd = new scala.util.Random(13)
     // zipf-ish: key i with frequency ~ 3000/i over 60 keys
@@ -347,6 +353,24 @@ class AsofJoinSpec extends SparkSuite {
         Seq("pid", "value"), "m_", direction = "backward")
       .select("event_id", "m_pid").as[(Long, Option[Long])].collect().toMap
     assert(back(1L) == Some(501L))
+    // BUCKETED form: identical null handling — null-time/null-key left
+    // rows must survive with null payloads, not vanish in the carry join
+    val nlk = Seq((1L, Some(10L), Some(100L)), (2L, Some(10L), None),
+      (3L, None, Some(50L)))
+      .toDF("event_id", "user_id", "t")
+    val nrk = Seq((501L, Some(10L), Some(90L), 1.0))
+      .toDF("pid", "user_id", "t", "value")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val single = AsofJoin.asof(nlk, nrk, Seq("user_id"), "t", "t",
+          Seq("pid", "value"), "m_", direction = dir)
+        .select("event_id", "m_pid").as[(Long, Option[Long])].collect().toMap
+      val bucketed = AsofJoin.asof(nlk, nrk, Seq("user_id"), "t", "t",
+          Seq("pid", "value"), "m_", direction = dir, bucketWidth = Some(64L))
+        .select("event_id", "m_pid").as[(Long, Option[Long])].collect().toMap
+      assert(bucketed.keySet == Set(1L, 2L, 3L), s"rows dropped in bucketed $dir")
+      assert(bucketed == single, s"bucketed != single for $dir: $bucketed vs $single")
+      assert(bucketed(2L).isEmpty && bucketed(3L).isEmpty)
+    }
   }
 
   test("forward and nearest bucketed forms equal their single-window forms") {

@@ -587,6 +587,15 @@ class PigDiagnosticsSpec extends SparkSuite {
     assert(ex("out").agg(max($"n")).as[Long].head() >= 2)
   }
 
+  test("ILLUSTRATE lineage: self-reassigned alias diagnosed, not stack-overflowed") {
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      a = LOAD 'nation.parquet';
+      a = FILTER a BY n_nationkey < 5;
+      """)
+    val ex = intercept[IllegalArgumentException] { e.illustrate("a") }
+    assert(ex.getMessage.contains("reassigned"))
+  }
+
   test("ILLUSTRATE lineage: an unsatisfiable filter stays empty (no witness exists)") {
     val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
       n = LOAD 'nation.parquet';
