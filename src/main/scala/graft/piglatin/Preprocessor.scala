@@ -13,7 +13,10 @@ package graft.piglatin
   *    model.
   *
   * Kept deliberately line/regex-based like the reference's
-  * preprocessor; nested macro definitions are not supported.
+  * preprocessor; nested macro definitions are not supported, and —
+  * like Pig's own textual parameter substitution — replacements do not
+  * parse quoting, so an alias/parameter token appearing INSIDE a string
+  * literal is substituted too (documented subset).
   */
 object Preprocessor {
 
