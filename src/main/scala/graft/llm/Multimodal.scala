@@ -90,6 +90,120 @@ object Multimodal {
         octet_length(body).cast(LongType).as("n_bytes")).as("meta"))
   }
 
+  /** Pack a text column as a VALID PCM WAV payload (RIFF container —
+    * the zero-dependency public audio format): format parameters are
+    * simple functions of the text's UTF-8 BYTE length (sample rate
+    * 8/12/16/20 kHz by bytes%4, channels = bytes%2+1, 16-bit PCM,
+    * frames = bytes%50+10) and the sample data is the text's bytes
+    * cycled to exactly frames·blockAlign bytes. The audio twin of
+    * [[packPpm]]: every parameter is re-derivable from LENGTH(text) in
+    * SQL (byte length == char length on the ASCII test corpus — same
+    * caveat the q40 oracle states), while [[extractAudioFeatures]]
+    * derives them by PARSING the binary RIFF header — their equality
+    * proves the writer+parser round trip. Bytes are written
+    * little-endian JVM-side (mapPartitions): binary int encoding is
+    * not expressible as a Column, unlike the ASCII netpbm header.
+    * Empty/null text packs as a single space.
+    */
+  def packWav(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast(LongType), col(textCol)).rdd.mapPartitions {
+      _.map { r =>
+        val id = r.getLong(0)
+        val t0 = if (r.isNullAt(1) || r.getString(1).isEmpty) " " else r.getString(1)
+        val tb = t0.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bl = tb.length
+        val sampleRate = 8000 + (bl % 4) * 4000
+        val channels = bl % 2 + 1
+        val blockAlign = channels * 2 // 16-bit PCM
+        val byteRate = sampleRate * blockAlign
+        val nFrames = bl % 50 + 10
+        val dataBytes = nFrames * blockAlign
+        val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+        buf.put("fmt ".getBytes).putInt(16)
+          .putShort(1.toShort)                    // PCM
+          .putShort(channels.toShort)
+          .putInt(sampleRate).putInt(byteRate)
+          .putShort(blockAlign.toShort).putShort(16.toShort)
+        buf.put("data".getBytes).putInt(dataBytes)
+        var i = 0
+        while (i < dataBytes) { buf.put(tb(i % bl)); i += 1 }
+        val payload = buf.array()
+        Row(id, payload, Row("audio", "wav", payload.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Parse a RIFF/WAVE header: walks the chunk list for `fmt ` (PCM
+    * parameters) and `data` (sample byte count). Returns (sampleRate,
+    * channels, bitsPerSample, dataBytes) or None for anything that is
+    * not a well-formed PCM WAV — the registry-fallback contract, like
+    * [[parsePnmHeader]].
+    */
+  private[graft] def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def ascii(off: Int, s: String): Boolean =
+      off + s.length <= b.length && s.indices.forall(i => b(off + i) == s.charAt(i))
+    def le16(off: Int): Int = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+    def le32(off: Int): Long =
+      (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+    if (b.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataBytes: Option[Long] = None
+    while (off + 8 <= b.length && (fmt.isEmpty || dataBytes.isEmpty)) {
+      val size = le32(off + 4)
+      if (ascii(off, "fmt ") && size >= 16 && off + 8 + 16 <= b.length) {
+        val audioFormat = le16(off + 8)
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((le32(off + 12).toInt, le16(off + 10), le16(off + 22)))
+      } else if (ascii(off, "data")) {
+        dataBytes = Some(math.min(size, (b.length - off - 8).toLong))
+      }
+      // chunks are word-aligned (odd sizes pad one byte)
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    for ((sr, ch, bits) <- fmt; db <- dataBytes if sr > 0 && ch > 0 && bits > 0)
+      yield (sr, ch, bits, db)
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType),
+    StructField("sample_rate", IntegerType),  // 0 = not a PCM WAV
+    StructField("n_channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Audio metadata extraction — the audio member of the decode
+    * registry: PCM WAV payloads are parsed for real (RIFF chunk walk →
+    * rate/channels/bits, duration from data size / byte rate);
+    * anything else reports zeros, the FFI-decoder slot. Same
+    * partition-batched, shuffle-free shape as [[extractFeatures]].
+    */
+  def extractAudioFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { chunk =>
+        chunk.map { r =>
+          val id = r.getLong(0)
+          val b = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          parseWavHeader(b) match {
+            case Some((sr, ch, bits, db)) =>
+              val byteRate = sr.toLong * ch * (bits / 8)
+              val durMs = if (byteRate > 0) db * 1000L / byteRate else 0L
+              Row(id, b.length.toLong, sr, ch, bits, durMs)
+            case None => Row(id, b.length.toLong, 0, 0, 0, 0L)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioFeatureSchema)
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType),

@@ -591,6 +591,18 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    // the AUDIO member of the multimodal registry (r14): pack as a
+    // valid PCM WAV (real little-endian RIFF written JVM-side) →
+    // extractAudioFeatures PARSES the binary header back; the oracle
+    // re-derives every parameter from LENGTH(text) (byte length ==
+    // char length on the ASCII corpus — the q40 caveat), so equality
+    // proves the writer+parser round trip
+    "q113_audio_features" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Multimodal.extractAudioFeatures(Multimodal.packWav(d, "doc_id", "text"))
+        .orderBy(col("media_id"))
+    }),
+
     // multimodal registry with TWO real decoders + the fallback in one
     // pipeline: docs split 3 ways into PPM (P6, 3-channel), PGM (P5,
     // 1-channel), and raw UTF-8 (unrecognized → byte stats, 0x0 dims).
@@ -1438,6 +1450,20 @@ object LlmQueries {
     // test corpus is ASCII (1 char = 1 byte = 1 codepoint). On
     // non-ASCII text the byte-based packer stays self-consistent (valid
     // P6) but this char-based SQL would diverge.
+    "q113_audio_features" ->
+      """SELECT doc_id AS media_id,
+           (44 + (bl % 50 + 10) * (bl % 2 + 1) * 2)::BIGINT AS n_bytes,
+           (8000 + (bl % 4) * 4000)::INTEGER AS sample_rate,
+           (bl % 2 + 1)::INTEGER AS n_channels,
+           16::INTEGER AS bits,
+           (((bl % 50 + 10) * (bl % 2 + 1) * 2) * 1000
+             // ((8000 + (bl % 4) * 4000) * (bl % 2 + 1) * 2))::BIGINT
+             AS duration_ms
+         FROM (SELECT doc_id,
+                 CASE WHEN text IS NULL OR text = '' THEN 1
+                      ELSE LENGTH(text) END AS bl
+               FROM documents)
+         ORDER BY media_id""",
     "q40_multimodal" ->
       """WITH src AS (
            SELECT doc_id,

@@ -1088,6 +1088,38 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getStruct(2).getAs[Long]("n_bytes") == 11L)
   }
 
+  test("packWav writes a real PCM RIFF that extractAudioFeatures parses back") {
+    // unicode text: parameters derive from BYTE length (é = 2 bytes)
+    val docs = Seq((1L, "hello world"), (2L, "é" * 7), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.extractAudioFeatures(Multimodal.packWav(docs, "doc_id", "text"))
+      .orderBy("media_id")
+      .as[(Long, Long, Int, Int, Int, Long)].collect().toSeq
+    def expected(bl: Int): (Long, Int, Int, Int, Long) = {
+      val sr = 8000 + (bl % 4) * 4000
+      val ch = bl % 2 + 1
+      val db = (bl % 50 + 10) * ch * 2
+      (44L + db, sr, ch, 16, db * 1000L / (sr.toLong * ch * 2))
+    }
+    assert(feats(0) match { case (1L, n, sr, ch, b, d) => (n, sr, ch, b, d) ==
+      { val e = expected(11); (e._1, e._2, e._3, 16, e._5) } })
+    assert(feats(1) match { case (2L, n, sr, ch, b, d) => (n, sr, ch, b, d) ==
+      { val e = expected(14); (e._1, e._2, e._3, 16, e._5) } }) // 7 é = 14 bytes
+    // empty and null text pack as a single space (bl = 1)
+    for (i <- Seq(2, 3)) assert(feats(i) match { case (_, n, sr, ch, b, d) =>
+      (n, sr, ch, b, d) == { val e = expected(1); (e._1, e._2, e._3, 16, e._5) } })
+    // a non-WAV payload reports zeros (the registry fallback), and the
+    // image decoder leaves WAV alone symmetrically
+    val notWav = Multimodal.extractAudioFeatures(
+      Multimodal.pack(docs.limit(1), "doc_id", "text"))
+      .as[(Long, Long, Int, Int, Int, Long)].head()
+    assert(notWav._3 == 0 && notWav._6 == 0L)
+    val wavThroughImage = Multimodal.extractFeatures(
+      Multimodal.packWav(docs.limit(1), "doc_id", "text"))
+      .select($"width").as[Int].head()
+    assert(wavThroughImage == 0)
+  }
+
   test("extractFeatures is deterministic and batch-driven") {
     val f1 = Multimodal.extractFeatures(media, batchSize = 1).orderBy("media_id").collect()
     val f2 = Multimodal.extractFeatures(media, batchSize = 64).orderBy("media_id").collect()
