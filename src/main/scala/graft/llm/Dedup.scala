@@ -82,7 +82,10 @@ object Dedup {
 
   /** k-word shingle set (JVM-side twin of [[shingles]]). */
   private[graft] def shingleSet(text: String, k: Int): Array[String] = {
-    val words = text.split(' ')
+    // limit -1: keep trailing empty tokens, matching the Column form
+    // split(text, " ") (Spark keeps them; Java's default drops them) —
+    // the kernels must stay bit-identical twins of the Column path
+    val words = text.split(" ", -1)
     if (words.length < k) return Array(text)
     val set = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder
@@ -105,7 +108,8 @@ object Dedup {
     * trillions of distinct shingles).
     */
   private[graft] def shingleHashSet(text: String, k: Int): Array[Long] = {
-    val words = text.split(' ')
+    val words = text.split(" ", -1) // limit -1: see shingleSet
+
     if (words.length < k) return Array(hash64(text))
     val set = new java.util.TreeSet[java.lang.Long]()
     val sb = new java.lang.StringBuilder

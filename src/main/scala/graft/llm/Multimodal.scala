@@ -151,20 +151,25 @@ object Multimodal {
       (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
         ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
     if (b.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
-    var off = 12
+    // the chunk walk runs in Long so a hostile/corrupt 32-bit size can
+    // neither wrap `off` negative nor stall the loop — anything
+    // malformed falls out of bounds and returns None (the registry-
+    // fallback contract)
+    var off = 12L
     var fmt: Option[(Int, Int, Int)] = None
     var dataBytes: Option[Long] = None
     while (off + 8 <= b.length && (fmt.isEmpty || dataBytes.isEmpty)) {
-      val size = le32(off + 4)
-      if (ascii(off, "fmt ") && size >= 16 && off + 8 + 16 <= b.length) {
-        val audioFormat = le16(off + 8)
+      val o = off.toInt
+      val size = le32(o + 4) // unsigned 32-bit, always ≥ 0 as a Long
+      if (ascii(o, "fmt ") && size >= 16 && o + 8 + 16 <= b.length) {
+        val audioFormat = le16(o + 8)
         if (audioFormat != 1) return None // PCM only
-        fmt = Some((le32(off + 12).toInt, le16(off + 10), le16(off + 22)))
-      } else if (ascii(off, "data")) {
-        dataBytes = Some(math.min(size, (b.length - off - 8).toLong))
+        fmt = Some((le32(o + 12).toInt, le16(o + 10), le16(o + 22)))
+      } else if (ascii(o, "data")) {
+        dataBytes = Some(math.min(size, (b.length - o - 8).toLong))
       }
       // chunks are word-aligned (odd sizes pad one byte)
-      off += 8 + size.toInt + (size.toInt & 1)
+      off += 8L + size + (size & 1L)
     }
     for ((sr, ch, bits) <- fmt; db <- dataBytes if sr > 0 && ch > 0 && bits > 0)
       yield (sr, ch, bits, db)

@@ -374,11 +374,14 @@ object Similarity {
       nearestCellsExpr(cents, 1)(col(vecCol))(0).as("cell"))
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
       explode(nearestCellsExpr(cents, nprobe)(col(vecCol))).as("cell"))
+    // NO distinct: the probe list holds nprobe DISTINCT cells per query
+    // and each neighbor lives in exactly one cell, so (query, neighbor)
+    // pairs are unique by construction — a distinct here would shuffle
+    // the full scored set for nothing (the operator's one hot exchange)
     val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineExpr(col("qv"), col("cv")).as("cosine"))
-      .distinct()
     topKSelect(scored, k)
   }
 
@@ -601,11 +604,13 @@ object Similarity {
       .select(col(queryId).as("query_id"), col(vecCol).as("qv"),
         bucketExpr(planes)(col(vecCol)).as("own_cell"))
       .select(col("query_id"), col("qv"), explode(probes).as("cell"))
+    // NO distinct: own_cell and its single-bit flips are pairwise
+    // distinct and each neighbor has one cell — (query, neighbor) pairs
+    // are already unique (see ivfKmeansTopK)
     val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineExpr(col("qv"), col("cv")).as("cosine"))
-      .distinct()
     topKSelect(scored, k)
   }
 }

@@ -159,12 +159,21 @@ object AsofJoin {
           val wCarry = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
             .orderBy(if (back) col("graft_asof_b").asc else col("graft_asof_b").desc)
             .rowsBetween(Window.unboundedPreceding, -1)
-          // null-SAFE key equality on the carry join: a left row with a
-          // null join key must survive (the single-window form keeps it
-          // via partitionBy, which groups nulls together — <=> mirrors
-          // that grouping exactly)
+          // null-SAFE key equality on BOTH carry-side joins: a null
+          // join key must behave as its own group (the single-window
+          // form does, via partitionBy which groups nulls together —
+          // <=> mirrors that grouping exactly). The summary attach
+          // needs it too, or null-key buckets would never receive
+          // their boundary summaries.
+          val summR = summ.select(
+            (keys.map(k => col(k).as(s"graft_asof_sk_$k"))
+              :+ col("graft_asof_b").as("graft_asof_sb")
+              :+ col("graft_asof_s")).toIndexedSeq: _*)
+          val summCond = keys.map(k => col(k) <=> col(s"graft_asof_sk_$k"))
+            .reduce(_ && _) && col("graft_asof_b") === col("graft_asof_sb")
           val carries = allBucketsShared.get
-            .join(summ, keys :+ "graft_asof_b", "left")
+            .join(summR, summCond, "left")
+            .drop((keys.map(k => s"graft_asof_sk_$k") :+ "graft_asof_sb"): _*)
             .withColumn("graft_asof_c",
               last(col("graft_asof_s"), ignoreNulls = true).over(wCarry))
             .select((keys.map(k => col(k).as(s"graft_asof_ck_$k"))

@@ -29,11 +29,15 @@ import org.apache.spark.sql.functions.udaf
   * Interpolation matches DuckDB/Postgres `median(double)`: mean of the
   * two middle values for even counts — so the oracle can re-derive it.
   */
-class MedianAgg extends Aggregator[Double, ArrayBuffer[Double], Double] {
+class MedianAgg extends Aggregator[java.lang.Double, ArrayBuffer[Double], Double] {
 
   override def zero: ArrayBuffer[Double] = ArrayBuffer.empty
-  override def reduce(buf: ArrayBuffer[Double], x: Double): ArrayBuffer[Double] = {
-    buf += x; buf
+  // boxed input: a primitive Double decodes SQL NULL as 0.0 (udaf
+  // feeds nulls through un-filtered), silently skewing the median —
+  // DuckDB/Postgres median ignores nulls, so we must too
+  override def reduce(buf: ArrayBuffer[Double], x: java.lang.Double): ArrayBuffer[Double] = {
+    if (x != null) buf += x.doubleValue
+    buf
   }
   override def merge(a: ArrayBuffer[Double], b: ArrayBuffer[Double]): ArrayBuffer[Double] = {
     a ++= b; a

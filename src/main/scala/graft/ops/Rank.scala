@@ -95,13 +95,30 @@ object Rank {
     * number of distinct rank keys is small this join broadcasts; AQE
     * decides otherwise.
     */
+  /** Null-safe join-back on key columns: RANK BY keeps null-key rows
+    * (nulls are a rank group of their own, ordering first in Pig), but
+    * a usingColumns inner join would drop them (null == null is not
+    * true). Renames the lookup side's keys and joins with <=>.
+    */
+  private def joinBackNullSafe(base: DataFrame, lookup: DataFrame,
+                               keyNames: Seq[String],
+                               bcast: Boolean): DataFrame = {
+    val lookupR0 = keyNames.foldLeft(lookup) { (d, k) =>
+      d.withColumnRenamed(k, s"_graft_rk_$k")
+    }
+    val lookupR = if (bcast) broadcast(lookupR0) else lookupR0
+    val cond = keyNames.map(k => col(k) <=> col(s"_graft_rk_$k")).reduce(_ && _)
+    base.join(lookupR, cond)
+      .drop(keyNames.map(k => s"_graft_rk_$k"): _*)
+  }
+
   def rank(df: DataFrame, keyCols: Seq[String], ascending: Boolean = true,
            as: String = "rank"): DataFrame = {
     val sortCols = keyCols.map(c => if (ascending) col(c).asc else col(c).desc)
     val rn = rowNumber(df, sortCols, "_rn")
     val mins = rn.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(min("_rn").as(as))
-    rn.join(mins, keyCols, "inner").drop("_rn")
+    joinBackNullSafe(rn, mins, keyCols, bcast = false).drop("_rn")
   }
 
   /** General RANK BY with per-key directions (compiler entry point):
@@ -113,11 +130,11 @@ object Rank {
     if (!dense) {
       val rn = rowNumber(df, sortCols, "_rn")
       val mins = rn.groupBy(keyNames.map(col).toIndexedSeq: _*).agg(min("_rn").as(as))
-      rn.join(mins, keyNames, "inner").drop("_rn")
+      joinBackNullSafe(rn, mins, keyNames, bcast = false).drop("_rn")
     } else {
       val keys = df.select(keyNames.map(col).toIndexedSeq: _*).distinct()
       val ranked = rowNumber(keys, sortCols, as)
-      df.join(broadcast(ranked), keyNames, "inner")
+      joinBackNullSafe(df, ranked, keyNames, bcast = true)
     }
 
   /** DENSE rank by keys — rank over the distinct key set (small), joined
@@ -127,6 +144,6 @@ object Rank {
     val keys = df.select(keyCols.map(col).toIndexedSeq: _*).distinct()
     val sortCols = keyCols.map(c => if (ascending) col(c).asc else col(c).desc)
     val ranked = rowNumber(keys, sortCols, as)
-    df.join(broadcast(ranked), keyCols, "inner")
+    joinBackNullSafe(df, ranked, keyCols, bcast = true)
   }
 }

@@ -23,6 +23,13 @@ object Salt {
                  small: DataFrame, smallKey: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // outer-preserving the REPLICATED side would emit `salts` copies of
+    // every unmatched small-side row — only join types that never
+    // null-pad the replicated side are sound under salting
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(
+        joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched replicated rows " +
+        "(use inner/left/left_outer/left_semi/left_anti, or AQE's skew join for outer)")
     val salted = big.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val replicated = small.withColumn("_salt",

@@ -716,7 +716,12 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     val aggCols = aggGens.zipWithIndex.map { case (gi, i) =>
       compileAgg(pre, stripBag(gi.expr, g)).as(gi.alias.getOrElse(defaultName(gi.expr, i)))
     }
-    val agged = keyed.agg(aggCols.head, aggCols.tail: _*)
+    // GENERATE with only group keys (no aggregates) is valid Pig —
+    // the distinct key set; groupBy().agg() needs ≥1 aggregate, so
+    // carry a throwaway count and let the projection below drop it
+    val agged =
+      if (aggCols.nonEmpty) keyed.agg(aggCols.head, aggCols.tail: _*)
+      else keyed.agg(count(lit(1)).as("graft_fused_n"))
     // now project in the requested order, resolving group refs. With
     // cube/rollup (or a multi-key grouping) the keys live as separate
     // top-level columns named after the dims, not inside a `group` struct.
@@ -1024,12 +1029,19 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case "WEEKSBETWEEN" => PF.weeksBetween(cs.head, cs(1))
     case "MONTHSBETWEEN" => PF.monthsBetweenPig(cs.head, cs(1))
     case "YEARSBETWEEN" => PF.yearsBetweenPig(cs.head, cs(1))
-    // aggregates appearing in non-fused contexts operate on bag columns
-    case "COUNT" => size(cs.head).cast(LongType)
+    // aggregates appearing in non-fused contexts operate on bag
+    // columns. Pig COUNT/SUM skip null elements (the fused path's
+    // count(x)/sum(x) do too) — a raw size() would count nulls and a
+    // raw fold would null the whole SUM on one null element
+    case "COUNT" =>
+      size(filter(cs.head, x => x.isNotNull)).cast(LongType)
     case "SUM" => typeOf(df, cs.head) match {
       case ArrayType(IntegerType | LongType | ShortType | ByteType, _) =>
-        aggregate(cs.head, lit(0L), (acc, x) => acc + x.cast(LongType))
-      case _ => aggregate(cs.head, lit(0.0), (acc, x) => acc + x.cast(DoubleType))
+        aggregate(filter(cs.head, x => x.isNotNull),
+          lit(0L), (acc, x) => acc + x.cast(LongType))
+      case _ =>
+        aggregate(filter(cs.head, x => x.isNotNull),
+          lit(0.0), (acc, x) => acc + x.cast(DoubleType))
     }
     case "AVG" => typeOf(df, cs.head) match {
       case _: ArrayType =>

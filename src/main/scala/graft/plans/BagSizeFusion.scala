@@ -29,7 +29,10 @@ object BagSizeFusion extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate =>
       val rewritten = agg.aggregateExpressions.map(_.transform {
-        case Size(AggregateExpression(CollectList(child, _, _), _, _, _, _), _) =>
+        // fire ONLY on the plain form: a DISTINCT collect_list or one
+        // with a FILTER clause has different semantics than count(x),
+        // and the bound fields must not be silently discarded
+        case Size(AggregateExpression(CollectList(child, _, _), _, false, None, _), _) =>
           Cast(Count(child).toAggregateExpression(), IntegerType)
       }.asInstanceOf[NamedExpression])
       if (rewritten == agg.aggregateExpressions) agg

@@ -46,6 +46,19 @@ class RankSpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("window"))
   }
 
+  test("rank/denseRank keep null-key rows as their own rank group") {
+    val withNulls = Seq((1, Some(5)), (2, None), (3, Some(5)), (4, None))
+      .toDF("id", "score")
+    val r = Rank.rank(withNulls, Seq("score"), ascending = true, "rnk")
+      .select("id", "rnk").as[(Int, Long)].collect().toMap
+    assert(r.keySet == Set(1, 2, 3, 4)) // nothing dropped
+    assert(r(2) == r(4) && r(1) == r(3)) // nulls share a group, 5s share a group
+    assert(r(2) == 1L) // nulls order first (asc)
+    val d = Rank.denseRank(withNulls, Seq("score"), ascending = true, "drk")
+      .select("id", "drk").as[(Int, Long)].collect().toMap
+    assert(d.keySet == Set(1, 2, 3, 4) && d(2) == 1L && d(1) == 2L)
+  }
+
   test("prefixSum guards: non-Long value column and duplicate sort keys fail loudly") {
     val ints = Seq((1, 10), (2, 20)).toDF("id", "v") // v is IntegerType
     val ex = intercept[IllegalArgumentException] {
@@ -175,6 +188,14 @@ class MedianAggSpec extends SparkSuite {
       k -> (if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0)
     }
     assert(got == want)
+  }
+
+  test("median ignores SQL NULLs, matching DuckDB/Postgres median") {
+    val df = Seq((1, Some(1.0)), (1, Some(2.0)), (1, Some(3.0)), (1, None))
+      .toDF("k", "v")
+    val got = df.groupBy($"k").agg(graft.ops.MedianAgg.median($"v").as("med"))
+      .as[(Int, Double)].head()
+    assert(got == ((1, 2.0))) // not 1.5 (which a null→0.0 decode would give)
   }
 }
 
@@ -370,6 +391,24 @@ class AsofJoinSpec extends SparkSuite {
       assert(bucketed.keySet == Set(1L, 2L, 3L), s"rows dropped in bucketed $dir")
       assert(bucketed == single, s"bucketed != single for $dir: $bucketed vs $single")
       assert(bucketed(2L).isEmpty && bucketed(3L).isEmpty)
+    }
+    // null KEYS group together (window semantics) and their carry must
+    // flow ACROSS buckets too: left (null, t=100) matches right
+    // (null, t=5) nine buckets earlier — the summary-attach join must
+    // be null-safe, not just the final carry join
+    val nullKeyL = Seq((1L, Option.empty[Long], Some(100L)))
+      .toDF("event_id", "user_id", "t")
+    val nullKeyR = Seq((700L, Option.empty[Long], Some(5L), 3.0))
+      .toDF("pid", "user_id", "t", "value")
+    for (dir <- Seq("backward", "nearest")) {
+      val single = AsofJoin.asof(nullKeyL, nullKeyR, Seq("user_id"), "t", "t",
+          Seq("pid", "value"), "m_", direction = dir)
+        .select("m_pid").as[Option[Long]].head()
+      val bucketed = AsofJoin.asof(nullKeyL, nullKeyR, Seq("user_id"), "t", "t",
+          Seq("pid", "value"), "m_", direction = dir, bucketWidth = Some(10L))
+        .select("m_pid").as[Option[Long]].head()
+      assert(single == Some(700L), s"single-window null-key match lost in $dir")
+      assert(bucketed == single, s"bucketed cross-bucket null-key carry lost in $dir")
     }
   }
 

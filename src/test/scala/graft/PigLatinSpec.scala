@@ -587,6 +587,19 @@ class PigDiagnosticsSpec extends SparkSuite {
     assert(ex("out").agg(max($"n")).as[Long].head() >= 2)
   }
 
+  test("FOREACH over a GROUP generating only the key yields distinct keys") {
+    import spark.implicits._
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      n = LOAD 'nation.parquet';
+      g = GROUP n BY n_regionkey;
+      k = FOREACH g GENERATE group;
+      """)
+    val got = e.relation("k").as[Long].collect().toSet
+    val want = Tables.load(spark, dir, "nation")
+      .select($"n_regionkey").distinct().as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("ILLUSTRATE lineage: self-reassigned alias diagnosed, not stack-overflowed") {
     val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
       a = LOAD 'nation.parquet';

@@ -23,6 +23,16 @@ class PlansSpec extends SparkSuite {
     assert(q.as[(Int, Int)].collect().toMap == Map(1 -> 2, 2 -> 1))
   }
 
+  test("DISTINCT and FILTER collect_lists do NOT fuse — their semantics differ from count") {
+    Seq((1, "a"), (1, "a"), (1, "b")).toDF("k", "v")
+      .createOrReplaceTempView("bsf_dup")
+    val q = spark.sql("SELECT k, size(collect_list(DISTINCT v)) AS n FROM bsf_dup GROUP BY k")
+    assert(q.as[(Int, Int)].head() == ((1, 2))) // 2 distinct, not 3
+    val qf = spark.sql(
+      "SELECT k, size(collect_list(v) FILTER (WHERE v = 'a')) AS n FROM bsf_dup GROUP BY k")
+    assert(qf.as[(Int, Int)].head() == ((1, 2))) // only the two 'a's
+  }
+
   test("bag projected raw keeps its collect_list; only the size use fuses") {
     val q = df.groupBy("k")
       .agg(collect_list($"v").as("bag"))
