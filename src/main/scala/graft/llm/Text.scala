@@ -352,9 +352,12 @@ object Text {
 
   /** Per-document analysis record: one pass producing the standard text
     * statistics (used by quality filtering pipelines). */
-  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def analyze(df: DataFrame, idCol: String, textCol: String,
+              extras: Seq[(String, Column => Column)] = Nil): DataFrame = {
     val t = col(textCol)
-    df.select(
+    // extras ride the SAME projection (one scan) — appending another
+    // per-row signal must not cost a second scan plus a join-back
+    df.select((Seq(
       col(idCol),
       tokenCountWs(t).as("n_tokens_ws"),
       tokenCountRegex(t).as("n_tokens_re"),
@@ -363,6 +366,7 @@ object Text {
       qualityScore(t).as("quality"),
       stopwordRatio(t).as("stopword_ratio"),
       fingerprint(t).as("fingerprint"))
+      ++ extras.map { case (n, fn) => fn(t).as(n) }): _*)
   }
 
   /** Unigram log-probability score — the perplexity-style quality
@@ -760,9 +764,13 @@ object Text {
     * Pure column math — no shuffle, no state; proportions hold to
     * binomial accuracy (q112's property oracle pins ±6σ).
     */
+  /** The conventional default corpus partition — shared with q112's
+    * oracle-side expectations so the two can never drift. */
+  val DefaultSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
   def assignSplit(df: DataFrame, idCol: String,
-                  splits: Seq[(String, Double)] =
-                    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                  splits: Seq[(String, Double)] = DefaultSplits,
                   salt: String = "graft-split",
                   as: String = "split"): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")

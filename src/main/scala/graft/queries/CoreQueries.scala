@@ -409,7 +409,12 @@ object CoreQueries {
     "q96_collected_group" -> ((s, dir) => {
       val tbl = "graft_q96_li_b"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      // resolve the REAL warehouse dir — a hard-coded cwd-relative
+      // "spark-warehouse/" misses a configured warehouse location and
+      // leaves a stale table directory saveAsTable then trips over
+      val wh = new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+      val loc = new java.io.File(wh, tbl)
       if (loc.exists()) {
         import scala.reflect.io.Directory
         new Directory(loc).deleteRecursively()

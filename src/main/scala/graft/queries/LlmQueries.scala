@@ -13,6 +13,50 @@ import graft.llm.{Dedup, Multimodal, Similarity, Text}
 object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared ANN property harness (q42/q92/q93 — the q26 pattern):
+    * WHICH neighbors an approximate index returns is
+    * approximation-dependent, so the emitted row states the result's
+    * deterministic PROPERTIES — every query got exactly k
+    * strictly-ranked rows, rank-ordered by cosine (one aggregation job
+    * carries all per-query checks; groups are k rows so the collected
+    * array is trivially bounded), and every returned cosine equals the
+    * exact cosine recomputed from the embeddings by id. The
+    * exactness filter uses null-safe <=>: a plain =!= evaluates to
+    * NULL (row silently dropped) when either side is null, so a null
+    * cosine from a zero vector would count as "exact". ONE definition
+    * for all three ANN queries — the r14 full-repo review flagged the
+    * triplicated scaffold as drift-prone.
+    */
+  private def annShapeCheck(s: SparkSession, v: org.apache.spark.sql.DataFrame,
+                            res0: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val res = graft.dsl.Rel.track(
+      res0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nQueries = v.filter(col("vec_id") < 10).count()
+    val byRk = sort_array(collect_list(struct(col("rk"), col("cosine"))))
+    val ordered = forall(
+      zip_with(slice(byRk, 1, k - 1), slice(byRk, 2, k - 1),
+        (a, b) => a.getField("cosine") >= b.getField("cosine")),
+      x => x)
+    val perQ = res.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), min(col("rk")).as("mn"),
+        max(col("rk")).as("mx"), countDistinct(col("rk")).as("nd"),
+        coalesce(ordered, lit(false)).as("ord")) // null-safe for malformed groups
+      .collect()
+    val kRowsEach = perQ.length.toLong == nQueries &&
+      perQ.forall(r => r.getLong(1) == k && r.getInt(2) == 1 &&
+        r.getInt(3) == k && r.getLong(4) == k)
+    val rkOrdered = perQ.forall(_.getBoolean(5))
+    val emb = v.select(col("vec_id"), col("embedding"))
+    val cosineExact = res
+      .join(emb.toDF("query_id", "qv"), "query_id")
+      .join(emb.toDF("neighbor_id", "cv"), "neighbor_id")
+      .filter(!(Similarity.cosineExpr(col("qv"), col("cv")) <=> col("cosine")))
+      .count() == 0L
+    Seq((nQueries, kRowsEach, rkOrdered, cosineExact))
+      .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")
+  }
+
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
   /** documents ∪ mutated copies (first 3 words dropped, id+1e6, every
@@ -243,7 +287,14 @@ object LlmQueries {
     "q88_mixture" -> ((s, dir) => {
       val weights = (0 until 20)
         .map(i => s"src$i" -> (if (i % 2 == 0) 3.0 else 1.0)).toMap
-      Text.sampleByMixture(t(s, dir, "documents"),
+      val docs = t(s, dir, "documents")
+      // the oracle's CASE formula covers ANY srcN while the map covers
+      // exactly src0..19 — fail loudly if a fixture ever grows a 21st
+      // source instead of silently dropping its rows (r14 review)
+      val unknown = docs.select(col("source")).distinct()
+        .filter(!col("source").isin(weights.keys.toSeq: _*)).count()
+      require(unknown == 0L, s"q88: $unknown sources outside the weight map")
+      Text.sampleByMixture(docs,
           "doc_id", "text", "source", totalTokens = 6000L, weights)
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))
@@ -313,7 +364,8 @@ object LlmQueries {
       val n = d.count()
       val sizes = res.groupBy(col("split")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val weights = Map("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+      // ONE definition: validate against the operator's own defaults
+      val weights = Text.DefaultSplits.toMap
       val allLabeled = sizes.keySet.subsetOf(weights.keySet) &&
         sizes.values.sum == n
       val inBounds = weights.forall { case (k, w) =>
@@ -430,74 +482,22 @@ object LlmQueries {
     // (m=16, cw=16, rerank=8) carry measured recall 0.88–0.94 vs
     // brute force (tools/PqProbe; PqSpec pins the floor).
     "q92_pq_topk" -> ((s, dir) => {
-      import s.implicits._
       val v = t(s, dir, "embeddings")
-      val k = 5
-      val res = graft.dsl.Rel.track(
+      annShapeCheck(s, v,
         Similarity.pqTopK(v.filter(col("vec_id") < 10), v,
-            "vec_id", "vec_id", "embedding", k = k,
-            m = 16, codewords = 16, rerank = 8)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val nQueries = v.filter(col("vec_id") < 10).count()
-      val byRk = sort_array(collect_list(struct(col("rk"), col("cosine"))))
-      val ordered = forall(
-        zip_with(slice(byRk, 1, k - 1), slice(byRk, 2, k - 1),
-          (a, b) => a.getField("cosine") >= b.getField("cosine")),
-        x => x)
-      val perQ = res.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n"), min(col("rk")).as("mn"),
-          max(col("rk")).as("mx"), countDistinct(col("rk")).as("nd"),
-          coalesce(ordered, lit(false)).as("ord"))
-        .collect()
-      val kRowsEach = perQ.length.toLong == nQueries &&
-        perQ.forall(r => r.getLong(1) == k && r.getInt(2) == 1 &&
-          r.getInt(3) == k && r.getLong(4) == k)
-      val rkOrdered = perQ.forall(_.getBoolean(5))
-      val emb = v.select(col("vec_id"), col("embedding"))
-      val cosineExact = res
-        .join(emb.toDF("query_id", "qv"), "query_id")
-        .join(emb.toDF("neighbor_id", "cv"), "neighbor_id")
-        .filter(!(Similarity.cosineExpr(col("qv"), col("cv")) <=> col("cosine")))
-        .count() == 0L
-      Seq((nQueries, kRowsEach, rkOrdered, cosineExact))
-        .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")
+          "vec_id", "vec_id", "embedding", k = 5,
+          m = 16, codewords = 16, rerank = 8), k = 5)
     }),
 
     // IVFPQ: coarse cells + residual PQ + cell-pruned ADC shortlist +
     // exact re-rank — same properties pattern; recall 0.88 at nprobe=4
     // scanning ~25% of the compressed lists (tools/PqProbe)
     "q93_ivfpq_topk" -> ((s, dir) => {
-      import s.implicits._
       val v = t(s, dir, "embeddings")
-      val k = 5
-      val res = graft.dsl.Rel.track(
+      annShapeCheck(s, v,
         Similarity.ivfPqTopK(v.filter(col("vec_id") < 10), v,
-            "vec_id", "vec_id", "embedding", k = k,
-            nCells = 16, nprobe = 4, m = 16, codewords = 16, rerank = 8)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val nQueries = v.filter(col("vec_id") < 10).count()
-      val byRk = sort_array(collect_list(struct(col("rk"), col("cosine"))))
-      val ordered = forall(
-        zip_with(slice(byRk, 1, k - 1), slice(byRk, 2, k - 1),
-          (a, b) => a.getField("cosine") >= b.getField("cosine")),
-        x => x)
-      val perQ = res.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n"), min(col("rk")).as("mn"),
-          max(col("rk")).as("mx"), countDistinct(col("rk")).as("nd"),
-          coalesce(ordered, lit(false)).as("ord"))
-        .collect()
-      val kRowsEach = perQ.length.toLong == nQueries &&
-        perQ.forall(r => r.getLong(1) == k && r.getInt(2) == 1 &&
-          r.getInt(3) == k && r.getLong(4) == k)
-      val rkOrdered = perQ.forall(_.getBoolean(5))
-      val emb = v.select(col("vec_id"), col("embedding"))
-      val cosineExact = res
-        .join(emb.toDF("query_id", "qv"), "query_id")
-        .join(emb.toDF("neighbor_id", "cv"), "neighbor_id")
-        .filter(!(Similarity.cosineExpr(col("qv"), col("cv")) <=> col("cosine")))
-        .count() == 0L
-      Seq((nQueries, kRowsEach, rkOrdered, cosineExact))
-        .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")
+          "vec_id", "vec_id", "embedding", k = 5,
+          nCells = 16, nprobe = 4, m = 16, codewords = 16, rerank = 8), k = 5)
     }),
 
     // SemDeDup: k-means cells → within-cell cosine pairs → connected
@@ -541,43 +541,10 @@ object LlmQueries {
     }),
 
     "q42_ann_ivf" -> ((s, dir) => {
-      import s.implicits._
       val v = t(s, dir, "embeddings")
-      val k = 5
-      val res = graft.dsl.Rel.track(
+      annShapeCheck(s, v,
         Similarity.ivfKmeansTopK(v.filter(col("vec_id") < 10), v,
-            "vec_id", "vec_id", "embedding", k = k, nCells = 16, nprobe = 3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val nQueries = v.filter(col("vec_id") < 10).count()
-      // one aggregation job carries all per-query checks: row/rank
-      // counts plus rank-ordering (collect the (rk, cosine) pairs
-      // sorted by rk and test pairwise non-increase — groups are k
-      // rows, the array is trivially bounded)
-      val byRk = sort_array(collect_list(struct(col("rk"), col("cosine"))))
-      val ordered = forall(
-        zip_with(slice(byRk, 1, k - 1), slice(byRk, 2, k - 1),
-          (a, b) => a.getField("cosine") >= b.getField("cosine")),
-        x => x)
-      val perQ = res.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n"), min(col("rk")).as("mn"),
-          max(col("rk")).as("mx"), countDistinct(col("rk")).as("nd"),
-          coalesce(ordered, lit(false)).as("ord")) // null-safe for malformed groups
-        .collect()
-      val kRowsEach = perQ.length.toLong == nQueries &&
-        perQ.forall(r => r.getLong(1) == k && r.getInt(2) == 1 &&
-          r.getInt(3) == k && r.getLong(4) == k)
-      val rkOrdered = perQ.forall(_.getBoolean(5))
-      val emb = v.select(col("vec_id"), col("embedding"))
-      // null-safe <=>: a plain =!= evaluates to NULL (row silently
-      // dropped) when either side is null, so a null cosine from a
-      // zero vector would count as "exact"
-      val cosineExact = res
-        .join(emb.toDF("query_id", "qv"), "query_id")
-        .join(emb.toDF("neighbor_id", "cv"), "neighbor_id")
-        .filter(!(Similarity.cosineExpr(col("qv"), col("cv")) <=> col("cosine")))
-        .count() == 0L
-      Seq((nQueries, kRowsEach, rkOrdered, cosineExact))
-        .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")
+          "vec_id", "vec_id", "embedding", k = 5, nCells = 16, nprobe = 3), k = 5)
     }),
 
     // multimodal: pack as valid binary PPM → batched REAL decode (header
@@ -791,11 +758,11 @@ object LlmQueries {
     // one-pass per-document analysis record (the standard pre-filter
     // stats bundle) + winnowing-style shingle fingerprint
     "q67_text_analyze" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val fp = d.select(col("doc_id"),
-        Text.shingleFingerprint(col("text"), 5).as("shingle_fp"))
-      Text.analyze(d, "doc_id", "text")
-        .join(fp, "doc_id")
+      // ONE scan: shingle_fp rides analyze's own projection (the
+      // "one-pass analysis record" must actually be one pass — the
+      // old form re-scanned documents and joined back by doc_id)
+      Text.analyze(t(s, dir, "documents"), "doc_id", "text",
+          extras = Seq("shingle_fp" -> (tc => Text.shingleFingerprint(tc, 5))))
         .orderBy(col("doc_id"))
     }),
 
