@@ -41,12 +41,15 @@ object KernelPropsSpec extends Properties("kernels") {
       got == wantAll || got == want
     }
 
-  private val wordGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+  // empty tokens INCLUDED: trailing/double separators must tokenize
+  // identically to the Column form (Spark split keeps empties; the r14
+  // full-repo review caught the kernel dropping trailing ones)
+  private val wordGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", ""))
     .map(_.mkString(" "))
 
   property("shingleSet: distinct sliding k-grams, whole text when short") =
     forAll(wordGen, Gen.chooseNum(1, 5)) { (text, k) =>
-      val words = text.split(' ')
+      val words = text.split(" ", -1) // the Column-form tokenization
       val got = Dedup.shingleSet(text, k).toSeq
       val want =
         if (words.length < k) Seq(text)

@@ -948,6 +948,17 @@ class TextSpec extends SparkSuite {
     assert(got == Seq(1L -> "unique one", 2L -> "unique two", 3L -> "unique three"))
   }
 
+  test("shingle kernel matches the Column form on trailing/double separators") {
+    val texts = Seq("a b ", " a b", "a  b", "a b c ", "x", "", "a b c d  e")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+    val colForm = df.select($"id", graft.llm.Dedup.shingles($"text", 3).as("sh"))
+      .as[(Int, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(colForm(i) == graft.llm.Dedup.shingleSet(t, 3).toSeq,
+        s"kernel/Column divergence on '$t'")
+    }
+  }
+
   test("exactIncremental: within-batch keepers minus the fingerprint store") {
     val store = Seq("known one", "known two").toDF("text")
       .select(xxhash64($"text").as("fp_a"),
