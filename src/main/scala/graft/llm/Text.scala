@@ -752,6 +752,39 @@ object Text {
         fracOfChars(col("dup10"), col("n_chars")).as("frac_chars_dup_10gram"))
   }
 
+  /** Line-level quality signals (RefinedWeb/FineWeb-lineage document
+    * filters — line statistics, complementing [[qualityRules]]'s
+    * word-level Gopher signals): per document, over segments split on
+    * `sep` —
+    *  - `n_lines`          segment count
+    *  - `mean_line_words`  mean whitespace-word count per segment
+    *  - `frac_short_lines` segments with < `shortWords` words
+    *  - `frac_dup_lines`   1 − distinct/total segments WITHIN the doc
+    *    (a high value flags listicle/boilerplate-shaped pages)
+    *
+    * Pure per-row array math — NO explode, no shuffle: at 100 TB this
+    * is scan-bound column work like the other quality signals. All
+    * values roundCompat'd so a SQL oracle replays them bit-for-bit.
+    */
+  def lineSignals(df: DataFrame, idCol: String, textCol: String,
+                  sep: String = ". ", shortWords: Int = 3): DataFrame = {
+    val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val wordCounts = transform(arr, l => size(split(l, " ")))
+    val n = size(arr).cast("double")
+    df.select(
+      col(idCol),
+      size(arr).cast("long").as("n_lines"),
+      roundCompat(
+        aggregate(wordCounts, lit(0L), (acc, c) => acc + c).cast("double") / n,
+        4).as("mean_line_words"),
+      roundCompat(
+        size(filter(wordCounts, c => c < shortWords)).cast("double") / n,
+        4).as("frac_short_lines"),
+      roundCompat(
+        (n - size(array_distinct(arr)).cast("double")) / n,
+        4).as("frac_dup_lines"))
+  }
+
   /** Deterministic train/val/test split assignment — the standard
     * corpus partition every training pipeline needs, RNG-free: each
     * row's split comes from `xxhash64(salt, id) mod 10⁶` against the

@@ -348,6 +348,13 @@ object LlmQueries {
         .orderBy(col("rank"))
     }),
 
+    // line-level quality signals (FineWeb/RefinedWeb lineage): pure
+    // per-row array math, fully SQL-derivable — hard oracle
+    "q114_line_signals" -> ((s, dir) => {
+      Text.lineSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic train/val/test split: label choice is
     // hash-dependent (no SQL xxhash64), so — the q26 pattern — the
     // emitted row states the invariants: total (SQL-derivable), every
@@ -1296,6 +1303,20 @@ object LlmQueries {
       """SELECT COUNT(*) AS n_total, TRUE AS all_labeled,
            TRUE AS sizes_in_bounds, TRUE AS idempotent
          FROM documents""",
+    "q114_line_signals" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, '. ') AS arr FROM documents),
+         w AS (SELECT doc_id, arr,
+           list_transform(arr, l -> len(string_split(l, ' '))) AS wc,
+           len(arr)::DOUBLE AS n FROM base)
+         SELECT doc_id,
+           len(arr)::BIGINT AS n_lines,
+           FLOOR(list_sum(wc)::DOUBLE / n * 10000 + 0.5) / 10000 AS mean_line_words,
+           FLOOR(len(list_filter(wc, c -> c < 3))::DOUBLE / n * 10000 + 0.5) / 10000
+             AS frac_short_lines,
+           FLOOR((n - len(list_distinct(arr))::DOUBLE) / n * 10000 + 0.5) / 10000
+             AS frac_dup_lines
+         FROM w ORDER BY doc_id""",
     "q111_heavy_hitters" ->
       """SELECT COUNT(*) AS n_words, TRUE AS size_within_capacity,
            TRUE AS no_overestimate, TRUE AS error_within_bound,

@@ -994,6 +994,19 @@ class TextSpec extends SparkSuite {
     assert(got2 == ((7L, "a b. c d", 2L)))
   }
 
+  test("lineSignals: counts, mean words, short and duplicate line fractions") {
+    val df = Seq(
+      (1L, "one two three. x. one two three. a b"), // 4 lines, dup "one two three"
+      (2L, "solo")).toDF("doc_id", "text")
+    val got = graft.llm.Text.lineSignals(df, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // doc 1: word counts [3,1,3,2] → mean 2.25; short(<3) = 2/4; dup = 1/4
+    assert(got(0) == ((1L, 4L, 2.25, 0.5, 0.25)))
+    // doc 2: one 1-word line → all-short, no dups
+    assert(got(1) == ((2L, 1L, 1.0, 1.0, 0.0)))
+  }
+
   test("assignSplit: deterministic, repartition-stable, complete, custom weights") {
     val df = (1L to 2000L).toDF("id")
     val a = graft.llm.Text.assignSplit(df, "id")
