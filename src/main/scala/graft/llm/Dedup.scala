@@ -522,14 +522,31 @@ object Dedup {
     *         (within-batch keeper AND absent from the store)
     */
   def exactIncremental(batch: DataFrame, contentCol: String, idCol: String,
-                       store: DataFrame): DataFrame =
+                       store: DataFrame): DataFrame = {
     // step 1 IS exactByFingerprint — shared code so the incremental
     // path can never diverge from the batch fingerprint scheme
-    exactByFingerprint(batch, contentCol, idCol)
+    val keepers = exactByFingerprint(batch, contentCol, idCol)
       .select(col("keeper_id").as("id"), col("fp_a"), col("fp_b"))
-      .join(store.select(col("fp_a"), col("fp_b")),
-        Seq("fp_a", "fp_b"), "left_anti")
+    val st = store.select(col("fp_a"), col("fp_b"))
+    // Null content fingerprints to (null, null) — xxhash64 is
+    // null-propagating — and a plain equi-anti-join never matches null
+    // keys, so the (≤1 per batch, groupBy groups nulls) null keeper
+    // always survives step 2 and would re-enter as "new" in EVERY batch
+    // even after its fingerprint row landed in the store. A `<=>` join
+    // would fix that but Spark rewrites null-safe equi-keys to
+    // coalesce/isnull pairs, re-shuffling the bucketed store
+    // (BucketedSpec asserts the store side is Exchange-free). Instead:
+    // keep the plain equi-anti-join (null keeper passes through), then
+    // drop it iff the store already holds a null fingerprint — a ≤1-row
+    // broadcast probe whose IS NULL filter prunes to the store's
+    // null-count stats, never a second corpus-sized pass.
+    val nullProbe = broadcast(
+      st.filter(col("fp_a").isNull).limit(1).select(lit(1).as("graft_probe")))
+    keepers
+      .join(st, Seq("fp_a", "fp_b"), "left_anti")
+      .join(nullProbe, col("fp_a").isNull, "left_anti")
       .select(col("id"), col("fp_a"), col("fp_b"))
+  }
 
   /** Global sentence-level exact dedup — the C4/Dolma "keep one copy
     * of every three-sentence span / line across the corpus" operation,

@@ -313,8 +313,13 @@ object Similarity {
       }
       for (c <- 0 until k if cnt(c) == 0L) {
         val big = (0 until k).maxBy(cnt(_))
+        // RELATIVE jitter (same formula as distinctSeeds): an absolute
+        // 1e-4 step vanishes below ulp(x) for coordinates ≳ 1e13, so the
+        // reseeded centroid would stay bit-identical to its split source
+        // and the empty cell would silently persist every iteration.
         next(c) = next(big).zipWithIndex.map { case (x, i) =>
-          x + 1e-4 * (c + 1) * (if (i % 2 == 0) 1 else -1)
+          x + 1e-4 * (c + 1) * math.max(1.0, math.abs(x) * 1e-6) *
+            (if (i % 2 == 0) 1 else -1)
         }
       }
       cents = next

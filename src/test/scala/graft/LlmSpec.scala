@@ -367,6 +367,21 @@ class SimilaritySpec extends SparkSuite {
 
   private def vecs(rows: (Long, Array[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
 
+  test("lloydLocal empty-cell reseed survives large-magnitude coordinates") {
+    // two tight clusters at ~1e14: with an ABSOLUTE 1e-4 jitter the
+    // reseeded centroid is bit-identical to its split source (below
+    // ulp), so the empty cell persists as a duplicate centroid; the
+    // relative jitter must yield k distinct centroids
+    val data = Array(
+      Array(1e14, 1e14), Array(1e14 + 4e8, 1e14),
+      Array(-1e14, -1e14), Array(-1e14, -1e14 + 4e8))
+    // k=3 over 2 clusters → one cell goes empty and must re-seed
+    val init = Array(Array(1e14, 1e14), Array(-1e14, -1e14), Array(5e20, 5e20))
+    val cents = Similarity.lloydLocal(data, init, iters = 2)
+    assert(cents.map(_.toSeq).distinct.length == 3,
+      s"duplicate centroids after reseed: ${cents.map(_.mkString("(", ",", ")")).mkString(" ")}")
+  }
+
   test("cosine: identical → 1, orthogonal → 0, zero vector → null") {
     val a = Array(1f, 0f); val b = Array(0f, 1f); val z = Array(0f, 0f)
     val df = Seq((a, a), (a, b), (a, z)).toDF("x", "y")
@@ -970,6 +985,25 @@ class TextSpec extends SparkSuite {
     val got = graft.llm.Dedup.exactIncremental(batch, "text", "doc_id", store)
       .select($"id").as[Long].collect().toSet
     assert(got == Set(10L, 13L))
+  }
+
+  test("exactIncremental: null-content docs dedup against the store too") {
+    val mkStore = (df: org.apache.spark.sql.DataFrame) => df
+      .select(xxhash64($"text").as("fp_a"),
+        xxhash64(lit("graft-fp2"), $"text").as("fp_b"))
+    // batch 1: two null-content docs → within-batch dedup keeps one
+    val b1 = Seq((1L, Option("x")), (2L, None), (3L, None))
+      .toDF("doc_id", "text")
+    val empty = mkStore(Seq.empty[String].toDF("text"))
+    val r1 = graft.llm.Dedup.exactIncremental(b1, "text", "doc_id", empty)
+    assert(r1.select($"id").as[Long].collect().toSet == Set(1L, 2L))
+    // append batch-1 keepers to the store; batch 2's null doc must now
+    // be recognized as a duplicate (the pre-fix bug: null keys never
+    // matched the anti-join, so null docs re-entered every batch)
+    val store2 = empty.unionByName(r1.select($"fp_a", $"fp_b"))
+    val b2 = Seq((4L, Option("y")), (5L, None)).toDF("doc_id", "text")
+    val r2 = graft.llm.Dedup.exactIncremental(b2, "text", "doc_id", store2)
+    assert(r2.select($"id").as[Long].collect().toSet == Set(4L))
   }
 
   test("sentenceDedup keeps only the first corpus-wide copy of each sentence") {
