@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
@@ -22,6 +24,16 @@ import org.apache.spark.sql.functions.udaf
   * the merge preserves the same error bound, which is what makes the
   * sketch partial/final-safe).
   *
+  * The buffer is a mutable HashMap mutated in place (udaf wraps the
+  * Aggregator in a TypedImperativeAggregate, so the buffer lives as a
+  * JVM object between rows and serializes only at shuffle/spill
+  * boundaries — the MedianAgg lesson): per-row cost is one hash probe,
+  * not an immutable-Map rebuild. The reduce-path trim needs no sort at
+  * all — overflow size is exactly capacity+1, so the (capacity+1)-th
+  * largest count IS the minimum, an O(capacity) scan; only the rare
+  * merge path (≤2·capacity entries, once per partial buffer pair)
+  * selects the cut from a sorted copy.
+  *
   * Determinism: counters are exact integers; trim subtraction and
   * final ordering use (count desc, key asc) total order, so the
   * result is independent of partition order UP TO the documented
@@ -30,40 +42,55 @@ import org.apache.spark.sql.functions.udaf
   * property oracle states).
   */
 class HeavyHittersAgg(capacity: Int)
-  extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+  extends Aggregator[String, mutable.HashMap[String, Long], Seq[(String, Long)]] {
   require(capacity > 0, "heavy-hitters capacity must be positive")
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-  private def trim(m: Map[String, Long]): Map[String, Long] =
-    if (m.size <= capacity) m
-    else {
-      // subtract the (capacity+1)-th largest count from everyone and
-      // drop non-positive counters — the standard MG decrement batch
-      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
-      m.flatMap { case (k, c) => if (c - cut > 0) Some(k -> (c - cut)) else None }
-    }
+  /** Subtract `cut` from every counter in place and drop non-positive
+    * ones — the standard MG decrement batch. */
+  private def decrement(m: mutable.HashMap[String, Long], cut: Long): Unit = {
+    m.filterInPlace((_, c) => c - cut > 0)
+    m.mapValuesInPlace((_, c) => c - cut)
+  }
 
-  override def reduce(buf: Map[String, Long], key: String): Map[String, Long] =
+  override def reduce(buf: mutable.HashMap[String, Long], key: String): mutable.HashMap[String, Long] = {
     // null inputs are ignored, like count/countDistinct — udaf-wrapped
     // Aggregators receive them un-filtered, and a null key would both
     // surface as a bogus heavy hitter and NPE finish()'s tie-order
     // String comparison
-    if (key == null) buf
-    else trim(buf.updated(key, buf.getOrElse(key, 0L) + 1L))
-
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val summed = b.foldLeft(a) { case (acc, (k, c)) =>
-      acc.updated(k, acc.getOrElse(k, 0L) + c)
+    if (key != null) {
+      buf.updateWith(key) { c => Some(c.getOrElse(0L) + 1L) }
+      if (buf.size > capacity) {
+        // size is exactly capacity+1 here, so the (capacity+1)-th
+        // largest count is the minimum — no sort needed
+        var cut = Long.MaxValue
+        buf.valuesIterator.foreach(c => if (c < cut) cut = c)
+        decrement(buf, cut)
+      }
     }
-    trim(summed)
+    buf
   }
 
-  override def finish(m: Map[String, Long]): Seq[(String, Long)] =
+  override def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (k, c) =>
+      a.updateWith(k) { prev => Some(prev.getOrElse(0L) + c) }
+    }
+    if (a.size > capacity) {
+      // ≤ 2·capacity entries, once per buffer pair: select the
+      // (capacity+1)-th largest count as the decrement batch
+      val counts = a.values.toArray
+      java.util.Arrays.sort(counts)
+      decrement(a, counts(counts.length - 1 - capacity))
+    }
+    a
+  }
+
+  override def finish(m: mutable.HashMap[String, Long]): Seq[(String, Long)] =
     m.toSeq.sortBy { case (k, c) => (-c, k) }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[mutable.HashMap[String, Long]]()
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
 }
