@@ -126,6 +126,39 @@ object Dedup {
     out
   }
 
+  /** Positional k-word gram hashes — one 64-bit hash PER WINDOW, in
+    * document order (index i = the gram starting at word i), empty when
+    * the document has fewer than k words. Unlike [[shingleHashSet]]
+    * this keeps positions and duplicates: span-level dedup needs WHERE
+    * each gram occurs, not just the distinct set. Two-level hashing
+    * keeps character work O(chars): each word is hashed once with
+    * [[hash64]], then each window folds its k 8-byte word hashes — so
+    * a 200-char window costs k long-mixes, not 200 char-mixes. Two
+    * windows hash equal iff their word sequences are equal, modulo a
+    * 64-bit collision (≈ n²/2⁶⁵, the standing caveat of this family).
+    */
+  private[graft] def gramHashes(text: String, k: Int): Array[Long] = {
+    val words = text.split(" ", -1) // limit -1: see shingleSet
+    val n = words.length
+    if (n < k) return Array.emptyLongArray
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) { wh(i) = hash64(words(i)); i += 1 }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) { h ^= wh(i + j); h *= 0x100000001b3L; j += 1 }
+      // avalanche so windows sharing a prefix don't correlate
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
   /** [[hash64]] over a StringBuilder without materializing the String. */
   private def hash64sb(s: java.lang.StringBuilder): Long = {
     var h = 0xcbf29ce484222325L
@@ -586,6 +619,78 @@ object Dedup {
             x => x.getField("line")),
           sep).as("clean"),
         count(lit(1)).as("n_kept"))
+  }
+
+  /** Exact duplicated-span (substring-level) dedup — the ExactSubstr
+    * operation of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", re-expressed bucketed instead of
+    * suffix-array-over-the-corpus: any k-token window occurring ≥ 2
+    * times corpus-wide is a duplicated span; every occurrence EXCEPT
+    * the first (min (doc, pos) — the [[sentenceDedup]] convention,
+    * deterministic) has its k tokens excised, overlapping duplicate
+    * windows merging naturally into maximal removed spans; surviving
+    * tokens reassemble in original order. Completes the granularity
+    * ladder: document ([[exactByFingerprint]]), sentence
+    * ([[sentenceDedup]]), span (this), near-dup ([[minhashLsh]] /
+    * [[simhashPairs]]), semantic ([[semDedup]]) — span removal of
+    * repeated ≥k-token sequences across otherwise-distinct documents
+    * is what the public pipelines (RefinedWeb, Dolma) layer on top of
+    * the others.
+    *
+    * Scale shape — why not a corpus suffix array: grams travel the
+    * shuffle as (doc, pos, 8-byte hash) rows via the codegen'd
+    * `graft_gram_hashes` kernel — text never shuffles. ONE
+    * hash-aggregation keyed on the gram hash carries the corpus count
+    * and the (doc, pos) argmin as a struct-min (fully
+    * combiner-friendly); only duplicated grams (a vast minority) come
+    * back through an 8-byte-key join against the gram stream, collapse
+    * to a per-doc sorted bad-start list, and ONE equi-join attaches
+    * that to the doc scan where the rewrite is per-row array math.
+    * Rewrite cost is O(tokens · bad_starts) per document — bounded by
+    * doc length squared only for a pathological fully-duplicated doc,
+    * which exits early anyway (all tokens excised → doc vanishes).
+    *
+    * Docs whose every token sits inside a later-occurrence duplicated
+    * window vanish from the output (nothing left), like
+    * [[sentenceDedup]]. Equality with a string-keyed oracle is modulo
+    * a ≈ n²/2⁶⁵ 64-bit gram-hash collision.
+    *
+    * @return (doc, clean, n_kept): reassembled text + surviving token
+    *         count.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8): DataFrame = {
+    require(k >= 2, s"spanDedup needs k >= 2 token windows, got $k")
+    val grams = df.select(col(idCol).as("doc"),
+      posexplode(call_function("graft_gram_hashes", col(textCol), lit(k)))
+        .as(Seq("gpos", "gh")))
+    // duplicated grams only, each with its first corpus-wide occurrence
+    val dups = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc"), col("gpos"))).as("first"))
+      .filter(col("c") >= 2)
+      .select(col("gh"), col("first"))
+    // non-first occurrences → per-doc sorted list of excised window starts
+    val bad = grams.join(dups, Seq("gh"))
+      .filter(col("doc") =!= col("first.doc") || col("gpos") =!= col("first.gpos"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("gpos"))).as("bad"))
+    // rewrite: token i is removed iff some bad start s covers it
+    // (s ≤ i < s+k); concat_ws skips the nulled-out tokens
+    df.select(col(idCol).as("doc"), split(col(textCol), " ").as("t"))
+      .join(bad, Seq("doc"), "left")
+      .select(col("doc"), col("t"),
+        coalesce(col("bad"), array().cast("array<int>")).as("bad"))
+      .select(col("doc"),
+        zip_with(col("t"),
+          transform(sequence(lit(0), size(col("t")) - 1),
+            i => exists(col("bad"), s => s <= i && i < s + k)),
+          (tok, f) => when(f, lit(null).cast("string")).otherwise(tok))
+          .as("kept"))
+      .select(col("doc"),
+        concat_ws(" ", col("kept")).as("clean"),
+        size(filter(col("kept"), x => x.isNotNull)).cast("long").as("n_kept"))
+      .filter(col("n_kept") > 0)
   }
 
   /** Benchmark-contamination scan: for every corpus document, count the

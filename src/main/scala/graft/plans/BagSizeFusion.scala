@@ -108,6 +108,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_shingle_hashes expects 2 arguments (text, k), got ${children.size}")
         ShingleHashesF(children.head, children(1))
       }))
+    // graft_gram_hashes(text, k) — positional per-window gram hashes
+    // (order + duplicates preserved) for span-level dedup; the
+    // positional sibling of graft_shingle_hashes.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gram_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GramHashesF].getName, "graft_gram_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"graft_gram_hashes expects 2 arguments (text, k), got ${children.size}")
+        GramHashesF(children.head, children(1))
+      }))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_band_keys"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

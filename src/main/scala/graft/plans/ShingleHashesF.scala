@@ -59,6 +59,45 @@ object ShingleHashesF {
     new GenericArrayData(graft.llm.Dedup.shingleHashSet(t.toString, k))
 }
 
+/** Native codegen'd POSITIONAL k-word gram hashes: one 64-bit hash per
+  * window in document order, exactly `graft.llm.Dedup.gramHashes`
+  * (delegated — one source of truth). The positional sibling of
+  * [[ShingleHashesF]] (which returns the sorted distinct SET):
+  * span-level dedup needs to know where each gram occurs, so
+  * positions and duplicates are preserved. Registered as SQL function
+  * `graft_gram_hashes(text, k)` by [[GraftExtensions]].
+  */
+case class GramHashesF(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"graft_gram_hashes expects (string, int), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any, k: Any): Any =
+    GramHashesF.compute(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.plans.GramHashesF.compute($t, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramHashesF =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_gram_hashes"
+}
+
+object GramHashesF {
+  def compute(t: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(graft.llm.Dedup.gramHashes(t.toString, k))
+}
+
 /** Native codegen'd minhash band keys over a pre-hashed shingle set:
   * `bands` 64-bit keys, each mixing the band's r = numHashes/bands
   * minhash minima — exactly `graft.llm.Dedup.bandKeysFromHashes`

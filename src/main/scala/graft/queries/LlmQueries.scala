@@ -340,6 +340,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // exact duplicated-span dedup (Lee et al. 2022 ExactSubstr,
+    // bucketed form): every non-first occurrence of a corpus-duplicated
+    // 8-token window is excised, docs reassembled in order —
+    // SQL-derivable end to end (the oracle keys grams by STRING where
+    // the operator ships the 64-bit positional gram hash; identical
+    // modulo ≈ n²/2⁶⁵ collisions)
+    "q115_span_dedup" -> ((s, dir) => {
+      Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // vocabulary construction with cumulative coverage / OOV rate —
     // deterministic total order (cnt desc, word asc), roundCompat'd
     // coverage, fully SQL-derivable
@@ -1343,6 +1355,25 @@ object LlmQueries {
            COUNT(*) AS n_kept
          FROM ranked WHERE rn = 1
          GROUP BY doc_id ORDER BY doc_id""",
+    "q115_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         pos AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
+         grams AS (SELECT doc_id, i - 1 AS gpos,
+                   array_to_string(t[i:i+7], chr(1)) AS g
+                   FROM pos WHERE i + 7 <= len(t)),
+         marked AS (SELECT doc_id, gpos,
+                    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, gpos) AS rn,
+                    COUNT(*) OVER (PARTITION BY g) AS c
+                    FROM grams),
+         bad AS (SELECT doc_id, gpos FROM marked WHERE c >= 2 AND rn > 1),
+         tokpos AS (SELECT doc_id, i - 1 AS p, t[i] AS tok FROM pos),
+         keep AS (SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
+                  WHERE NOT EXISTS (SELECT 1 FROM bad b
+                        WHERE b.doc_id = tp.doc_id
+                        AND b.gpos BETWEEN tp.p - 7 AND tp.p))
+         SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean,
+           COUNT(*) AS n_kept
+         FROM keep GROUP BY doc_id ORDER BY doc_id""",
     "q108_vocab" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
          cnts AS (SELECT word, COUNT(*) AS cnt FROM toks WHERE word <> '' GROUP BY 1),

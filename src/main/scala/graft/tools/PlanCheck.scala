@@ -29,7 +29,9 @@ object PlanCheck {
       "q102_retention",
       // r14
       "q105_profile_approx", "q107_sentence_dedup", "q108_vocab",
-      "q109_incremental_dedup")
+      "q109_incremental_dedup",
+      // r15
+      "q115_span_dedup")
     // the two-phase sampler knob is a caller flag, not a queries entry —
     // probe it directly so BOTH physical forms get a printed plan
     val extra: Seq[(String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)] = Seq(

@@ -127,6 +127,15 @@ object ScaleCurve {
       report("q107_sentence_dedup", () =>
         Dedup.sentenceDedup(docs, "doc_id", "text").count())
 
+      // ---- q115: exact duplicated-span dedup (r15) ----
+      // disjoint per-copy word spaces: cross-copy grams never collide,
+      // so duplicated-span density is constant while gram volume grows
+      // m× — the curve must track the gram kernel scan + ONE struct-min
+      // agg + join-back (the q107 shape at window rather than sentence
+      // grain; rewrite is per-row array math)
+      report("q115_span_dedup", () =>
+        Dedup.spanDedup(docs, "doc_id", "text", k = 8).count())
+
       // ---- q111: Misra-Gries heavy hitters (r14) ----
       // per-copy word prefixes make vocab grow m x while each copy's
       // internal skew repeats: the sketch buffer stays at `capacity`

@@ -1028,6 +1028,107 @@ class TextSpec extends SparkSuite {
     assert(got2 == ((7L, "a b. c d", 2L)))
   }
 
+  test("gramHashes: positional, length n-k+1, short docs empty, equal windows equal hashes") {
+    val h = graft.llm.Dedup.gramHashes("a b c a b c d", 3)
+    assert(h.length == 5)
+    assert(h(0) == h(3)) // "a b c" at 0 and 3
+    assert(h(1) != h(2))
+    assert(graft.llm.Dedup.gramHashes("a b", 3).isEmpty)
+    // windows are positional, not a distinct set: duplicates preserved
+    assert(graft.llm.Dedup.gramHashes("x y x y x y", 2).length == 5)
+    // Column form ≡ kernel (the registered expression delegates)
+    val viaCol = Seq("a b c a b c d").toDF("text")
+      .select(org.apache.spark.sql.functions.call_function(
+        "graft_gram_hashes", $"text", lit(3)).as("g"))
+      .as[Seq[Long]].head()
+    assert(viaCol == h.toSeq)
+  }
+
+  test("spanDedup excises later occurrences of duplicated k-token spans, first survives") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      // doc 2 embeds doc 1's first 5 tokens verbatim → they're excised
+      (2L, "intro words the quick brown fox jumps final unique tail"),
+      (3L, "completely different content with no repeats at all")
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.spanDedup(df, "doc_id", "text", k = 5)
+      .orderBy($"doc").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight", 10L),
+      (2L, "intro words final unique tail", 5L),
+      (3L, "completely different content with no repeats at all", 8L)))
+  }
+
+  test("spanDedup: within-doc repeats, full-doc excision, short docs") {
+    // within-doc: second copy of the 3-token span removed
+    val self = Seq((5L, "a b c x y a b c")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.spanDedup(self, "doc_id", "text", k = 3)
+      .as[(Long, String, Long)].head()
+    assert(got == ((5L, "a b c x y", 5L)))
+    // a doc that is entirely a later copy vanishes
+    val pair = Seq((1L, "p q r s t"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val got2 = graft.llm.Dedup.spanDedup(pair, "doc_id", "text", k = 3)
+      .orderBy($"doc").as[(Long, String, Long)].collect().toSeq
+    assert(got2 == Seq((1L, "p q r s t", 5L)))
+    // short docs (< k tokens) carry no windows and pass through intact
+    val short = Seq((9L, "tiny doc"), (10L, "tiny doc")).toDF("doc_id", "text")
+    val got3 = graft.llm.Dedup.spanDedup(short, "doc_id", "text", k = 3)
+      .orderBy($"doc").as[(Long, String, Long)].collect().toSeq
+    assert(got3 == Seq((9L, "tiny doc", 2L), (10L, "tiny doc", 2L)))
+  }
+
+  test("spanDedup property oracle: removed spans occur >=2x, reassembly byte-exact") {
+    val k = 4
+    val rnd = new scala.util.Random(115)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val planted = Array.fill(6)(vocab(rnd.nextInt(vocab.length))).toSeq
+    val docs = (0 until 40).map { i =>
+      val base = Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length)))
+      // a third of the docs carry the planted duplicate span
+      val toks = if (i % 3 == 0) {
+        val at = rnd.nextInt(base.length)
+        base.take(at) ++ planted ++ base.drop(at)
+      } else base
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.llm.Dedup.spanDedup(df, "doc_id", "text", k)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // Scala re-derivation of the contract
+    val tokens = docs.map { case (d, t) => d -> t.split(" ", -1).toSeq }.toMap
+    val gramCount = scala.collection.mutable.Map.empty[Seq[String], Int]
+    for ((_, t) <- tokens; i <- 0 to t.length - k)
+      gramCount.updateWith(t.slice(i, i + k))(c => Some(c.getOrElse(0) + 1))
+    val firstOcc = scala.collection.mutable.Map.empty[Seq[String], (Long, Int)]
+    for ((d, t) <- tokens.toSeq.sortBy(_._1); i <- 0 to t.length - k) {
+      val g = t.slice(i, i + k)
+      if (!firstOcc.contains(g) ||
+          Ordering[(Long, Int)].lt((d, i), firstOcc(g))) firstOcc(g) = (d, i)
+    }
+    for ((d, t) <- tokens) {
+      val badStarts = (0 to t.length - k).filter { i =>
+        val g = t.slice(i, i + k)
+        gramCount(g) >= 2 && firstOcc(g) != ((d, i))
+      }
+      val removed = badStarts.flatMap(s => s until s + k).toSet
+      val keptExpected = t.indices.filterNot(removed).map(t)
+      if (keptExpected.nonEmpty) {
+        val (clean, nKept) = got(d)
+        // byte-exact reassembly of non-removed tokens, in order
+        assert(clean == keptExpected.mkString(" "), s"doc $d reassembly")
+        assert(nKept == keptExpected.length.toLong, s"doc $d n_kept")
+        // every removed token is covered by a window occurring >=2x
+        removed.foreach { p =>
+          assert(badStarts.exists(s => s <= p && p < s + k))
+          assert(badStarts.filter(s => s <= p && p < s + k)
+            .forall(s => gramCount(t.slice(s, s + k)) >= 2), s"doc $d pos $p")
+        }
+      } else assert(!got.contains(d), s"doc $d should vanish")
+    }
+    // the planted span really was duplicated (the test isn't vacuous)
+    assert(gramCount.exists { case (g, c) => c >= 2 && g == planted.take(k) })
+  }
+
   test("lineSignals: counts, mean words, short and duplicate line fractions") {
     val df = Seq(
       (1L, "one two three. x. one two three. a b"), // 4 lines, dup "one two three"
