@@ -108,6 +108,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_shingle_hashes expects 2 arguments (text, k), got ${children.size}")
         ShingleHashesF(children.head, children(1))
       }))
+    // graft_bpe_tokens(text, merges) — BPE subword encode under a
+    // foldable merge-table literal (see BpeTokensF).
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bpe_tokens"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BpeTokensF].getName, "graft_bpe_tokens"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"graft_bpe_tokens expects 2 arguments (text, merges), got ${children.size}")
+        BpeTokensF(children.head, children(1))
+      }))
     // graft_gram_hashes(text, k) — positional per-window gram hashes
     // (order + duplicates preserved) for span-level dedup; the
     // positional sibling of graft_shingle_hashes.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, Text}
+import graft.llm.{Bpe, Dedup, Multimodal, Similarity, Text}
 
 /** Training-data-pipeline t2 queries: dedup family, similarity search,
   * text analysis, multimodal plumbing. Oracles are plain SQL
@@ -350,6 +350,51 @@ object LlmQueries {
       Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", k = 8)
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // subword (BPE) vocabulary training + encode (Sennrich 2016): the
+    // merge sequence is deterministic ((count desc, pair asc) total
+    // order) but not SQL-expressible, so — the q112 invariants
+    // pattern — the emitted row states: training is reproducible, the
+    // distributed codegen'd encode matches a driver re-encode
+    // token-for-token on a fingerprint-selected sample, decode∘encode
+    // is byte-exact on that sample, and every multi-char token in the
+    // WHOLE encoded corpus is a learned merge product (char fallback
+    // is the only OOV path). n_docs is SQL-derivable.
+    "q116_bpe" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val nMerges = 200
+      val merges = Bpe.train(d, "text", numMerges = nMerges)
+      val deterministic = merges == Bpe.train(d, "text", numMerges = nMerges)
+      val enc = graft.dsl.Rel.track(
+        Bpe.encode(d, "doc_id", "text", merges)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nDocs = enc.count()
+      val ranks = Bpe.ranksOf(merges)
+      val sample = enc
+        .join(d.select(col("doc_id").as("doc"), col("text")), Seq("doc"))
+        .filter(pmod(Text.fingerprint(col("text")), lit(20)) === 0)
+        .select(col("text"), col("tokens"), col("n_tokens"))
+        .collect()
+      val sampleOk = sample.nonEmpty && sample.forall { r =>
+        val toks = Bpe.encodeText(r.getString(0), ranks)
+        r.getSeq[String](1) == toks.toSeq && r.getLong(2) == toks.length.toLong
+      }
+      val roundtrip = sample.nonEmpty && sample.forall { r =>
+        Bpe.decode(r.getSeq[String](1)) == r.getString(0)
+      }
+      val inventory = merges.map { case (a, b) => a + b }
+      val badMulti = enc.select(explode(col("tokens")).as("tk"))
+        .filter(length(col("tk")) > 1 && col("tk") =!= Bpe.EndOfWord)
+        .filter(if (inventory.isEmpty) lit(true)
+                else !col("tk").isInCollection(inventory))
+        .count()
+      Seq((nDocs, nMerges, merges.length <= nMerges, deterministic,
+          sampleOk, roundtrip, badMulti == 0L))
+        .toDF("n_docs", "n_merges_requested", "merges_within_request",
+          "merges_deterministic", "sample_encode_matches",
+          "roundtrip_byte_exact", "all_multi_char_learned")
     }),
 
     // vocabulary construction with cumulative coverage / OOV rate —
@@ -1355,6 +1400,14 @@ object LlmQueries {
            COUNT(*) AS n_kept
          FROM ranked WHERE rn = 1
          GROUP BY doc_id ORDER BY doc_id""",
+    "q116_bpe" ->
+      """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         200 AS n_merges_requested,
+         TRUE AS merges_within_request,
+         TRUE AS merges_deterministic,
+         TRUE AS sample_encode_matches,
+         TRUE AS roundtrip_byte_exact,
+         TRUE AS all_multi_char_learned""",
     "q115_span_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          pos AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Bpe
+
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("learnMerges: the Sennrich worked example, deterministic order") {
+    // the classic dict from the paper's running example
+    val dict = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.learnMerges(dict, 4)
+    // pair counts step 1: (e,s)=9, (s,t)=9, (t,</w>)=9, (w,e)=8 ... —
+    // count ties broken by pair asc, so (e,s) wins, then (es,t), then
+    // (est,</w>), then the 8s: (l,o)=7,(o,w)=7,(w,e)... recount after
+    // merges: (l,o)=7, (o,w)=7, (n,e)=6, (w,i)=3 ... top is 7 tie →
+    // (l,o) before (o,w) lexicographically
+    assert(merges == Vector("e" -> "s", "es" -> "t", "est" -> "</w>", "l" -> "o"))
+    // deterministic: same input, same sequence
+    assert(Bpe.learnMerges(dict, 4) == merges)
+  }
+
+  test("learnMerges stops when no pair repeats") {
+    val merges = Bpe.learnMerges(Seq("ab" -> 1L, "cd" -> 1L), 100)
+    assert(merges.isEmpty) // every pair occurs once — nothing to learn
+    // and a single repeated word merges down to one symbol then stops
+    // (tie (a,a)=3 vs (a,</w>)=3 → pair-asc picks (a,</w>): '<' < 'a')
+    val m2 = Bpe.learnMerges(Seq("aa" -> 3L), 100)
+    assert(m2 == Vector("a" -> "</w>", "a" -> "a</w>"))
+  }
+
+  test("encodeWord reproduces merges greedily; unseen chars fall back to singles") {
+    val ranks = Bpe.ranksOf(Vector("e" -> "s", "es" -> "t", "est" -> "</w>", "l" -> "o"))
+    assert(Bpe.encodeWord("newest", ranks).toSeq ==
+      Seq("n", "e", "w", "est</w>"))
+    assert(Bpe.encodeWord("lowest", ranks).toSeq == Seq("lo", "w", "est</w>"))
+    // a word with none of the learned pairs stays character-level
+    assert(Bpe.encodeWord("zq", ranks).toSeq == Seq("z", "q", "</w>"))
+  }
+
+  test("decode inverts encodeText byte-exact, repeated separators included") {
+    val ranks = Bpe.ranksOf(Vector("a" -> "b", "ab" -> "</w>"))
+    for (t <- Seq("ab ab cd", "ab", "", "a  b", "ab cd ", " ab")) {
+      assert(Bpe.decode(Bpe.encodeText(t, ranks).toSeq) == t, s"roundtrip of '$t'")
+    }
+  }
+
+  test("train + distributed encode: kernel/Column parity, counts, roundtrip") {
+    val docs = Seq(
+      (1L, "the lowest bid was the newest bid"),
+      (2L, "newest lowest widest"),
+      (3L, "the the the low low"),
+      (4L, "")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 20)
+    assert(merges.nonEmpty && merges == Bpe.train(docs, "text", numMerges = 20))
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy($"doc").as[(Long, Seq[String], Long)].collect().toSeq
+    val ranks = Bpe.ranksOf(merges)
+    enc.foreach { case (d, toks, n) =>
+      val text = Seq("the lowest bid was the newest bid",
+        "newest lowest widest", "the the the low low", "")(d.toInt - 1)
+      assert(toks == Bpe.encodeText(text, ranks).toSeq, s"doc $d kernel/Column parity")
+      assert(n == toks.length.toLong)
+      assert(Bpe.decode(toks) == text, s"doc $d roundtrip")
+    }
+    // null text → null tokens, null count (per-row text op convention)
+    val withNull = Seq((9L, Option.empty[String])).toDF("doc_id", "text")
+    val r = Bpe.encode(withNull, "doc_id", "text", merges).collect()(0)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("multi-char BPE tokens only ever come from learned merges") {
+    // invariant behind q116's all_oov_single_char check: encoding ANY
+    // text under a merge table can only produce multi-char symbols that
+    // are concatenations recorded in the table
+    val merges = Bpe.train(Seq((1L, "banana bandana")).toDF("id", "text"), "text", 10)
+    val inventory = merges.map { case (a, b) => a + b }.toSet
+    val toks = Bpe.encodeText("bananas and bandanas unseen", Bpe.ranksOf(merges))
+    toks.filter(t => t.length > 1 && t != Bpe.EndOfWord).foreach { t =>
+      assert(inventory.contains(t), s"unlearned multi-char token '$t'")
+    }
+  }
+}
