@@ -156,6 +156,127 @@ class PigFuzzSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // ------------------- differential: TWO-relation plans (r15, task 5)
+
+  /** Per-source pre-op alphabet — schema-stable (filters/distinct only)
+    * so the downstream combiner's column references always resolve. */
+  private sealed trait PreOp
+  private case class PreKeyLt(n: Int) extends PreOp
+  private case object PreNameNotNull extends PreOp
+  private case object PreDistinct extends PreOp
+
+  private val preGen: Gen[List[PreOp]] =
+    Gen.chooseNum(0, 2).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      Gen.chooseNum(0, 30).map(PreKeyLt),
+      Gen.const(PreNameNotNull), Gen.const(PreDistinct))))
+
+  private sealed trait Combiner
+  private case class CJoin(typ: String) extends Combiner // inner/left/right/full
+  private case object CUnion extends Combiner
+
+  private val combinerGen: Gen[Combiner] = Gen.oneOf(
+    Gen.const(CJoin("inner")), Gen.const(CJoin("left")),
+    Gen.const(CJoin("right")), Gen.const(CJoin("full")),
+    Gen.const(CUnion))
+
+  test("two-relation plans: JOIN (incl. outer) / UNION ONSCHEMA / GROUP+agg ≡ direct DataFrame") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+
+    def preStmts(ops: List[PreOp], in: String, prefix: String,
+                 key: String, name: String): (String, String) = {
+      val sb = new StringBuilder
+      var prev = in
+      ops.zipWithIndex.foreach { case (op, i) =>
+        val out = s"$prefix$i"
+        val stmt = op match {
+          case PreKeyLt(n) => s"$out = FILTER $prev BY $key < $n;"
+          case PreNameNotNull => s"$out = FILTER $prev BY $name IS NOT NULL;"
+          case PreDistinct => s"$out = DISTINCT $prev;"
+        }
+        sb.append(stmt).append('\n'); prev = out
+      }
+      (sb.toString, prev)
+    }
+    def preApply(ops: List[PreOp], df: DataFrame,
+                 key: String, name: String): DataFrame =
+      ops.foldLeft(df) { (d, op) => op match {
+        case PreKeyLt(n) => d.filter(col(key) < n)
+        case PreNameNotNull => d.filter(col(name).isNotNull)
+        case PreDistinct => d.distinct()
+      }}
+
+    val caseGen = for {
+      pa <- preGen; pb <- preGen; c <- combinerGen
+      post <- Gen.oneOf(true, false)
+    } yield (pa, pb, c, post)
+
+    val prop = Prop.forAllNoShrink(caseGen) { case (pa, pb, c, post) =>
+      val (sa, lastA) = preStmts(pa, "ra", "fa", "r_regionkey", "r_name")
+      val (sb, lastB) = preStmts(pb, "rb", "fb", "n_regionkey", "n_name")
+      val script = new StringBuilder(
+        "ra = LOAD 'region.parquet';\nrb = LOAD 'nation.parquet';\n")
+      script.append(sa).append(sb)
+      c match {
+        case CJoin(typ) =>
+          val outerKw = typ match {
+            case "inner" => ""
+            case t => s" ${t.toUpperCase} OUTER"
+          }
+          script.append(
+            s"j = JOIN $lastA BY r_regionkey$outerKw, $lastB BY n_regionkey;\n")
+          if (post) script.append(
+            """g = GROUP j BY r_name;
+              |out = FOREACH g GENERATE group, COUNT_STAR(j) AS n, SUM(j.n_nationkey) AS s;
+              |""".stripMargin)
+          else script.append("out = FOREACH j GENERATE r_name, n_nationkey;\n")
+        case CUnion =>
+          script.append(s"pa = FOREACH $lastA GENERATE r_regionkey AS k, r_name AS v;\n")
+          script.append(s"pb = FOREACH $lastB GENERATE n_regionkey AS k, n_name AS v;\n")
+          script.append("u = UNION ONSCHEMA pa, pb;\n")
+          if (post) script.append(
+            """g = GROUP u BY v;
+              |out = FOREACH g GENERATE group, COUNT_STAR(u) AS n, SUM(u.k) AS s;
+              |""".stripMargin)
+          else script.append("out = u;\n")
+      }
+      val e = new graft.piglatin.PigEngine(spark, Some(dir)).run(script.toString)
+      val got = e.relation("out")
+
+      val a = preApply(pa, Tables.load(spark, dir, "region"), "r_regionkey", "r_name")
+      val b = preApply(pb, Tables.load(spark, dir, "nation"), "n_regionkey", "n_name")
+      val want = c match {
+        case CJoin(typ) =>
+          val jt = typ match {
+            case "inner" => "inner"; case "left" => "left_outer"
+            case "right" => "right_outer"; case "full" => "full_outer"
+          }
+          val j = a.join(b, a("r_regionkey") === b("n_regionkey"), jt)
+          if (post)
+            j.groupBy(col("r_name")).agg(
+                count(lit(1)).as("n"), sum(col("n_nationkey")).as("s"))
+              .withColumnRenamed("r_name", "group")
+          else j.select(col("r_name"), col("n_nationkey"))
+        case CUnion =>
+          val u = a.select(col("r_regionkey").as("k"), col("r_name").as("v"))
+            .unionByName(b.select(col("n_regionkey").as("k"), col("n_name").as("v")))
+          if (post)
+            u.groupBy(col("v")).agg(
+                count(lit(1)).as("n"), sum(col("k")).as("s"))
+              .withColumnRenamed("v", "group")
+          else u
+      }
+      val colsOk = got.columns.toSeq == want.columns.toSeq
+      val rowsOk = got.collect().map(_.toSeq).sortBy(_.toString())
+        .sameElements(want.collect().map(_.toSeq).sortBy(_.toString()))
+      if (!colsOk || !rowsOk)
+        println(s"FUZZ MISMATCH colsOk=$colsOk rowsOk=$rowsOk\n$script")
+      colsOk && rowsOk
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("arbitrary garbage never escapes as a non-diagnostic crash (ScalaCheck)") {
     val junkGen = Gen.listOfN(40, Gen.frequency(
       8 -> Gen.alphaNumChar,
