@@ -196,6 +196,179 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case CacheOp(in) => Seq(in)
   }
 
+  // ------------------------------------------- ILLUSTRATE synthesis
+
+  /** pen's last resort (Olston & Das Sarma SIGMOD'09 §4.3): when
+    * neither the LOAD sample nor real-row repair yields a witness,
+    * FABRICATE a constrained tuple at the operator's immediate input.
+    * Supported constraint subset: conjunctions of column-vs-literal
+    * comparisons and IS [NOT] NULL for FILTER; all-FieldRef equi-keys
+    * for JOIN and GROUP. Every synthesized row is re-verified against
+    * the operator's own compiled predicate before it is admitted, so
+    * imperfect solving can only fail closed (no witness) — never
+    * admit a row that doesn't actually exercise the operator.
+    */
+  private def synthDefault(dt: DataType): Any = dt match {
+    case StringType => "syn"
+    case LongType => 1L
+    case IntegerType => 1
+    case ShortType => 1.toShort
+    case DoubleType => 1.0
+    case FloatType => 1.0f
+    case BooleanType => true
+    case _: DecimalType => new java.math.BigDecimal(1)
+    case DateType => java.sql.Date.valueOf("2020-01-01")
+    case TimestampType => java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    case _ => null
+  }
+
+  private def synthCoerce(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (n: java.lang.Number, LongType) => Some(n.longValue)
+    case (n: java.lang.Number, IntegerType) => Some(n.intValue)
+    case (n: java.lang.Number, ShortType) => Some(n.shortValue)
+    case (n: java.lang.Number, DoubleType) => Some(n.doubleValue)
+    case (n: java.lang.Number, FloatType) => Some(n.floatValue)
+    case (n: java.lang.Number, _: DecimalType) =>
+      Some(new java.math.BigDecimal(n.toString))
+    case (n: java.lang.Number, StringType) => Some(n.toString)
+    case (s: String, StringType) => Some(s)
+    case (b: java.lang.Boolean, BooleanType) => Some(b)
+    case _ => None
+  }
+
+  /** One fabricated row of `schema`: pinned values where the constraint
+    * solver assigned them (null allowed), type defaults elsewhere.
+    * None if a pinned value can't be coerced to its column type. */
+  private def synthRow(schema: StructType, vals: Map[String, Any]): Option[DataFrame] = {
+    var ok = true
+    val cells = schema.fields.map { f =>
+      if (vals.contains(f.name)) vals(f.name) match {
+        case null => null
+        case v => synthCoerce(v, f.dataType) match {
+          case Some(x) => x
+          case None => ok = false; null
+        }
+      } else synthDefault(f.dataType)
+    }
+    if (!ok) None
+    else Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row.fromSeq(cells.toIndexedSeq)), 1), schema))
+  }
+
+  private def synthConjuncts(e: Expr): List[Expr] = e match {
+    case And(l, r) => synthConjuncts(l) ++ synthConjuncts(r)
+    case other => List(other)
+  }
+
+  /** A literal value satisfying `col OP lit` (lit's numeric domain;
+    * coercion to the column type happens in [[synthRow]]). */
+  private def synthCmpWitness(op: String, v: Any): Option[Any] = op match {
+    case "==" | "<=" | ">=" => Some(v)
+    case "<" => v match {
+      case n: Long => Some(n - 1); case n: Int => Some(n - 1)
+      case n: Double => Some(n - 1.0); case _ => None
+    }
+    case ">" => v match {
+      case n: Long => Some(n + 1); case n: Int => Some(n + 1)
+      case n: Double => Some(n + 1.0); case _ => None
+    }
+    case "!=" => v match {
+      case n: Long => Some(n + 1); case n: Int => Some(n + 1)
+      case n: Double => Some(n + 1.0); case s: String => Some(s + "_x")
+      case b: Boolean => Some(!b); case _ => None
+    }
+    case _ => None // matches / IN etc. — unsupported, fail closed
+  }
+
+  private def synthFlip(op: String): String = op match {
+    case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+    case other => other
+  }
+
+  /** Fabricate-and-verify a FILTER witness for `cond` over `full`'s
+    * schema. None when any conjunct is outside the solvable subset or
+    * the verification filter rejects the fabricated row. */
+  private def synthFilterWitness(full: DataFrame, cond: Expr): Option[DataFrame] = {
+    val vals = synthConjuncts(cond).foldLeft(Option(Map.empty[String, Any])) {
+      case (None, _) => None
+      case (Some(m), c) => c match {
+        case Cmp(op, FieldRef(col), Lit(v)) =>
+          synthCmpWitness(op, v).map(x => m + (col -> x))
+        case Cmp(op, Lit(v), FieldRef(col)) =>
+          synthCmpWitness(synthFlip(op), v).map(x => m + (col -> x))
+        case IsNull(FieldRef(col), negated) =>
+          if (negated) // IS NOT NULL: any non-null default
+            Some(m + (col -> synthDefault(full.schema(col).dataType)))
+          else Some(m + (col -> null))
+        case _ => None
+      }
+    }
+    vals.flatMap(synthRow(full.schema, _))
+      .filter(d => !d.filter(compileExpr(d, cond)).isEmpty)
+  }
+
+  /** Fabricate matching JOIN witnesses: one row per side sharing key
+    * values (copied from a real row of whichever side has one —
+    * realism first — else type defaults). Keys must all be FieldRefs. */
+  private def synthJoinWitness(lf: DataFrame, rf: DataFrame,
+                               lk: List[Expr], rk: List[Expr]): Option[(DataFrame, DataFrame)] = {
+    def refs(es: List[Expr]): Option[List[String]] = {
+      val cs = es.collect { case FieldRef(c) => c }
+      if (cs.length == es.length) Some(cs) else None
+    }
+    for {
+      ln <- refs(lk)
+      rn <- refs(rk)
+      keyVals = {
+        val fromL = lf.select(ln.map(col): _*).limit(1).collect().headOption
+        val fromR = rf.select(rn.map(col): _*).limit(1).collect().headOption
+        fromL.orElse(fromR) match {
+          case Some(row) => row.toSeq
+          case None => ln.map(c => synthDefault(lf.schema(c).dataType))
+        }
+      }
+      if !keyVals.contains(null)
+      l <- synthRow(lf.schema, ln.zip(keyVals).toMap)
+      r <- synthRow(rf.schema, rn.zip(keyVals).toMap)
+      cond = ln.map(l(_)).zip(rn.map(r(_))).map { case (x, y) => x === y }.reduce(_ && _)
+      if !l.join(r, cond).isEmpty
+    } yield (l, r)
+  }
+
+  /** Fabricate a second row for a GROUP key so the example has a
+    * multi-row group: duplicate an example row (or fabricate a base
+    * row when there is none) and mutate one non-key column. */
+  private def synthGroupWitness(example: DataFrame, schema: StructType,
+                                keyNames: Set[String]): Option[DataFrame] = {
+    def mutate(v: Any, dt: DataType): Option[Any] = v match {
+      case null => Option(synthDefault(dt))
+      case n: Long => Some(n + 1)
+      case n: Int => Some(n + 1)
+      case n: Double => Some(n + 1.0)
+      case s: String => Some(s + "_syn")
+      case b: Boolean => Some(!b)
+      case _ => None
+    }
+    val base = example.limit(1).collect().headOption.map(_.toSeq).getOrElse {
+      schema.fields.map(f => synthDefault(f.dataType)).toSeq
+    }
+    val idx = schema.fields.indexWhere(f => !keyNames.contains(f.name))
+    if (idx < 0) None // every column is a key — no non-key to vary
+    else mutate(base(idx), schema.fields(idx).dataType).flatMap { m =>
+      val rows = Seq(base, base.updated(idx, m))
+        .map(org.apache.spark.sql.Row.fromSeq)
+      // verify both rows round-trip through the schema (a mutated value
+      // of an exotic type could violate it — fail closed)
+      try {
+        val d = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+        d.collect()
+        Some(d)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** ILLUSTRATE's lineage-aware example generator — a bounded
     * re-expression of the reference's `pen` example-data machinery
     * [R: src/org/apache/pig/pen/ExampleGenerator.java; Olston & Das
@@ -206,9 +379,18 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     * matching rows, a GROUP has a multi-row group — by replaying the
     * compiled operators over LOAD samples and, where the samples miss
     * an operator's semantic path, REPAIRING with real rows pulled from
-    * the full relation (realism over synthesis: the reference
-    * synthesizes tuples when no real witness exists; here the absence
-    * of a real witness is itself the diagnostic, so repair stops).
+    * the full relation; when no real witness exists anywhere in the
+    * data, the pen algorithm's last step SYNTHESIZES one (r15): a
+    * fabricated constrained tuple at the operator's immediate input —
+    * FILTER conjunctions of column-vs-literal comparisons /
+    * IS [NOT] NULL solved directly, JOIN fabricates a matching pair
+    * (key values copied from a real row when either side has one),
+    * GROUP fabricates the second member of a group. Every synthesized
+    * row is re-verified against the operator's own compiled predicate
+    * before admission, so solving gaps fail closed (no witness — still
+    * a diagnostic) rather than admitting a non-exercising row. Realism
+    * stays first: synthesis runs only after real-row repair found
+    * nothing.
     *
     * Documented simplifications vs the reference: repair rows are
     * appended at the operator's immediate input (not provenance-traced
@@ -279,6 +461,9 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
               val fullIn = fullDfs(in)
               if (addExtra(in, fullIn.filter(compileExpr(fullIn, cond)))) {
                 changed = true; replay()
+              } else if (synthFilterWitness(fullIn, cond) // pen synthesis
+                  .exists(addExtra(in, _))) {
+                changed = true; replay()
               }
             case JoinOp(List((la, lk), (ra, rk)), _, _) if env(a).df().isEmpty =>
               val lf = fullDfs(la); val rf = fullDfs(ra)
@@ -289,6 +474,11 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
               val rrows = rf.join(lrows, cond, "left_semi")
               var ch = addExtra(la, lrows)
               ch = addExtra(ra, rrows) || ch
+              if (!ch) // no real matching pair anywhere — fabricate one
+                synthJoinWitness(lf, rf, lk, rk).foreach { case (l, r) =>
+                  ch = addExtra(la, l)
+                  ch = addExtra(ra, r) || ch
+                }
               if (ch) { changed = true; replay() }
             case GroupOp(List((in, keys)), false, _) if keys.nonEmpty =>
               val exIn = env(in).df()
@@ -304,6 +494,16 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
                   .filter(col("count") >= 2).limit(1).drop("count")
                 val rows = keyed.join(dupKey, "_ill_k").drop("_ill_k")
                 if (addExtra(in, rows)) { changed = true; replay() }
+                else {
+                  // no key repeats anywhere in the data — fabricate the
+                  // second member of a group (pen synthesis)
+                  val keyNames = keys.collect { case FieldRef(c) => c }
+                  if (keyNames.length == keys.length &&
+                      synthGroupWitness(exIn, fullIn.schema, keyNames.toSet)
+                        .exists(addExtra(in, _))) {
+                    changed = true; replay()
+                  }
+                }
               }
             case _ => ()
           }

@@ -609,14 +609,69 @@ class PigDiagnosticsSpec extends SparkSuite {
     assert(ex.getMessage.contains("reassigned"))
   }
 
-  test("ILLUSTRATE lineage: an unsatisfiable filter stays empty (no witness exists)") {
+  test("ILLUSTRATE synthesis: a filter no real row satisfies gets a fabricated witness") {
+    import spark.implicits._
     val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
       n = LOAD 'nation.parquet';
       f = FILTER n BY n_nationkey == 999;
       """)
     val ex = e.illustrate("f").toMap
-    assert(ex("f").count() == 0) // absence of a real witness IS the diagnostic
-    assert(ex("n").count() >= 1)
+    // no nation has key 999 — pen's last step fabricates one (r15);
+    // non-constrained columns carry type defaults, marking it synthetic
+    assert(ex("f").filter($"n_nationkey" === 999).count() == 1)
+    assert(ex("f").filter($"n_nationkey" === 999)
+      .select($"n_name").as[String].head() == "syn")
+  }
+
+  test("ILLUSTRATE synthesis: conjunctions solve; contradictions fail closed") {
+    import spark.implicits._
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      n = LOAD 'nation.parquet';
+      band = FILTER n BY n_nationkey > 100 AND n_nationkey < 200;
+      """)
+    val ex = e.illustrate("band").toMap
+    val k = ex("band").select($"n_nationkey").as[Long].collect()
+    assert(k.length == 1 && k(0) > 100 && k(0) < 200)
+    // a contradictory predicate must stay empty — the fabricated row is
+    // re-verified against the operator's own compiled filter
+    val e2 = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      n = LOAD 'nation.parquet';
+      none = FILTER n BY n_nationkey > 10 AND n_nationkey < 5;
+      """)
+    assert(e2.illustrate("none").toMap.apply("none").count() == 0)
+    // and an unsupported constraint form (MATCHES) also fails closed
+    val e3 = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      n = LOAD 'nation.parquet';
+      m = FILTER n BY n_name MATCHES 'zzz_no_such_name.*';
+      """)
+    assert(e3.illustrate("m").toMap.apply("m").count() == 0)
+  }
+
+  test("ILLUSTRATE synthesis: a join with no real matching pair gets a fabricated one") {
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      r = LOAD 'region.parquet';
+      n = LOAD 'nation.parquet';
+      big = FOREACH r GENERATE r_regionkey + 1000 AS k;
+      j = JOIN big BY k, n BY n_nationkey;
+      """)
+    val ex = e.illustrate("j").toMap
+    // keys 1000+ match no nation anywhere — the fabricated nation row
+    // copies a real key from the left side so the join path is exercised
+    assert(ex("j").count() >= 1)
+  }
+
+  test("ILLUSTRATE synthesis: a group whose key never repeats gets a fabricated second member") {
+    import spark.implicits._
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      r = LOAD 'region.parquet';
+      g = GROUP r BY r_regionkey;
+      out = FOREACH g GENERATE group, COUNT(r) AS n;
+      """)
+    val ex = e.illustrate("out").toMap
+    // r_regionkey is unique across ALL of region — repair can't find a
+    // repeated key, so a duplicate of an example row (one non-key
+    // column mutated) is fabricated
+    assert(ex("out").agg(max($"n")).as[Long].head() >= 2)
   }
 
   test("TOP builtin keeps the n largest tuples of a bag by field") {
