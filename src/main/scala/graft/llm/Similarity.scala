@@ -293,6 +293,16 @@ object Similarity {
     * the corpus-wide assignment/encode (which stays codegen'd and
     * distributed). Empty cells re-seed by splitting the largest cell
     * (deterministic jitter), so the codebook never silently shrinks.
+    *
+    * The per-iteration assign+sum is O(sample · k · dim) — trivial at
+    * PQ/IVF sizes (k ≤ 256) but ~39G multiply-adds for SemDeDup's
+    * scaled coarse quantizer (k = 4096, 100k sample), which the r15
+    * q98 stage probe measured at ~87 s single-threaded. It now runs
+    * over fixed 4096-point BLOCKS on a Java parallel stream, partials
+    * combined in block-index order — bit-deterministic regardless of
+    * thread scheduling (same blocks, same combine order), just not
+    * bit-identical to the old single-accumulator order (documented;
+    * every consumer's oracle is property-based).
     */
   private[graft] def lloydLocal(data: Array[Array[Double]],
                                 init: Array[Array[Double]],
@@ -300,13 +310,35 @@ object Similarity {
     var cents = init
     val k = init.length
     val d = init(0).length
+    val blockSize = 4096
+    val nBlocks = (data.length + blockSize - 1) / blockSize
     for (_ <- 1 to iters) {
+      val cur = cents
+      val partials = java.util.stream.IntStream.range(0, nBlocks).parallel()
+        .mapToObj[(Array[Array[Double]], Array[Long])] { b =>
+          val bSums = Array.fill(k, d)(0.0)
+          val bCnt = new Array[Long](k)
+          var p = b * blockSize
+          val end = math.min(p + blockSize, data.length)
+          while (p < end) {
+            val x = data(p)
+            val c = nearestCellD(x, cur)
+            bCnt(c) += 1
+            var i = 0; while (i < d) { bSums(c)(i) += x(i); i += 1 }
+            p += 1
+          }
+          (bSums, bCnt)
+        }
+        .toArray(n => new Array[(Array[Array[Double]], Array[Long])](n))
       val sums = Array.fill(k, d)(0.0)
       val cnt = new Array[Long](k)
-      data.foreach { x =>
-        val c = nearestCellD(x, cents)
-        cnt(c) += 1
-        var i = 0; while (i < d) { sums(c)(i) += x(i); i += 1 }
+      partials.foreach { case (bSums, bCnt) => // block order: deterministic
+        var c = 0
+        while (c < k) {
+          cnt(c) += bCnt(c)
+          var i = 0; while (i < d) { sums(c)(i) += bSums(c)(i); i += 1 }
+          c += 1
+        }
       }
       val next = Array.tabulate(k, d) { (c, i) =>
         if (cnt(c) > 0) sums(c)(i) / cnt(c) else cents(c)(i)
