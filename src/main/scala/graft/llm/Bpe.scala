@@ -43,11 +43,20 @@ object Bpe {
   val EndOfWord = "</w>"
 
   private[graft] def wordSymbols(w: String): Array[String] = {
-    val out = new Array[String](w.length + 1)
+    // split by CODE POINT, not Java char: a lone surrogate half from a
+    // split pair is not a valid string — UTF8String would mangle it to
+    // replacement bytes in the codegen kernel, breaking kernel/driver
+    // parity and byte-exact decode∘encode on any non-BMP character
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
     var i = 0
-    while (i < w.length) { out(i) = String.valueOf(w.charAt(i)); i += 1 }
-    out(w.length) = EndOfWord
-    out
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out += EndOfWord
+    out.toArray
   }
 
   /** Learn up to `numMerges` merge rules from a word-frequency dict.

@@ -261,6 +261,14 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case other => List(other)
   }
 
+  /** [[resolveField]]'s name rule (exact, then `::`-suffix) as a plain
+    * schema lookup — synthesis must FAIL CLOSED (Option) on a name the
+    * schema can't resolve, where the Column form would throw out of
+    * illustrate(). */
+  private def synthResolveName(schema: StructType, n: String): Option[String] =
+    if (schema.fieldNames.contains(n)) Some(n)
+    else schema.fieldNames.find(_.endsWith(s"::$n"))
+
   /** A literal value satisfying `col OP lit` (lit's numeric domain;
     * coercion to the column type happens in [[synthRow]]). */
   private def synthCmpWitness(op: String, v: Any): Option[Any] = op match {
@@ -290,18 +298,34 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     * schema. None when any conjunct is outside the solvable subset or
     * the verification filter rejects the fabricated row. */
   private def synthFilterWitness(full: DataFrame, cond: Expr): Option[DataFrame] = {
-    val vals = synthConjuncts(cond).foldLeft(Option(Map.empty[String, Any])) {
+    // each conjunct → (resolved column, hard?, witness value): hard
+    // pins (== / IS NULL) apply first and are never overwritten by
+    // soft ones (< <= > >= != / IS NOT NULL), so `k == 5 AND k != 3`
+    // solves to 5 instead of the != conjunct clobbering the equality
+    val resolved = synthConjuncts(cond).foldLeft(
+        Option(List.empty[(String, Boolean, Any)])) {
       case (None, _) => None
-      case (Some(m), c) => c match {
-        case Cmp(op, FieldRef(col), Lit(v)) =>
-          synthCmpWitness(op, v).map(x => m + (col -> x))
-        case Cmp(op, Lit(v), FieldRef(col)) =>
-          synthCmpWitness(synthFlip(op), v).map(x => m + (col -> x))
-        case IsNull(FieldRef(col), negated) =>
-          if (negated) // IS NOT NULL: any non-null default
-            Some(m + (col -> synthDefault(full.schema(col).dataType)))
-          else Some(m + (col -> null))
-        case _ => None
+      case (Some(acc), c) =>
+        def one(name: String, op: String, v: Any) =
+          synthResolveName(full.schema, name).flatMap(rn =>
+            synthCmpWitness(op, v).map(x => (rn, op == "==", x)))
+        (c match {
+          case Cmp(op, FieldRef(n), Lit(v)) => one(n, op, v)
+          case Cmp(op, Lit(v), FieldRef(n)) => one(n, synthFlip(op), v)
+          case IsNull(FieldRef(n), negated) =>
+            synthResolveName(full.schema, n).map { rn =>
+              if (negated) (rn, false, synthDefault(full.schema(rn).dataType))
+              else (rn, true, null)
+            }
+          case _ => None
+        }).map(acc :+ _)
+    }
+    val vals = resolved.map { cs =>
+      val hard = cs.filter(_._2).foldLeft(Map.empty[String, Any]) {
+        case (m, (n, _, v)) => if (m.contains(n)) m else m + (n -> v)
+      }
+      cs.filterNot(_._2).foldLeft(hard) {
+        case (m, (n, _, v)) => if (m.contains(n)) m else m + (n -> v)
       }
     }
     vals.flatMap(synthRow(full.schema, _))
@@ -313,13 +337,19 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     * realism first — else type defaults). Keys must all be FieldRefs. */
   private def synthJoinWitness(lf: DataFrame, rf: DataFrame,
                                lk: List[Expr], rk: List[Expr]): Option[(DataFrame, DataFrame)] = {
-    def refs(es: List[Expr]): Option[List[String]] = {
-      val cs = es.collect { case FieldRef(c) => c }
+    def refs(es: List[Expr], schema: StructType): Option[List[String]] = {
+      // every key must be a FieldRef AND resolve in the schema (the
+      // `::`-suffix rule) — anything else fails closed, where a raw
+      // col(name) would throw an AnalysisException out of illustrate()
+      val cs = es.flatMap {
+        case FieldRef(c) => synthResolveName(schema, c)
+        case _ => None
+      }
       if (cs.length == es.length) Some(cs) else None
     }
     for {
-      ln <- refs(lk)
-      rn <- refs(rk)
+      ln <- refs(lk, lf.schema)
+      rn <- refs(rk, rf.schema)
       keyVals = {
         val fromL = lf.select(ln.map(col): _*).limit(1).collect().headOption
         val fromR = rf.select(rn.map(col): _*).limit(1).collect().headOption
@@ -496,8 +526,11 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
                 if (addExtra(in, rows)) { changed = true; replay() }
                 else {
                   // no key repeats anywhere in the data — fabricate the
-                  // second member of a group (pen synthesis)
+                  // second member of a group (pen synthesis); key names
+                  // resolve through the `::`-suffix rule so a qualified
+                  // key column is never mistaken for a mutable non-key
                   val keyNames = keys.collect { case FieldRef(c) => c }
+                    .flatMap(synthResolveName(fullIn.schema, _))
                   if (keyNames.length == keys.length &&
                       synthGroupWitness(exIn, fullIn.schema, keyNames.toSet)
                         .exists(addExtra(in, _))) {

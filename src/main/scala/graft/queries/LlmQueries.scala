@@ -372,11 +372,22 @@ object LlmQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nDocs = enc.count()
       val ranks = Bpe.ranksOf(merges)
-      val sample = enc
+      val joined = enc
         .join(d.select(col("doc_id").as("doc"), col("text")), Seq("doc"))
+      val picked = joined
         .filter(pmod(Text.fingerprint(col("text")), lit(20)) === 0)
         .select(col("text"), col("tokens"), col("n_tokens"))
         .collect()
+      // a corpus can (p ≈ (19/20)^n) have no fingerprint ≡ 0 (mod 20):
+      // fall back to the 8 lowest-fingerprint docs — still deterministic
+      // and text-dependent, never an empty sample turning the invariant
+      // booleans false on a healthy operator
+      val sample =
+        if (picked.nonEmpty) picked
+        else joined
+          .orderBy(Text.fingerprint(col("text")), col("doc"))
+          .select(col("text"), col("tokens"), col("n_tokens"))
+          .limit(8).collect()
       val sampleOk = sample.nonEmpty && sample.forall { r =>
         val toks = Bpe.encodeText(r.getString(0), ranks)
         r.getSeq[String](1) == toks.toSeq && r.getLong(2) == toks.length.toLong

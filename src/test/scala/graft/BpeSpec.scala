@@ -69,6 +69,27 @@ class BpeSpec extends SparkSuite {
     assert(r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("non-BMP characters survive encode/decode and kernel/Column parity") {
+    // code-point split: a Java-char split would break the surrogate
+    // pair and UTF8String would mangle the lone halves to '?'
+    val emoji = new String(Character.toChars(0x1F600)) // astral plane
+    val text = s"ab $emoji$emoji cd $emoji"
+    val docs = Seq((1L, text), (2L, s"$emoji$emoji $emoji$emoji")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 10)
+    val ranks = Bpe.ranksOf(merges)
+    assert(Bpe.decode(Bpe.encodeText(text, ranks).toSeq) == text)
+    // every driver token is a well-formed string (no lone surrogates)
+    Bpe.encodeText(text, ranks).foreach { t =>
+      assert(!t.exists(c => Character.isSurrogate(c) &&
+        (t.length == 1 || !Character.isHighSurrogate(t.head) && t.length < 2)))
+      assert(t.codePointCount(0, t.length) >= 1)
+    }
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy($"doc").as[(Long, Seq[String], Long)].collect()
+    assert(got(0)._2 == Bpe.encodeText(text, ranks).toSeq, "kernel/Column parity on non-BMP")
+    assert(Bpe.decode(got(0)._2) == text)
+  }
+
   test("multi-char BPE tokens only ever come from learned merges") {
     // invariant behind q116's all_oov_single_char check: encoding ANY
     // text under a merge table can only produce multi-char symbols that

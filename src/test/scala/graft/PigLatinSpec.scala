@@ -647,6 +647,30 @@ class PigDiagnosticsSpec extends SparkSuite {
     assert(e3.illustrate("m").toMap.apply("m").count() == 0)
   }
 
+  test("ILLUSTRATE synthesis: equality pins beat soft conjuncts; qualified names never crash") {
+    import spark.implicits._
+    // k == 20 AND k != 3: the equality is the hard pin — a last-wins
+    // solver would let != overwrite it with 4 and fail verification
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      n = LOAD 'nation.parquet';
+      f = FILTER n BY n_nationkey == 999 AND n_nationkey != 3;
+      """)
+    val ex = e.illustrate("f").toMap
+    assert(ex("f").select($"n_nationkey").as[Long].collect().toSeq == Seq(999L))
+    // a self-join collides every column into alias::-qualified names;
+    // synthesis over the bare names must resolve via the suffix rule or
+    // fail closed — never throw out of illustrate()
+    val e2 = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      a = LOAD 'region.parquet';
+      b = LOAD 'region.parquet';
+      j = JOIN a BY r_regionkey, b BY r_regionkey;
+      f = FILTER j BY r_name == 'zzz_not_a_region';
+      g = GROUP f BY r_name;
+      """)
+    val ex2 = e2.illustrate("g").toMap // must complete, witness or not
+    assert(ex2.contains("g"))
+  }
+
   test("ILLUSTRATE synthesis: a join with no real matching pair gets a fabricated one") {
     val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
       r = LOAD 'region.parquet';
