@@ -187,8 +187,10 @@ object Bpe {
     df.select(col(idCol).as("doc"),
       call_function("graft_bpe_tokens", col(textCol), mergeLit).as("tokens"))
       .withColumn("n_tokens",
-        // size() reads null arrays as -1 under the session's legacy
-        // sizeOfNull setting — propagate the null explicitly
+        // size(null) is -1 here, not null: Graft sessions run with
+        // spark.sql.ansi.enabled=false, which flips the implied
+        // spark.sql.legacy.sizeOfNull default to true (probed
+        // empirically this session) — propagate the null explicitly
         when(col("tokens").isNull, lit(null))
           .otherwise(size(col("tokens"))).cast("long"))
   }

@@ -561,23 +561,18 @@ object Dedup {
     val keepers = exactByFingerprint(batch, contentCol, idCol)
       .select(col("keeper_id").as("id"), col("fp_a"), col("fp_b"))
     val st = store.select(col("fp_a"), col("fp_b"))
-    // Null content fingerprints to (null, null) — xxhash64 is
-    // null-propagating — and a plain equi-anti-join never matches null
-    // keys, so the (≤1 per batch, groupBy groups nulls) null keeper
-    // always survives step 2 and would re-enter as "new" in EVERY batch
-    // even after its fingerprint row landed in the store. A `<=>` join
-    // would fix that but Spark rewrites null-safe equi-keys to
-    // coalesce/isnull pairs, re-shuffling the bucketed store
-    // (BucketedSpec asserts the store side is Exchange-free). Instead:
-    // keep the plain equi-anti-join (null keeper passes through), then
-    // drop it iff the store already holds a null fingerprint — a ≤1-row
-    // broadcast probe whose IS NULL filter prunes to the store's
-    // null-count stats, never a second corpus-sized pass.
-    val nullProbe = broadcast(
-      st.filter(col("fp_a").isNull).limit(1).select(lit(1).as("graft_probe")))
+    // Null-content handling needs NO special path: Spark's xxhash64 is
+    // NOT null-propagating (HashExpression.nullable is hardwired
+    // false; a null child is skipped and the seed comes back, so
+    // xxhash64(NULL) = 42 — verified against the shipped Spark 4.1.2).
+    // A null-content doc therefore fingerprints to the same non-null
+    // constant pair every time, dedups within-batch through the
+    // groupBy, and matches the store through this plain equi-anti-join
+    // like any other document (cross-batch regression test in
+    // TextSpec). The plain Seq-keys join keeps the bucketed store read
+    // Exchange-free (BucketedSpec).
     keepers
       .join(st, Seq("fp_a", "fp_b"), "left_anti")
-      .join(nullProbe, col("fp_a").isNull, "left_anti")
       .select(col("id"), col("fp_a"), col("fp_b"))
   }
 

@@ -504,10 +504,13 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
               val rrows = rf.join(lrows, cond, "left_semi")
               var ch = addExtra(la, lrows)
               ch = addExtra(ra, rrows) || ch
-              if (!ch) // no real matching pair anywhere — fabricate one
+              if (!ch && repairable(la) && repairable(ra))
+                // no real matching pair anywhere — fabricate one, but
+                // all-or-nothing: committing only one half would leave a
+                // synthetic row that exercises nothing (the join stays
+                // empty) while re-triggering synthesis every pass
                 synthJoinWitness(lf, rf, lk, rk).foreach { case (l, r) =>
-                  ch = addExtra(la, l)
-                  ch = addExtra(ra, r) || ch
+                  ch = addExtra(la, l) && addExtra(ra, r)
                 }
               if (ch) { changed = true; replay() }
             case GroupOp(List((in, keys)), false, _) if keys.nonEmpty =>

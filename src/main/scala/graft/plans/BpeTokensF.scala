@@ -17,11 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Unlike the codebook (read positionally per row), BPE needs the
   * merges as a rank HASH MAP; building it per row would dominate the
-  * encode. A single-slot identity-keyed memo caches the converted map:
-  * the literal's ArrayData is one object per plan, so every row after
-  * the first hits the memo. Concurrent queries with different merge
-  * tables at worst thrash the slot and recompute — correctness is
-  * unaffected (the map is derived purely from the keyed object).
+  * encode. A THREAD-LOCAL identity-keyed memo caches the converted
+  * map: each Spark task deserializes its own copy of the literal's
+  * ArrayData, so a shared single slot would be overwritten by
+  * concurrent tasks and miss on nearly every row — per-thread slots
+  * hit on every row after the task's first. Correctness never depends
+  * on the memo (the map is derived purely from the keyed object).
   *
   * Registered as SQL function `graft_bpe_tokens(text, merges)` by
   * [[GraftExtensions]].
@@ -55,10 +56,11 @@ case class BpeTokensF(left: Expression, right: Expression)
 
 object BpeTokensF {
 
-  @volatile private var memo: (AnyRef, Map[(String, String), Int]) = null
+  private val memo =
+    new ThreadLocal[(AnyRef, Map[(String, String), Int])]
 
   private def ranksFor(m: ArrayData): Map[(String, String), Int] = {
-    val cached = memo
+    val cached = memo.get()
     if (cached != null && (cached._1 eq m)) cached._2
     else {
       val n = m.numElements()
@@ -71,7 +73,7 @@ object BpeTokensF {
         i += 1
       }
       val ranks = b.result()
-      memo = (m, ranks)
+      memo.set((m, ranks))
       ranks
     }
   }

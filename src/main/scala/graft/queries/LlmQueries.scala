@@ -372,12 +372,19 @@ object LlmQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nDocs = enc.count()
       val ranks = Bpe.ranksOf(merges)
+      // sample is BOUNDED (64 lowest-fingerprint members of the mod
+      // class) — an unbounded 1/20 of the corpus would be a
+      // corpus-proportional driver collect, violating the model-sized
+      // rule; null text is excluded (the driver re-encode would NPE,
+      // and the kernel yields null tokens there by design)
       val joined = enc
         .join(d.select(col("doc_id").as("doc"), col("text")), Seq("doc"))
+        .filter(col("text").isNotNull)
       val picked = joined
         .filter(pmod(Text.fingerprint(col("text")), lit(20)) === 0)
+        .orderBy(Text.fingerprint(col("text")), col("doc"))
         .select(col("text"), col("tokens"), col("n_tokens"))
-        .collect()
+        .limit(64).collect()
       // a corpus can (p ≈ (19/20)^n) have no fingerprint ≡ 0 (mod 20):
       // fall back to the 8 lowest-fingerprint docs — still deterministic
       // and text-dependent, never an empty sample turning the invariant

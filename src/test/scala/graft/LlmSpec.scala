@@ -988,6 +988,10 @@ class TextSpec extends SparkSuite {
   }
 
   test("exactIncremental: null-content docs dedup against the store too") {
+    // pins the engine semantics the operator relies on: xxhash64(NULL)
+    // is the non-null seed constant (42), NOT null — so null-content
+    // docs carry a constant fingerprint pair, dedup within-batch, and
+    // match the store through the plain equi-anti-join across batches
     val mkStore = (df: org.apache.spark.sql.DataFrame) => df
       .select(xxhash64($"text").as("fp_a"),
         xxhash64(lit("graft-fp2"), $"text").as("fp_b"))
@@ -996,10 +1000,12 @@ class TextSpec extends SparkSuite {
       .toDF("doc_id", "text")
     val empty = mkStore(Seq.empty[String].toDF("text"))
     val r1 = graft.llm.Dedup.exactIncremental(b1, "text", "doc_id", empty)
-    assert(r1.select($"id").as[Long].collect().toSet == Set(1L, 2L))
-    // append batch-1 keepers to the store; batch 2's null doc must now
-    // be recognized as a duplicate (the pre-fix bug: null keys never
-    // matched the anti-join, so null docs re-entered every batch)
+    val r1rows = r1.collect()
+    assert(r1rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+    // the null keeper's fingerprints are NON-null (the invariant above)
+    assert(r1rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+    // append batch-1 keepers to the store; batch 2's null doc must be
+    // recognized as a duplicate
     val store2 = empty.unionByName(r1.select($"fp_a", $"fp_b"))
     val b2 = Seq((4L, Option("y")), (5L, None)).toDF("doc_id", "text")
     val r2 = graft.llm.Dedup.exactIncremental(b2, "text", "doc_id", store2)
