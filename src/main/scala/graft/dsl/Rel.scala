@@ -265,8 +265,9 @@ final case class Rel(df: DataFrame) {
     *  R: src/org/apache/pig/impl/streaming/ExecutableManager.java].
     * Output rows are parsed back with the supplied schema-apply fn.
     */
-  def streamThrough(cmd: String): Rel = {
-    val strings = df.selectExpr("concat_ws('\t', *)")
+  def streamThrough(cmd: String, delim: String = "\t"): Rel = {
+    val strings = df.select(
+      concat_ws(delim, df.columns.map(col).toIndexedSeq: _*))
     val piped = strings.rdd.map(_.getString(0)).pipe(cmd)
     val out = spark.createDataset(piped)(org.apache.spark.sql.Encoders.STRING)
     Rel(out.toDF("line"))

@@ -75,10 +75,17 @@ object Ast {
                           clauses: List[(String, List[Expr])] // "cube"|"rollup" → dims
                          ) extends RelOp
 
-  /** STREAM rel THROUGH `cmd` [AS (schema)] — pipe tuples through an
-    * external command [R: …/relationalOperators/POStream.java]. */
+  /** STREAM rel THROUGH `cmd` [INPUT(stdin USING PigStreaming('d'))]
+    * [OUTPUT(stdout USING PigStreaming('d'))] [AS (schema)] — pipe
+    * tuples through an external command
+    * [R: …/relationalOperators/POStream.java]. The serializer clauses
+    * are Pig's DEFINE-site INPUT/OUTPUT, lowered onto the STREAM
+    * statement by the preprocessor (also accepted inline); PigStreaming
+    * with a custom field delimiter is the supported serializer. */
   final case class StreamOp(input: String, cmd: String,
-                            schema: Option[List[FieldDef]]) extends RelOp
+                            schema: Option[List[FieldDef]],
+                            inDelim: String = "\t",
+                            outDelim: String = "\t") extends RelOp
   final case class JoinOp(inputs: List[(String, List[Expr])],
                           outer: Option[String],   // LEFT/RIGHT/FULL
                           using: Option[String]) extends RelOp // replicated/skewed/merge

@@ -183,7 +183,7 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case ForeachNestedOp(in, _, _) => Seq(in)
     case GroupOp(ins, _, _) => ins.map(_._1)
     case CubeOp(in, _) => Seq(in)
-    case StreamOp(in, _, _) => Seq(in)
+    case StreamOp(in, _, _, _, _) => Seq(in)
     case JoinOp(ins, _, _) => ins.map(_._1)
     case CrossOp(ins) => ins
     case OrderOp(in, _, _) => Seq(in)
@@ -608,12 +608,13 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
         "sets", sets)
       RelInfo(() => materializeBags(ginfo), Some(ginfo))
 
-    case StreamOp(in, cmd, schema) => RelInfo(() => {
-      val lines = graft.dsl.Rel(relation(in)).streamThrough(cmd).df
+    case StreamOp(in, cmd, schema, inDelim, outDelim) => RelInfo(() => {
+      val lines = graft.dsl.Rel(relation(in)).streamThrough(cmd, inDelim).df
       schema match {
         case None => lines
         case Some(fs) =>
-          val parts = split(col("line"), "\t")
+          val parts = split(col("line"),
+            java.util.regex.Pattern.quote(outDelim))
           lines.select(fs.zipWithIndex.map { case (f, i) =>
             parts.getItem(i).cast(f.typ.map(pigType).getOrElse(StringType))
               .as(f.name) }: _*)

@@ -194,8 +194,33 @@ object Parser {
           case StrLit(s, _) => p += 1; s // DEFINE'd commands expand to strings
           case _ => fail("expected `command` after THROUGH")
         }
+        // serializer clauses (DEFINE-site in Pig; the preprocessor
+        // lowers them here, and inline is accepted too):
+        // INPUT(stdin [USING PigStreaming('d')]) / OUTPUT(stdout ...)
+        var inDelim = "\t"; var outDelim = "\t"
+        def serializerDelim(): String = {
+          eatSym("(")
+          ident() // stdin / stdout
+          val d = if (tryKw("using")) {
+            val ser = ident()
+            if (!ser.equalsIgnoreCase("PigStreaming"))
+              fail(s"unsupported stream serializer $ser — PigStreaming is the supported subset")
+            eatSym("(")
+            val dl = if (atSym(")")) "\t" else str()
+            eatSym(")")
+            dl
+          } else "\t"
+          eatSym(")")
+          d
+        }
+        var more = true
+        while (more) {
+          if (tryKw("input")) inDelim = serializerDelim()
+          else if (tryKw("output")) outDelim = serializerDelim()
+          else more = false
+        }
         val schema = if (tryKw("as")) Some(schemaSpec()) else None
-        StreamOp(in, cmd, schema)
+        StreamOp(in, cmd, schema, inDelim, outDelim)
       }
       else if (atKw("group") || atKw("cogroup")) { p += 1
         val first = groupInput()

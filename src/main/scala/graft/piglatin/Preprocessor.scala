@@ -25,24 +25,51 @@ object Preprocessor {
   /** `DEFINE alias `cmd` [SHIP(…)] [CACHE(…)] [INPUT(…)] [OUTPUT(…)]
     * [STDERR(…)];` — a streaming-command definition
     * [R: src/org/apache/pig/impl/streaming/StreamingCommand.java]. The
-    * command is recorded and substituted at `STREAM … THROUGH alias`;
-    * the clauses are parsed-and-ignored: SHIP/CACHE distribute
-    * artifacts to task hosts (meaningless in a single-JVM Spark-local
-    * deployment; on a cluster, `spark.files` is the analog), and
-    * INPUT/OUTPUT/STDERR select serializers beyond the default
-    * tab-delimited stdin/stdout transport, which is the only one
-    * [[graft.dsl.Rel.streamThrough]] implements (documented subset,
-    * SURVEY §7.4 #7).
+    * command is recorded and substituted at `STREAM … THROUGH alias`.
+    * Clause handling (r15): `INPUT(stdin USING PigStreaming('d'))` /
+    * `OUTPUT(stdout USING PigStreaming('d'))` carry their field
+    * delimiter to the THROUGH site (lowered onto the STREAM statement,
+    * where the compiler feeds it to the pipe transport); SHIP/CACHE
+    * remain parsed-and-ignored (they distribute artifacts to task
+    * hosts — meaningless in a single-JVM Spark-local deployment; on a
+    * cluster, `spark.files` is the analog) and STDERR likewise (task
+    * logs are the transport). A DEFINE whose clauses span MULTIPLE
+    * LINES is accumulated until its terminating `;` (continuation
+    * lines join with a space). Non-PigStreaming serializers stay the
+    * documented subset (SURVEY §7.4 #7) and are rejected at parse.
     */
   private val StreamDefineRe =
-    """(?i)^\s*define\s+(\w+)\s+`([^`]*)`\s*((?:(?:ship|cache|input|output|stderr)\s*\([^)]*\)\s*)*);\s*$""".r
+    // clause bodies allow ONE nesting level of parens — the serializer
+    // form `input(stdin using PigStreaming(','))` needs it
+    """(?i)^\s*define\s+(\w+)\s+`([^`]*)`\s*((?:(?:ship|cache|input|output|stderr)\s*\((?:[^()]|\([^()]*\))*\)\s*)*);\s*$""".r
+  private val StreamDefineStartRe =
+    """(?i)^\s*define\s+(\w+)\s+`[^`]*`[^;]*$""".r
+  private val InputSerRe =
+    """(?i)input\s*\(\s*stdin(\s+using\s+\w+\s*\(\s*(?:'[^']*')?\s*\))?\s*\)""".r
+  private val OutputSerRe =
+    """(?i)output\s*\(\s*stdout(\s+using\s+\w+\s*\(\s*(?:'[^']*')?\s*\))?\s*\)""".r
   private val MacroStartRe = """(?i)^\s*define\s+(\w+)\s*\(([^)]*)\)\s+returns\s+(\w+)\s*\{\s*$""".r
   private val MacroCallRe = """(?i)^\s*(\w+)\s*=\s*(\w+)\s*\(([^)]*)\)\s*;\s*$""".r
   private val AssignRe = """(?m)^\s*(\w+)\s*=""".r
 
   private final case class Macro(params: List[String], returns: String, body: String)
 
-  def expand(script: String): String = {
+  def expand(script: String): String = expand(script, 0)
+
+  /** The THROUGH-site replacement for a stream DEFINE: the command plus
+    * any INPUT/OUTPUT serializer clauses lowered from the DEFINE (their
+    * delimiters travel to the parser's STREAM clause handling). */
+  private def streamReplacement(cmd: String, clauses: String): String = {
+    def lowered(m: Option[scala.util.matching.Regex.Match]) =
+      m.map(_.matched).getOrElse("")
+    val in = lowered(InputSerRe.findFirstMatchIn(clauses))
+    val out = lowered(OutputSerRe.findFirstMatchIn(clauses))
+    (s"`$cmd` $in $out").trim.replaceAll("\\s+", " ")
+  }
+
+  private def expand(script: String, depth: Int): String = {
+    require(depth < 8,
+      "macro expansion exceeded depth 8 — recursive macro definitions?")
     val params = scala.collection.mutable.Map[String, String]()
     val defaults = scala.collection.mutable.Map[String, String]()
     val funcAliases = scala.collection.mutable.Map[String, String]()
@@ -53,23 +80,36 @@ object Preprocessor {
     val kept = new StringBuilder
     val lines = script.split("\n", -1).iterator
     while (lines.hasNext) {
-      val line = lines.next()
+      var line = lines.next()
+      // a stream DEFINE whose clauses span multiple lines: accumulate
+      // (joined with a space) until the terminating `;`
+      if (StreamDefineStartRe.findFirstIn(line).isDefined) {
+        val acc = new StringBuilder(line)
+        while (!acc.toString.contains(";") && lines.hasNext) {
+          acc.append(' ').append(lines.next().trim)
+        }
+        line = acc.toString
+      }
       line match {
         case DeclareRe(kind, name, quoted, bare) =>
           val v = Option(quoted).getOrElse(bare)
           if (kind.equalsIgnoreCase("declare")) params(name) = v
           else defaults(name) = v
-        case StreamDefineRe(alias, cmd, _) =>
-          streamCmds(alias) = cmd
+        case StreamDefineRe(alias, cmd, clauses) =>
+          streamCmds(alias) = streamReplacement(cmd, clauses)
         case DefineFuncRe(alias, target) =>
           funcAliases(alias) = target
         case MacroStartRe(name, ps, ret) =>
+          // brace-depth-aware: a NESTED macro definition inside the
+          // body keeps its own braces and is re-expanded recursively
+          // after this macro's call site is substituted
           val body = new StringBuilder
-          var done = false
-          while (!done && lines.hasNext) {
+          var braceDepth = 1
+          while (braceDepth > 0 && lines.hasNext) {
             val l = lines.next()
-            if (l.trim.startsWith("}")) done = true
-            else body.append(l).append("\n")
+            if (MacroStartRe.findFirstIn(l).isDefined) braceDepth += 1
+            if (l.trim.startsWith("}")) braceDepth -= 1
+            if (braceDepth > 0) body.append(l).append("\n")
           }
           macros(name) = Macro(
             ps.split(",").map(_.trim).filter(_.nonEmpty).toList, ret, body.toString)
@@ -89,8 +129,13 @@ object Preprocessor {
             s"macro $name expects ${m.params.size} args, got ${argv.size}")
           var body = m.body
           // hygiene: rename internal aliases (everything assigned in the
-          // body except the RETURNS alias)
-          val internal = AssignRe.findAllMatchIn(m.body).map(_.group(1)).toSet - m.returns
+          // body except the RETURNS alias) AND nested macro-definition
+          // names, so two call sites of this macro can't cross-wire
+          // their nested copies when the recursive pass collects them
+          val nestedNames = """(?i)define\s+(\w+)\s*\(""".r
+            .findAllMatchIn(m.body).map(_.group(1)).toSet
+          val internal = AssignRe.findAllMatchIn(m.body).map(_.group(1)).toSet ++
+            nestedNames - m.returns
           internal.foreach { a =>
             body = body.replaceAll(s"\\b$a\\b", s"${a}_m$counter")
           }
@@ -114,11 +159,16 @@ object Preprocessor {
     // THROUGH keyword matches case-insensitively but the ALIAS is
     // case-sensitive (Pig aliases are; the sibling funcAliases
     // substitution has no (?i) either)
-    streamCmds.foreach { case (a, cmd) =>
+    streamCmds.foreach { case (a, replacement) =>
       out = out.replaceAll(
         "(?i:\\bthrough\\s+)" + java.util.regex.Pattern.quote(a) + "\\b",
-        java.util.regex.Matcher.quoteReplacement(s"THROUGH `$cmd`"))
+        java.util.regex.Matcher.quoteReplacement(s"THROUGH $replacement"))
     }
-    out
+    // nested macro definitions surfaced by this round of expansion are
+    // collected and expanded by a recursive pass (bounded by `depth`)
+    if (macros.nonEmpty &&
+        out.linesIterator.exists(l => MacroStartRe.findFirstIn(l).isDefined))
+      expand(out, depth + 1)
+    else out
   }
 }

@@ -528,6 +528,55 @@ class PigPreprocessorSpec extends SparkSuite {
     assert(gotStatus == wantStatus)
     assert(e.relation("by_nation").count() == 25)
   }
+
+  test("nested macro definitions expand recursively with hygiene (r15)") {
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      DEFINE outer(rel) RETURNS res {
+        DEFINE inner(x) RETURNS y {
+          y = FILTER $x BY n_nationkey < 10;
+        };
+        t = inner($rel);
+        res = DISTINCT t;
+      };
+      n = LOAD 'nation.parquet';
+      small = outer(n);
+      small2 = outer(n);
+      """)
+    val want = Tables.load(spark, dir, "nation")
+      .filter($"n_nationkey" < 10).distinct().count()
+    assert(e.relation("small").count() == want && want > 0)
+    // two call sites must not cross-wire their nested copies
+    assert(e.relation("small2").count() == want)
+  }
+
+  test("STREAM serializers: PigStreaming custom delimiter reaches the pipe (r15)") {
+    import org.apache.spark.sql.functions._
+    // cut -d, only works if the INPUT serializer really joins with ','
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      DEFINE second_field `cut -d, -f2` INPUT(stdin USING PigStreaming(',')) OUTPUT(stdout USING PigStreaming(','));
+      r = LOAD 'region.parquet';
+      p = FOREACH r GENERATE r_regionkey, r_name;
+      s = STREAM p THROUGH second_field AS (name:chararray);
+      """)
+    val got = col0(e.relation("s")).map(_.asInstanceOf[String]).toSet
+    val want = col0(Tables.load(spark, dir, "region").select(col("r_name"))).toSet
+    assert(got == want && want.size == 5)
+  }
+
+  test("multi-line stream DEFINE: clauses spanning lines accumulate to one definition (r15)") {
+    import org.apache.spark.sql.functions._
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      DEFINE first_field `cut -d, -f1`
+        INPUT(stdin USING PigStreaming(','))
+        OUTPUT(stdout USING PigStreaming(','));
+      r = LOAD 'region.parquet';
+      p = FOREACH r GENERATE r_name, r_regionkey;
+      s = STREAM p THROUGH first_field AS (name:chararray);
+      """)
+    val got = col0(e.relation("s")).map(_.asInstanceOf[String]).toSet
+    val want = col0(Tables.load(spark, dir, "region").select(col("r_name"))).toSet
+    assert(got == want)
+  }
 }
 
 /** Diagnostics statements execute without error and TOP works. */
