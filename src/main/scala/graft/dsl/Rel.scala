@@ -83,7 +83,10 @@ final case class Rel(df: DataFrame) {
     * top-level fields like Pig's tuple-flatten.
     */
   def flatten(bagCol: String, as: String): Rel =
-    Rel(df.withColumn(as, explode(col(bagCol))).drop(bagCol))
+    // when the output keeps the bag's name, withColumn already replaced
+    // it — dropping would delete the just-exploded result (r15 review)
+    if (as == bagCol) Rel(df.withColumn(as, explode(col(bagCol))))
+    else Rel(df.withColumn(as, explode(col(bagCol))).drop(bagCol))
 
   /** FLATTEN of multiple bags in one GENERATE = cross product of the
     * bags (chained explodes). */
@@ -266,8 +269,13 @@ final case class Rel(df: DataFrame) {
     * Output rows are parsed back with the supplied schema-apply fn.
     */
   def streamThrough(cmd: String, delim: String = "\t"): Rel = {
+    // concat_ws SKIPS null columns, which would shift every later
+    // field left and silently misalign the external command's view —
+    // Pig's PigStreaming writes nulls as empty fields between
+    // delimiters, so coalesce each field to "" (r15 review)
     val strings = df.select(
-      concat_ws(delim, df.columns.map(col).toIndexedSeq: _*))
+      concat_ws(delim,
+        df.columns.map(c => coalesce(col(c).cast("string"), lit(""))).toIndexedSeq: _*))
     val piped = strings.rdd.map(_.getString(0)).pipe(cmd)
     val out = spark.createDataset(piped)(org.apache.spark.sql.Encoders.STRING)
     Rel(out.toDF("line"))

@@ -125,7 +125,11 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       env(alias) = compileOp(alias, op)
       history += ((alias, op))
     case SplitStmt(in, branches, otherwise) =>
-      val parent = relation(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // track the persist so Rel.releaseTracked() can unpersist it —
+      // a long-running session executing many SPLITs would otherwise
+      // grow the block manager unboundedly (r15 review)
+      val parent = graft.dsl.Rel.track(
+        relation(in).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val conds = branches.map { case (_, c) => compileExpr(parent, c) }
       branches.zip(conds).foreach { case ((a, _), c) =>
         env(a) = RelInfo(() => parent.filter(c))
@@ -608,8 +612,10 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
         "sets", sets)
       RelInfo(() => materializeBags(ginfo), Some(ginfo))
 
-    case StreamOp(in, cmd, schema, inDelim, outDelim) => RelInfo(() => {
-      val lines = graft.dsl.Rel(relation(in)).streamThrough(cmd, inDelim).df
+    case StreamOp(in, cmd, schema, inDelim, outDelim) =>
+      val d = relation(in)
+      RelInfo(() => {
+      val lines = graft.dsl.Rel(d).streamThrough(cmd, inDelim).df
       schema match {
         case None => lines
         case Some(fs) =>
@@ -622,10 +628,12 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     })
 
     case JoinOp(inputs, outer, using) =>
-      RelInfo(() => compileJoin(inputs, outer, using))
+      val joined = compileJoin(inputs, outer, using)
+      RelInfo(() => joined)
 
     case CrossOp(ins) =>
-      RelInfo(() => ins.map(relation).reduce(_ crossJoin _))
+      val ds = ins.map(relation)
+      RelInfo(() => ds.reduce(_ crossJoin _))
 
     case OrderOp(in, keys, using) =>
       val d = relation(in)
@@ -638,12 +646,18 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
         val c = keyFn(compileExpr(d, e)); if (asc) c.asc else c.desc
       }: _*))
 
+    // NOTE on binding time (r15 review): every operator resolves its
+    // input aliases EAGERLY at definition, like Pig's logical plan — a
+    // later reassignment of an input alias must not retroactively
+    // change an already-defined relation.
     case RankOp(in, Nil, _) =>
       // bare RANK: 1-based row number in the relation's current order
-      RelInfo(() => Rank.rowNumber(relation(in), Nil, s"rank_$in"))
-
-    case RankOp(in, keys, dense) => RelInfo(() => {
       val d = relation(in)
+      RelInfo(() => Rank.rowNumber(d, Nil, s"rank_$in"))
+
+    case RankOp(in, keys, dense) =>
+      val d = relation(in)
+      RelInfo(() => {
       val tmp = keys.zipWithIndex.map { case ((e, _), i) => (s"_rk$i", compileExpr(d, e)) }
       val withKeys = tmp.foldLeft(d) { case (acc, (n, c)) => acc.withColumn(n, c) }
       val sortCols = tmp.zip(keys).map { case ((n, _), (_, asc)) =>
@@ -656,18 +670,25 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       val d = relation(in)
       val lim = n match {
         case Lit(i: Int) => i
-        case Lit(l: Long) => l.toInt
+        // clamp, don't truncate: LIMIT 5000000000 silently became a
+        // wrapped Int before (r15 review)
+        case Lit(l: Long) => math.min(l, Int.MaxValue.toLong).toInt
         case other => sys.error(s"LIMIT expects an integer literal, got $other")
       }
       RelInfo(() => d.limit(lim))
 
-    case DistinctOp(in) => RelInfo(() => relation(in).distinct())
+    case DistinctOp(in) =>
+      val d = relation(in)
+      RelInfo(() => d.distinct())
 
-    case UnionOp(ins, onSchema) => RelInfo(() =>
-      ins.map(relation).reduce((a, b) =>
+    case UnionOp(ins, onSchema) =>
+      val ds = ins.map(relation)
+      RelInfo(() => ds.reduce((a, b) =>
         if (onSchema) a.unionByName(b, allowMissingColumns = true) else a.union(b)))
 
-    case SampleOp(in, p) => RelInfo(() => relation(in).sample(p, 42L))
+    case SampleOp(in, p) =>
+      val d = relation(in)
+      RelInfo(() => d.sample(p, 42L))
 
     case AliasRef(in) => env.getOrElse(in, sys.error(s"unknown alias $in"))
 
@@ -798,15 +819,22 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     }
     inputs.map { case (alias, keys) => (alias, relation(alias), keys) }
       .reduceLeft[(String, DataFrame, List[Expr])] {
-        case ((la, ld, lk), (ra, rd0, rk)) =>
-          // disambiguate colliding column names with the Pig alias:: prefix
-          val collisions = ld.columns.toSet.intersect(rd0.columns.toSet)
+        case ((la, ld0, lk), (ra, rd0, rk)) =>
+          // disambiguate colliding column names with the Pig alias::
+          // prefix on BOTH sides, like Pig (a right-only rename left
+          // `a::col` unresolvable after the join — r15 review)
+          val collisions = ld0.columns.toSet.intersect(rd0.columns.toSet)
+          val ld = collisions.foldLeft(ld0)((d, c) => d.withColumnRenamed(c, s"$la::$c"))
           val rd = collisions.foldLeft(rd0)((d, c) => d.withColumnRenamed(c, s"$ra::$c"))
+          val lkResolved = lk.map {
+            case FieldRef(n) if collisions.contains(n) => FieldRef(s"$la::$n")
+            case e => e
+          }
           val rkResolved = rk.map {
             case FieldRef(n) if collisions.contains(n) => FieldRef(s"$ra::$n")
             case e => e
           }
-          val cond = lk.zip(rkResolved).map { case (l, r) =>
+          val cond = lkResolved.zip(rkResolved).map { case (l, r) =>
             compileExpr(ld, l) === compileExpr(rd, r) }.reduce(_ && _)
           val right = using match {
             case Some("replicated") => broadcast(rd)
@@ -819,7 +847,7 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
             case Some(other) => sys.error(s"unknown join strategy '$other'")
             case None => rd
           }
-          (la, ld.join(right, cond, joinType), lk)
+          (la, ld.join(right, cond, joinType), lkResolved)
       }._2
   }
 
@@ -916,9 +944,24 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case FuncCall(f, args)
       if aggNames.contains(f.toLowerCase) || userAggs.contains(f.toUpperCase) =>
       args.forall(a => refsOnlyBag(a, g))
-    case Arith(_, l, r) => isFusable(l, g) && isFusable(r, g)
-    case CastE(_, x) => isFusable(x, g)
+    // a group ref NESTED in arithmetic/cast is not fusable: fusedAgg's
+    // key/agg partition only recognizes top-level group refs, and
+    // compileAgg would sys.error on the nested one — the bag path
+    // computes `group + 1, COUNT(A)` correctly instead (r15 review)
+    case Arith(_, l, r) =>
+      !refsGroup(e) && isFusable(l, g) && isFusable(r, g)
+    case CastE(_, x) => !refsGroup(e) && isFusable(x, g)
     case Lit(_) | NullLit => true
+    case _ => false
+  }
+
+  private def refsGroup(e: Expr): Boolean = e match {
+    case FieldRef("group") => true
+    case Deref(b, _) => refsGroup(b)
+    case Arith(_, l, r) => refsGroup(l) || refsGroup(r)
+    case CastE(_, x) => refsGroup(x)
+    case FuncCall(_, args) => args.exists(refsGroup)
+    case Neg(x) => refsGroup(x)
     case _ => false
   }
 
@@ -1124,7 +1167,11 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case IsNull(x, neg) =>
       val c = compileExpr(df, x); if (neg) c.isNotNull else c.isNull
     case BinCond(c, t, f) =>
-      when(compileExpr(df, c), compileExpr(df, t)).otherwise(compileExpr(df, f))
+      // Pig's POBinCond returns NULL for a null condition — otherwise()
+      // would return the false branch (r15 review). Two when()s with no
+      // otherwise leave the null case null.
+      val cc = compileExpr(df, c)
+      when(cc, compileExpr(df, t)).when(!cc, compileExpr(df, f))
     case CaseWhen(branches, other) =>
       val w = branches.tail.foldLeft(
         when(compileExpr(df, branches.head._1), compileExpr(df, branches.head._2))) {

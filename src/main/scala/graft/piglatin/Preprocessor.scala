@@ -117,12 +117,22 @@ object Preprocessor {
       }
     }
 
-    // pass 2: expand macro calls (single level)
+    // pass 2: expand macro calls — iterated to a fixpoint so a macro
+    // BODY may call other top-level macros (Pig supports macros
+    // invoking macros; a single pass left the inner call unexpanded —
+    // r15 review). Nested DEFINITIONS take the recursive route below.
     var counter = 0
-    val expanded = kept.toString.split("\n", -1).map { line =>
+    var expanded = kept.toString
+    var changedPass = true
+    var passes = 0
+    while (changedPass && passes < 8) {
+      changedPass = false
+      passes += 1
+      expanded = expanded.split("\n", -1).map { line =>
       line match {
         case MacroCallRe(out, name, args) if macros.contains(name) =>
           counter += 1
+          changedPass = true
           val m = macros(name)
           val argv = args.split(",").map(_.trim).filter(_.nonEmpty).toList
           require(argv.size == m.params.size,
@@ -142,10 +152,16 @@ object Preprocessor {
           m.params.zip(argv).foreach { case (p, v) =>
             body = body.replaceAll(s"\\$$$p\\b", java.util.regex.Matcher.quoteReplacement(v))
           }
-          body.replaceAll(s"\\b${m.returns}\\b", out)
+          // Pig's documented body form is `$ret = …` — consume the `$`
+          // too, or the substitution leaves un-lexable `$alias` text
+          // (bare `ret = …` is also accepted; r15 review)
+          body.replaceAll(s"\\$$?\\b${m.returns}\\b", out)
         case other => other
       }
-    }.mkString("\n")
+      }.mkString("\n")
+    }
+    require(!changedPass || passes < 8,
+      "macro call expansion exceeded 8 passes — mutually recursive macros?")
 
     // pass 3: parameter + function-alias substitution
     var out = expanded

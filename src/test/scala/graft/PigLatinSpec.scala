@@ -118,6 +118,65 @@ class PigLatinSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("aliases bind at definition: reassigning an input does not change prior relations (r15)") {
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      a = LOAD 'nation.parquet';
+      u = UNION a, a;
+      d = DISTINCT a;
+      a = FILTER a BY n_nationkey < 3;
+      """)
+    // u and d were defined over the FULL nation — the later filter on
+    // `a` must not retroactively shrink them (Pig binds at definition)
+    assert(e.relation("u").count() == 50)
+    assert(e.relation("d").count() == 25)
+    assert(e.relation("a").count() == 3)
+  }
+
+  test("bincond with a null condition yields null, not the false branch (r15)") {
+    // write a tiny parquet with a null field and run the ?: through the
+    // real front-end — Pig's POBinCond returns null when the condition
+    // is null; when().otherwise() returned the false branch
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bincond").toString
+    Seq((1L, Option(150L)), (2L, Option(50L)), (3L, Option.empty[Long]))
+      .toDF("id", "n").write.mode("overwrite").parquet(s"$tmp/probe.parquet")
+    val e = new graft.piglatin.PigEngine(spark, Some(tmp)).run("""
+      p = LOAD 'probe.parquet';
+      out = FOREACH p GENERATE id, (n > 100L ? 'big' : 'small') AS cls;
+      """)
+    val rows = e.relation("out").orderBy("id").collect()
+    assert(rows(0).getString(1) == "big" && rows(1).getString(1) == "small")
+    assert(rows(2).isNullAt(1), "null condition must yield null")
+  }
+
+  test("self-join: BOTH sides' colliding columns get alias:: qualification (r15)") {
+    import spark.implicits._
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      a = LOAD 'region.parquet';
+      b = LOAD 'region.parquet';
+      j = JOIN a BY r_regionkey, b BY r_regionkey;
+      out = FOREACH j GENERATE a::r_regionkey AS k, b::r_name AS nm;
+      """)
+    val got = e.relation("out").as[(Long, String)].collect().toSet
+    val want = Tables.load(spark, dir, "region")
+      .select($"r_regionkey", $"r_name").as[(Long, String)].collect().toSet
+    assert(got == want && want.size == 5)
+  }
+
+  test("GROUP key inside arithmetic falls back to the bag path, correctly (r15)") {
+    import spark.implicits._
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      n = LOAD 'nation.parquet';
+      g = GROUP n BY n_regionkey;
+      out = FOREACH g GENERATE group + 100 AS k2, COUNT(n) AS c;
+      """)
+    val got = e.relation("out").as[(Long, Long)].collect().toMap
+    val want = Tables.load(spark, dir, "nation")
+      .groupBy($"n_regionkey").count()
+      .select(($"n_regionkey" + 100).as("k2"), $"count")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("JOIN with alias:: disambiguation and outer join") {
     val e = engine.run("""
       c = LOAD 'customer.parquet';
@@ -527,6 +586,34 @@ class PigPreprocessorSpec extends SparkSuite {
       .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap
     assert(gotStatus == wantStatus)
     assert(e.relation("by_nation").count() == 25)
+  }
+
+  test("Pig-standard `$ret = ...` macro body form lexes after expansion (r15)") {
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      DEFINE keyrange(rel) RETURNS bounds {
+        g = GROUP $rel ALL;
+        $bounds = FOREACH g GENERATE MIN($rel.n_nationkey) AS lo, MAX($rel.n_nationkey) AS hi;
+      };
+      n = LOAD 'nation.parquet';
+      out = keyrange(n);
+      """)
+    val r = e.relation("out").collect()(0)
+    assert(r.getAs[Number](0).longValue == 0L && r.getAs[Number](1).longValue == 24L)
+  }
+
+  test("a macro body may call another top-level macro (r15)") {
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      DEFINE small(rel) RETURNS y {
+        $y = FILTER $rel BY n_nationkey < 10;
+      };
+      DEFINE small_distinct(rel) RETURNS z {
+        t = small($rel);
+        $z = DISTINCT t;
+      };
+      n = LOAD 'nation.parquet';
+      out = small_distinct(n);
+      """)
+    assert(e.relation("out").count() == 10)
   }
 
   test("nested macro definitions expand recursively with hygiene (r15)") {

@@ -91,4 +91,19 @@ class RelSpec extends SparkSuite {
     val got = Rel(df).cube(Seq($"d1", $"d2"), Seq(sum($"m").as("s"))).df
     assert(got.count() == 8) // 3 (d1,d2) pairs + 2 d1 + 2 d2 + 1 total
   }
+
+  test("flatten keeping the bag's own name does not drop the result (r15)") {
+    val df = Seq((1, Seq("a", "b"))).toDF("id", "tags")
+    val got = Rel(df).flatten("tags", "tags").df
+    assert(got.columns.toSeq == Seq("id", "tags"))
+    assert(got.select("tags").as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("streamThrough writes nulls as empty fields — no misalignment (r15)") {
+    val df = Seq((1L, Option.empty[String], 3L), (2L, Option("mid"), 4L))
+      .toDF("a", "b", "c")
+    val got = col0(Rel(df).streamThrough("cat").df).map(_.asInstanceOf[String]).toSet
+    // the null field must HOLD ITS PLACE between the delimiters
+    assert(got == Set("1\t\t3", "2\tmid\t4"))
+  }
 }
