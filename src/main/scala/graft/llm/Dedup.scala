@@ -650,11 +650,18 @@ object Dedup {
     * [[sentenceDedup]]. Equality with a string-keyed oracle is modulo
     * a ≈ n²/2⁶⁵ 64-bit gram-hash collision.
     *
+    * `keepFirst = false` switches to the strict Lee et al. form: EVERY
+    * occurrence of a duplicated window is excised, the first included
+    * (the paper removes the repeated sequence itself, keeping no copy —
+    * its rationale is that memorized spans hurt regardless of which
+    * copy survives). The default keeps the first occurrence, the
+    * [[sentenceDedup]]-family convention.
+    *
     * @return (doc, clean, n_kept): reassembled text + surviving token
     *         count.
     */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
-                k: Int = 8): DataFrame = {
+                k: Int = 8, keepFirst: Boolean = true): DataFrame = {
     require(k >= 2, s"spanDedup needs k >= 2 token windows, got $k")
     val grams = df.select(col(idCol).as("doc"),
       posexplode(call_function("graft_gram_hashes", col(textCol), lit(k)))
@@ -665,9 +672,12 @@ object Dedup {
         min(struct(col("doc"), col("gpos"))).as("first"))
       .filter(col("c") >= 2)
       .select(col("gh"), col("first"))
-    // non-first occurrences → per-doc sorted list of excised window starts
+    // excised window starts per doc: non-first occurrences, or ALL
+    // occurrences in the strict form
     val bad = grams.join(dups, Seq("gh"))
-      .filter(col("doc") =!= col("first.doc") || col("gpos") =!= col("first.gpos"))
+      .filter(if (keepFirst)
+          col("doc") =!= col("first.doc") || col("gpos") =!= col("first.gpos")
+        else lit(true))
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(col("gpos"))).as("bad"))
     // rewrite: token i is removed iff some bad start s covers it

@@ -136,6 +136,17 @@ object ScaleCurve {
       report("q115_span_dedup", () =>
         Dedup.spanDedup(docs, "doc_id", "text", k = 8).count())
 
+      // ---- q116: BPE train + encode (r15) ----
+      // training collects the maxWords-capped dict regardless of m (the
+      // model-sized rule); the distributed encode is the corpus-linear
+      // term — the curve must track the scan. Returned metric = total
+      // subword tokens (must grow exactly with the corpus).
+      report("q116_bpe_encode", () => {
+        val merges = graft.llm.Bpe.train(docs, "text", numMerges = 200)
+        graft.llm.Bpe.encode(docs, "doc_id", "text", merges)
+          .agg(sum(col("n_tokens"))).head().getLong(0)
+      })
+
       // ---- q111: Misra-Gries heavy hitters (r14) ----
       // per-copy word prefixes make vocab grow m x while each copy's
       // internal skew repeats: the sketch buffer stays at `capacity`

@@ -1083,6 +1083,20 @@ class TextSpec extends SparkSuite {
     assert(got3 == Seq((9L, "tiny doc", 2L), (10L, "tiny doc", 2L)))
   }
 
+  test("spanDedup keepFirst=false: the strict Lee et al. form removes every copy") {
+    val df = Seq(
+      (1L, "a b c tail one"),
+      (2L, "head two a b c")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.spanDedup(df, "doc_id", "text", k = 3, keepFirst = false)
+      .orderBy($"doc").as[(Long, String, Long)].collect().toSeq
+    // the duplicated 3-token span vanishes from BOTH docs
+    assert(got == Seq((1L, "tail one", 2L), (2L, "head two", 2L)))
+    // and the default form keeps the first copy
+    val kept = graft.llm.Dedup.spanDedup(df, "doc_id", "text", k = 3)
+      .orderBy($"doc").as[(Long, String, Long)].collect().toSeq
+    assert(kept == Seq((1L, "a b c tail one", 5L), (2L, "head two", 2L)))
+  }
+
   test("spanDedup property oracle: removed spans occur >=2x, reassembly byte-exact") {
     val k = 4
     val rnd = new scala.util.Random(115)
