@@ -173,11 +173,12 @@ class PigFuzzSpec extends SparkSuite {
   private sealed trait Combiner
   private case class CJoin(typ: String) extends Combiner // inner/left/right/full
   private case object CUnion extends Combiner
+  private case object CCogroup extends Combiner
 
   private val combinerGen: Gen[Combiner] = Gen.oneOf(
     Gen.const(CJoin("inner")), Gen.const(CJoin("left")),
     Gen.const(CJoin("right")), Gen.const(CJoin("full")),
-    Gen.const(CUnion))
+    Gen.const(CUnion), Gen.const(CCogroup))
 
   test("two-relation plans: JOIN (incl. outer) / UNION ONSCHEMA / GROUP+agg ≡ direct DataFrame") {
     import org.apache.spark.sql.DataFrame
@@ -239,6 +240,13 @@ class PigFuzzSpec extends SparkSuite {
               |out = FOREACH g GENERATE group, COUNT_STAR(u) AS n, SUM(u.k) AS s;
               |""".stripMargin)
           else script.append("out = u;\n")
+        case CCogroup =>
+          // full-outer per-key bags, empty bags → SIZE 0 (`post` has no
+          // effect: the SIZE projection is already the aggregate form)
+          script.append(
+            s"""cg = COGROUP $lastA BY r_regionkey, $lastB BY n_regionkey;
+               |out = FOREACH cg GENERATE group, SIZE($lastA) AS na, SIZE($lastB) AS nb;
+               |""".stripMargin)
       }
       val e = new graft.piglatin.PigEngine(spark, Some(dir)).run(script.toString)
       val got = e.relation("out")
@@ -265,6 +273,13 @@ class PigFuzzSpec extends SparkSuite {
                 count(lit(1)).as("n"), sum(col("k")).as("s"))
               .withColumnRenamed("v", "group")
           else u
+        case CCogroup =>
+          val ac = a.groupBy(col("r_regionkey").as("g")).agg(count(lit(1)).as("na"))
+          val bc = b.groupBy(col("n_regionkey").as("g")).agg(count(lit(1)).as("nb"))
+          ac.join(bc, Seq("g"), "full_outer")
+            .select(col("g").as("group"),
+              coalesce(col("na"), lit(0L)).as("na"),
+              coalesce(col("nb"), lit(0L)).as("nb"))
       }
       val colsOk = got.columns.toSeq == want.columns.toSeq
       val rowsOk = got.collect().map(_.toSeq).sortBy(_.toString())
