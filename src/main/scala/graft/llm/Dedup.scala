@@ -673,10 +673,15 @@ object Dedup {
       .filter(col("c") >= 2)
       .select(col("gh"), col("first"))
     // excised window starts per doc: non-first occurrences, or ALL
-    // occurrences in the strict form
+    // occurrences in the strict form. Null-safe comparison (ADVICE
+    // r15): a null doc id sorts first in min(struct), and plain =!=
+    // against it yields NULL — silently keeping every other doc's copy.
+    // With <=> the non-null copies are excised; the null-doc rows
+    // themselves pass through the reassembly equi-join unexcised, the
+    // same null semantics as the q115 oracle's NOT EXISTS.
     val bad = grams.join(dups, Seq("gh"))
       .filter(if (keepFirst)
-          col("doc") =!= col("first.doc") || col("gpos") =!= col("first.gpos")
+          !(col("doc") <=> col("first.doc")) || !(col("gpos") <=> col("first.gpos"))
         else lit(true))
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(col("gpos"))).as("bad"))

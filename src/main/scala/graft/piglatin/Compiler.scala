@@ -817,38 +817,52 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       case Some("full") => "full_outer"; case None => "inner"
       case Some(o) => sys.error(s"unknown outer type $o")
     }
-    inputs.map { case (alias, keys) => (alias, relation(alias), keys) }
-      .reduceLeft[(String, DataFrame, List[Expr])] {
-        case ((la, ld0, lk), (ra, rd0, rk)) =>
-          // disambiguate colliding column names with the Pig alias::
-          // prefix on BOTH sides, like Pig (a right-only rename left
-          // `a::col` unresolvable after the join — r15 review)
-          val collisions = ld0.columns.toSet.intersect(rd0.columns.toSet)
-          val ld = collisions.foldLeft(ld0)((d, c) => d.withColumnRenamed(c, s"$la::$c"))
-          val rd = collisions.foldLeft(rd0)((d, c) => d.withColumnRenamed(c, s"$ra::$c"))
-          val lkResolved = lk.map {
-            case FieldRef(n) if collisions.contains(n) => FieldRef(s"$la::$n")
-            case e => e
-          }
-          val rkResolved = rk.map {
-            case FieldRef(n) if collisions.contains(n) => FieldRef(s"$ra::$n")
-            case e => e
-          }
-          val cond = lkResolved.zip(rkResolved).map { case (l, r) =>
-            compileExpr(ld, l) === compileExpr(rd, r) }.reduce(_ && _)
-          val right = using match {
-            case Some("replicated") => broadcast(rd)
-            // merge-sparse (indexed right side in the reference,
-            // [R: …/relationalOperators/POMergeCogroup.java]) has no
-            // Spark analog — accepted and compiled as sort-merge, the
-            // closest strategy (documented, SURVEY.md §2.1 #13)
-            case Some("merge") | Some("merge-sparse") => rd.hint("merge")
-            case Some("skewed") => rd.hint("shuffle_merge")
-            case Some(other) => sys.error(s"unknown join strategy '$other'")
-            case None => rd
-          }
-          (la, ld.join(right, cond, joinType), lkResolved)
-      }._2
+    val rels = inputs.map { case (alias, keys) => (alias, relation(alias), keys) }
+    // per-column origin aliases, tracked through the fold: in a 3+-way
+    // join a collision between the 2nd and 3rd relations must rename
+    // to the column's TRUE source alias (b::col), not the first
+    // relation's (ADVICE r15) — Pig qualifies by owning alias
+    var owners: Map[String, String] =
+      rels.head._2.columns.map(_ -> rels.head._1).toMap
+    var accDf = rels.head._2
+    var accKeys = rels.head._3
+    for ((ra, rd0, rk) <- rels.tail) {
+      // disambiguate colliding column names with the Pig alias::
+      // prefix on BOTH sides, like Pig (a right-only rename left
+      // `a::col` unresolvable after the join — r15 review)
+      val collisions = accDf.columns.toSet.intersect(rd0.columns.toSet)
+      val ld = collisions.foldLeft(accDf)((d, c) =>
+        d.withColumnRenamed(c, s"${owners(c)}::$c"))
+      val rd = collisions.foldLeft(rd0)((d, c) => d.withColumnRenamed(c, s"$ra::$c"))
+      val lkResolved = accKeys.map {
+        case FieldRef(n) if collisions.contains(n) => FieldRef(s"${owners(n)}::$n")
+        case e => e
+      }
+      val rkResolved = rk.map {
+        case FieldRef(n) if collisions.contains(n) => FieldRef(s"$ra::$n")
+        case e => e
+      }
+      val cond = lkResolved.zip(rkResolved).map { case (l, r) =>
+        compileExpr(ld, l) === compileExpr(rd, r) }.reduce(_ && _)
+      val right = using match {
+        case Some("replicated") => broadcast(rd)
+        // merge-sparse (indexed right side in the reference,
+        // [R: …/relationalOperators/POMergeCogroup.java]) has no
+        // Spark analog — accepted and compiled as sort-merge, the
+        // closest strategy (documented, SURVEY.md §2.1 #13)
+        case Some("merge") | Some("merge-sparse") => rd.hint("merge")
+        case Some("skewed") => rd.hint("shuffle_merge")
+        case Some(other) => sys.error(s"unknown join strategy '$other'")
+        case None => rd
+      }
+      owners = (owners -- collisions) ++
+        collisions.iterator.map(c => s"${owners(c)}::$c" -> owners(c)) ++
+        rd0.columns.iterator.filterNot(collisions).map(_ -> ra) ++
+        collisions.iterator.map(c => s"$ra::$c" -> ra)
+      accDf = ld.join(right, cond, joinType)
+      accKeys = lkResolved
+    }
+    accDf
   }
 
   // ---------------------------------------------------------------- foreach

@@ -42,8 +42,8 @@ object Preprocessor {
     // clause bodies allow ONE nesting level of parens — the serializer
     // form `input(stdin using PigStreaming(','))` needs it
     """(?i)^\s*define\s+(\w+)\s+`([^`]*)`\s*((?:(?:ship|cache|input|output|stderr)\s*\((?:[^()]|\([^()]*\))*\)\s*)*);\s*$""".r
-  private val StreamDefineStartRe =
-    """(?i)^\s*define\s+(\w+)\s+`[^`]*`[^;]*$""".r
+  private val StreamDefineOpenRe =
+    """(?i)^\s*define\s+\w+\s+`""".r
   private val InputSerRe =
     """(?i)input\s*\(\s*stdin(\s+using\s+\w+\s*\(\s*(?:'[^']*')?\s*\))?\s*\)""".r
   private val OutputSerRe =
@@ -53,6 +53,26 @@ object Preprocessor {
   private val AssignRe = """(?m)^\s*(\w+)\s*=""".r
 
   private final case class Macro(params: List[String], returns: String, body: String)
+
+  /** True iff `s` contains a statement-terminating `;` — one OUTSIDE
+    * single quotes and backticks. A quoted serializer delimiter
+    * (`PigStreaming(';')`) or a `;` inside the backtick command must
+    * not end a multi-line stream DEFINE's accumulation (ADVICE r15). */
+  private def statementEnd(s: String): Boolean = {
+    var inQuote = false
+    var inTick = false
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' if !inTick => inQuote = !inQuote
+        case '`' if !inQuote => inTick = !inTick
+        case ';' if !inQuote && !inTick => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
 
   def expand(script: String): String = expand(script, 0)
 
@@ -82,10 +102,12 @@ object Preprocessor {
     while (lines.hasNext) {
       var line = lines.next()
       // a stream DEFINE whose clauses span multiple lines: accumulate
-      // (joined with a space) until the terminating `;`
-      if (StreamDefineStartRe.findFirstIn(line).isDefined) {
+      // (joined with a space) until the terminating `;` — where
+      // "terminating" means outside quotes/backticks, so a quoted
+      // delimiter on any line does not truncate the DEFINE mid-clause
+      if (StreamDefineOpenRe.findFirstIn(line).isDefined && !statementEnd(line)) {
         val acc = new StringBuilder(line)
-        while (!acc.toString.contains(";") && lines.hasNext) {
+        while (!statementEnd(acc.toString) && lines.hasNext) {
           acc.append(' ').append(lines.next().trim)
         }
         line = acc.toString
@@ -97,6 +119,13 @@ object Preprocessor {
           else defaults(name) = v
         case StreamDefineRe(alias, cmd, clauses) =>
           streamCmds(alias) = streamReplacement(cmd, clauses)
+        case bad if StreamDefineOpenRe.findFirstIn(bad).isDefined =>
+          // it opened as a stream DEFINE (backtick command) but never
+          // parsed as one — unbalanced clause parens, a missing `;`,
+          // an unterminated command. Falling through silently fed the
+          // parser garbage (ADVICE r15); diagnose at the source.
+          sys.error("malformed stream DEFINE (unbalanced clauses or " +
+            s"missing terminating ';'?): ${bad.trim.take(160)}")
         case DefineFuncRe(alias, target) =>
           funcAliases(alias) = target
         case MacroStartRe(name, ps, ret) =>

@@ -21,8 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * map: each Spark task deserializes its own copy of the literal's
   * ArrayData, so a shared single slot would be overwritten by
   * concurrent tasks and miss on nearly every row — per-thread slots
-  * hit on every row after the task's first. Correctness never depends
-  * on the memo (the map is derived purely from the keyed object).
+  * hit on every row after the task's first. Identity keying is only
+  * sound for a CONSTANT merges argument (a non-literal column could
+  * present the same buffer object with different contents, returning
+  * stale ranks — ADVICE r15), so `checkInputDataTypes` rejects a
+  * non-foldable merges child at analysis.
   *
   * Registered as SQL function `graft_bpe_tokens(text, merges)` by
   * [[GraftExtensions]].
@@ -33,7 +36,11 @@ case class BpeTokensF(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, ArrayType(ArrayType(StringType, _), _)) =>
-        TypeCheckResult.TypeCheckSuccess
+        if (right.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_bpe_tokens requires a foldable (plan-constant) merges " +
+            "argument: the rank memo is keyed on the deserialized " +
+            "constant's object identity, which only a literal guarantees")
       case (a, b) => TypeCheckResult.TypeCheckFailure(
         s"graft_bpe_tokens expects (string, array<array<string>>), got " +
           s"(${a.simpleString}, ${b.simpleString})")

@@ -90,6 +90,21 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.decode(got(0)._2) == text)
   }
 
+  test("graft_bpe_tokens rejects a non-foldable merges column at analysis (ADVICE r15)") {
+    // the rank memo is keyed on the literal's object identity — a
+    // per-row merges column could reuse a buffer object with different
+    // contents and return stale ranks, so non-constants are rejected
+    val df = Seq(("ab", Seq(Seq("a", "b")))).toDF("text", "merges")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_bpe_tokens", $"text", $"merges")).collect()
+    }
+    assert(e.getMessage.contains("foldable"))
+    // and the literal form still works (parity with the driver encoder)
+    val ok = df.select(call_function("graft_bpe_tokens", $"text",
+      typedLit(Seq(Seq("a", "b")))).as("t")).as[Seq[String]].head()
+    assert(ok == Bpe.encodeText("ab", Map(("a", "b") -> 0)).toSeq)
+  }
+
   test("multi-char BPE tokens only ever come from learned merges") {
     // invariant behind q116's all_oov_single_char check: encoding ANY
     // text under a merge table can only produce multi-char symbols that

@@ -1097,6 +1097,22 @@ class TextSpec extends SparkSuite {
     assert(kept == Seq((1L, "a b c tail one", 5L), (2L, "head two", 2L)))
   }
 
+  test("spanDedup: a null doc id as first occurrence still excises other copies (ADVICE r15)") {
+    // null doc sorts FIRST in min(struct); the old =!= comparison
+    // returned NULL against it, silently keeping doc 2's copy
+    val df = Seq(
+      (None: Option[Long], "a b c tail one"),
+      (Some(2L), "head two a b c")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.spanDedup(df, "doc_id", "text", k = 3)
+      .orderBy($"doc").as[(Option[Long], String, Long)].collect().toSeq
+    // doc 2's non-first copy is excised; the null-doc row passes
+    // through unexcised (equi-join drops null keys — exactly the q115
+    // oracle's NOT EXISTS null semantics)
+    assert(got == Seq(
+      (None, "a b c tail one", 5L),
+      (Some(2L), "head two", 2L)))
+  }
+
   test("spanDedup property oracle: removed spans occur >=2x, reassembly byte-exact") {
     val k = 4
     val rnd = new scala.util.Random(115)

@@ -194,6 +194,25 @@ class PigLatinSpec extends SparkSuite {
     assert(got == want) // includes COUNT(null)=skip semantics on the outer side
   }
 
+  test("3-way JOIN qualifies a 2nd/3rd-relation collision by its TRUE owner alias (ADVICE r15)") {
+    // "name" collides between b2 and c2 only — the fold must rename the
+    // accumulated side's copy to b2::name (its owning alias), not
+    // a2::name (the first alias, which owns no such column)
+    val e = engine.run("""
+      n = LOAD 'nation.parquet';
+      a2 = FOREACH n GENERATE n_nationkey AS ak, n_regionkey AS aval;
+      b2 = FOREACH n GENERATE n_nationkey AS nk, n_name AS name;
+      c2 = FOREACH n GENERATE n_nationkey AS nk2, n_name AS name;
+      j = JOIN a2 BY ak, b2 BY nk, c2 BY nk2;
+      out = FOREACH j GENERATE ak, b2::name AS bn, c2::name AS cn;
+      """)
+    val got = e.relation("out").as[(Long, String, String)].collect().toSet
+    val want = Tables.load(spark, dir, "nation")
+      .select($"n_nationkey".as("ak"), $"n_name".as("bn"), $"n_name".as("cn"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == want)
+  }
+
   test("FLATTEN(TOKENIZE) wordcount equals direct explode") {
     val e = engine.run("""
       d = LOAD 'documents.parquet';
@@ -663,6 +682,38 @@ class PigPreprocessorSpec extends SparkSuite {
     val got = col0(e.relation("s")).map(_.asInstanceOf[String]).toSet
     val want = col0(Tables.load(spark, dir, "region").select(col("r_name"))).toSet
     assert(got == want)
+  }
+
+  test("multi-line stream DEFINE: a quoted ';' delimiter does not truncate accumulation (ADVICE r15)") {
+    import org.apache.spark.sql.functions._
+    // the continuation lines' PigStreaming(';') contain ';' — the
+    // old accumulator stopped at the first one, feeding the parser
+    // half a DEFINE; the ';'-delimited round trip proves both clauses
+    // survived accumulation intact
+    val e = new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+      DEFINE semi `cat`
+        INPUT(stdin USING PigStreaming(';'))
+        OUTPUT(stdout USING PigStreaming(';'));
+      r = LOAD 'region.parquet';
+      p = FOREACH r GENERATE r_name, r_regionkey;
+      s = STREAM p THROUGH semi AS (name:chararray, k:long);
+      """)
+    val got = e.relation("s").as[(String, Long)].collect().toSet
+    val want = Tables.load(spark, dir, "region")
+      .select(col("r_name"), col("r_regionkey"))
+      .as[(String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("malformed stream DEFINE diagnoses at the source instead of feeding the parser garbage") {
+    val err = intercept[RuntimeException] {
+      new graft.piglatin.PigEngine(spark, Some(dir)).run("""
+        DEFINE bad `cat` INPUT(stdin USING PigStreaming(','
+          OUTPUT(stdout);
+        r = LOAD 'region.parquet';
+        """)
+    }
+    assert(err.getMessage.contains("malformed stream DEFINE"))
   }
 }
 
