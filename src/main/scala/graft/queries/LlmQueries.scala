@@ -493,6 +493,35 @@ object LlmQueries {
           "error_within_bound", "all_heavy_reported")
     }),
 
+    // Count-Min frequency sketch (Cormode 2005): the point-frequency
+    // twin of q111's Misra-Gries — a fixed 4×2048 counter grid built in
+    // ONE map-side-partial aggregation, persisted as array<bigint>,
+    // estimates by codegen'd xxhash64 lookups. The probed top-20 words
+    // and their exact counts are SQL-derivable; the sketch guarantees
+    // (never undercount, overcount ≤ 3N/width) ride as booleans — the
+    // q111 invariants pattern.
+    "q117_count_min" -> ((s, dir) => {
+      import s.implicits._
+      val (depth, width) = (4, 2048)
+      val words = graft.dsl.Rel.track(
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("k"))
+          .filter(col("k") =!= "")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val n = words.count()
+      val bound = 3L * n / width
+      val sk = graft.ops.CountMin.sketch(words, col("k"), depth, width)
+      val top = words.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("k")).limit(20)
+      top.crossJoin(broadcast(sk))
+        .select(col("k").as("word"), col("cnt"),
+          (graft.ops.CountMin.estimate(col("cm"), col("k"), depth, width)
+            >= col("cnt")).as("est_ge_exact"),
+          (graft.ops.CountMin.estimate(col("cm"), col("k"), depth, width)
+            <= col("cnt") + lit(bound)).as("est_within_bound"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
     // sort-free approximate quality-stratification (the 100 TB twin of
     // q90: percentile_approx boundaries, no global sort). Stratum
     // placement is sketch-dependent (no SQL re-derivation), so — the
@@ -1396,6 +1425,12 @@ object LlmQueries {
            TRUE AS all_heavy_reported
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE word <> ''""",
+    "q117_count_min" ->
+      """SELECT word, COUNT(*) AS cnt, TRUE AS est_ge_exact,
+           TRUE AS est_within_bound
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> ''
+         GROUP BY word ORDER BY cnt DESC, word LIMIT 20""",
     "q109_incremental_dedup" ->
       """WITH store AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
          batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

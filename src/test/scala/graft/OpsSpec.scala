@@ -516,3 +516,69 @@ class SketchesSpec extends SparkSuite {
     assert(math.abs(global - exact) <= exact * 0.05, s"$global vs $exact")
   }
 }
+
+/** Count-Min sketch: CMS guarantees, merge=union, partition
+  * insensitivity, null handling. */
+class CountMinSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ops.CountMin
+
+  private val depth = 4
+  private val width = 512
+
+  test("estimates never undercount and stay within the CMS bound") {
+    val rnd = new scala.util.Random(7)
+    val data = rnd.shuffle((1 to 80).flatMap(i => Seq.fill(2000 / i)(s"w$i")))
+    val n = data.size.toLong
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = data.toDF("k").repartition(9)
+    val sk = CountMin.sketch(df, $"k", depth, width)
+    val keys = exact.keys.toSeq.sorted.toDF("k")
+    val got = keys.crossJoin(broadcast(sk))
+      .select($"k", CountMin.estimate($"cm", $"k", depth, width).as("est"))
+      .as[(String, Long)].collect().toMap
+    val bound = 3L * n / width
+    exact.foreach { case (k, c) =>
+      assert(got(k) >= c, s"undercount $k: ${got(k)} < $c")
+      assert(got(k) <= c + bound, s"over bound $k: ${got(k)} > $c + $bound")
+    }
+  }
+
+  test("re-merging persisted per-group sketches equals the whole-input sketch") {
+    val df = (1 to 500).map(i => (s"g${i % 3}", s"w${i % 37}")).toDF("g", "k")
+    val whole = CountMin.sketch(df, $"k", depth, width)
+      .as[Seq[Long]].head()
+    val merged = CountMin.mergeSketches(
+        CountMin.sketchBy(df, Seq("g"), $"k", depth, width), Nil)
+      .as[Seq[Long]].head()
+    assert(merged == whole) // addition IS union — bit-identical
+    // and differing partitioning changes nothing (exact integer sums)
+    val repart = CountMin.sketch(df.repartition(17), $"k", depth, width)
+      .as[Seq[Long]].head()
+    assert(repart == whole)
+  }
+
+  test("null keys are skipped on build and estimate to null") {
+    val df = (Seq("a", null, "a", null, "b"): Seq[String]).toDF("k")
+    val sk = CountMin.sketch(df, $"k", depth, width)
+    // total mass per hash row = the 3 non-null keys
+    val grid = sk.as[Seq[Long]].head()
+    (0 until depth).foreach { d =>
+      assert(grid.slice(d * width, (d + 1) * width).sum == 3L, s"row $d mass")
+    }
+    val est = df.limit(1).crossJoin(broadcast(sk))
+      .select(CountMin.estimate($"cm", lit(null).cast("string"), depth, width))
+      .collect()(0)
+    assert(est.isNullAt(0))
+  }
+
+  test("mismatched sketch sizes fail loudly at merge") {
+    val a = CountMin.sketch(Seq("x").toDF("k"), $"k", 2, 64)
+    val b = CountMin.sketch(Seq("x").toDF("k"), $"k", 2, 128)
+    val err = intercept[Exception] {
+      CountMin.mergeSketches(a.union(b), Nil).collect()
+    }
+    assert(err.getMessage.contains("sketch size mismatch")
+      || err.getCause != null)
+  }
+}
