@@ -183,9 +183,12 @@ object Dedup {
     bandKeysFromHashes(base, numHashes, bands)
   }
 
-  /** [[bandKeys]] over pre-hashed shingles. */
-  private[graft] def bandKeysFromHashes(base: Array[Long], numHashes: Int, bands: Int): Array[Long] = {
-    val r = numHashes / bands
+  /** MinHash signature over pre-hashed shingles: numHashes minima of
+    * the affine re-hash family `base*a_f + b_f`. The PERSISTABLE form
+    * of the sketch ([[lshIncremental]]'s store rows): band keys derive
+    * from it ([[bandKeysFromSig]]) and signature agreement estimates
+    * Jaccard without the shingle sets. */
+  private[graft] def minhashFromHashes(base: Array[Long], numHashes: Int): Array[Long] = {
     val mins = new Array[Long](numHashes)
     var f = 0
     while (f < numHashes) {
@@ -199,6 +202,13 @@ object Dedup {
       }
       mins(f) = m; f += 1
     }
+    mins
+  }
+
+  /** Band keys from a minhash signature: bands FNV-mixed keys of
+    * r = |sig|/bands consecutive minima each. */
+  private[graft] def bandKeysFromSig(mins: Array[Long], bands: Int): Array[Long] = {
+    val r = mins.length / bands
     val keys = new Array[Long](bands)
     var bI = 0
     while (bI < bands) {
@@ -213,6 +223,11 @@ object Dedup {
     }
     keys
   }
+
+  /** [[bandKeys]] over pre-hashed shingles — signature then band mix,
+    * byte-identical to the pre-split single pass. */
+  private[graft] def bandKeysFromHashes(base: Array[Long], numHashes: Int, bands: Int): Array[Long] =
+    bandKeysFromSig(minhashFromHashes(base, numHashes), bands)
 
   /** Same-bucket candidate pairs over `(keyCols…, elem)` rows, with the
     * bucket cap applied in the SAME aggregation that groups the bucket —
@@ -574,6 +589,114 @@ object Dedup {
     keepers
       .join(st, Seq("fp_a", "fp_b"), "left_anti")
       .select(col("id"), col("fp_a"), col("fp_b"))
+  }
+
+  /** Minhash signatures for a corpus: (id, sig) — the persistable
+    * store rows of [[lshIncremental]]. Build once over the existing
+    * corpus to bootstrap the store; thereafter each batch's surviving
+    * rows are appended. Null text is dropped ([[minhashLsh]]'s
+    * rationale: unknown text must not be declared a duplicate). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, numHashes: Int = 64): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingle_hashes", col(textCol), lit(shingleK)),
+          lit(numHashes)).as("sig"))
+
+  /** Incremental MinHash-LSH NEAR-dedup — the near-duplicate twin of
+    * [[exactIncremental]], the continuous-ingest shape: admit from a
+    * NEW batch only documents that are near-duplicates of neither an
+    * already-admitted (smaller-id) batch document nor ANY document in
+    * the existing corpus — without ever rescanning corpus text. The
+    * store holds one minhash SIGNATURE per admitted doc (8·numHashes
+    * bytes): band keys re-derive from it (`graft_band_keys_sig`, split
+    * from the batch kernel so the two sides can never drift) and
+    * candidate verification estimates Jaccard as the fraction of
+    * agreeing signature components — the classic signature estimator
+    * (E[agree/n] = J), deterministic for fixed hashes, so the admit
+    * set is reproducible across runs and partitionings. Note the
+    * estimator DIFFERS from [[minhashLsh]]'s exact-Jaccard verify:
+    * batch-mode has the shingle sets in hand, the store deliberately
+    * does not keep them.
+    *
+    * Drop rule (deterministic keep-first, the q107 convention): batch
+    * docs with identical signatures collapse to the min id first (the
+    * [[minhashLsh]] exact-collapse defense — giant buckets of exact
+    * duplicates never reach the quadratic expansion); a remaining doc
+    * is dropped iff it near-dups a smaller-id batch doc or any store
+    * doc. Chains are pessimistic: b~a and c~b drop both b and c even
+    * though c may not near-dup a — cluster-precise semantics are
+    * [[nearDupClusters]]' job, not an ingest filter's.
+    *
+    * Scale shape: corpus-sized inputs touch only (a) the store's
+    * (id, sig) scan — at true scale persist the EXPLODED (band, key,
+    * id) index bucketed by (band, key), the q109 bucketed-store
+    * pattern, and this per-batch derivation disappears — and (b) the
+    * bucket aggregation capping hot buckets ([[bucketPairs]]'
+    * soundness argument; over-`maxBucket` store buckets are dropped
+    * the same way). Everything else is batch-sized; signatures ride
+    * shuffles only on candidate rows.
+    *
+    * @param store existing signatures: (id, sig) — [[minhashSignatures]] rows
+    * @return (id, sig) — admitted batch rows, ready to append to the store
+    */
+  def lshIncremental(batch: DataFrame, idCol: String, textCol: String,
+                     store: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
+                     bands: Int = 16, threshold: Double = 0.9,
+                     maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+
+    def estJaccard(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+    // exact-signature collapse (min id per distinct signature): est
+    // Jaccard between identical signatures is 1 ≥ any threshold, so
+    // non-reps are dropped by the rule directly; two-seed fingerprint
+    // for the same collision reason as [[minhashLsh]]'s groups
+    val sigs = minhashSignatures(batch, idCol, textCol, shingleK, numHashes)
+    val reps = graft.dsl.Rel.track(sigs
+      .groupBy(xxhash64(col("sig")).as("fp_a"),
+        xxhash64(lit("graft-fp2"), col("sig")).as("fp_b"))
+      .agg(min(col("id")).as("id"), min_by(col("sig"), col("id")).as("sig"))
+      .select(col("id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    val repBands = reps.select(col("id"),
+        posexplode(call_function("graft_band_keys_sig", col("sig"), lit(bands))))
+      .toDF("id", "band", "key")
+
+    // within-batch: same-bucket rep pairs (capped in the grouping
+    // aggregation), signature-verified, dropping the larger id
+    val withinDropped = bucketPairs(repBands, Seq("band", "key"), col("id"), maxBucket)
+      .filter(col("a") < col("b"))
+      .distinct()
+      .join(reps.toDF("a", "sa"), "a")
+      .join(reps.toDF("b", "sb"), "b")
+      .filter(estJaccard(col("sa"), col("sb")) >= threshold)
+      .select(col("b").as("id"))
+
+    // vs store: batch bands against capped store buckets — ONE
+    // aggregation over the store's derived index, one equi-join
+    val storeBuckets = store
+      .select(col("id").as("sid"),
+        posexplode(call_function("graft_band_keys_sig", col("sig"), lit(bands))))
+      .toDF("sid", "band", "key")
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("sid")).as("ds"))
+      .filter(size(col("ds")) <= maxBucket)
+    val crossDropped = repBands.join(storeBuckets, Seq("band", "key"))
+      .select(col("id"), explode(col("ds")).as("sid"))
+      .distinct()
+      .join(reps, "id")
+      .join(store.select(col("id").as("sid"), col("sig").as("ssig")), "sid")
+      .filter(estJaccard(col("sig"), col("ssig")) >= threshold)
+      .select(col("id"))
+
+    reps.join(withinDropped.union(crossDropped).distinct(),
+      Seq("id"), "left_anti")
   }
 
   /** Global sentence-level exact dedup — the C4/Dolma "keep one copy

@@ -119,6 +119,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_bpe_tokens expects 2 arguments (text, merges), got ${children.size}")
         BpeTokensF(children.head, children(1))
       }))
+    // graft_minhash_sig(hashes, numHashes) / graft_band_keys_sig(sig,
+    // bands) — the split form of graft_band_keys: the signature is the
+    // persistable store row of the incremental LSH dedup, band keys
+    // re-derive from it.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinhashSigF].getName, "graft_minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"graft_minhash_sig expects 2 arguments (hashes, numHashes), got ${children.size}")
+        MinhashSigF(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_band_keys_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BandKeysSigF].getName, "graft_band_keys_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"graft_band_keys_sig expects 2 arguments (sig, bands), got ${children.size}")
+        BandKeysSigF(children.head, children(1))
+      }))
     // graft_gram_hashes(text, k) — positional per-window gram hashes
     // (order + duplicates preserved) for span-level dedup; the
     // positional sibling of graft_shingle_hashes.

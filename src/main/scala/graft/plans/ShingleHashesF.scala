@@ -141,3 +141,86 @@ object BandKeysF {
     new GenericArrayData(
       graft.llm.Dedup.bandKeysFromHashes(hs.toLongArray(), numHashes, bands))
 }
+
+/** Native codegen'd minhash SIGNATURE over a pre-hashed shingle set:
+  * `numHashes` 64-bit minima of the affine re-hash family — exactly
+  * `graft.llm.Dedup.minhashFromHashes` (delegated). This is the
+  * persistable half of the LSH sketch: `lshIncremental` stores one
+  * signature per admitted document and re-derives band keys from it
+  * with [[BandKeysSigF]], so `graft_band_keys(hs, n, b)` ==
+  * `graft_band_keys_sig(graft_minhash_sig(hs, n), b)` by construction.
+  *
+  * Registered as SQL function `graft_minhash_sig(hashes, numHashes)`
+  * by [[GraftExtensions]].
+  */
+case class MinhashSigF(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_sig expects (array<long>, int), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(hs: Any, nh: Any): Any =
+    MinhashSigF.compute(hs.asInstanceOf[ArrayData], nh.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (hs, nh) => s"graft.plans.MinhashSigF.compute($hs, $nh)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashSigF =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+object MinhashSigF {
+  def compute(hs: ArrayData, numHashes: Int): ArrayData =
+    new GenericArrayData(
+      graft.llm.Dedup.minhashFromHashes(hs.toLongArray(), numHashes))
+}
+
+/** Band keys from a STORED minhash signature (see [[MinhashSigF]]) —
+  * `graft.llm.Dedup.bandKeysFromSig`, delegated.
+  *
+  * Registered as SQL function `graft_band_keys_sig(sig, bands)` by
+  * [[GraftExtensions]].
+  */
+case class BandKeysSigF(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"graft_band_keys_sig expects (array<long>, int), got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(sig: Any, b: Any): Any =
+    BandKeysSigF.compute(sig.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (sig, b) => s"graft.plans.BandKeysSigF.compute($sig, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BandKeysSigF =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_band_keys_sig"
+}
+
+object BandKeysSigF {
+  def compute(sig: ArrayData, bands: Int): ArrayData =
+    new GenericArrayData(
+      graft.llm.Dedup.bandKeysFromSig(sig.toLongArray(), bands))
+}

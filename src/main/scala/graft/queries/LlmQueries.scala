@@ -328,6 +328,47 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // incremental MinHash-LSH NEAR-dedup vs a persisted signature
+    // store — the near-dup twin of q109's continuous-ingest shape:
+    // store = even docs' signatures, batch = odd docs + re-ingested
+    // even docs. The admit set is hash-dependent (signature-estimated
+    // Jaccard; no SQL re-derivation), so — the q111 invariants
+    // pattern — the row states: every re-ingested exact copy was
+    // dropped, no admitted doc's text exists in the store, no two
+    // admitted docs share a text, admitted ⊆ batch. n_batch is
+    // SQL-derivable.
+    "q119_incremental_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val storeDocs = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val store = graft.llm.Dedup.minhashSignatures(storeDocs, "doc_id", "text")
+      val batch = graft.dsl.Rel.track(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .unionByName(storeDocs.select(
+            (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nBatch = batch.count()
+      val kept = graft.dsl.Rel.track(
+        graft.llm.Dedup.lshIncremental(batch, "doc_id", "text", store)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val keptTexts = kept.select(col("id"))
+        .join(batch, col("id") === col("doc_id"))
+        .select(col("id"), col("text"))
+      val noReingested = kept.filter(col("id") >= 1000000L).count() == 0L
+      val noStoreExact = keptTexts
+        .join(storeDocs.select(col("text")), Seq("text"), "left_semi")
+        .count() == 0L
+      val noWithinExact = keptTexts.as("x")
+        .join(keptTexts.as("y"),
+          col("x.text") === col("y.text") && col("x.id") < col("y.id"))
+        .count() == 0L
+      val subset = kept.select(col("id"))
+        .join(batch, col("id") === col("doc_id"), "left_anti").count() == 0L
+      Seq((nBatch, noReingested, noStoreExact, noWithinExact, subset))
+        .toDF("n_batch", "no_reingested_kept", "no_kept_exact_in_store",
+          "no_kept_exact_within", "kept_subset_of_batch")
+    }),
+
     // global sentence-level exact dedup (C4/Dolma line dedup): every
     // distinct sentence keeps only its first corpus-wide occurrence
     // (min (doc, pos)), documents reassembled in order — SQL-derivable
@@ -1458,6 +1499,10 @@ object LlmQueries {
            TRUE AS all_heavy_reported
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE word <> ''""",
+    "q119_incremental_lsh" ->
+      """SELECT (SELECT COUNT(*) FROM documents) AS n_batch,
+           TRUE AS no_reingested_kept, TRUE AS no_kept_exact_in_store,
+           TRUE AS no_kept_exact_within, TRUE AS kept_subset_of_batch""",
     "q118_quality_classifier" ->
       """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
            (SELECT COUNT(*) FROM documents

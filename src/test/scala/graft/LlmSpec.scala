@@ -123,6 +123,61 @@ class DedupSpec extends SparkSuite {
     assert(nj == Set((1L, 2L)))
   }
 
+  test("lshIncremental: exact re-ingest and near-dups drop, novel docs admitted") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).map(i => s"x$i").mkString(" ")
+    val store = Dedup.minhashSignatures(
+      docs(1L -> a, 2L -> b), "doc_id", "text")
+    // batch: exact copy of a, a near-copy of b (one word changed),
+    // one genuinely novel doc
+    val nearB = ((1 to 39).map(i => s"x$i") :+ "CHANGED").mkString(" ")
+    val novel = (1 to 40).map(i => s"z$i").mkString(" ")
+    val batch = docs(10L -> a, 11L -> nearB, 12L -> novel)
+    val kept = Dedup.lshIncremental(batch, "doc_id", "text", store,
+        threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(12L), s"got $kept")
+  }
+
+  test("lshIncremental: within-batch keep-first, deterministic across partitionings") {
+    val t1 = (1 to 50).map(i => s"a$i").mkString(" ")
+    val t2 = (1 to 50).map(i => s"b$i").mkString(" ")
+    val emptyStore = Dedup.minhashSignatures(
+      docs(), "doc_id", "text")
+    val batch = docs(5L -> t1, 3L -> t1, 7L -> t2, 9L -> t2, 8L -> t2)
+    val kept = Dedup.lshIncremental(batch, "doc_id", "text", emptyStore)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 7L)) // min id of each duplicate class
+    val kept2 = Dedup.lshIncremental(batch.repartition(7), "doc_id", "text",
+        emptyStore).select("id").as[Long].collect().toSet
+    assert(kept2 == kept)
+  }
+
+  test("lshIncremental: null text dropped, never admitted or matched") {
+    val t = (1 to 40).map(i => s"w$i").mkString(" ")
+    val store = Dedup.minhashSignatures(docs(1L -> t), "doc_id", "text")
+    val batch = Seq((10L, null), (11L, null), (12L, t))
+      .toDF("doc_id", "text")
+    val kept = Dedup.lshIncremental(batch, "doc_id", "text", store)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set.empty[Long]) // t is a store dup; nulls dropped
+  }
+
+  test("split band-key kernels compose to the fused one (store/batch can never drift)") {
+    val texts = Seq((1 to 30).map(i => s"w$i").mkString(" "), "one two", "solo")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = df.select(
+        call_function("graft_band_keys",
+          call_function("graft_shingle_hashes", $"text", lit(3)),
+          lit(64), lit(16)).as("fused"),
+        call_function("graft_band_keys_sig",
+          call_function("graft_minhash_sig",
+            call_function("graft_shingle_hashes", $"text", lit(3)), lit(64)),
+          lit(16)).as("split"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (f, sp) => assert(f == sp) }
+  }
+
   test("ngramJaccard computes the exact set jaccard within blocks") {
     // doc1 shingles {a b c, b c d}; doc2 {b c d, c d e} → J = 1/3
     val d = Seq((1L, "a b c d", "blk"), (2L, "b c d e", "blk"),
