@@ -158,6 +158,53 @@ object ScaleCurve {
           .selectExpr("size(hh) AS n").head().getInt(0).toLong
       })
 
+      // ---- q117: Count-Min sketch build + probe (r16) ----
+      // the grid is 4x2048 longs regardless of m: the curve must track
+      // the explode scan + map-side partial merge (state per task is
+      // constant). Returned metric = estimate mass of 20 probes.
+      report("q117_count_min", () => {
+        val words = docs.select(explode(split(col("text"), " ")).as("k"))
+          .filter(col("k") =!= "")
+        val sk = graft.ops.CountMin.sketch(words, col("k"))
+        val probes = words.limit(20)
+        probes.crossJoin(org.apache.spark.sql.functions.broadcast(sk))
+          .select(graft.ops.CountMin.estimate(col("cm"), col("k")).as("e"))
+          .agg(sum(col("e"))).head().getLong(0)
+      })
+
+      // ---- q118: classifier train + score (r16) ----
+      // featurize is the corpus-linear term; each of the 6 GD passes
+      // scans the persisted featurized frame and collects <= dim+2
+      // rows — the curve must track featurize + iters x feat-scan,
+      // with driver work constant (model-sized). Label re-derived from
+      // the multiplied text (copies carry prefixed words, so the
+      // positive token is copy-local: per-copy balance holds).
+      report("q118_classifier", () => {
+        val labeled = docs.select(col("doc_id"), col("text"),
+          array_contains(split(col("text"), " "), "spark")
+            .or(array_contains(split(col("text"), " "), "x1_spark"))
+            .cast("int").as("label"))
+        val mdl = graft.llm.Classifier.trainLogReg(
+          labeled, "doc_id", "text", "label", dim = 512, iters = 6)
+        graft.llm.Classifier.score(labeled, "doc_id", "text", mdl)
+          .filter(col("score") >= 0.5).count()
+      })
+
+      // ---- q119: incremental LSH near-dedup vs signature store (r16) ----
+      // store = even ids' signatures, batch = odd ids + re-ingested
+      // evens (the q109 split, at every factor): store-side work is
+      // one band derivation + bucket agg over m-proportional
+      // signatures; batch side likewise — the curve must stay linear
+      // while candidate verification stays bounded by bucket caps.
+      report("q119_incremental_lsh", () => {
+        val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val store = Dedup.minhashSignatures(evens, "doc_id", "text")
+        val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .unionByName(evens.select(
+            (col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+        Dedup.lshIncremental(batch, "doc_id", "text", store).count()
+      })
+
       // ---- q69: curation capstone (t2 parameters) ----
       report("q69_curate", () =>
         Curate.curate(docs, "doc_id", "text", "source").count(),
