@@ -986,6 +986,46 @@ object LlmQueries {
         lit(" at 10.0."), (col("doc_id") % 256), lit(".7"))
       d.select(col("doc_id"), Text.scrubPii(salted).as("clean"))
         .orderBy(col("doc_id"))
+    }),
+
+    // KLL-style mergeable quantile sketch (the sketch-family quantile
+    // slot next to q91 HLL / q111 MG / q117 CMS): per-group sketches
+    // built over l_extendedprice, re-merged WITHOUT raw data to a
+    // global sketch, φ-estimates read back in pure column math.
+    // Estimates are sketch-dependent (no SQL re-derivation) so — the
+    // q26/q117 properties pattern — the emitted rows state the
+    // deterministic invariants: weight conservation is EXACT
+    // (Σ items·2^l == corpus rows) and every φ-estimate's true corpus
+    // rank lies within the deterministic worst-case band ±0.05·n
+    // (k=800 ⇒ 2·levels/k < 0.05 beyond 150M rows)
+    "q120_quantile_sketch" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val n = li.count()
+      val eps = 0.05
+      val perGroup = graft.ops.QuantileSketch.sketchBy(
+        li, Seq("l_returnflag"), col("l_extendedprice"))
+      val global = graft.ops.QuantileSketch.mergeSketches(perGroup, Seq.empty)
+      val phis = Seq(0.01, 0.25, 0.50, 0.75, 0.99)
+      val est = global.select(
+        graft.ops.QuantileSketch.totalWeight(col("kll")).as("tw"),
+        explode(array(phis.map(p => struct(
+          lit(p).as("phi"),
+          graft.ops.QuantileSketch.quantile(col("kll"), p).as("est"))): _*)).as("q"))
+        .select(col("q.phi").as("phi"), col("q.est").as("est"), col("tw"))
+      li.select(col("l_extendedprice").as("v"))
+        .crossJoin(broadcast(est))
+        .groupBy(col("phi"), col("est"), col("tw"))
+        .agg(
+          sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("rank_le"),
+          sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("rank_lt"))
+        .select(
+          col("phi"),
+          lit(n).as("n"),
+          (col("tw") === lit(n)).as("weight_exact"),
+          (!isnan(col("est")) &&
+            col("rank_le") >= (col("phi") - lit(eps)) * lit(n) &&
+            col("rank_lt") <= (col("phi") + lit(eps)) * lit(n)).as("within_bound"))
+        .orderBy(col("phi"))
     })
   )
 
@@ -1783,6 +1823,12 @@ object LlmQueries {
                 JOIN v va ON va.vec_id = id_a
                 JOIN v vb ON vb.vec_id = id_b)
           SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
-          ORDER BY id_a, id_b"""
+          ORDER BY id_a, id_b""",
+    "q120_quantile_sketch" ->
+      """SELECT CAST(phi AS DOUBLE) AS phi,
+           (SELECT COUNT(*) FROM lineitem) AS n,
+           TRUE AS weight_exact, TRUE AS within_bound
+         FROM (VALUES (0.01), (0.25), (0.50), (0.75), (0.99)) t(phi)
+         ORDER BY phi"""
   )
 }
