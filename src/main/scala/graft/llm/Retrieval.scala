@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 scored retrieval (Robertson & Zaragoza 2009; the Lucene
+  * practical form with the `ln(1 + …)` positive idf) — the ranked-
+  * retrieval counterpart of [[Text.tfidf]]: score a small query
+  * workload against the corpus and keep the top-k documents per query.
+  * Training-data pipelines use exactly this shape for quality-by-
+  * retrieval curation and for building seed sets (retrieve-then-filter
+  * in the DSIR / SemDeDup lineage); the reference's closest surface is
+  * TF-IDF + ORDER/LIMIT per group, which sorts every scored pair.
+  *
+  * Scale shape (the 100 TB contract):
+  *   - only QUERY-TERM postings flow — `tf` is semi-joined against the
+  *     broadcast query-term set before anything else, so the corpus
+  *     text leaves the tokenize stage once and non-matching terms are
+  *     never shuffled;
+  *   - `df` and the corpus stats (N, avgdl) are term-count-bounded and
+  *     1-row aggregates, attached as broadcasts (the q20 scalar
+  *     pattern);
+  *   - top-k per query is [[graft.ops.TopKAgg]] — partial/final with k
+  *     rows per map task, `O(k·partitions)` on the wire, never a
+  *     per-query global sort.
+  *
+  * Determinism (the oracle contract): every per-term contribution is
+  * rounded to integer NANOS (`floor(x·1e9 + 0.5)` — the repo-standard
+  * floor-round, absorbing last-ulp `ln` differences between engines)
+  * and summed as exact longs, so the per-document score is independent
+  * of partition order and bit-identical to the DuckDB re-derivation;
+  * ranking ties break on (score_nano desc, doc asc) in both.
+  */
+object Retrieval {
+
+  /** BM25 scores for every (query, matching document) pair.
+    *
+    * @param queries (qid int, term string) — one row per query term;
+    *                must be small (it is broadcast).
+    * @return (qid, doc, score_nano) — score in integer nanos.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    // N and avgdl over tokenized docs; exact int inputs → the double
+    // division is bit-identical across engines
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = queries.select(col("qid"), col("term")).distinct()
+    // document frequency of the query terms only
+    val dfreq = tf.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc"),
+        floor(contrib * lit(1e9) + lit(0.5)).as("contrib_nano"))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(col("contrib_nano")).as("score_nano"))
+  }
+
+  /** Top-k documents per query by BM25, rank attached:
+    * (qid, rank, doc, score_nano), rank 1-based by
+    * (score_nano desc, doc asc). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25(docs, idCol, textCol, queries, k1, b)
+    val top = graft.ops.TopKAgg.topK(k)
+    // score_nano < 2^53 for any real corpus, so the double carry is exact
+    scored.groupBy(col("qid"))
+      .agg(top(col("score_nano").cast("double"), col("doc")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit._2").as("doc"), col("hit._1").cast("long").as("score_nano"))
+  }
+}

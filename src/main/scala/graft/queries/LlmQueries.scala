@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Bpe, Dedup, Multimodal, Similarity, Text}
+import graft.llm.{Bpe, Dedup, Multimodal, Retrieval, Similarity, Text}
 
 /** Training-data-pipeline t2 queries: dedup family, similarity search,
   * text analysis, multimodal plumbing. Oracles are plain SQL
@@ -1026,6 +1026,23 @@ object LlmQueries {
             col("rank_le") >= (col("phi") - lit(eps)) * lit(n) &&
             col("rank_lt") <= (col("phi") + lit(eps)) * lit(n)).as("within_bound"))
         .orderBy(col("phi"))
+    }),
+
+    // BM25 ranked retrieval (Robertson & Zaragoza 2009): a fixed 4-query
+    // workload scored against the corpus, top-10 per query via the
+    // bounded TopKAgg. Scores are integer NANOS (per-term floor-round,
+    // exact long sum) so the hash compare against DuckDB's re-derivation
+    // is exact and partition-order-free
+    "q121_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val workload = Seq(
+        (1, "table"), (1, "scan"), (1, "filter"),
+        (2, "group"), (2, "agg"), (2, "value"),
+        (3, "join"), (3, "key"), (3, "hash"),
+        (4, "stream"), (4, "window"), (4, "batch")).toDF("qid", "term")
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          workload, k = 10)
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -1829,6 +1846,35 @@ object LlmQueries {
            (SELECT COUNT(*) FROM lineitem) AS n,
            TRUE AS weight_exact, TRUE AS within_bound
          FROM (VALUES (0.01), (0.25), (0.50), (0.75), (0.99)) t(phi)
-         ORDER BY phi"""
+         ORDER BY phi""",
+    "q121_bm25" ->
+      """WITH q(qid, term) AS (VALUES
+           (1,'table'),(1,'scan'),(1,'filter'),
+           (2,'group'),(2,'agg'),(2,'value'),
+           (3,'join'),(3,'key'),(3,'hash'),
+           (4,'stream'),(4,'window'),(4,'batch')),
+         toks AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+         tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks
+                WHERE term <> '' GROUP BY 1, 2),
+         dl AS (SELECT doc, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf
+                   WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.qid, tf.doc,
+             CAST(SUM(CAST(FLOOR(
+               (LN(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+                ((tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS score_nano
+           FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+                JOIN dl USING (doc), stats
+           GROUP BY 1, 2),
+         ranked AS (SELECT qid, doc, score_nano,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY score_nano DESC, doc) AS rn FROM scored)
+         SELECT qid, CAST(rn AS INTEGER) AS rank, doc, score_nano
+         FROM ranked WHERE rn <= 10 ORDER BY qid, rank"""
   )
 }
