@@ -511,6 +511,23 @@ object CoreQueries {
           max(col("meta.nc")).as("max_meta_nc"),
           min(element_at(col("props"), "lang")).as("min_prop_lang"))
         .orderBy(col("source"))
+    }),
+
+    // Fixed-point integer PageRank over the bidirectional customer–part
+    // purchase graph (node ids: custkey·2 / partkey·2+1): 5 damped
+    // rounds of exact integer math (`div` truncation both engines), so
+    // the DuckDB unrolled-recurrence oracle hash-matches bit-exactly
+    "q122_pagerank" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.PageRank.ranks(edges, iterations = 5)
+        .orderBy(col("r").desc, col("node"))
+        .limit(30)
     })
   )
 
@@ -762,6 +779,59 @@ object CoreQueries {
          MIN(k) AS min_k, MAX(k) AS max_k
          FROM (SELECT event_type,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q122_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS src,
+                          l_partkey * 2 + 1 AS dst
+                        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT src, dst FROM pairs
+                   UNION ALL SELECT dst, src FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+         p AS (SELECT COUNT(*) AS n FROM nodes),
+         r0 AS (SELECT node, (1000000000000 // n) AS r
+                FROM nodes CROSS JOIN p),
+         i1 AS (SELECT nodes.node,
+                  (((1000000000000 // n) * 15) // 100)
+                    + ((COALESCE(s.insum, 0) * 85) // 100) AS r
+                FROM nodes CROSS JOIN p
+                LEFT JOIN (SELECT e.dst, SUM(r.r // od.od) AS insum
+                           FROM edges e JOIN r0 r ON e.src = r.node
+                           JOIN od ON od.src = e.src GROUP BY 1) s
+                  ON s.dst = nodes.node),
+         i2 AS (SELECT nodes.node,
+                  (((1000000000000 // n) * 15) // 100)
+                    + ((COALESCE(s.insum, 0) * 85) // 100) AS r
+                FROM nodes CROSS JOIN p
+                LEFT JOIN (SELECT e.dst, SUM(r.r // od.od) AS insum
+                           FROM edges e JOIN i1 r ON e.src = r.node
+                           JOIN od ON od.src = e.src GROUP BY 1) s
+                  ON s.dst = nodes.node),
+         i3 AS (SELECT nodes.node,
+                  (((1000000000000 // n) * 15) // 100)
+                    + ((COALESCE(s.insum, 0) * 85) // 100) AS r
+                FROM nodes CROSS JOIN p
+                LEFT JOIN (SELECT e.dst, SUM(r.r // od.od) AS insum
+                           FROM edges e JOIN i2 r ON e.src = r.node
+                           JOIN od ON od.src = e.src GROUP BY 1) s
+                  ON s.dst = nodes.node),
+         i4 AS (SELECT nodes.node,
+                  (((1000000000000 // n) * 15) // 100)
+                    + ((COALESCE(s.insum, 0) * 85) // 100) AS r
+                FROM nodes CROSS JOIN p
+                LEFT JOIN (SELECT e.dst, SUM(r.r // od.od) AS insum
+                           FROM edges e JOIN i3 r ON e.src = r.node
+                           JOIN od ON od.src = e.src GROUP BY 1) s
+                  ON s.dst = nodes.node),
+         i5 AS (SELECT nodes.node,
+                  (((1000000000000 // n) * 15) // 100)
+                    + ((COALESCE(s.insum, 0) * 85) // 100) AS r
+                FROM nodes CROSS JOIN p
+                LEFT JOIN (SELECT e.dst, SUM(r.r // od.od) AS insum
+                           FROM edges e JOIN i4 r ON e.src = r.node
+                           JOIN od ON od.src = e.src GROUP BY 1) s
+                  ON s.dst = nodes.node)
+         SELECT node, CAST(r AS BIGINT) AS r FROM i5
+         ORDER BY r DESC, node LIMIT 30"""
   )
 }

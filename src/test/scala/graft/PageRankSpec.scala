@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.PageRank
+
+/** Fixed-point integer PageRank vs a driver-side replay of the same
+  * recurrence. */
+class PageRankSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** The identical integer recurrence in plain Scala. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+                        scale: Long = PageRank.DefaultScale): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val od = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val teleport = (scale / n) * 15 / 100
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val insum = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / od(s) }.sum).toMap
+      r = nodes.map(v => v -> (teleport + insum.getOrElse(v, 0L) * 85 / 100)).toMap
+    }
+    r
+  }
+
+  private val diamond: Seq[(Long, Long)] =
+    Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 1L), (5L, 1L))
+
+  test("ranks equal the driver-side integer recurrence (incl. a no-inlink node)") {
+    val got = PageRank.ranks(diamond.toDF("src", "dst"), iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    val want = reference(diamond, 5)
+    assert(got == want)
+    // node 5 has no in-edges: rank is teleport-only after round 1
+    val scale = PageRank.DefaultScale
+    assert(want(5L) == (scale / 5) * 15 / 100)
+  }
+
+  test("ranks are exact under any partitioning") {
+    val rnd = new scala.util.Random(9)
+    val edges = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val a = PageRank.ranks(edges.toDF("src", "dst"), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val b = PageRank.ranks(edges.toDF("src", "dst").repartition(13),
+        iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a == reference(edges, 4))
+  }
+
+  test("on a bidirectional graph total rank stays within truncation loss of scale") {
+    val pairs = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L))
+    val edges = pairs ++ pairs.map(_.swap)
+    val got = PageRank.ranks(edges.toDF("src", "dst"), iterations = 5)
+      .as[(Long, Long)].collect()
+    val total = got.map(_._2).sum
+    val scale = PageRank.DefaultScale
+    // every div truncation loses <1 ulp per node per term per round
+    assert(total <= scale && total > scale - scale / 1000, s"total=$total")
+  }
+}
