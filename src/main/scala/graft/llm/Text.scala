@@ -920,4 +920,56 @@ object Text {
             - col("sum_clnc").cast("double") / col("n_words")) / math.log(2.0), 4)
           .as("word_entropy"))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, algorithm A-ES): each row gets the key `ln(u)/w` for a
+    * per-row uniform `u ∈ (0,1)`, and the k largest keys are an exact
+    * weighted-without-replacement draw — inclusion probability
+    * proportional to weight, no sequential pass, no rejection. The
+    * missing slot in the sampling family: q26 uniform, q78/q88
+    * budget/mixture prefixes, q90 stratified, q103 k-per-group are all
+    * either uniform or quota-based; this one is importance-weighted
+    * (the "sample documents ∝ quality score" recipe from the DoReMi /
+    * DSIR lineage).
+    *
+    * RNG-free like every sampler here: `u` derives from
+    * `xxhash64(id, seed)` masked to [0, 2^63) and shifted by +0.5, so
+    * u is never 0 or 1, the draw is reproducible row-for-row, and a
+    * re-run with a different `seed` is an independent draw.
+    *
+    * Scale shape: one scan computing (key, id), then [[graft.ops.TopKAgg]]
+    * — k rows per map task, `O(k·partitions)` on the wire, never a
+    * global sort. Rows with null or non-positive weight are excluded
+    * (a zero-weight row must never be drawn; a negative weight is a
+    * caller bug surfaced by the `n_candidates` count, not silently
+    * kept).
+    *
+    * @return (doc, weight, key) for the k selected rows.
+    */
+  /** The A-ES key `ln(u)/w` with `u = (masked xxhash64(id, seed) + 0.5)
+    * / 2^63` — ONE definition shared by [[weightedSample]] and the
+    * q123 exact-top-k verification, so they cannot drift. */
+  def esKey(id: Column, weight: Column, seed: Long): Column = {
+    val u = ((xxhash64(id, lit(seed)).bitwiseAND(lit(Long.MaxValue)))
+      .cast("double") + lit(0.5)) / lit(9.223372036854775807E18)
+    log(u) / weight.cast("double")
+  }
+
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, "weighted sample size must be positive")
+    val keyed = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol).cast("long").as("doc"),
+        col(weightCol).cast("double").as("weight"),
+        esKey(col(idCol), col(weightCol), seed).as("key"))
+    val top = graft.ops.TopKAgg.topK(k)
+    val sel = keyed.agg(top(col("key"), col("doc")).as("tk"))
+      .select(explode(col("tk")).as("hit"))
+      .select(col("hit._2").as("doc"), col("hit._1").as("key"))
+    // re-attach weights with the k-row side broadcast — the corpus
+    // streams, nothing re-shuffles
+    broadcast(sel).join(keyed.select(col("doc"), col("weight")), Seq("doc"))
+      .select(col("doc"), col("weight"), col("key"))
+  }
 }

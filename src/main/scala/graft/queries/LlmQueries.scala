@@ -1043,6 +1043,37 @@ object LlmQueries {
       Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
           workload, k = 10)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Efraimidis–Spirakis weighted sampling without replacement
+    // (k=50, weight = n_chars): WHICH docs are drawn depends on the
+    // hash draw, so — the q26/q123 properties pattern — the emitted
+    // row states the deterministic invariants: exactly k distinct
+    // rows, all from the corpus with their true weights, and the
+    // selection is EXACTLY the k largest A-ES keys (threshold proof
+    // against the full candidate set, same esKey definition)
+    "q123_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = 50
+      val sel = graft.dsl.Rel.track(
+        Text.weightedSample(docs, "doc_id", "n_chars", k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val a = sel.agg(count(lit(1)).as("n_selected"),
+        countDistinct(col("doc")).as("n_distinct"),
+        min(col("key")).as("thresh"))
+      val b = sel.join(docs,
+          sel("doc") === docs("doc_id") &&
+            sel("weight") === docs("n_chars").cast("double"))
+        .agg(count(lit(1)).as("n_matched"))
+      val c = docs.filter(col("n_chars") > 0)
+        .select(Text.esKey(col("doc_id"), col("n_chars"), 42L).as("ck"))
+        .crossJoin(broadcast(a.select(col("thresh"))))
+        .agg(sum(when(col("ck") > col("thresh"), 1L).otherwise(0L)).as("n_above"),
+          sum(when(col("ck") >= col("thresh"), 1L).otherwise(0L)).as("n_atleast"))
+      a.crossJoin(b).crossJoin(c)
+        .select(lit(k).as("k"), col("n_selected"), col("n_distinct"),
+          (col("n_matched") === k).as("subset_weights_ok"),
+          (col("n_above") <= k - 1 && col("n_atleast") >= k).as("topk_ok"))
     })
   )
 
@@ -1875,6 +1906,10 @@ object LlmQueries {
            ROW_NUMBER() OVER (PARTITION BY qid
              ORDER BY score_nano DESC, doc) AS rn FROM scored)
          SELECT qid, CAST(rn AS INTEGER) AS rank, doc, score_nano
-         FROM ranked WHERE rn <= 10 ORDER BY qid, rank"""
+         FROM ranked WHERE rn <= 10 ORDER BY qid, rank""",
+    "q123_weighted_sample" ->
+      """SELECT 50 AS k, CAST(50 AS BIGINT) AS n_selected,
+           CAST(50 AS BIGINT) AS n_distinct,
+           TRUE AS subset_weights_ok, TRUE AS topk_ok"""
   )
 }
