@@ -132,6 +132,14 @@ object Text {
   def fingerprint(text: Column): Column =
     call_function("graft_fingerprint", text)
 
+  /** Unicode canonicalization for dedup keys (CCNet/C4 lineage):
+    * NFKC → lowercase → accent-strip → whitespace-collapse, as the
+    * native codegen'd [[graft.plans.NormalizeTextF]] kernel. Compose
+    * as `fingerprint(normalize(text))` for case/accent-robust exact
+    * dedup (q124). */
+  def normalize(text: Column): Column =
+    call_function("graft_normalize", text)
+
   /** The SQL-expressible fold [[fingerprint]] is bit-identical to —
     * interpreted (CodegenFallback), so only the equivalence spec and
     * SQL-oracle documentation should use it.

@@ -162,6 +162,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_band_keys expects 3 arguments (hashes, numHashes, bands), got ${children.size}")
         BandKeysF(children.head, children(1), children(2))
       }))
+    // graft_normalize(text) — NFKC + lowercase + accent-strip +
+    // whitespace-collapse canonicalization (see NormalizeTextF), the
+    // pre-dedup normalization pass.
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NormalizeTextF].getName, "graft_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          s"graft_normalize expects 1 argument, got ${children.size}")
+        NormalizeTextF(children.head)
+      }))
     // Spark's native bloom probe (the one runtime row-level filtering
     // uses): graft_might_contain(serialized_bloom, xxhash64(key)).
     // Codegen'd, no Scala UDF — see graft.ops.BloomJoin.

@@ -1074,6 +1074,21 @@ object LlmQueries {
         .select(lit(k).as("k"), col("n_selected"), col("n_distinct"),
           (col("n_matched") === k).as("subset_weights_ok"),
           (col("n_above") <= k - 1 && col("n_atleast") >= k).as("topk_ok"))
+    }),
+
+    // Unicode canonicalization (graft_normalize: NFKC + lowercase +
+    // accent-strip + whitespace-collapse): every doc salted with
+    // mixed case, Latin accents and whitespace runs (the q64/q65 salt
+    // pattern — the raw corpus is already clean ASCII), normalized by
+    // the native kernel; the oracle replays lower+strip_accents+
+    // regexp-collapse, which agrees exactly on this character class
+    "q124_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val salted = concat(lit("  Fast-Track CAFÉ\t"), col("text"),
+        lit("  Déjà  Vu,  Naïve ÜBER!  "))
+      d.select(col("doc_id"), Text.normalize(salted).as("norm"),
+          Text.fingerprint(Text.normalize(salted)).as("norm_fp"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1910,6 +1925,17 @@ object LlmQueries {
     "q123_weighted_sample" ->
       """SELECT 50 AS k, CAST(50 AS BIGINT) AS n_selected,
            CAST(50 AS BIGINT) AS n_distinct,
-           TRUE AS subset_weights_ok, TRUE AS topk_ok"""
+           TRUE AS subset_weights_ok, TRUE AS topk_ok""",
+    "q124_normalize" ->
+      """WITH n AS (SELECT doc_id,
+           trim(regexp_replace(strip_accents(lower(
+             '  Fast-Track CAFÉ' || chr(9) || text ||
+             '  Déjà  Vu,  Naïve ÜBER!  ')), '\s+', ' ', 'g')) AS norm
+         FROM documents)
+         SELECT doc_id, norm,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(norm, ''), c -> ord(c))),
+             (h, c) -> (h * 31 + c) % 2147483647)::BIGINT AS norm_fp
+         FROM n ORDER BY doc_id"""
   )
 }
