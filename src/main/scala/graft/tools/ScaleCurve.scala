@@ -205,6 +205,71 @@ object ScaleCurve {
         Dedup.lshIncremental(batch, "doc_id", "text", store).count()
       })
 
+      // ---- q120: KLL quantile sketch build + merge + read (r16) ----
+      // per-source sketches over length(text), re-merged to global, 5
+      // quantile reads: buffer is O(k·log n) per task regardless of m —
+      // the curve must track the scan + map-side partial merge.
+      // Returned metric = total weight (must equal n_docs exactly).
+      report("q120_quantile_sketch", () => {
+        val perGroup = graft.ops.QuantileSketch.sketchBy(
+          docs, Seq("source"), length(col("text")))
+        val global = graft.ops.QuantileSketch.mergeSketches(perGroup, Nil)
+        global.select(
+            graft.ops.QuantileSketch.totalWeight(col("kll")).as("tw"),
+            graft.ops.QuantileSketch.quantile(col("kll"), 0.5).as("med"))
+          .head().getLong(0)
+      })
+
+      // ---- q121: BM25 ranked retrieval (r16) ----
+      // the fixed 4-query workload matches only copy-0 terms (copies
+      // prefix every word), but tf/dl/stats aggregate the WHOLE corpus:
+      // the curve must track the tokenize + tf aggregation, with the
+      // postings join constant-size. Returned metric = hit count.
+      report("q121_bm25", () => {
+        val workload = Seq(
+          (1, "table"), (1, "scan"), (1, "filter"),
+          (2, "group"), (2, "agg"), (2, "value"),
+          (3, "join"), (3, "key"), (3, "hash"),
+          (4, "stream"), (4, "window"), (4, "batch"))
+        import spark.implicits._
+        graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+          workload.toDF("qid", "term"), k = 10).count()
+      })
+
+      // ---- q122: PageRank over the bipartite doc-word graph (r16) ----
+      // nodes and edges both grow m×, degree distribution constant per
+      // copy: each of the 3 damped rounds is one join + one agg over
+      // m-proportional edges — the curve must be linear with a slope
+      // ~3× the edge-scan cost. Returned metric = node count.
+      report("q122_pagerank", () => {
+        val pairs = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .select(xxhash64(concat(lit("d"), col("doc_id"))).as("src"),
+            xxhash64(concat(lit("w"), col("word"))).as("dst"))
+          .distinct()
+        val edges = pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.ops.PageRank.ranks(edges, iterations = 3).count()
+      })
+
+      // ---- q123: Efraimidis-Spirakis weighted sample (r16) ----
+      // one key scan + bounded TopKAgg: O(k·partitions) state — the
+      // curve must track the scan alone. Returned metric = sample size.
+      report("q123_weighted_sample", () =>
+        graft.llm.Text.weightedSample(
+          docs.withColumn("w", length(col("text"))), "doc_id", "w", 200)
+          .count())
+
+      // ---- q124: Unicode canonicalization kernel (r16) ----
+      // pure per-row codegen'd column math over the salted corpus —
+      // the curve IS the scan. Returned metric = distinct normalized
+      // fingerprints (dedup-key cardinality).
+      report("q124_normalize", () =>
+        docs.select(graft.llm.Text.fingerprint(graft.llm.Text.normalize(
+            concat(lit("  Fast-Track CAFÉ\t"), col("text"),
+              lit("  Déjà  Vu  ")))).as("fp"))
+          .distinct().count())
+
       // ---- q69: curation capstone (t2 parameters) ----
       report("q69_curate", () =>
         Curate.curate(docs, "doc_id", "text", "source").count(),
