@@ -929,6 +929,22 @@ object Text {
           .as("word_entropy"))
   }
 
+  /** The A-ES key `ln(u)/w` with
+    * `u = (((xxhash64(id, seed) & MaxLong) >>> 11) + 0.5) / 2^52` —
+    * the masked hash keeps its top 52 bits, so the +0.5 shift and the power-of-two
+    * division are both EXACT in double and `u ∈ (0,1)` strictly (a
+    * plain `/2^63` form rounds hashes near 2^63 up to u = 1.0 →
+    * `ln(u) = 0`, the global-maximum key, breaking the
+    * inclusion-∝-weight contract for ~1-in-2^53 rows). ONE definition
+    * shared by [[weightedSample]] and the q123 exact-top-k
+    * verification, so they cannot drift. */
+  def esKey(id: Column, weight: Column, seed: Long): Column = {
+    val u = (shiftrightunsigned(
+      xxhash64(id, lit(seed)).bitwiseAND(lit(Long.MaxValue)), 11)
+      .cast("double") + lit(0.5)) / lit(4.503599627370496E15) // 2^52
+    log(u) / weight.cast("double")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
     * 2006, algorithm A-ES): each row gets the key `ln(u)/w` for a
     * per-row uniform `u ∈ (0,1)`, and the k largest keys are an exact
@@ -941,34 +957,31 @@ object Text {
     * DSIR lineage).
     *
     * RNG-free like every sampler here: `u` derives from
-    * `xxhash64(id, seed)` masked to [0, 2^63) and shifted by +0.5, so
-    * u is never 0 or 1, the draw is reproducible row-for-row, and a
-    * re-run with a different `seed` is an independent draw.
+    * `xxhash64(id, seed)` (see [[esKey]]), so the draw is reproducible
+    * row-for-row and a re-run with a different `seed` is an
+    * independent draw.
     *
     * Scale shape: one scan computing (key, id), then [[graft.ops.TopKAgg]]
     * — k rows per map task, `O(k·partitions)` on the wire, never a
-    * global sort. Rows with null or non-positive weight are excluded
-    * (a zero-weight row must never be drawn; a negative weight is a
-    * caller bug surfaced by the `n_candidates` count, not silently
-    * kept).
+    * global sort. Rows with null id or null/non-positive weight are
+    * excluded (a zero-weight row must never be drawn); an id that is
+    * NOT castable to long raises at runtime — a silent null key would
+    * otherwise vanish through the final join and return an empty
+    * "sample" (the null-key-join sharp edge).
     *
     * @return (doc, weight, key) for the k selected rows.
     */
-  /** The A-ES key `ln(u)/w` with `u = (masked xxhash64(id, seed) + 0.5)
-    * / 2^63` — ONE definition shared by [[weightedSample]] and the
-    * q123 exact-top-k verification, so they cannot drift. */
-  def esKey(id: Column, weight: Column, seed: Long): Column = {
-    val u = ((xxhash64(id, lit(seed)).bitwiseAND(lit(Long.MaxValue)))
-      .cast("double") + lit(0.5)) / lit(9.223372036854775807E18)
-    log(u) / weight.cast("double")
-  }
-
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, seed: Long = 42L): DataFrame = {
     require(k > 0, "weighted sample size must be positive")
+    val docId = col(idCol).cast("long")
     val keyed = df
-      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .select(col(idCol).cast("long").as("doc"),
+      .filter(col(idCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(
+        when(docId.isNull, raise_error(lit(
+          s"weightedSample: id column '$idCol' is not castable to long")))
+          .otherwise(docId).as("doc"),
         col(weightCol).cast("double").as("weight"),
         esKey(col(idCol), col(weightCol), seed).as("key"))
     val top = graft.ops.TopKAgg.topK(k)
