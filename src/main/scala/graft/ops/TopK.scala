@@ -4,6 +4,16 @@ import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
+/** Mutable bounded top-k buffer: parallel primitive arrays of capacity
+  * `k`, the first `n` slots sorted by (score desc, id asc). Kept as a
+  * case class so the ExpressionEncoder serializes it at shuffle/spill
+  * boundaries only (udaf wraps Aggregators in a
+  * TypedImperativeAggregate — the KllBuf/HeavyHitters discipline).
+  * NOTE: equality is reference-based on the arrays; compare via
+  * `finish`, never `==` (KernelPropsSpec does).
+  */
+case class TopKBuf(var n: Int, scores: Array[Double], ids: Array[Long])
+
 /** Bounded top-k aggregation (SURVEY.md §4.3's "fused top-k" candidate):
   * keeps the k best (score desc, id asc) pairs in the aggregation
   * buffer. Because it's an Aggregator, Spark runs it partial/final —
@@ -12,29 +22,83 @@ import org.apache.spark.sql.functions.udaf
   * window. That's the difference between "works" and "works at 100 TB"
   * for similarity search.
   *
+  * Buffer discipline (the r15 HeavyHittersAgg lesson, measured
+  * 1.27–1.47× there; TkBench A/Bs this one): parallel primitive
+  * arrays mutated in place. The steady-state reject — the common case
+  * once the buffer is warm — is ONE primitive compare against the
+  * current k-th element; an improving insert is a binary search plus
+  * an `O(k)` primitive arraycopy shift, never a boxed-tuple Seq
+  * rebuild + `sortWith`. Merge is a single sorted-run merge.
+  *
   * Determinism: total order on (score desc, id asc) — same tie rule as
   * the window-function formulation, so both produce identical rows.
+  * NaN scores are skipped like SQL nulls in count (a NaN can never
+  * rank under the total order; every in-repo producer — esKey, cosine,
+  * integer-nano BM25 — is NaN-free by construction).
   */
 class TopKAgg(k: Int)
-  extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
+  require(k > 0, "top-k size must be positive")
 
-  private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
-    // buf is sorted: score desc, id asc; bounded at k
-    if (buf.size >= k && better(buf.last, x)) buf
-    else ((buf :+ x).sortWith(better) : Seq[(Double, Long)]).take(k)
+  /** (as, ai) strictly precedes (bs, bi) under (score desc, id asc). */
+  private def precedes(as: Double, ai: Long, bs: Double, bi: Long): Boolean =
+    as > bs || (as == bs && ai < bi)
+
+  override def zero: TopKBuf = TopKBuf(0, new Array[Double](k), new Array[Long](k))
+
+  private def insert(buf: TopKBuf, s: Double, id: Long): Unit = {
+    if (s != s) return // NaN never ranks
+    val n = buf.n
+    if (n == k && !precedes(s, id, buf.scores(k - 1), buf.ids(k - 1))) return
+    // first position whose element does not precede (s, id)
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (precedes(buf.scores(mid), buf.ids(mid), s, id)) lo = mid + 1 else hi = mid
+    }
+    val last = if (n == k) k - 1 else n // full buffer: k-th element falls off
+    System.arraycopy(buf.scores, lo, buf.scores, lo + 1, last - lo)
+    System.arraycopy(buf.ids, lo, buf.ids, lo + 1, last - lo)
+    buf.scores(lo) = s
+    buf.ids(lo) = id
+    if (n < k) buf.n = n + 1
   }
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  override def reduce(buf: TopKBuf, in: (Double, Long)): TopKBuf = {
+    insert(buf, in._1, in._2)
+    buf
+  }
 
-  override def zero: Seq[(Double, Long)] = Vector.empty
-  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-    insert(buf, in)
-  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    ((a ++ b).sortWith(better) : Seq[(Double, Long)]).take(k)
-  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
-  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    if (b.n == 0) return a
+    if (a.n == 0) return b
+    val n = math.min(k, a.n + b.n)
+    val s = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var i = 0
+    var j = 0
+    var o = 0
+    while (o < n) {
+      // ties (identical pairs) take a's copy first — same multiset out
+      val takeA = j >= b.n ||
+        (i < a.n && !precedes(b.scores(j), b.ids(j), a.scores(i), a.ids(i)))
+      if (takeA) { s(o) = a.scores(i); ids(o) = a.ids(i); i += 1 }
+      else { s(o) = b.scores(j); ids(o) = b.ids(j); j += 1 }
+      o += 1
+    }
+    TopKBuf(n, s, ids)
+  }
+
+  override def finish(buf: TopKBuf): Seq[(Double, Long)] = {
+    val out = Vector.newBuilder[(Double, Long)]
+    var i = 0
+    while (i < buf.n) { out += ((buf.scores(i), buf.ids(i))); i += 1 }
+    out.result()
+  }
+
+  override def bufferEncoder: Encoder[TopKBuf] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TopKBuf]()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }

@@ -15,20 +15,22 @@ object KernelPropsSpec extends Properties("kernels") {
   private val pairGen = Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(0L, 1000L))
   private val pairsGen = Gen.listOf(pairGen)
 
+  // buffers are mutable-array-backed (TopKBuf) — compare observable
+  // output via finish, never buffer ==
   property("TopKAgg: merge is commutative") = forAll(pairsGen, pairsGen) { (xs, ys) =>
     val agg = new TopKAgg(5)
-    val a = xs.foldLeft(agg.zero)(agg.reduce)
-    val b = ys.foldLeft(agg.zero)(agg.reduce)
-    agg.merge(a, b) == agg.merge(b, a)
+    def buf(zs: List[(Double, Long)]) = zs.foldLeft(agg.zero)(agg.reduce)
+    agg.finish(agg.merge(buf(xs), buf(ys))) ==
+      agg.finish(agg.merge(buf(ys), buf(xs)))
   }
 
   property("TopKAgg: any partitioning yields the sequential result") =
     forAll(pairsGen, Gen.chooseNum(1, 5)) { (xs, splits) =>
       val agg = new TopKAgg(3)
-      val sequential = xs.foldLeft(agg.zero)(agg.reduce)
+      val sequential = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
       val parts = if (xs.isEmpty) Seq(xs) else xs.grouped(math.max(1, xs.size / splits)).toSeq
       val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce)).foldLeft(agg.zero)(agg.merge)
-      merged == sequential
+      agg.finish(merged) == sequential
     }
 
   property("TopKAgg: output is the global top-k under (score desc, id asc)") =
@@ -39,6 +41,30 @@ object KernelPropsSpec extends Properties("kernels") {
       // duplicates in input are kept; compare against non-deduped sort
       val wantAll = xs.sortBy { case (s, i) => (-s, i) }.take(4)
       got == wantAll || got == want
+    }
+
+  // the r17 mutable-buffer rework must be output-identical to the r16
+  // immutable-Seq form for every k, input and partitioning (the
+  // HeavyHitters-rework bit-identity rule); duplicate pairs included
+  private val dupPairsGen =
+    Gen.listOf(Gen.zip(Gen.chooseNum(-3, 3).map(_ / 2.0), Gen.chooseNum(0L, 5L)))
+
+  property("TopKAgg: bit-identical to the sortWith reference for any k and split") =
+    forAll(dupPairsGen, Gen.chooseNum(1, 7), Gen.chooseNum(1, 5)) { (xs, k, splits) =>
+      def better(a: (Double, Long), b: (Double, Long)): Boolean =
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      def refInsert(buf: Seq[(Double, Long)], x: (Double, Long)) =
+        if (buf.size >= k && better(buf.last, x)) buf
+        else (buf :+ x).sortWith(better).take(k)
+      def refMerge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]) =
+        (a ++ b).sortWith(better).take(k)
+      val parts = if (xs.isEmpty) Seq(xs) else xs.grouped(math.max(1, xs.size / splits)).toSeq
+      val want = parts.map(_.foldLeft(Seq.empty[(Double, Long)])(refInsert))
+        .foldLeft(Seq.empty[(Double, Long)])(refMerge)
+      val agg = new TopKAgg(k)
+      val got = agg.finish(
+        parts.map(_.foldLeft(agg.zero)(agg.reduce)).foldLeft(agg.zero)(agg.merge))
+      got == want
     }
 
   // empty tokens INCLUDED: trailing/double separators must tokenize
