@@ -21,6 +21,27 @@ import org.apache.spark.storage.StorageLevel
   * bit-exact cross-engine equality (the integer-PR analog of the
   * repo's integer-nano BM25 scores).
   *
+  * Dangling nodes (no out-edges) and the `dangling` policy: a sink
+  * node's rank mass leaves the system every round under the bare
+  * recurrence — the classic leak, which silently DEFLATES every rank
+  * on directed graphs (the common case: web graphs, citation graphs).
+  * The r16 advice pass flagged the old leak-by-default API; policies:
+  *   - `"check"` (default): one anti-join count up front; raises if
+  *     any node has outdeg 0, so a directed graph can never silently
+  *     deflate. Zero per-iteration cost; arithmetic identical to the
+  *     bare recurrence (q122's bidirectional graph is bit-unchanged).
+  *   - `"redistribute"`: the standard correction — each round the
+  *     summed dangling mass `dm` is split evenly, every node's in-sum
+  *     gains `dm div n` before damping:
+  *     `r' = teleport + (insum + dm div n)·85 div 100`. Still exact
+  *     integer math (the `dm` scalar is one driver-read aggregate of
+  *     the persisted rank table per round, model-sized like the
+  *     existing count barrier); total mass is conserved to div
+  *     truncation (spec-asserted on a sink graph).
+  *   - `"leak"`: the bare recurrence, for callers who accept the
+  *     deflation (or whose graphs are known sink-free and want to
+  *     skip the check).
+  *
   * Scale shape (the 100 TB contract):
   *   - out-degree is attached to the edge list ONCE; the per-iteration
   *     work is one hash join (edges ⋈ ranks on src) + one aggregation
@@ -29,9 +50,8 @@ import org.apache.spark.storage.StorageLevel
   *     the (much smaller) rank table moves each round;
   *   - each new rank table is persisted and the previous unpersisted —
   *     lineage stays one iteration deep, no exponential replay;
-  *   - dangling nodes: callers with directed graphs should add
-  *     reverse edges or accept the standard leak; the q122 bipartite
-  *     graph is bidirectional, so every node has outdeg ≥ 1.
+  *   - `redistribute` adds one scan of the persisted rank table per
+  *     round (the dangling flag rides the node table — no extra join).
   */
 object PageRank {
 
@@ -39,35 +59,62 @@ object PageRank {
 
   /** @param edges (src long, dst long) directed edges, pre-deduped by
     *              the caller if multiplicity is not intended.
+    * @param dangling `"check"` (raise on sink nodes, default),
+    *                 `"redistribute"` (conserve mass) or `"leak"`.
     * @return (node, r) — r is the scaled rank after `iterations`
     *         damped rounds from the uniform start `scale div N`.
     */
   def ranks(edges0: DataFrame, iterations: Int = 5,
-            scale: Long = DefaultScale): DataFrame = {
+            scale: Long = DefaultScale,
+            dangling: String = "check"): DataFrame = {
     require(iterations >= 1, "pagerank needs at least one iteration")
+    require(Set("check", "redistribute", "leak")(dangling),
+      s"unknown dangling policy '$dangling' (check|redistribute|leak)")
     val edges = edges0.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // dang flag rides the node table: true ⇔ outdeg 0 (sink)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .join(outdeg.select(col("src").as("node"), lit(true).as("has_out")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(!col("has_out"), lit(true)).as("dang"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    if (dangling == "check") {
+      val sinks = nodes.filter(col("dang")).count()
+      require(sinks == 0L,
+        s"pagerank: $sinks node(s) have no out-edges — rank mass would " +
+          "leak; pass dangling=\"redistribute\" (or \"leak\" to accept)")
+    }
     // degree rides the edge list once; partitioned by src so each
     // round's join moves only the rank table
     val eod = edges.join(outdeg, Seq("src"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val teleport = (scale / n) * 15 / 100
-    var ranks = nodes.select(col("node"), lit(scale / n).as("r"))
-    var prev: Option[DataFrame] = None
+    var ranks = nodes.select(col("node"), col("dang"), lit(scale / n).as("r"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: Option[DataFrame] = Some(ranks)
     for (_ <- 1 to iterations) {
+      // redistribute: the round's dangling mass, one model-sized
+      // driver scalar off the persisted rank table (doubles as the
+      // materialization barrier the count() otherwise provides)
+      val dmPerNode =
+        if (dangling != "redistribute") 0L
+        else {
+          val dm = ranks.filter(col("dang"))
+            .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+          dm / n
+        }
       val insum = eod.join(ranks, eod("src") === ranks("node"))
         .select(eod("dst"), expr("r div od").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("insum"))
       val next = graft.dsl.Rel.track(
         nodes.join(insum, nodes("node") === insum("dst"), "left")
-          .select(nodes("node"),
-            (lit(teleport) + expr("coalesce(insum, 0L) * 85 div 100")).as("r"))
+          .select(nodes("node"), nodes("dang"),
+            (lit(teleport) +
+              expr(s"(coalesce(insum, 0L) + ${dmPerNode}L) * 85 div 100")).as("r"))
           .persist(StorageLevel.MEMORY_AND_DISK))
       next.count() // materialize before dropping the parent
       prev.foreach(_.unpersist())
@@ -76,6 +123,6 @@ object PageRank {
     }
     nodes.unpersist()
     eod.unpersist()
-    ranks
+    ranks.select(col("node"), col("r"))
   }
 }

@@ -49,6 +49,62 @@ class PageRankSpec extends SparkSuite {
     assert(a == reference(edges, 4))
   }
 
+  // node 4 is a sink (no out-edges): the r17 dangling-policy surface
+  private val sinkGraph: Seq[(Long, Long)] =
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 4L))
+
+  test("default policy raises on a graph with a sink node") {
+    val e = intercept[IllegalArgumentException] {
+      PageRank.ranks(sinkGraph.toDF("src", "dst"), iterations = 2)
+    }
+    assert(e.getMessage.contains("no out-edges"))
+  }
+
+  test("leak policy reproduces the bare recurrence (deflated total)") {
+    val got = PageRank.ranks(sinkGraph.toDF("src", "dst"), iterations = 3,
+        dangling = "leak")
+      .as[(Long, Long)].collect().toMap
+    assert(got == reference(sinkGraph, 3))
+    // the sink absorbed mass that then left the system
+    val scale = PageRank.DefaultScale
+    assert(got.values.sum < scale * 9 / 10, s"total=${got.values.sum}")
+  }
+
+  test("redistribute policy conserves total mass on a sink graph") {
+    val scale = PageRank.DefaultScale
+    val iters = 4
+    val got = PageRank.ranks(sinkGraph.toDF("src", "dst"), iterations = iters,
+        dangling = "redistribute")
+      .as[(Long, Long)].collect().toMap
+    val total = got.values.sum
+    // conservation up to div truncation: each round loses < 1 ulp per
+    // node per div (r div od, dm div n, the *85 div 100 damping)
+    assert(total <= scale && total > scale - scale / 1000, s"total=$total")
+    // and matches a driver-side replay of the redistribution recurrence
+    val nodesL = (sinkGraph.map(_._1) ++ sinkGraph.map(_._2)).distinct.sorted
+    val n = nodesL.size.toLong
+    val od = sinkGraph.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val teleport = (scale / n) * 15 / 100
+    var r = nodesL.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val dmPer = nodesL.filter(v => !od.contains(v)).map(r).sum / n
+      val insum = sinkGraph.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / od(s) }.sum).toMap
+      r = nodesL.map(v =>
+        v -> (teleport + (insum.getOrElse(v, 0L) + dmPer) * 85 / 100)).toMap
+    }
+    assert(got == r)
+  }
+
+  test("check policy is bit-identical to leak on a sink-free graph") {
+    val a = PageRank.ranks(diamond.toDF("src", "dst"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = PageRank.ranks(diamond.toDF("src", "dst"), iterations = 3,
+        dangling = "leak")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("on a bidirectional graph total rank stays within truncation loss of scale") {
     val pairs = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L))
     val edges = pairs ++ pairs.map(_.swap)
