@@ -652,6 +652,21 @@ object Dedup {
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / numHashes
 
+    // r16 advice: a store built with a different numHashes must fail
+    // LOUDLY — zip_with null-pads mismatched arrays and the agreement
+    // count maps those nulls to 0, so estimated Jaccard would silently
+    // collapse toward 0 and every duplicate would be admitted. One
+    // codegen'd size() compare per row, both sides.
+    def checkedSig(sig: Column, side: String): Column =
+      when(size(sig) =!= numHashes,
+        raise_error(concat(
+          lit(s"lshIncremental: $side signature size "),
+          size(sig).cast("string"),
+          lit(s" != numHashes $numHashes — store and batch must use the same scheme"))))
+        .otherwise(sig)
+
+    val store0 = store.select(col("id"), checkedSig(col("sig"), "store").as("sig"))
+
     // exact-signature collapse (min id per distinct signature): est
     // Jaccard between identical signatures is 1 ≥ any threshold, so
     // non-reps are dropped by the rule directly; two-seed fingerprint
@@ -661,7 +676,7 @@ object Dedup {
       .groupBy(xxhash64(col("sig")).as("fp_a"),
         xxhash64(lit("graft-fp2"), col("sig")).as("fp_b"))
       .agg(min(col("id")).as("id"), min_by(col("sig"), col("id")).as("sig"))
-      .select(col("id"), col("sig"))
+      .select(col("id"), checkedSig(col("sig"), "batch").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val repBands = reps.select(col("id"),
@@ -680,7 +695,7 @@ object Dedup {
 
     // vs store: batch bands against capped store buckets — ONE
     // aggregation over the store's derived index, one equi-join
-    val storeBuckets = store
+    val storeBuckets = store0
       .select(col("id").as("sid"),
         posexplode(call_function("graft_band_keys_sig", col("sig"), lit(bands))))
       .toDF("sid", "band", "key")
@@ -691,7 +706,7 @@ object Dedup {
       .select(col("id"), explode(col("ds")).as("sid"))
       .distinct()
       .join(reps, "id")
-      .join(store.select(col("id").as("sid"), col("sig").as("ssig")), "sid")
+      .join(store0.select(col("id").as("sid"), col("sig").as("ssig")), "sid")
       .filter(estJaccard(col("sig"), col("ssig")) >= threshold)
       .select(col("id"))
 

@@ -26,9 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The scan iterates CODE POINTS (surrogate-pair-safe — the repo
   * sharp-edge list: splitting by UTF-16 char mangles non-BMP text), so
-  * `𝄞` and emoji survive unchanged. Idempotent: the output contains no
-  * marks, no upper case, no compatibility forms and no whitespace
-  * runs, so a second pass is the identity (property-tested).
+  * `𝄞` and emoji survive unchanged. A final NFC pass recomposes the
+  * mark-stripped NFD residue: without it the output is NOT idempotent
+  * for scripts whose decompositions are not non-spacing marks (the r16
+  * advice pass: Hangul syllables decompose to conjoining jamo — kept,
+  * category Lo — and a second pass's NFKC recomposes them; spacing
+  * combining marks, category Mc, likewise survive in decomposed form).
+  * With it the output is composed, contains no non-spacing marks, no
+  * upper case, no compatibility forms and no whitespace runs, so a
+  * second pass is the identity (property-tested over Latin, Hangul and
+  * Mc-mark scripts).
   *
   * §4.3 "custom Expression" tier, twin of [[FingerprintF]]: one JVM
   * call inside whole-stage codegen, not an interpreted lambda chain or
@@ -81,6 +88,9 @@ object NormalizeTextF {
     }
     if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
       sb.setLength(sb.length - 1)
-    UTF8String.fromString(sb.toString)
+    // recompose the mark-stripped NFD residue (Hangul jamo, spacing
+    // combining marks) so the output is NFC and the function idempotent
+    UTF8String.fromString(java.text.Normalizer.normalize(sb,
+      java.text.Normalizer.Form.NFC))
   }
 }

@@ -163,6 +163,21 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set.empty[Long]) // t is a store dup; nulls dropped
   }
 
+  test("lshIncremental: a store built with a different numHashes fails loudly") {
+    // r16 advice regression: zip_with null-pads mismatched signature
+    // arrays and the agreement count maps nulls to 0, so a mismatched
+    // store would silently admit every duplicate instead of raising
+    val t = (1 to 40).map(i => s"w$i").mkString(" ")
+    val store32 = Dedup.minhashSignatures(docs(1L -> t), "doc_id", "text",
+      numHashes = 32)
+    val batch = docs(10L -> t)
+    val e = intercept[Exception] {
+      Dedup.lshIncremental(batch, "doc_id", "text", store32).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("signature size"),
+      s"got ${e.getMessage}")
+  }
+
   test("split band-key kernels compose to the fused one (store/batch can never drift)") {
     val texts = Seq((1 to 30).map(i => s"w$i").mkString(" "), "one two", "solo")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")

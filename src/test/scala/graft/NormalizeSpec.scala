@@ -35,12 +35,28 @@ class NormalizeSpec extends SparkSuite {
 
   test("idempotent on arbitrary strings") {
     val rnd = new scala.util.Random(13)
-    // code-point pool (no lone surrogate halves from char indexing)
-    val pool = Vector("a", "A", " ", "é", "É", "\t", "ﬁ", "𝄞", "ñ", "Ü", ".", "z", "!")
-    val strs = Seq.fill(60)(
+    // code-point pool (no lone surrogate halves from char indexing) —
+    // extended beyond Latin after the r16 advice pass: Hangul syllables
+    // (NFD → conjoining jamo, category Lo, NOT stripped) and Devanagari/
+    // Bengali spacing combining marks (Mc, NOT stripped; Bengali ো has
+    // a two-Mc canonical decomposition NFC recomposes), plus precomposed
+    // Hangul and a standalone jamo sequence
+    val pool = Vector("a", "A", " ", "é", "É", "\t", "ﬁ", "𝄞", "ñ", "Ü", ".", "z", "!",
+      "한", "글", "가", "가", "क", "का", "ो", "ো", "দো")
+    val strs = Seq.fill(120)(
       (0 until rnd.nextInt(30)).map(_ => pool(rnd.nextInt(pool.size))).mkString)
     val once = norm(strs: _*)
     val twice = norm(once: _*)
     assert(once == twice)
+  }
+
+  test("output is NFC-composed (Hangul recomposes after jamo round-trip)") {
+    // without the final NFC pass the kernel left conjoining jamo
+    // decomposed, so a second pass's NFKC changed the string
+    val out = norm("한글 Programming  ÇAFÉ", "가나다")
+    assert(out == Seq("한글 programming cafe", "가나다"))
+    out.foreach { s =>
+      assert(java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+    }
   }
 }
