@@ -145,7 +145,15 @@ object Classifier {
 
   /** Score documents under a trained model: (doc, score ∈ (0,1)) —
     * pure codegen'd column math, the model as a foldable literal. The
-    * standard filter is then `score >= threshold`. */
+    * standard filter is then `score >= threshold`.
+    *
+    * Null semantics (r16 advice): NULL text scores NULL — unknown
+    * content must not be classified, the [[Dedup]] convention; a
+    * threshold gate then neither admits nor rejects such docs
+    * silently (`null >= τ` is null — route them explicitly). An
+    * EMPTY-but-present text is a known document with no tokens and
+    * scores the bias prior `sigmoid(b)`, the same margin training
+    * assigned its empty feature row. */
   def score(df: DataFrame, idCol: String, textCol: String,
             model: LogRegModel): DataFrame = {
     val wLit = lit(model.weights)
@@ -160,6 +168,8 @@ object Classifier {
         element_at(wLit, pmod(xxhash64(t), lit(model.dim.toLong)).cast("int") + 1))
     val m = when(toksN > 0, lit(model.bias) + dot / toksN.cast("double"))
       .otherwise(lit(model.bias))
-    df.select(col(idCol).as("doc"), sigmoid(m).as("score"))
+    df.select(col(idCol).as("doc"),
+      when(col(textCol).isNull, lit(null).cast("double"))
+        .otherwise(sigmoid(m)).as("score"))
   }
 }

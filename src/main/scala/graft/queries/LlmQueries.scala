@@ -396,34 +396,44 @@ object LlmQueries {
     // model-based quality filtering (Joulin 2016 fastText lineage; the
     // DCLM/FineWeb-Edu classifier gate): hashed-feature logistic
     // regression trained full-batch — per iteration ONE model-sized
-    // gradient aggregation — then codegen'd scoring. Weights are
-    // hash-dependent (no SQL re-derivation), so — the q111/q116
-    // invariants pattern — the row states: the zero model starts at
-    // the ln-2 chance loss, training reduced it, and train accuracy
-    // is at least the majority-class base rate. The label (docs
-    // containing the token 'spark') and its counts are SQL-derivable.
+    // gradient aggregation — then codegen'd scoring. The r17 recipe is
+    // train/apply, never train-on-everything: the model fits q112's
+    // deterministic "train" split and is evaluated HELD-OUT on "val"
+    // (the r16 advice: train-set accuracy asserts memorization, not
+    // generalization). Weights are hash-dependent (no SQL
+    // re-derivation), so — the q111/q116 invariants pattern — the row
+    // states: the zero model starts at the ln-2 chance loss (provable:
+    // softplus(0) = ln 2 per doc), training reduced it, and val-split
+    // accuracy is at least the val majority-class base rate. The label
+    // (docs containing the token 'spark') and its counts are
+    // SQL-derivable.
     "q118_quality_classifier" -> ((s, dir) => {
       import s.implicits._
       val labeled = graft.dsl.Rel.track(
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("text"),
+        graft.llm.Text.assignSplit(
+            t(s, dir, "documents").filter(col("text").isNotNull), "doc_id")
+          .select(col("doc_id"), col("text"), col("split"),
             array_contains(split(col("text"), " "), "spark")
               .cast("int").as("label"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val n = labeled.count()
       val nPos = labeled.filter(col("label") === 1).count()
       val m = graft.llm.Classifier.trainLogReg(
-        labeled, "doc_id", "text", "label", dim = 512, iters = 8)
-      val correct = graft.llm.Classifier.score(labeled, "doc_id", "text", m)
-        .join(labeled.select(col("doc_id").as("doc"), col("label")), "doc")
+        labeled.filter(col("split") === "train"),
+        "doc_id", "text", "label", dim = 512, iters = 8)
+      val valSet = labeled.filter(col("split") === "val")
+      val nVal = valSet.count()
+      val nValPos = valSet.filter(col("label") === 1).count()
+      val correct = graft.llm.Classifier.score(valSet, "doc_id", "text", m)
+        .join(valSet.select(col("doc_id").as("doc"), col("label")), "doc")
         .filter((col("score") >= 0.5) === (col("label") === 1)).count()
-      val base = math.max(nPos, n - nPos)
+      val valBase = math.max(nValPos, nVal - nValPos)
       Seq((n, nPos,
         math.abs(m.lossTrace.head - math.log(2.0)) < 1e-9,
         m.lossTrace.last < m.lossTrace.head,
-        correct >= base))
+        correct >= valBase))
         .toDF("n_docs", "n_pos", "chance_loss_start", "loss_decreased",
-          "accuracy_ge_base")
+          "val_accuracy_ge_base")
     }),
 
     // subword (BPE) vocabulary training + encode (Sennrich 2016): the
@@ -1607,11 +1617,11 @@ object LlmQueries {
            TRUE AS no_reingested_kept, TRUE AS no_kept_exact_in_store,
            TRUE AS no_kept_exact_within, TRUE AS kept_subset_of_batch""",
     "q118_quality_classifier" ->
-      """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      """SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) AS n_docs,
            (SELECT COUNT(*) FROM documents
             WHERE list_contains(string_split(text, ' '), 'spark')) AS n_pos,
            TRUE AS chance_loss_start, TRUE AS loss_decreased,
-           TRUE AS accuracy_ge_base""",
+           TRUE AS val_accuracy_ge_base""",
     "q117_count_min" ->
       """SELECT word, COUNT(*) AS cnt, TRUE AS est_ge_exact,
            TRUE AS est_within_bound

@@ -43,7 +43,7 @@ class ClassifierSpec extends SparkSuite {
     assert(a.lossTrace == b.lossTrace)
   }
 
-  test("empty and null texts featurize to bias-only rows, never crash") {
+  test("empty text scores the bias prior; null text scores NULL (unclassifiable)") {
     val df = Seq((1L, "alpha beta", 1), (2L, "", 0),
       (3L, null.asInstanceOf[String], 0)).toDF("doc_id", "text", "label")
     val feats = Classifier.featurize(df, "doc_id", "text", "label", 64)
@@ -52,11 +52,14 @@ class ClassifierSpec extends SparkSuite {
     val m = Classifier.trainLogReg(df, "doc_id", "text", "label",
       dim = 64, iters = 3)
     val s = Classifier.score(df, "doc_id", "text", m)
-      .orderBy($"doc").as[(Long, Double)].collect()
+      .orderBy($"doc").as[(Long, Option[Double])].collect()
     assert(s.length == 3)
     val biasScore = 1.0 / (1.0 + math.exp(-m.bias))
-    assert(math.abs(s(1)._2 - biasScore) < 1e-12)
-    assert(math.abs(s(2)._2 - biasScore) < 1e-12)
+    // empty-but-present text: a known doc with no tokens → bias prior
+    assert(math.abs(s(1)._2.get - biasScore) < 1e-12)
+    // null text: unknown content must not be classified (r16 advice) —
+    // a threshold gate sees null, never a silent base-rate admit/reject
+    assert(s(2)._2.isEmpty)
   }
 
   test("score matches the featurize-shape margin to float tolerance") {
