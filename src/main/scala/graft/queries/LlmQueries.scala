@@ -1016,12 +1016,19 @@ object LlmQueries {
         li, Seq("l_returnflag"), col("l_extendedprice"))
       val global = graft.ops.QuantileSketch.mergeSketches(perGroup, Seq.empty)
       val phis = Seq(0.01, 0.25, 0.50, 0.75, 0.99)
+      // sort the sketch ONCE, fold once per φ — inlining 5 independent
+      // quantile() trees into this projection costs 5.1 s at sf0.1
+      // (KllProbe, the optimizer/codegen blowup documented on
+      // QuantileSketch.weightedItems)
       val est = global.select(
-        graft.ops.QuantileSketch.totalWeight(col("kll")).as("tw"),
-        explode(array(phis.map(p => struct(
-          lit(p).as("phi"),
-          graft.ops.QuantileSketch.quantile(col("kll"), p).as("est"))): _*)).as("q"))
-        .select(col("q.phi").as("phi"), col("q.est").as("est"), col("tw"))
+          graft.ops.QuantileSketch.totalWeight(col("kll")).as("tw"),
+          graft.ops.QuantileSketch.weightedItems(col("kll")).as("items"))
+        .select(col("tw"), col("items"),
+          explode(array(phis.map(lit): _*)).as("phi"))
+        .select(col("phi"),
+          graft.ops.QuantileSketch.quantileAt(
+            col("items"), col("tw"), col("phi")).as("est"),
+          col("tw"))
       li.select(col("l_extendedprice").as("v"))
         .crossJoin(broadcast(est))
         .groupBy(col("phi"), col("est"), col("tw"))
