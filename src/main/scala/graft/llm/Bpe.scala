@@ -2,7 +2,7 @@ package graft.llm
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Subword (BPE) vocabulary training + encode — Sennrich et al. 2016,
@@ -193,5 +193,16 @@ object Bpe {
         // empirically this session) — propagate the null explicitly
         when(col("tokens").isNull, lit(null))
           .otherwise(size(col("tokens"))).cast("long"))
+  }
+
+  /** Column form of the subword-token COUNT alone — for consumers that
+    * budget by tokens without materializing them ([[Curate.tokenPack]]):
+    * the kernel runs once per row inside whole-stage codegen and only
+    * the size survives the projection. Null text → null count (the
+    * [[encode]] sizeOfNull note). */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val mergeLit = typedLit(merges.map(p => Seq(p._1, p._2)))
+    val toks = call_function("graft_bpe_tokens", text, mergeLit)
+    when(toks.isNull, lit(null)).otherwise(size(toks)).cast("long")
   }
 }

@@ -78,6 +78,42 @@ object Curate {
     *
     * @return (bin, n_chunks, n_tokens, n_docs) per training sequence.
     */
+  /** Tokenizer-aware sequence packing (the r17 capstone, q125): the
+    * shape every real pretraining pipeline runs — sliding-window
+    * [[Text.chunk]] → BPE-encode each chunk ([[Bpe.encode]]'s
+    * codegen'd `graft_bpe_tokens` kernel, merges as a foldable plan
+    * literal) → pack chunks into fixed-budget training sequences by
+    * TRUE subword-token counts, not whitespace words (the q97/q100
+    * packers count words; a context-length budget is spent in
+    * tokenizer tokens). Packing is the same concat-and-chunk
+    * discipline: chunks in (doc, chunk_id) order, a chunk lands in
+    * `bin = exclusive-prefix-tokens div seqTokens`.
+    *
+    * Scale shape: chunking is scan-local posexplode; the encode is one
+    * codegen'd kernel call per chunk (tokens never materialize — only
+    * their COUNT rides on); the prefix sum is the
+    * [[graft.ops.Rank.prefixSum]] 2-pass (per-partition totals +
+    * map-side offsets), never a single-partition window. Null-text
+    * docs are excluded up front (their chunks would have null token
+    * counts — unknown content cannot be budgeted).
+    *
+    * @param merges learned BPE merge table ([[Bpe.train]])
+    * @return (doc, chunk_id, n_words, chunk_text, n_tokens,
+    *         cum_tokens inclusive, bin 0-based) per chunk.
+    */
+  def tokenPack(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)], chunkWords: Int = 12,
+                stride: Int = 8, seqTokens: Long = 256L): DataFrame = {
+    require(seqTokens > 0, "seqTokens must be positive")
+    val chunks = Text.chunk(docs.filter(col(textCol).isNotNull),
+        idCol, textCol, chunkWords, stride)
+      .select(col("doc"), col("chunk_id"), col("n_words"), col("chunk_text"),
+        Bpe.tokenCount(col("chunk_text"), merges).as("n_tokens"))
+    graft.ops.Rank.prefixSum(chunks,
+        Seq(col("doc"), col("chunk_id")), "n_tokens", "cum_tokens")
+      .withColumn("bin", expr(s"(cum_tokens - n_tokens) div ${seqTokens}L"))
+  }
+
   def prepSequences(docs: DataFrame, idCol: String, textCol: String,
                     minQuality: Double = 0.5, chunkWords: Int = 12,
                     stride: Int = 8, seqTokens: Long = 256L): DataFrame = {

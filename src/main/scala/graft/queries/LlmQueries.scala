@@ -1106,6 +1106,57 @@ object LlmQueries {
       d.select(col("doc_id"), Text.normalize(salted).as("norm"),
           Text.fingerprint(Text.normalize(salted)).as("norm_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // tokenizer-aware sequence packing (the r17 capstone): sliding
+    // chunking → BPE encode (true subword counts, codegen kernel) →
+    // pack to a 256-token budget via the 2-pass prefix sum. Token
+    // counts are merge-table-dependent (no SQL re-derivation), so —
+    // the q116/q100 hybrid — the row carries the SQL-derivable chunk
+    // inventory (n_docs, n_chunks: the q95 chunk-count formula) plus
+    // the invariants: a bounded driver re-encode matches the kernel's
+    // counts token-for-token, the distributed prefix sum equals a
+    // windowed recompute (verification-only global window, the q120
+    // in-query-oracle pattern), every bin's exclusive-prefix span sits
+    // inside its budget window, and every chunk has at least as many
+    // subword tokens as words (each word is ≥ 1 token — the check
+    // that packing really counts TOKENS, not whitespace words)
+    "q125_token_pack" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val seqT = 256L
+      val merges = Bpe.train(d, "text", numMerges = 200)
+      val packed = graft.dsl.Rel.track(
+        graft.llm.Curate.tokenPack(d, "doc_id", "text", merges,
+            chunkWords = 12, stride = 8, seqTokens = seqT)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nChunks = packed.count()
+      val nDocs = packed.select(col("doc")).distinct().count()
+      val tokensGeWords =
+        packed.filter(col("n_tokens") < col("n_words")).count() == 0L
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc"), col("chunk_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val prefixExact = packed
+        .withColumn("cum2", sum(col("n_tokens")).over(w))
+        .filter(col("cum2") =!= col("cum_tokens")).count() == 0L
+      val binsInWindow = packed
+        .groupBy(col("bin"))
+        .agg(min(col("cum_tokens") - col("n_tokens")).as("lo"),
+          max(col("cum_tokens") - col("n_tokens")).as("hi"))
+        .filter(col("lo") < col("bin") * seqT ||
+          col("hi") >= (col("bin") + 1) * seqT).count() == 0L
+      val ranks = Bpe.ranksOf(merges)
+      val sample = packed
+        .withColumn("fp", Text.fingerprint(col("chunk_text")))
+        .orderBy(col("fp"), col("doc"), col("chunk_id"))
+        .select(col("chunk_text"), col("n_tokens")).limit(32).collect()
+      val sampleOk = sample.forall(r =>
+        Bpe.encodeText(r.getString(0), ranks).length.toLong == r.getLong(1))
+      Seq((nDocs, nChunks, sampleOk, prefixExact, binsInWindow, tokensGeWords))
+        .toDF("n_docs", "n_chunks", "sample_encode_matches",
+          "prefix_sum_exact", "bins_in_window", "tokens_ge_words")
     })
   )
 
@@ -1943,6 +1994,16 @@ object LlmQueries {
       """SELECT 50 AS k, CAST(50 AS BIGINT) AS n_selected,
            CAST(50 AS BIGINT) AS n_distinct,
            TRUE AS subset_weights_ok, TRUE AS topk_ok""",
+    "q125_token_pack" ->
+      """WITH base AS (SELECT doc_id,
+             len(string_split(text, ' ')) AS n
+           FROM documents WHERE text IS NOT NULL)
+         SELECT (SELECT COUNT(*) FROM base) AS n_docs,
+           (SELECT CAST(SUM(CASE WHEN n <= 12 THEN 1
+                ELSE CAST(CEIL((n - 12) / 8.0) AS BIGINT) + 1 END) AS BIGINT)
+            FROM base) AS n_chunks,
+           TRUE AS sample_encode_matches, TRUE AS prefix_sum_exact,
+           TRUE AS bins_in_window, TRUE AS tokens_ge_words""",
     "q124_normalize" ->
       """WITH n AS (SELECT doc_id,
            trim(regexp_replace(strip_accents(lower(

@@ -105,6 +105,39 @@ class BpeSpec extends SparkSuite {
     assert(ok == Bpe.encodeText("ab", Map(("a", "b") -> 0)).toSeq)
   }
 
+  test("tokenPack: bins assigned by TRUE subword counts, chunk-exact vs driver replay") {
+    // 3 docs, chunkWords=2/stride=1 → chunks are word pairs (tail
+    // anchored); merges learned from the corpus itself; budget 8 tokens
+    val docs = Seq(
+      (1L, "low low lower"),
+      (2L, "newest widest"),
+      (3L, null.asInstanceOf[String]), // excluded: cannot be budgeted
+      (4L, "low")
+    ).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 6)
+    val ranks = Bpe.ranksOf(merges)
+    val got = graft.llm.Curate.tokenPack(docs, "doc_id", "text", merges,
+        chunkWords = 2, stride = 1, seqTokens = 8L)
+      .orderBy($"doc", $"chunk_id")
+      .select($"doc", $"chunk_id", $"chunk_text", $"n_tokens", $"cum_tokens", $"bin")
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+    // driver replay: same chunking rule, driver encode, running sum
+    val chunksWant = Seq(
+      (1L, 0L, "low low"), (1L, 1L, "low lower"),
+      (2L, 0L, "newest widest"), (4L, 0L, "low"))
+    var cum = 0L
+    val want = chunksWant.map { case (d, c, txt) =>
+      val n = Bpe.encodeText(txt, ranks).length.toLong
+      cum += n
+      (d, c, txt, n, cum, (cum - n) / 8L)
+    }
+    assert(got.toSeq == want)
+    // tokenizer-awareness: at least one chunk's subword count differs
+    // from its whitespace word count (else this test proves nothing)
+    assert(want.exists { case (_, _, txt, n, _, _) =>
+      n != txt.split(" ", -1).length.toLong })
+  }
+
   test("multi-char BPE tokens only ever come from learned merges") {
     // invariant behind q116's all_oov_single_char check: encoding ANY
     // text under a merge table can only produce multi-char symbols that
