@@ -270,6 +270,18 @@ object ScaleCurve {
               lit("  Déjà  Vu  ")))).as("fp"))
           .distinct().count())
 
+      // ---- q125: tokenizer-aware sequence packing capstone (r17) ----
+      // merges train once on the maxWords-capped dict (model-sized
+      // rule); the timed region is chunk scan + codegen'd BPE
+      // tokenCount + 2-pass prefix sum + bin assignment — every term
+      // corpus-linear. Returned metric = bin count (token mass grows
+      // m×, so bins must too).
+      report("q125_token_pack", () => {
+        val merges = graft.llm.Bpe.train(docs, "text", numMerges = 200)
+        Curate.tokenPack(docs, "doc_id", "text", merges)
+          .agg(countDistinct(col("bin")).as("n")).head().getLong(0)
+      })
+
       // ---- q69: curation capstone (t2 parameters) ----
       report("q69_curate", () =>
         Curate.curate(docs, "doc_id", "text", "source").count(),
