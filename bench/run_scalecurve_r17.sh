@@ -14,8 +14,11 @@ for q in q117 q118 q119 q120 q121 q122 q123 q124 q125; do
   SPARK_GRAFT_SCALE_FACTORS=1,4,16,64 \
   SPARK_GRAFT_SCALE_ITERS=3 \
   SPARK_GRAFT_CPUS=4 \
-  sbt -batch "runMain graft.tools.ScaleCurve /root/testdata/sf0.1" 2>/dev/null \
-    | grep '^SCALE ' | sed 's/^SCALE //' >> "$OUT"
+  sbt -batch "runMain graft.tools.ScaleCurve /root/testdata/sf0.1" \
+    > "/tmp/scalecurve_r17_$q.log" 2>&1
+  grep '^SCALE ' "/tmp/scalecurve_r17_$q.log" | sed 's/^SCALE //' >> "$OUT"
+  grep -q '^SCALE ' "/tmp/scalecurve_r17_$q.log" \
+    || echo "FAMILY $q PRODUCED NO SCALE LINES — see /tmp/scalecurve_r17_$q.log" >&2
 done
 echo "=== 256x heavies ===" >&2
 for q in q118 q120 q122; do
@@ -23,7 +26,8 @@ for q in q118 q120 q122; do
   SPARK_GRAFT_SCALE_FACTORS=256 \
   SPARK_GRAFT_SCALE_ITERS=3 \
   SPARK_GRAFT_CPUS=4 \
-  sbt -batch "runMain graft.tools.ScaleCurve /root/testdata/sf0.1" 2>/dev/null \
-    | grep '^SCALE ' | sed 's/^SCALE //' >> "$OUT"
+  sbt -batch "runMain graft.tools.ScaleCurve /root/testdata/sf0.1" \
+    > "/tmp/scalecurve_r17_${q}_256x.log" 2>&1
+  grep '^SCALE ' "/tmp/scalecurve_r17_${q}_256x.log" | sed 's/^SCALE //' >> "$OUT"
 done
 echo DONE >&2

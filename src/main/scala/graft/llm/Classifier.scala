@@ -96,11 +96,17 @@ object Classifier {
                   labelCol: String, dim: Int = 1024, iters: Int = 12,
                   lr: Double = 4.0): LogRegModel = {
     require(dim > 0 && iters > 0, "dim and iters must be positive")
+    // null-label docs carry no supervision: drop them up front (the
+    // training-side counterpart of score()'s null-text rule). Left in,
+    // they would inflate n while contributing null residual/loss terms
+    // — and an index touched only by null-label docs would sum to a
+    // NULL gradient and NPE in the driver fold below.
     val feats = graft.dsl.Rel.track(
-      featurize(df, idCol, textCol, labelCol, dim)
+      featurize(df.filter(col(labelCol).isNotNull),
+          idCol, textCol, labelCol, dim)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val n = feats.count().toDouble
-    require(n > 0, "trainLogReg needs a non-empty corpus")
+    require(n > 0, "trainLogReg needs a non-empty labeled corpus")
 
     val w = new Array[Double](dim)
     var bias = 0.0

@@ -69,15 +69,6 @@ object Curate {
       .dropDuplicatesWithinWatermark("graft_curate_fp")
       .drop("graft_curate_fp") // output schema matches the input
 
-  /** The sequence-preparation capstone (the other half of the curation
-    * story): quality-filter → sliding-window [[Text.chunk]] → pack the
-    * chunk stream into fixed-token training sequences (the
-    * [[graft.ops.Rank.prefixSum]] 2-pass, ordered by (doc, chunk_id))
-    * → per-sequence stats. Deterministic end-to-end, composed SQL
-    * oracle (q100); no single-partition window anywhere.
-    *
-    * @return (bin, n_chunks, n_tokens, n_docs) per training sequence.
-    */
   /** Tokenizer-aware sequence packing (the r17 capstone, q125): the
     * shape every real pretraining pipeline runs — sliding-window
     * [[Text.chunk]] → BPE-encode each chunk ([[Bpe.encode]]'s
@@ -114,6 +105,15 @@ object Curate {
       .withColumn("bin", expr(s"(cum_tokens - n_tokens) div ${seqTokens}L"))
   }
 
+  /** The sequence-preparation capstone (the other half of the curation
+    * story): quality-filter → sliding-window [[Text.chunk]] → pack the
+    * chunk stream into fixed-token training sequences (the
+    * [[graft.ops.Rank.prefixSum]] 2-pass, ordered by (doc, chunk_id))
+    * → per-sequence stats. Deterministic end-to-end, composed SQL
+    * oracle (q100); no single-partition window anywhere.
+    *
+    * @return (bin, n_chunks, n_tokens, n_docs) per training sequence.
+    */
   def prepSequences(docs: DataFrame, idCol: String, textCol: String,
                     minQuality: Double = 0.5, chunkWords: Int = 12,
                     stride: Int = 8, seqTokens: Long = 256L): DataFrame = {

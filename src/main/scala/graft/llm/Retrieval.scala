@@ -44,7 +44,13 @@ object Retrieval {
     val toks = docs.select(col(idCol).as("doc"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
-    val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf feeds four plan branches (dl, dfreq, stats, the scoring join):
+    // persist it so the one-tokenize-scan contract is structural, not
+    // a bet on ReuseExchange unifying the subtrees (released by the
+    // caller's Rel.releaseTracked(), the trainLogReg discipline)
+    val tf = graft.dsl.Rel.track(
+      toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
     // N and avgdl over tokenized docs; exact int inputs → the double
     // division is bit-identical across engines

@@ -81,6 +81,7 @@ object PageRank {
       .select(col("node"), coalesce(!col("has_out"), lit(true)).as("dang"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
+    require(n > 0, "pagerank needs a non-empty edge list")
     if (dangling == "check") {
       val sinks = nodes.filter(col("dang")).count()
       require(sinks == 0L,

@@ -73,24 +73,19 @@ object KllProbe {
         global.select(QuantileSketch.quantile(col("kll"), 0.5).as("est"))
           .count()
       }
+      // the production shared form itself (r17 review: probe the real
+      // helpers, not an inline replica that could drift)
       val (tEstShared, _) = time {
-        val items = array_sort(flatten(transform(col("kll"), (arr, l) =>
-          transform(arr, v =>
-            struct(v.as("value"), pow(lit(2.0), l).cast("long").as("weight"))))))
-        val withItems = global.select(
-          QuantileSketch.totalWeight(col("kll")).as("tw"), items.as("items"))
+        global.select(
+            QuantileSketch.totalWeight(col("kll")).as("tw"),
+            QuantileSketch.weightedItems(col("kll")).as("items"))
           .select(col("tw"), col("items"),
             explode(array(phis.map(lit): _*)).as("phi"))
-        val target = greatest(lit(1L), ceil(col("phi") * col("tw")).cast("long"))
-        val folded = aggregate(
-          col("items"),
-          struct(lit(0L).as("cum"), lit(Double.NaN).as("ans")),
-          (acc, x) => struct(
-            (acc("cum") + x("weight")).as("cum"),
-            when(!isnan(acc("ans")), acc("ans"))
-              .when(acc("cum") + x("weight") >= target, x("value"))
-              .otherwise(lit(Double.NaN)).as("ans")))
-        withItems.select(col("phi"), folded("ans").as("est"), col("tw")).count()
+          .select(col("phi"),
+            QuantileSketch.quantileAt(col("items"), col("tw"), col("phi"))
+              .as("est"),
+            col("tw"))
+          .count()
       }
       est.unpersist(); global.unpersist(); perGroup.unpersist()
       println(f"KLLPROBE iter=$iter factor=$factor n=$n " +

@@ -177,12 +177,14 @@ object ScaleCurve {
       // scans the persisted featurized frame and collects <= dim+2
       // rows — the curve must track featurize + iters x feat-scan,
       // with driver work constant (model-sized). Label re-derived from
-      // the multiplied text (copies carry prefixed words, so the
-      // positive token is copy-local: per-copy balance holds).
+      // the multiplied text: copy c's words carry the x{c}_ prefix, so
+      // the positive token must match ANY copy's form (bare `spark` or
+      // `x\d+_spark`) — per-copy class balance then holds at every
+      // factor, not just m<=2.
       report("q118_classifier", () => {
         val labeled = docs.select(col("doc_id"), col("text"),
-          array_contains(split(col("text"), " "), "spark")
-            .or(array_contains(split(col("text"), " "), "x1_spark"))
+          exists(split(col("text"), " "),
+            w => w === "spark" || w.rlike("^x[0-9]+_spark$"))
             .cast("int").as("label"))
         val mdl = graft.llm.Classifier.trainLogReg(
           labeled, "doc_id", "text", "label", dim = 512, iters = 6)
@@ -199,7 +201,8 @@ object ScaleCurve {
       report("q119_incremental_lsh", () => {
         val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
         val store = Dedup.minhashSignatures(evens, "doc_id", "text")
-        val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val batch = docs.select(col("doc_id"), col("text"))
+          .filter(pmod(col("doc_id"), lit(2)) === 1)
           .unionByName(evens.select(
             (col("doc_id") + 1000000000L).as("doc_id"), col("text")))
         Dedup.lshIncremental(batch, "doc_id", "text", store).count()

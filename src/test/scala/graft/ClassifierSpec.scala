@@ -62,6 +62,23 @@ class ClassifierSpec extends SparkSuite {
     assert(s(2)._2.isEmpty)
   }
 
+  test("null-label docs are dropped from training (r17 review)") {
+    // the extra doc's tokens hash to buckets no labeled doc touches:
+    // left in, its index would sum to a NULL gradient (NPE) and its
+    // row would deflate every gradient through n — dropped, the model
+    // must be bit-identical to training without it
+    val withNull = toy.unionByName(Seq(
+      (9L, "zzqx wwvy uupt", null.asInstanceOf[java.lang.Integer]))
+      .toDF("doc_id", "text", "label"))
+    val a = Classifier.trainLogReg(withNull, "doc_id", "text", "label",
+      dim = 128, iters = 6)
+    val b = Classifier.trainLogReg(toy, "doc_id", "text", "label",
+      dim = 128, iters = 6)
+    assert(a.bias == b.bias)
+    assert(a.weights.toSeq == b.weights.toSeq)
+    assert(a.lossTrace == b.lossTrace)
+  }
+
   test("score matches the featurize-shape margin to float tolerance") {
     val m = Classifier.trainLogReg(toy, "doc_id", "text", "label",
       dim = 256, iters = 5)

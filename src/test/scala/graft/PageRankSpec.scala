@@ -53,6 +53,13 @@ class PageRankSpec extends SparkSuite {
   private val sinkGraph: Seq[(Long, Long)] =
     Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 4L))
 
+  test("an empty edge list fails loudly, not with a bare divide-by-zero (r17 review)") {
+    val e = intercept[IllegalArgumentException] {
+      PageRank.ranks(Seq.empty[(Long, Long)].toDF("src", "dst"), iterations = 1)
+    }
+    assert(e.getMessage.contains("non-empty edge list"))
+  }
+
   test("default policy raises on a graph with a sink node") {
     val e = intercept[IllegalArgumentException] {
       PageRank.ranks(sinkGraph.toDF("src", "dst"), iterations = 2)

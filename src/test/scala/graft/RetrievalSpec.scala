@@ -64,4 +64,14 @@ class RetrievalSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
+  test("tf is persisted: one tokenize scan feeds all four branches (r17 review)") {
+    try {
+      val plan = Retrieval.bm25(docs, "doc_id", "text", query)
+        .queryExecution.executedPlan.toString
+      // dl, dfreq, stats and the scoring join must all read the cached
+      // tf, not re-run the explode — structural, not ReuseExchange luck
+      assert(plan.contains("InMemoryTableScan"), plan)
+    } finally graft.dsl.Rel.releaseTracked()
+  }
 }
