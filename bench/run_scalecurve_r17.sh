@@ -29,5 +29,7 @@ for q in q118 q120 q122; do
   sbt -batch "runMain graft.tools.ScaleCurve /root/testdata/sf0.1" \
     > "/tmp/scalecurve_r17_${q}_256x.log" 2>&1
   grep '^SCALE ' "/tmp/scalecurve_r17_${q}_256x.log" | sed 's/^SCALE //' >> "$OUT"
+  grep -q '^SCALE ' "/tmp/scalecurve_r17_${q}_256x.log" \
+    || echo "FAMILY $q 256x PRODUCED NO SCALE LINES — see /tmp/scalecurve_r17_${q}_256x.log" >&2
 done
 echo DONE >&2

@@ -96,13 +96,17 @@ object Classifier {
                   labelCol: String, dim: Int = 1024, iters: Int = 12,
                   lr: Double = 4.0): LogRegModel = {
     require(dim > 0 && iters > 0, "dim and iters must be positive")
-    // null-label docs carry no supervision: drop them up front (the
-    // training-side counterpart of score()'s null-text rule). Left in,
-    // they would inflate n while contributing null residual/loss terms
-    // — and an index touched only by null-label docs would sum to a
-    // NULL gradient and NPE in the driver fold below.
+    // docs whose label is null AFTER the double cast carry no
+    // supervision: drop them up front (the training-side counterpart
+    // of score()'s null-text rule). The filter casts exactly as
+    // featurize consumes — a non-null string label that casts to
+    // null/NaN is just as unsupervised as a null one. Left in, such
+    // docs would inflate n while contributing null residual/loss
+    // terms — and an index touched only by them would sum to a NULL
+    // gradient and NPE in the driver fold below.
+    val yCast = col(labelCol).cast("double")
     val feats = graft.dsl.Rel.track(
-      featurize(df.filter(col(labelCol).isNotNull),
+      featurize(df.filter(yCast.isNotNull && !isnan(yCast)),
           idCol, textCol, labelCol, dim)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val n = feats.count().toDouble

@@ -62,12 +62,16 @@ object Curate {
                       minQuality: Double = 0.5): DataFrame =
     stream
       .filter(Text.qualityScore(col(textCol)) >= minQuality)
-      // collision-proof internal name: a user column literally named
-      // "fp" must survive untouched (graft_-prefix convention)
+      // collision-proof internal names: a user column literally named
+      // "fp" must survive untouched (graft_-prefix convention).
+      // TWO hash columns = a 128-bit-class key, the exactByFingerprint
+      // rule: the 31-bit rolling fingerprint alone would falsely drop
+      // ~n²/2³² distinct docs per watermark horizon (~230 at 1M docs)
       .withColumn("graft_curate_fp", Text.fingerprint(col(textCol)))
+      .withColumn("graft_curate_fp2", xxhash64(lit("graft-fp2"), col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("graft_curate_fp")
-      .drop("graft_curate_fp") // output schema matches the input
+      .dropDuplicatesWithinWatermark("graft_curate_fp", "graft_curate_fp2")
+      .drop("graft_curate_fp", "graft_curate_fp2") // schema matches input
 
   /** Tokenizer-aware sequence packing (the r17 capstone, q125): the
     * shape every real pretraining pipeline runs — sliding-window
@@ -103,6 +107,50 @@ object Curate {
     graft.ops.Rank.prefixSum(chunks,
         Seq(col("doc"), col("chunk_id")), "n_tokens", "cum_tokens")
       .withColumn("bin", expr(s"(cum_tokens - n_tokens) div ${seqTokens}L"))
+  }
+
+  /** Incremental-ingest curation capstone (r17, q126) — the production
+    * "ingest today's batch against yesterday's corpus" shape, composing
+    * the three continuous-ingest pieces end to end:
+    *
+    *   quality gate ([[Text.qualityScore]] ≥ minQuality; NULL text
+    *   scores NULL and is dropped by the gate) →
+    *   [[Dedup.exactIncremental]] vs the persisted FINGERPRINT store
+    *   (within-batch exact collapse + 16-byte anti-join) →
+    *   [[Dedup.lshIncremental]] vs the persisted SIGNATURE store
+    *   (near-dup admit rule, store text never rescanned).
+    *
+    * Returns one row per ADMITTED document carrying everything both
+    * stores need appended — (id, fp_a, fp_b, sig) — so the caller's
+    * ingest loop is: admitted = incrementalCurate(...); append
+    * (fp_a, fp_b) to the fingerprint store, (id, sig) to the signature
+    * store; repeat next batch. Corpus-sized inputs touch only the two
+    * stores (24 B and 8·numHashes B per admitted doc); everything
+    * else is batch-sized — the scale contract inherited from the two
+    * incremental operators unchanged.
+    *
+    * @param fpStore  (fp_a, fp_b) rows from previous batches
+    * @param sigStore (id, sig) rows from previous batches
+    * @return (id, fp_a, fp_b, sig) per admitted batch doc
+    */
+  def incrementalCurate(batch: DataFrame, idCol: String, textCol: String,
+                        fpStore: DataFrame, sigStore: DataFrame,
+                        minQuality: Double = 0.5, shingleK: Int = 3,
+                        numHashes: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.9): DataFrame = {
+    val gated = graft.dsl.Rel.track(
+      batch.filter(Text.qualityScore(col(textCol)) >= minQuality)
+        .select(col(idCol), col(textCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val exactNew = Dedup.exactIncremental(gated, textCol, idCol, fpStore)
+    val survivors = gated
+      .join(exactNew.select(col("id")), col(idCol) === col("id"))
+      .drop("id")
+    Dedup.lshIncremental(survivors, idCol, textCol, sigStore,
+        shingleK, numHashes, bands, threshold)
+      .join(exactNew.withColumnRenamed("id", idCol),
+        col("id") === col(idCol))
+      .select(col("id"), col("fp_a"), col("fp_b"), col("sig"))
   }
 
   /** The sequence-preparation capstone (the other half of the curation

@@ -244,6 +244,17 @@ object Dedup {
     * duplicates collapsed first an over-cap bucket means >maxBucket
     * genuinely distinct near-identical items — a cluster better
     * handled at group level.
+    *
+    * Known bound (r17 review): the cap filters AFTER the collect, so
+    * an over-cap bucket still materializes its full array in one final
+    * aggregation buffer before being discarded — with exact duplicates
+    * collapsed first that's maxBucket-breaching DISTINCT reps, i.e.
+    * ~8–16 B each (a 10⁶-rep pathological bucket ≈ 8–16 MB of one
+    * task's heap, spillable), not document text. Re-introducing a
+    * pre-count join to avoid it was measured 3–8× the whole pipeline's
+    * cost (see above) — the documented trade. If a corpus is known to
+    * carry >10⁷-member near-identical clusters, collapse them with
+    * [[exactByFingerprint]] on a normalized key first.
     */
   private def bucketPairs(banded: DataFrame, keyCols: Seq[String],
                           elem: Column, maxBucket: Int): DataFrame = {
@@ -430,9 +441,12 @@ object Dedup {
     val schema = StructType(Seq(
       StructField("doc", df.schema(idCol).dataType), StructField("fp", LongType)))
     spark.createDataFrame(
-      df.select(col(idCol), col(textCol)).rdd.mapPartitions(_.map { r =>
-        Row(r.get(0), simhashK(r.getString(1)))
-      }), schema)
+      // null text carries no shingles to hash: drop it here (the
+      // minhashLsh/minhashSignatures rule) rather than NPE in the kernel
+      df.select(col(idCol), col(textCol)).filter(col(textCol).isNotNull)
+        .rdd.mapPartitions(_.map { r =>
+          Row(r.get(0), simhashK(r.getString(1)))
+        }), schema)
   }
 
   private def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -701,7 +715,9 @@ object Dedup {
       .toDF("sid", "band", "key")
       .groupBy(col("band"), col("key"))
       .agg(collect_list(col("sid")).as("ds"))
-      .filter(size(col("ds")) <= maxBucket)
+      // same disable convention as bucketPairs: maxBucket <= 0 means
+      // uncapped (pre-r17 this inverted to "drop every store bucket")
+      .filter(if (maxBucket > 0) size(col("ds")) <= maxBucket else lit(true))
     val crossDropped = repBands.join(storeBuckets, Seq("band", "key"))
       .select(col("id"), explode(col("ds")).as("sid"))
       .distinct()
@@ -740,11 +756,15 @@ object Dedup {
     val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
     val lines = df.select(col(idCol).as("doc"),
         posexplode(arr).as(Seq("pos", "line")))
+      // two-seed 128-bit key (the exactByFingerprint rule): a single
+      // 64-bit hash colliding at ~1e11 distinct sentences would delete
+      // every copy of the losing sentence corpus-wide
       .withColumn("lh", xxhash64(col("line")))
-    val firsts = lines.groupBy(col("lh"))
+      .withColumn("lh2", xxhash64(lit("graft-fp2"), col("line")))
+    val firsts = lines.groupBy(col("lh"), col("lh2"))
       .agg(min(struct(col("doc"), col("pos"))).as("f"))
-      .select(col("lh"), col("f.doc").as("doc"), col("f.pos").as("pos"))
-    lines.join(firsts, Seq("lh", "doc", "pos"))
+      .select(col("lh"), col("lh2"), col("f.doc").as("doc"), col("f.pos").as("pos"))
+    lines.join(firsts, Seq("lh", "lh2", "doc", "pos"))
       .groupBy(col("doc"))
       .agg(
         array_join(
@@ -1152,15 +1172,25 @@ object Dedup {
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                nCells: Int = 16, threshold: Double = 0.8,
-               iters: Int = 3, smallGraph: Long = 200000L): DataFrame = {
+               iters: Int = 3, smallGraph: Long = 200000L,
+               maxCell: Int = 1000000): DataFrame = {
     val cents = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
     val assigned = graft.dsl.Rel.track(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
           Similarity.nearestCellsExpr(cents, 1)(col(vecCol))(0).as("cell"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ids = assigned.select(col("cell"), col("id"))
-    val cand = ids.toDF("cell", "id_a")
-      .join(ids.toDF("cell", "id_b"), "cell")
+    // bucketPairs-style cap on the quadratic: a cell over maxCell
+    // (degenerate embeddings, nCells too small for the corpus) is
+    // excluded from pairing — its members all stay keepers — instead
+    // of emitting an uncapped ~n^2/2 candidate set. okCells is
+    // nCells rows at most: broadcast. maxCell <= 0 disables.
+    val okCells = ids.groupBy(col("cell")).count()
+      .filter(if (maxCell > 0) col("count") <= maxCell else lit(true))
+      .select(col("cell"))
+    val pairable = ids.join(broadcast(okCells), "cell")
+    val cand = pairable.toDF("cell", "id_a")
+      .join(pairable.toDF("cell", "id_b"), "cell")
       .filter(col("id_a") < col("id_b"))
     val vecs = assigned.select(col("id"), col("v"))
     val pairs = cand

@@ -286,8 +286,12 @@ object Multimodal {
       val (width, height) = parsePnmHeader(b) match {
         case Some((channels, w, h, mx, pixelStart)) =>
           val bytesPerSample = if (mx > 255) 2 else 1 // netpbm 16-bit form
+          // declared size in Long: a hostile header like 100000x100000
+          // overflows the Int product and would zero out the histogram
+          // while width/height still report the parsed dims
+          val declared = channels.toLong * w * h * bytesPerSample
           histogramOf(pixelStart,
-            math.min(b.length, pixelStart + channels * w * h * bytesPerSample))
+            math.min(b.length.toLong, pixelStart + declared).toInt)
           (w, h)
         case None =>
           histogramOf(0, b.length)

@@ -35,6 +35,11 @@ object Retrieval {
 
   /** BM25 scores for every (query, matching document) pair.
     *
+    * The (doc,term,tf) frame is persisted ([[graft.dsl.Rel.track]])
+    * because four plan branches read it: after materializing the
+    * result, call `Rel.releaseTracked()` to free it (the repo-wide
+    * harness convention — Verify/Bench/ScaleCurve already do).
+    *
     * @param queries (qid int, term string) — one row per query term;
     *                must be small (it is broadcast).
     * @return (qid, doc, score_nano) — score in integer nanos.

@@ -628,6 +628,10 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               queryId: String, corpusId: String, vecCol: String,
               k: Int, planes: Int = 6, nprobe: Int = 3): DataFrame = {
+    // probe p flips bit p-1: only `planes` flips address real cells;
+    // an excess probe would match nothing and silently waste "recall"
+    require(nprobe >= 1 && nprobe <= planes + 1,
+      s"nprobe must be in [1, planes + 1 = ${planes + 1}], got $nprobe")
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
       bucketExpr(planes)(col(vecCol)).as("cell"))
     // probe cells: own bucket plus single-bit flips (deterministic

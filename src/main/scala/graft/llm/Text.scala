@@ -15,8 +15,12 @@ object Text {
   /** Whitespace token array. */
   def words(text: Column): Column = split(text, " ")
 
-  /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column = size(words(text)).cast("long")
+  /** Whitespace token count. NULL text counts NULL (unknown content
+    * has no token count — the SQL count convention; pre-r17 the
+    * ANSI-off `size(null) = -1` leaked a NEGATIVE count into budget
+    * prefix sums). */
+  def tokenCountWs(text: Column): Column =
+    when(text.isNotNull, size(words(text)).cast("long"))
 
   /** BPE-ish token estimate: word-ish runs, digit runs, and individual
     * non-alphanumeric symbols each count as one token — the classic
@@ -54,7 +58,12 @@ object Text {
     val ttr = size(array_distinct(ws)).cast("double") / n
     val meanLen = least(length(text).cast("double") / n, lit(8.0)) / 8.0
     val lengthPrior = least(n / 100.0, lit(1.0))
-    roundCompat(ttr * 0.4 + meanLen * 0.3 + lengthPrior * 0.3, 4)
+    // NULL text scores NULL (the Classifier.score rule): pre-r17 the
+    // ANSI-off size(null) = -1 made ttr = 1.0 and least() skipped the
+    // null meanLen term, so unknown content scored ~0.697 and sailed
+    // through every >= 0.5 quality gate
+    when(text.isNotNull,
+      roundCompat(ttr * 0.4 + meanLen * 0.3 + lengthPrior * 0.3, 4))
   }
 
   /** Stopword ratio against a fixed small list. */
@@ -210,9 +219,10 @@ object Text {
   def sampleByTokenBudget(df: DataFrame, idCol: String, textCol: String,
                           srcCol: String, budgetTokens: Long,
                           buckets: Int = 0): DataFrame = {
-    val rec = df.select(col(idCol).as("doc"), col(srcCol).as("src"),
-      tokenCountWs(col(textCol)).as("n_tokens"),
-      fingerprint(col(textCol)).as("fp"))
+    val rec = df.filter(col(textCol).isNotNull) // uncountable -> unbudgetable
+      .select(col(idCol).as("doc"), col(srcCol).as("src"),
+        tokenCountWs(col(textCol)).as("n_tokens"),
+        fingerprint(col(textCol)).as("fp"))
     if (buckets <= 1) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("src")).orderBy(col("fp"), col("doc"))
@@ -286,9 +296,10 @@ object Text {
     val budgetCol = budgets.foldLeft(lit(0L)) {
       case (acc, (s, b)) => when(col("src") === s, lit(b)).otherwise(acc)
     }
-    val rec = df.select(col(idCol).as("doc"), col(srcCol).as("src"),
-      tokenCountWs(col(textCol)).as("n_tokens"),
-      fingerprint(col(textCol)).as("fp"))
+    val rec = df.filter(col(textCol).isNotNull) // uncountable -> unbudgetable
+      .select(col(idCol).as("doc"), col(srcCol).as("src"),
+        tokenCountWs(col(textCol)).as("n_tokens"),
+        fingerprint(col(textCol)).as("fp"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("fp"), col("doc"))
     rec.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
@@ -453,8 +464,9 @@ object Text {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqTokens: Long): DataFrame = {
     require(seqTokens > 0, "seqTokens must be positive")
-    val rec = df.select(col(idCol).as("doc"),
-      tokenCountWs(col(textCol)).as("n_tokens"))
+    val rec = df.filter(col(textCol).isNotNull) // the tokenPack rule
+      .select(col(idCol).as("doc"),
+        tokenCountWs(col(textCol)).as("n_tokens"))
     graft.ops.Rank.prefixSum(rec, Seq(col("doc")), "n_tokens", "cum_tokens")
       .withColumn("bin", expr(s"(cum_tokens - n_tokens) div ${seqTokens}L"))
   }

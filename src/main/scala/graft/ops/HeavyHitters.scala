@@ -62,11 +62,11 @@ class HeavyHittersAgg(capacity: Int)
     if (key != null) {
       buf.updateWith(key) { c => Some(c.getOrElse(0L) + 1L) }
       if (buf.size > capacity) {
-        // size is exactly capacity+1 here, so the (capacity+1)-th
-        // largest count is the minimum — no sort needed
-        var cut = Long.MaxValue
-        buf.valuesIterator.foreach(c => if (c < cut) cut = c)
-        decrement(buf, cut)
+        // the trim only fires right after a NEW key entered at count 1,
+        // and every survivor of a previous decrement is >= 1 — so the
+        // minimum is provably the constant 1; no O(capacity) scan
+        // (r17 review: the scan always rediscovered 1)
+        decrement(buf, 1L)
       }
     }
     buf

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions.udaf
   * Interpolation matches DuckDB/Postgres `median(double)`: mean of the
   * two middle values for even counts — so the oracle can re-derive it.
   */
-class MedianAgg extends Aggregator[java.lang.Double, ArrayBuffer[Double], Double] {
+class MedianAgg extends Aggregator[java.lang.Double, ArrayBuffer[Double], java.lang.Double] {
 
   override def zero: ArrayBuffer[Double] = ArrayBuffer.empty
   // boxed input: a primitive Double decodes SQL NULL as 0.0 (udaf
@@ -43,19 +43,22 @@ class MedianAgg extends Aggregator[java.lang.Double, ArrayBuffer[Double], Double
     a ++= b; a
   }
 
-  override def finish(r: ArrayBuffer[Double]): Double = {
+  override def finish(r: ArrayBuffer[Double]): java.lang.Double = {
     val s = r.toArray
     java.util.Arrays.sort(s)
     val n = s.length
-    if (n == 0) Double.NaN
+    // empty after null-skipping → SQL NULL, the DuckDB/Postgres median
+    // convention (r17 review: NaN here silently slips past isNull /
+    // na.drop and poisons downstream averages)
+    if (n == 0) null
     else if (n % 2 == 1) s(n / 2)
     else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
   override def bufferEncoder: Encoder[ArrayBuffer[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ArrayBuffer[Double]]()
-  override def outputEncoder: Encoder[Double] =
-    org.apache.spark.sql.Encoders.scalaDouble
+  override def outputEncoder: Encoder[java.lang.Double] =
+    org.apache.spark.sql.Encoders.DOUBLE
 }
 
 object MedianAgg {

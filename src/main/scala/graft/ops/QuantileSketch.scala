@@ -108,6 +108,11 @@ class KllAgg(k: Int) extends Aggregator[java.lang.Double, KllBuf, Seq[Seq[Double
   }
 
   override def merge(a: KllBuf, b: KllBuf): KllBuf = {
+    // parity counts compactions mod 2 per level: XOR combines both
+    // histories, as if all compactions had happened in one buffer —
+    // dropping b's word (pre-r17) weakened the alternating-offset
+    // error cancellation under merge-heavy plans
+    a.parity ^= b.parity
     var i = 0
     while (i < b.n0) { // b's level-0 items re-insert one by one
       if (a.n0 == k) cascade(a)

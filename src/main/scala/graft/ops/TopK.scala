@@ -4,15 +4,18 @@ import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
-/** Mutable bounded top-k buffer: parallel primitive arrays of capacity
-  * `k`, the first `n` slots sorted by (score desc, id asc). Kept as a
-  * case class so the ExpressionEncoder serializes it at shuffle/spill
-  * boundaries only (udaf wraps Aggregators in a
+/** Mutable bounded top-k buffer: parallel primitive arrays, the first
+  * `n` slots sorted by (score desc, id asc). Arrays grow amortized
+  * (doubling, capped at k) so a sparse group's buffer serializes ~n
+  * entries at the exchange, not k slots of zero padding (r17 review:
+  * at k=500 a one-candidate group would otherwise ship ~8 KB). Kept as
+  * a case class so the ExpressionEncoder serializes it at
+  * shuffle/spill boundaries only (udaf wraps Aggregators in a
   * TypedImperativeAggregate — the KllBuf/HeavyHitters discipline).
   * NOTE: equality is reference-based on the arrays; compare via
   * `finish`, never `==` (KernelPropsSpec does).
   */
-case class TopKBuf(var n: Int, scores: Array[Double], ids: Array[Long])
+case class TopKBuf(var n: Int, var scores: Array[Double], var ids: Array[Long])
 
 /** Bounded top-k aggregation (SURVEY.md §4.3's "fused top-k" candidate):
   * keeps the k best (score desc, id asc) pairs in the aggregation
@@ -34,17 +37,20 @@ case class TopKBuf(var n: Int, scores: Array[Double], ids: Array[Long])
   * the window-function formulation, so both produce identical rows.
   * NaN scores are skipped like SQL nulls in count (a NaN can never
   * rank under the total order; every in-repo producer — esKey, cosine,
-  * integer-nano BM25 — is NaN-free by construction).
+  * integer-nano BM25 — is NaN-free by construction). A NULL score or
+  * id is skipped the same way (boxed input — the MedianAgg rule: a
+  * primitive tuple would make a stray NULL abort the whole stage).
   */
 class TopKAgg(k: Int)
-  extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
+  extends Aggregator[(java.lang.Double, java.lang.Long), TopKBuf, Seq[(Double, Long)]] {
   require(k > 0, "top-k size must be positive")
 
   /** (as, ai) strictly precedes (bs, bi) under (score desc, id asc). */
   private def precedes(as: Double, ai: Long, bs: Double, bi: Long): Boolean =
     as > bs || (as == bs && ai < bi)
 
-  override def zero: TopKBuf = TopKBuf(0, new Array[Double](k), new Array[Long](k))
+  override def zero: TopKBuf =
+    TopKBuf(0, new Array[Double](math.min(k, 8)), new Array[Long](math.min(k, 8)))
 
   private def insert(buf: TopKBuf, s: Double, id: Long): Unit = {
     if (s != s) return // NaN never ranks
@@ -57,6 +63,11 @@ class TopKAgg(k: Int)
       val mid = (lo + hi) >>> 1
       if (precedes(buf.scores(mid), buf.ids(mid), s, id)) lo = mid + 1 else hi = mid
     }
+    if (n == buf.scores.length && n < k) { // amortized growth, capped at k
+      val cap = math.min(k, math.max(8, n * 2))
+      buf.scores = java.util.Arrays.copyOf(buf.scores, cap)
+      buf.ids = java.util.Arrays.copyOf(buf.ids, cap)
+    }
     val last = if (n == k) k - 1 else n // full buffer: k-th element falls off
     System.arraycopy(buf.scores, lo, buf.scores, lo + 1, last - lo)
     System.arraycopy(buf.ids, lo, buf.ids, lo + 1, last - lo)
@@ -65,8 +76,8 @@ class TopKAgg(k: Int)
     if (n < k) buf.n = n + 1
   }
 
-  override def reduce(buf: TopKBuf, in: (Double, Long)): TopKBuf = {
-    insert(buf, in._1, in._2)
+  override def reduce(buf: TopKBuf, in: (java.lang.Double, java.lang.Long)): TopKBuf = {
+    if (in._1 != null && in._2 != null) insert(buf, in._1.doubleValue, in._2.longValue)
     buf
   }
 
@@ -74,8 +85,8 @@ class TopKAgg(k: Int)
     if (b.n == 0) return a
     if (a.n == 0) return b
     val n = math.min(k, a.n + b.n)
-    val s = new Array[Double](k)
-    val ids = new Array[Long](k)
+    val s = new Array[Double](n) // exact-length: merged buffers ship n, not k
+    val ids = new Array[Long](n)
     var i = 0
     var j = 0
     var o = 0

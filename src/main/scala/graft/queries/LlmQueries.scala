@@ -1157,6 +1157,59 @@ object LlmQueries {
       Seq((nDocs, nChunks, sampleOk, prefixExact, binsInWindow, tokensGeWords))
         .toDF("n_docs", "n_chunks", "sample_encode_matches",
           "prefix_sum_exact", "bins_in_window", "tokens_ge_words")
+    }),
+
+    // incremental-ingest curation capstone (r17): ONE call composing
+    // the quality gate, the q109 fingerprint-store exact anti-join and
+    // the q119 signature-store near-dedup — the production "ingest
+    // today's batch against yesterday's corpus" loop. Stores = even
+    // docs; batch = odd docs + re-ingested evens. The admit set is
+    // hash-dependent (LSH) → the q119 invariants pattern: SQL-derivable
+    // batch/gate counts + Spark-checked booleans the oracle states.
+    "q126_incremental_curate" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evens = graft.dsl.Rel.track(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val fpStore = evens.select(
+        xxhash64(col("text")).as("fp_a"),
+        xxhash64(lit("graft-fp2"), col("text")).as("fp_b"))
+      val sigStore = Dedup.minhashSignatures(evens, "doc_id", "text")
+      val batch = graft.dsl.Rel.track(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .unionByName(evens.select(
+            (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nBatch = batch.count()
+      val admitted = graft.dsl.Rel.track(
+        graft.llm.Curate.incrementalCurate(
+            batch, "doc_id", "text", fpStore, sigStore)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val aTexts = admitted.select(col("id"))
+        .join(batch, col("id") === col("doc_id"))
+        .select(col("id"), col("text"))
+      val q = Text.qualityScore(col("text"))
+      val nQualityPass = batch.filter(q >= 0.5).count()
+      val noReingested = admitted.filter(col("id") >= 1000000L).count() == 0L
+      val noStoreExact = aTexts
+        .join(evens.select(col("text")), Seq("text"), "left_semi")
+        .count() == 0L
+      val noWithinExact = aTexts.groupBy(col("text")).count()
+        .filter(col("count") > 1).count() == 0L
+      val allPassQuality = aTexts.filter(q.isNull || q < 0.5).count() == 0L
+      val appendComplete = admitted.filter(col("fp_a").isNull ||
+        col("fp_b").isNull || col("sig").isNull ||
+        size(col("sig")) =!= 64).count() == 0L
+      val subset = admitted.select(col("id"))
+        .join(batch, col("id") === col("doc_id"), "left_anti")
+        .count() == 0L
+      Seq((nBatch, nQualityPass, noReingested, noStoreExact, noWithinExact,
+          allPassQuality, appendComplete, subset))
+        .toDF("n_batch", "n_quality_pass", "no_reingested_kept",
+          "no_kept_exact_in_store", "no_kept_exact_within",
+          "all_kept_pass_quality", "append_rows_complete",
+          "kept_subset_of_batch")
     })
   )
 
@@ -1670,7 +1723,23 @@ object LlmQueries {
            TRUE AS all_heavy_reported
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE word <> ''""",
-    "q119_incremental_lsh" ->
+        "q126_incremental_curate" ->
+      """WITH s AS (SELECT doc_id, text,
+             len(string_split(text, ' '))::DOUBLE AS n,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE AS lnd
+           FROM documents),
+         q AS (SELECT doc_id,
+             FLOOR(((lnd / n) * 0.4
+                    + (LEAST(LENGTH(text)::DOUBLE / n, 8.0) / 8.0) * 0.3
+                    + LEAST(n / 100.0, 1.0) * 0.3) * 10000 + 0.5) / 10000
+               AS quality
+           FROM s)
+         SELECT (SELECT COUNT(*) FROM documents) AS n_batch,
+           (SELECT COUNT(*) FROM q WHERE quality >= 0.5) AS n_quality_pass,
+           TRUE AS no_reingested_kept, TRUE AS no_kept_exact_in_store,
+           TRUE AS no_kept_exact_within, TRUE AS all_kept_pass_quality,
+           TRUE AS append_rows_complete, TRUE AS kept_subset_of_batch""",
+"q119_incremental_lsh" ->
       """SELECT (SELECT COUNT(*) FROM documents) AS n_batch,
            TRUE AS no_reingested_kept, TRUE AS no_kept_exact_in_store,
            TRUE AS no_kept_exact_within, TRUE AS kept_subset_of_batch""",

@@ -79,6 +79,23 @@ class ClassifierSpec extends SparkSuite {
     assert(a.lossTrace == b.lossTrace)
   }
 
+  test("labels that CAST to null are dropped too (string labels, r17 review)") {
+    // the guard must filter on the post-cast value featurize consumes:
+    // "junk" casts to null double and is exactly as unsupervised as a
+    // null label
+    val strLabels = toy.select($"doc_id", $"text",
+      $"label".cast("string").as("label"))
+    val withJunk = strLabels.unionByName(Seq(
+      (9L, "zzqx wwvy uupt", "junk")).toDF("doc_id", "text", "label"))
+    val a = Classifier.trainLogReg(withJunk, "doc_id", "text", "label",
+      dim = 128, iters = 6)
+    val b = Classifier.trainLogReg(strLabels, "doc_id", "text", "label",
+      dim = 128, iters = 6)
+    assert(a.bias == b.bias)
+    assert(a.weights.toSeq == b.weights.toSeq)
+    assert(a.lossTrace == b.lossTrace)
+  }
+
   test("score matches the featurize-shape margin to float tolerance") {
     val m = Classifier.trainLogReg(toy, "doc_id", "text", "label",
       dim = 256, iters = 5)

@@ -15,11 +15,16 @@ object KernelPropsSpec extends Properties("kernels") {
   private val pairGen = Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(0L, 1000L))
   private val pairsGen = Gen.listOf(pairGen)
 
+  // TopKAgg takes boxed input since r17 (NULL scores/ids skip instead
+  // of aborting the stage); the properties drive it with primitives
+  private def red(agg: TopKAgg)(b: graft.ops.TopKBuf, x: (Double, Long)) =
+    agg.reduce(b, (x._1, x._2))
+
   // buffers are mutable-array-backed (TopKBuf) — compare observable
   // output via finish, never buffer ==
   property("TopKAgg: merge is commutative") = forAll(pairsGen, pairsGen) { (xs, ys) =>
     val agg = new TopKAgg(5)
-    def buf(zs: List[(Double, Long)]) = zs.foldLeft(agg.zero)(agg.reduce)
+    def buf(zs: List[(Double, Long)]) = zs.foldLeft(agg.zero)(red(agg))
     agg.finish(agg.merge(buf(xs), buf(ys))) ==
       agg.finish(agg.merge(buf(ys), buf(xs)))
   }
@@ -27,16 +32,16 @@ object KernelPropsSpec extends Properties("kernels") {
   property("TopKAgg: any partitioning yields the sequential result") =
     forAll(pairsGen, Gen.chooseNum(1, 5)) { (xs, splits) =>
       val agg = new TopKAgg(3)
-      val sequential = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val sequential = agg.finish(xs.foldLeft(agg.zero)(red(agg)))
       val parts = if (xs.isEmpty) Seq(xs) else xs.grouped(math.max(1, xs.size / splits)).toSeq
-      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce)).foldLeft(agg.zero)(agg.merge)
+      val merged = parts.map(_.foldLeft(agg.zero)(red(agg))).foldLeft(agg.zero)(agg.merge)
       agg.finish(merged) == sequential
     }
 
   property("TopKAgg: output is the global top-k under (score desc, id asc)") =
     forAll(pairsGen) { xs =>
       val agg = new TopKAgg(4)
-      val got = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val got = agg.finish(xs.foldLeft(agg.zero)(red(agg)))
       val want = xs.distinct.sortBy { case (s, i) => (-s, i) }.take(4)
       // duplicates in input are kept; compare against non-deduped sort
       val wantAll = xs.sortBy { case (s, i) => (-s, i) }.take(4)
@@ -63,8 +68,18 @@ object KernelPropsSpec extends Properties("kernels") {
         .foldLeft(Seq.empty[(Double, Long)])(refMerge)
       val agg = new TopKAgg(k)
       val got = agg.finish(
-        parts.map(_.foldLeft(agg.zero)(agg.reduce)).foldLeft(agg.zero)(agg.merge))
+        parts.map(_.foldLeft(agg.zero)(red(agg))).foldLeft(agg.zero)(agg.merge))
       got == want
+    }
+
+  property("TopKAgg: NULL score or id is skipped, not a stage abort (r17 review)") =
+    forAll(pairsGen) { xs =>
+      val agg = new TopKAgg(4)
+      val clean = agg.finish(xs.foldLeft(agg.zero)(red(agg)))
+      val withNulls = agg.finish(xs.foldLeft(
+        agg.reduce(agg.reduce(agg.zero, (null, 7L: java.lang.Long)),
+          (1.0: java.lang.Double, null)))(red(agg)))
+      clean == withNulls
     }
 
   // empty tokens INCLUDED: trailing/double separators must tokenize

@@ -121,6 +121,10 @@ class DedupSpec extends SparkSuite {
         "doc_id", "text", "blk", 3, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(nj == Set((1L, 2L)))
+    // r17 review: simhashFingerprints used to NPE on a null text
+    val sh = Dedup.simhashPairs(d, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh == Set((1L, 2L)))
   }
 
   test("lshIncremental: exact re-ingest and near-dups drop, novel docs admitted") {
@@ -137,6 +141,17 @@ class DedupSpec extends SparkSuite {
         threshold = 0.5)
       .select("id").as[Long].collect().toSet
     assert(kept == Set(12L), s"got $kept")
+  }
+
+  test("lshIncremental: maxBucket <= 0 disables the store cap, never inverts it (r17 review)") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val store = Dedup.minhashSignatures(docs(1L -> a), "doc_id", "text")
+    // pre-r17, maxBucket = 0 dropped EVERY store bucket and admitted
+    // the exact re-ingest below
+    val kept = Dedup.lshIncremental(docs(10L -> a), "doc_id", "text", store,
+        threshold = 0.5, maxBucket = 0)
+      .select("id").as[Long].collect().toSet
+    assert(kept.isEmpty, s"duplicate admitted with cap disabled: $kept")
   }
 
   test("lshIncremental: within-batch keep-first, deterministic across partitionings") {
@@ -419,6 +434,23 @@ class SemDedupSpec extends SparkSuite {
       (4L, 3L, false), (5L, 5L, true), (6L, 1L, false)))
   }
 
+  test("semDedup: an over-maxCell cell is excluded from pairing, members all keepers (r17 review)") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.99f, 0.01f)), (3L, Seq(0.995f, 0.005f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(vecs, "vec_id", "embedding",
+        nCells = 1, threshold = 0.9, maxCell = 2)
+      .orderBy($"id").as[(Long, Int, Long, Boolean)].collect().toSeq
+    // the single cell holds 3 > maxCell=2 docs: no pairs, everyone keeps
+    assert(got.map(r => (r._1, r._3, r._4)) == Seq(
+      (1L, 1L, true), (2L, 2L, true), (3L, 3L, true)))
+    // and with the cap disabled the same corpus collapses to one keeper
+    val uncapped = Dedup.semDedup(vecs, "vec_id", "embedding",
+        nCells = 1, threshold = 0.9, maxCell = 0)
+      .filter($"is_keeper").count()
+    assert(uncapped == 1L)
+  }
+
   test("semDedup invariants on real embeddings: full cover, one keeper per component, within-cell") {
     val v = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val res = Dedup.semDedup(v, "vec_id", "embedding", nCells = 8, threshold = 0.4)
@@ -558,6 +590,15 @@ class SimilaritySpec extends SparkSuite {
     assert(plan.contains("graft_lsh_bucket"), plan.take(3000))
   }
 
+  test("ivfTopK rejects nprobe beyond planes + 1 (probes would address no cell, r17 review)") {
+    val df = Seq((1L, Seq(1f, 0f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Similarity.ivfTopK(df, df, "id", "id", "v",
+        k = 1, planes = 2, nprobe = 4)
+    }
+    assert(e.getMessage.contains("nprobe"))
+  }
+
   test("ivfTopK probes sibling cells and never returns self") {
     val rnd = new scala.util.Random(3)
     val d = vecs((0L to 20L).map(i =>
@@ -583,6 +624,24 @@ class TextSpec extends SparkSuite {
     val df = Seq("the cat and the dog", "el gato de la casa", "der hund und die katze")
       .toDF("text")
     assert(col0(df.select(Text.langIdHeuristic($"text"))) == Seq("en", "es", "de"))
+  }
+
+  test("NULL text: qualityScore and tokenCountWs yield NULL; budget samplers exclude it (r17 review)") {
+    val df = Seq((1L, "alpha beta gamma delta", "s1"),
+      (2L, null.asInstanceOf[String], "s1")).toDF("doc_id", "text", "src")
+    val qs = df.select(Text.qualityScore($"text")).as[Option[Double]]
+      .collect().toSeq
+    assert(qs(0).nonEmpty && qs(1).isEmpty,
+      s"null text must score NULL (pre-r17: 0.697 passed every gate): $qs")
+    assert(df.select(Text.tokenCountWs($"text")).as[Option[Long]]
+      .collect().toSeq == Seq(Some(4L), None))
+    // pre-r17 the null doc entered the prefix with n_tokens = -1
+    val kept = Text.sampleByTokenBudget(df, "doc_id", "text", "src", 100L)
+      .select("doc").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+    val packed = Text.packSequences(df, "doc_id", "text", 10L)
+      .select("doc").as[Long].collect().toSeq
+    assert(packed == Seq(1L))
   }
 
   test("quality score stays in [0,1] and rewards diverse long docs") {
@@ -1318,6 +1377,35 @@ class TextSpec extends SparkSuite {
     assert(got == Seq("a" -> 1L, "b" -> 4L))
     val clean4 = graft.llm.Curate.curate(df, "doc_id", "text", "source")
     assert(clean4.count() == 2)
+  }
+
+  test("incrementalCurate: gate, exact-store drop, near-store drop, append rows complete (r17)") {
+    val good = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (1 to 60).map(i => s"v$i").mkString(" ")
+    val nearGood = ((1 to 59).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val novel = (1 to 60).map(i => s"z$i").mkString(" ")
+    val storeDocs = Seq((2L, good)).toDF("doc_id", "text")
+    val fpStore = storeDocs.select(
+      xxhash64($"text").as("fp_a"),
+      xxhash64(lit("graft-fp2"), $"text").as("fp_b"))
+    val sigStore = graft.llm.Dedup.minhashSignatures(storeDocs, "doc_id", "text")
+    val batch = Seq(
+      (11L, good),                      // exact copy of store -> drop (fp anti-join)
+      (13L, nearGood),                  // near-dup of store -> drop (LSH)
+      (15L, "spam spam spam spam"),     // fails the quality gate
+      (17L, other), (19L, other),       // within-batch exact dup -> keep 17 only
+      (21L, novel)                      // genuinely new -> keep
+    ).toDF("doc_id", "text")
+    try {
+      val got = graft.llm.Curate.incrementalCurate(
+          batch, "doc_id", "text", fpStore, sigStore, threshold = 0.5)
+        .orderBy($"id")
+      val rows = got.collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(17L, 21L), rows.mkString(","))
+      // append rows carry both stores' columns, non-null, 64-component sigs
+      assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getSeq[Long](3).length == 64))
+    } finally graft.dsl.Rel.releaseTracked()
   }
 
   test("unigramLogProb scores common-word docs above rare-word docs") {

@@ -197,6 +197,13 @@ class MedianAggSpec extends SparkSuite {
       .as[(Int, Double)].head()
     assert(got == ((1, 2.0))) // not 1.5 (which a null→0.0 decode would give)
   }
+
+  test("an all-NULL group yields SQL NULL, not NaN (r17 review)") {
+    val df = Seq((1, Some(1.0)), (2, None), (2, None)).toDF("k", "v")
+    val got = df.groupBy($"k").agg(graft.ops.MedianAgg.median($"v").as("med"))
+      .orderBy($"k").as[(Int, Option[Double])].collect().toSeq
+    assert(got == Seq((1, Some(1.0)), (2, None)))
+  }
 }
 
 /** Partitioned store sink: hive-style dirs + partition pruning on read. */

@@ -6,8 +6,15 @@ import graft.llm.Retrieval
 
 /** BM25 retrieval: hand-computed scores, partition invariance, top-k
   * parity with the window formulation, no Window in the plan. */
-class RetrievalSpec extends SparkSuite {
+class RetrievalSpec extends SparkSuite with org.scalatest.BeforeAndAfterEach {
   import spark.implicits._
+
+  // bm25 persists tf via Rel.track; honor its release contract after
+  // every test so the suite never accumulates cached corpus frames
+  override protected def afterEach(): Unit = {
+    graft.dsl.Rel.releaseTracked()
+    super.afterEach()
+  }
 
   private val docs = Seq(
     (1L, "a b a"), (2L, "b c"), (3L, "c c c c")).toDF("doc_id", "text")
@@ -66,12 +73,13 @@ class RetrievalSpec extends SparkSuite {
   }
 
   test("tf is persisted: one tokenize scan feeds all four branches (r17 review)") {
-    try {
-      val plan = Retrieval.bm25(docs, "doc_id", "text", query)
-        .queryExecution.executedPlan.toString
-      // dl, dfreq, stats and the scoring join must all read the cached
-      // tf, not re-run the explode — structural, not ReuseExchange luck
-      assert(plan.contains("InMemoryTableScan"), plan)
-    } finally graft.dsl.Rel.releaseTracked()
+    val plan = Retrieval.bm25(docs, "doc_id", "text", query)
+      .queryExecution.executedPlan.toString
+    // dl, dfreq, stats and the scoring join must ALL read the cached
+    // tf, not re-run the explode — structural, not ReuseExchange luck.
+    // Four consumers → four InMemoryTableScans (a partial rewire back
+    // to raw toks would drop the count and fail here).
+    val scans = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(scans >= 4, s"expected >=4 InMemoryTableScans, got $scans:\n$plan")
   }
 }
