@@ -100,10 +100,19 @@ object Curate {
                 merges: Seq[(String, String)], chunkWords: Int = 12,
                 stride: Int = 8, seqTokens: Long = 256L): DataFrame = {
     require(seqTokens > 0, "seqTokens must be positive")
-    val chunks = Text.chunk(docs.filter(col(textCol).isNotNull),
-        idCol, textCol, chunkWords, stride)
-      .select(col("doc"), col("chunk_id"), col("n_words"), col("chunk_text"),
-        Bpe.tokenCount(col("chunk_text"), merges).as("n_tokens"))
+    // persisted: prefixSum's 2-pass evaluates its input lineage TWICE
+    // (per-partition totals job + embedding job), and here that lineage
+    // carries the BPE encode kernel — the single dominant cost
+    // (TokenPackProbe 16x: encode 16.6 s of a 31.9 s total, and the
+    // un-persisted pipeline paid it twice). The q78 lesson does not
+    // apply: what persists is counts + chunk text already materialized
+    // by the explode, not an avoidable extra corpus scan.
+    val chunks = graft.dsl.Rel.track(
+      Text.chunk(docs.filter(col(textCol).isNotNull),
+          idCol, textCol, chunkWords, stride)
+        .select(col("doc"), col("chunk_id"), col("n_words"), col("chunk_text"),
+          Bpe.tokenCount(col("chunk_text"), merges).as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     graft.ops.Rank.prefixSum(chunks,
         Seq(col("doc"), col("chunk_id")), "n_tokens", "cum_tokens")
       .withColumn("bin", expr(s"(cum_tokens - n_tokens) div ${seqTokens}L"))

@@ -63,12 +63,29 @@ case class BpeTokensF(left: Expression, right: Expression)
 
 object BpeTokensF {
 
-  private val memo =
-    new ThreadLocal[(AnyRef, Map[(String, String), Int])]
+  /** Per-thread state: the identity-keyed rank map for the current
+    * merges literal, plus a bounded word→encoded-tokens memo. BPE
+    * encodes PER WORD (no cross-word merges — [[graft.llm.Bpe
+    * .encodeText]] is split + per-word greedy apply), so memoizing
+    * whole words is byte-exact, and Zipf repetition makes it the
+    * dominant win: TokenPackProbe measured ~25 word encodes per
+    * distinct word at 64×. Cleared when the merges object changes;
+    * cleared wholesale at `MaxMemo` entries (regrows hot words
+    * immediately — an LRU's bookkeeping costs more than the rare
+    * rebuild). Tokens are cached as UTF8String so conversion is also
+    * once per distinct word. */
+  private final class State(val key: AnyRef,
+                            val ranks: Map[(String, String), Int]) {
+    val words = new java.util.HashMap[String, Array[UTF8String]]()
+  }
 
-  private def ranksFor(m: ArrayData): Map[(String, String), Int] = {
+  private val MaxMemo = 1 << 16
+
+  private val memo = new ThreadLocal[State]
+
+  private def stateFor(m: ArrayData): State = {
     val cached = memo.get()
-    if (cached != null && (cached._1 eq m)) cached._2
+    if (cached != null && (cached.key eq m)) cached
     else {
       val n = m.numElements()
       val b = Map.newBuilder[(String, String), Int]
@@ -79,17 +96,47 @@ object BpeTokensF {
           b += ((p.getUTF8String(0).toString, p.getUTF8String(1).toString) -> i)
         i += 1
       }
-      val ranks = b.result()
-      memo.set((m, ranks))
-      ranks
+      val st = new State(m, b.result())
+      memo.set(st)
+      st
+    }
+  }
+
+  private def encodedWord(st: State, w: String): Array[UTF8String] = {
+    val hit = st.words.get(w)
+    if (hit != null) hit
+    else {
+      val toks = graft.llm.Bpe.encodeWord(w, st.ranks)
+      val out = new Array[UTF8String](toks.length)
+      var i = 0
+      while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+      if (st.words.size >= MaxMemo) st.words.clear()
+      st.words.put(w, out)
+      out
     }
   }
 
   def compute(t: UTF8String, m: ArrayData): ArrayData = {
-    val toks = graft.llm.Bpe.encodeText(t.toString, ranksFor(m))
-    val out = new Array[AnyRef](toks.length)
+    val st = stateFor(m)
+    val words = t.toString.split(" ", -1)
+    var total = 0
     var i = 0
-    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    val encoded = new Array[Array[UTF8String]](words.length)
+    while (i < words.length) {
+      val e = encodedWord(st, words(i))
+      encoded(i) = e
+      total += e.length
+      i += 1
+    }
+    val out = new Array[AnyRef](total)
+    var o = 0
+    i = 0
+    while (i < words.length) {
+      val e = encoded(i)
+      var j = 0
+      while (j < e.length) { out(o) = e(j); o += 1; j += 1 }
+      i += 1
+    }
     new GenericArrayData(out)
   }
 }
