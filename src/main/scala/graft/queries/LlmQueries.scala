@@ -1175,7 +1175,12 @@ object LlmQueries {
       val fpStore = evens.select(
         xxhash64(col("text")).as("fp_a"),
         xxhash64(lit("graft-fp2"), col("text")).as("fp_b"))
-      val sigStore = Dedup.minhashSignatures(evens, "doc_id", "text")
+      // lshIncremental's contract: the store MUST be materialized (two
+      // store-side consumers read it; reuse of a derived lineage's
+      // exchange is plan luck — the r17 q119-curve bimodality finding)
+      val sigStore = graft.dsl.Rel.track(
+        Dedup.minhashSignatures(evens, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val batch = graft.dsl.Rel.track(
         d.filter(pmod(col("doc_id"), lit(2)) === 1)
           .unionByName(evens.select(

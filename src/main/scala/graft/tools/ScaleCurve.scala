@@ -297,6 +297,40 @@ object ScaleCurve {
           .agg(countDistinct(col("bin")).as("n")).head().getLong(0)
       })
 
+      // ---- q126: incremental-ingest curation capstone (r17) ----
+      // stores = even ids (fingerprints + signatures), batch = odd ids
+      // + re-ingested evens — the q119 split at every factor. Both
+      // stores are built and PERSISTED outside the timed region (the
+      // operator contract: a store is a materialized table from
+      // previous ingests — the q119 bimodality finding). Timed region
+      // = quality gate + exact-store anti-join + signature-store
+      // near-dedup, all batch-or-store-scan linear in m; candidate
+      // verification stays bounded by bucket caps. Returned metric =
+      // admitted count (must grow ~linearly: constant quality/dup
+      // rates per copy).
+      if (only.forall(_.exists("q126_incremental_curate".startsWith))) {
+        val evens126 = docs.select(col("doc_id"), col("text"))
+          .filter(pmod(col("doc_id"), lit(2)) === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fpStore126 = evens126.select(
+            xxhash64(col("text")).as("fp_a"),
+            xxhash64(lit("graft-fp2"), col("text")).as("fp_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sigStore126 = Dedup.minhashSignatures(evens126, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fpStore126.count(); sigStore126.count()
+        val batchReal = docs.select(col("doc_id"), col("text"))
+          .filter(pmod(col("doc_id"), lit(2)) === 1)
+          .unionByName(evens126.select(
+            (col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+        report("q126_incremental_curate", () =>
+          Curate.incrementalCurate(batchReal, "doc_id", "text",
+            fpStore126, sigStore126).count())
+        evens126.unpersist(blocking = false)
+        fpStore126.unpersist(blocking = false)
+        sigStore126.unpersist(blocking = false)
+      }
+
       // ---- q69: curation capstone (t2 parameters) ----
       report("q69_curate", () =>
         Curate.curate(docs, "doc_id", "text", "source").count(),
