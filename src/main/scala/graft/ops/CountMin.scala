@@ -147,8 +147,7 @@ object CountMin {
   def mergeSketches(df: DataFrame, groupCols: Seq[String],
                     sketchCol: String = "cm"): DataFrame = {
     val f = udaf(new CountMinMergeAgg)
-    if (groupCols.isEmpty) df.agg(f(col(sketchCol)).as(sketchCol))
-    else df.groupBy(groupCols.map(col): _*).agg(f(col(sketchCol)).as(sketchCol))
+    df.groupBy(groupCols.map(col): _*).agg(f(col(sketchCol)).as(sketchCol))
   }
 
   /** Point-frequency estimate: `min_d grid[d][h_d(key)]` — depth

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions.udaf
   *
   * Guarantees (the classic MG bound, property-tested in
   * HeavyHittersSpec and the q111 oracle): for every reported item,
-  * `true_freq − capacity·err ≤ est ≤ true_freq` where the total
-  * decrement `err ≤ N/(capacity+1)`; therefore every item with
+  * `true_freq − err ≤ est ≤ true_freq` where the total decrement
+  * `err ≤ N/(capacity+1)` (each of the ≤ err decrement rounds touches
+  * any given key at most once); therefore every item with
   * `true_freq > N/(capacity+1)` IS reported. Merging sums counters
   * then trims back to `capacity` by subtracting the (capacity+1)-th
   * largest count (Agarwal et al., "Mergeable Summaries", PODS'12 —

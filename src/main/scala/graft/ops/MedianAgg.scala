@@ -34,9 +34,14 @@ class MedianAgg extends Aggregator[java.lang.Double, ArrayBuffer[Double], java.l
   override def zero: ArrayBuffer[Double] = ArrayBuffer.empty
   // boxed input: a primitive Double decodes SQL NULL as 0.0 (udaf
   // feeds nulls through un-filtered), silently skewing the median —
-  // DuckDB/Postgres median ignores nulls, so we must too
+  // DuckDB/Postgres median ignores nulls, so we must too. NaN is
+  // skipped like NULL (the KllAgg/TopKAgg convention): one NaN in an
+  // even-count group would otherwise poison the midpoint mean, and in
+  // an odd-count group silently shift the rank (Arrays.sort puts NaN
+  // last). DuckDB instead ORDERS NaN last — a divergence, chosen to
+  // avoid the poison; no oracle data contains NaN.
   override def reduce(buf: ArrayBuffer[Double], x: java.lang.Double): ArrayBuffer[Double] = {
-    if (x != null) buf += x.doubleValue
+    if (x != null && !x.isNaN) buf += x.doubleValue
     buf
   }
   override def merge(a: ArrayBuffer[Double], b: ArrayBuffer[Double]): ArrayBuffer[Double] = {

@@ -155,16 +155,35 @@ class KllMergeAgg(k: Int) extends Aggregator[Seq[Seq[Double]], KllBuf, Seq[Seq[D
 
   override def zero: KllBuf = inner.zero
 
+  /** Rebuild a read-only buffer around the decoded arrays directly —
+    * [[KllAgg.merge]] only READS the b side (level 0 re-inserts item
+    * by item, upper levels concatenate), so no k-capacity copy is
+    * needed, and a sketch built with a BIGGER k merges fine: the
+    * re-insert/cascade path trims everything to THIS k (the merged
+    * sketch then obeys this k's error bound, the weaker of the two).
+    *
+    * The persisted `array<array<double>>` format carries no compaction
+    * history, so the parity word cannot be restored exactly; seeding it
+    * 0 for every input (pre-r17) made all re-merged compactions start
+    * at the same offset, quietly forfeiting the alternating-error
+    * cancellation that in-plan merges keep by XOR-ing histories. Seed
+    * it from a content hash instead: deterministic (bit-identical
+    * re-runs), and distinct sketches get independent per-level offsets
+    * — cancellation holds in expectation; the worst-case `2·levels/k`
+    * bound never depended on parity. */
   private def toBuf(sk: Seq[Seq[Double]]): KllBuf = {
-    val b = inner.zero
-    if (sk.nonEmpty) {
+    if (sk.isEmpty) inner.zero
+    else {
       val lvl0 = sk.head.toArray
-      require(lvl0.length <= k, s"level-0 larger than capacity $k — sketch built with a bigger k")
-      System.arraycopy(lvl0, 0, b.l0, 0, lvl0.length)
-      b.n0 = lvl0.length
-      b.upper = sk.tail.map(_.toArray).toArray
+      val upper = sk.tail.map(_.toArray).toArray
+      var h = scala.util.hashing.MurmurHash3.arrayHash(lvl0, upper.length + 1)
+      var j = 0
+      while (j < upper.length) {
+        h = scala.util.hashing.MurmurHash3.mix(h, upper(j).length)
+        j += 1
+      }
+      KllBuf(lvl0.length, lvl0, upper, h.toLong & 0xffffffffL)
     }
-    b
   }
 
   override def reduce(buf: KllBuf, sk: Seq[Seq[Double]]): KllBuf =
@@ -204,8 +223,7 @@ object QuantileSketch {
   def mergeSketches(df: DataFrame, groupCols: Seq[String],
                     sketchCol: String = "kll", k: Int = DefaultK): DataFrame = {
     val f = udaf(new KllMergeAgg(k))
-    if (groupCols.isEmpty) df.agg(f(col(sketchCol)).as(sketchCol))
-    else df.groupBy(groupCols.map(col): _*).agg(f(col(sketchCol)).as(sketchCol))
+    df.groupBy(groupCols.map(col): _*).agg(f(col(sketchCol)).as(sketchCol))
   }
 
   /** Total weight carried by a sketch column — exactly the number of
@@ -234,7 +252,10 @@ object QuantileSketch {
     * [[totalWeight]]: the smallest item whose cumulative weight
     * reaches `max(1, ceil(φ·N))`. One `O(k·log n)` fold; φ may be a
     * column (e.g. an exploded φ-list — the q120 shape). NaN is the
-    * empty-sketch sentinel (NaN inputs are never inserted). */
+    * empty-sketch sentinel (NaN inputs are never inserted). A NULL or
+    * NaN φ yields NULL (the SQL `percentile` convention) — unguarded,
+    * `ceil(φ·N)` is NULL and `greatest` SKIPS nulls, so the fold would
+    * silently return the sketch MINIMUM for a null φ (r17 review). */
   def quantileAt(items: Column, total: Column, phi: Column): Column = {
     val target = greatest(lit(1L), ceil(phi * total).cast("long"))
     val folded = aggregate(
@@ -245,7 +266,8 @@ object QuantileSketch {
         when(!isnan(acc("ans")), acc("ans"))
           .when(acc("cum") + x("weight") >= target, x("value"))
           .otherwise(lit(Double.NaN)).as("ans")))
-    folded("ans")
+    when(phi.isNull || isnan(phi), lit(null).cast("double"))
+      .otherwise(folded("ans"))
   }
 
   /** Single-φ convenience over [[weightedItems]]/[[quantileAt]]. For

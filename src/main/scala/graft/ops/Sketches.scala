@@ -37,11 +37,8 @@ object Sketches {
     * (e.g. per-day → per-month) without re-reading raw data. */
   def mergeSketches(df: DataFrame, groupCols: Seq[String],
                     sketchCol: String = "sketch"): DataFrame =
-    if (groupCols.isEmpty)
-      df.agg(hll_union_agg(col(sketchCol)).as(sketchCol))
-    else
-      df.groupBy(groupCols.map(col): _*)
-        .agg(hll_union_agg(col(sketchCol)).as(sketchCol))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col(sketchCol)).as(sketchCol))
 
   /** Distinct-count estimate from a sketch column. */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)

@@ -86,17 +86,51 @@ class KllSpec extends SparkSuite {
     assert(empty.isNaN)
   }
 
-  test("mismatched capacities fail loudly at merge") {
-    // a persisted sketch whose level-0 holds more items than the
-    // merging capacity can: the fixed-array copy must refuse, not
-    // silently truncate
-    val big = Seq(Tuple1(Seq((1 to 40).map(_.toDouble): Seq[Double])))
-      .toDF("kll")
-    val err = intercept[Exception] {
-      QuantileSketch.mergeSketches(big, Nil, k = 16).collect()
-    }
-    val messages = Iterator.iterate[Throwable](err)(_.getCause)
-      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
-    assert(messages.exists(_.contains("capacity")), messages.mkString(" | "))
+  test("a bigger-k sketch merges into a smaller k: weight conserved, smaller k's bound") {
+    // pre-r17-review this refused via a level-0 capacity require; the
+    // re-insert/cascade path handles it for free — the merged sketch
+    // obeys the SMALLER k's bound (the weaker of the two)
+    val vals = (1 to 5000).map(_.toDouble)
+    val bigK = QuantileSketch.sketch(vals.toDF("v"), $"v", k = 1600)
+      .as[Seq[Seq[Double]]].head()
+    val merged = QuantileSketch.mergeSketches(
+        Seq(Tuple1(bigK)).toDF("kll"), Nil, k = 64)
+      .as[Seq[Seq[Double]]].head()
+    val tw = Seq(Tuple1(merged)).toDF("kll")
+      .select(QuantileSketch.totalWeight($"kll")).as[Long].head()
+    assert(tw == 5000L)
+    val err = maxRankErr(vals, merged, phis)
+    assert(err <= 2.0 * merged.length / 64, s"rank error $err over the k=64 bound")
+  }
+
+  test("re-merge of persisted sketches is deterministic (content-hash parity seed)") {
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(9000)((rnd.nextInt(4), rnd.nextGaussian()))
+      .toDF("g", "v").repartition(7)
+    val perGroup = QuantileSketch.sketchBy(df, Seq("g"), $"v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perGroup.count()
+    val a = QuantileSketch.mergeSketches(perGroup.coalesce(1), Nil)
+      .as[Seq[Seq[Double]]].head()
+    val b = QuantileSketch.mergeSketches(perGroup.coalesce(1), Nil)
+      .as[Seq[Seq[Double]]].head()
+    perGroup.unpersist()
+    assert(a == b)
+  }
+
+  test("NULL or NaN phi yields SQL NULL, never the sketch minimum (r17 review)") {
+    val sk = QuantileSketch.sketch((1 to 100).map(_.toDouble).toDF("v"), $"v")
+    val got = sk.select(
+        QuantileSketch.quantileAt(QuantileSketch.weightedItems($"kll"),
+          QuantileSketch.totalWeight($"kll"),
+          lit(null).cast("double")).as("qn"),
+        QuantileSketch.quantileAt(QuantileSketch.weightedItems($"kll"),
+          QuantileSketch.totalWeight($"kll"),
+          lit(Double.NaN)).as("qnan"),
+        QuantileSketch.quantile($"kll", 0.5).as("med"))
+      .as[(Option[Double], Option[Double], Double)].head()
+    assert(got._1.isEmpty, s"null phi gave ${got._1}")
+    assert(got._2.isEmpty, s"NaN phi gave ${got._2}")
+    assert(got._3 == 50.0)
   }
 }

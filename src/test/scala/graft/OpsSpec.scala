@@ -204,6 +204,17 @@ class MedianAggSpec extends SparkSuite {
       .orderBy($"k").as[(Int, Option[Double])].collect().toSeq
     assert(got == Seq((1, Some(1.0)), (2, None)))
   }
+
+  test("NaN inputs are skipped like NULL, never poison the median (r17 review pass 3)") {
+    // even-count group: [1, NaN] would mean (1+NaN)/2 = NaN; odd-count
+    // group: [1, 2, NaN] would report 2 (NaN sorts last) — both must
+    // instead drop the NaN, matching KllAgg/TopKAgg
+    val df = Seq((1, 1.0), (1, Double.NaN),
+      (2, 1.0), (2, 2.0), (2, Double.NaN)).toDF("k", "v")
+    val got = df.groupBy($"k").agg(graft.ops.MedianAgg.median($"v").as("med"))
+      .orderBy($"k").as[(Int, Double)].collect().toSeq
+    assert(got == Seq((1, 1.0), (2, 1.5)))
+  }
 }
 
 /** Partitioned store sink: hive-style dirs + partition pruning on read. */
