@@ -341,7 +341,12 @@ object LlmQueries {
       import s.implicits._
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val storeDocs = d.filter(pmod(col("doc_id"), lit(2)) === 0)
-      val store = graft.llm.Dedup.minhashSignatures(storeDocs, "doc_id", "text")
+      // lshIncremental's contract: the store MUST be materialized (two
+      // store-side consumers; exchange reuse of a derived lineage is
+      // plan luck — the r17 curve bimodality finding)
+      val store = graft.dsl.Rel.track(
+        graft.llm.Dedup.minhashSignatures(storeDocs, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val batch = graft.dsl.Rel.track(
         d.filter(pmod(col("doc_id"), lit(2)) === 1)
           .unionByName(storeDocs.select(
