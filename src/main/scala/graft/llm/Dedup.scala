@@ -644,13 +644,13 @@ object Dedup {
     * [[nearDupClusters]]' job, not an ingest filter's.
     *
     * Scale shape: corpus-sized inputs touch only (a) the store's
-    * (id, sig) scan — at true scale persist the EXPLODED (band, key,
-    * id) index bucketed by (band, key), the q109 bucketed-store
-    * pattern, and this per-batch derivation disappears — and (b) the
-    * bucket aggregation capping hot buckets ([[bucketPairs]]'
-    * soundness argument; over-`maxBucket` store buckets are dropped
-    * the same way). Everything else is batch-sized; signatures ride
-    * shuffles only on candidate rows.
+    * (id, sig) scan deriving band keys — at true scale use
+    * [[lshIncrementalIndexed]] over a persisted [[lshBandIndex]]
+    * bucketed by (band, key) and this per-batch derivation disappears
+    * — and (b) the bucket aggregation capping hot buckets
+    * ([[bucketPairs]]' soundness argument; over-`maxBucket` store
+    * buckets are dropped the same way). Everything else is
+    * batch-sized; signatures ride shuffles only on candidate rows.
     *
     * @param store existing signatures: (id, sig) — [[minhashSignatures]]
     *        rows. MUST be materialized (a table read or a persisted
@@ -667,26 +667,91 @@ object Dedup {
                      maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val store0 = store.select(col("id"),
+      checkedSig(col("sig"), "store", numHashes).as("sig"))
+    val storeBands = store0
+      .select(col("id").as("sid"),
+        posexplode(call_function("graft_band_keys_sig", col("sig"), lit(bands))))
+      .toDF("sid", "band", "key")
+    lshIncrementalBands(batch, idCol, textCol, store0, storeBands,
+      shingleK, numHashes, bands, threshold, maxBucket)
+  }
 
-    def estJaccard(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / numHashes
+  /** The exploded (id, band, key) index rows for a signature store —
+    * [[lshIncrementalIndexed]]'s corpus-sized input. Persist BUCKETED
+    * by (band, key) (the q109 bucketed-store pattern) and the indexed
+    * path's store-side bucket aggregation is zero-Exchange; the
+    * per-batch signature-scan band derivation [[lshIncremental]] pays
+    * disappears entirely. Building the index validates every store
+    * signature's scheme once (size == numHashes, fail-loud), so the
+    * indexed path only re-checks candidate rows. Ingest loop: append
+    * admitted docs' [[lshBandIndex]] rows next to their (id, sig)
+    * store rows each batch. */
+  def lshBandIndex(sigStore: DataFrame, numHashes: Int = 64,
+                   bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    sigStore.select(col("id"),
+        checkedSig(col("sig"), "store", numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(call_function("graft_band_keys_sig", col("sig"), lit(bands))))
+      .toDF("id", "band", "key")
+  }
 
-    // r16 advice: a store built with a different numHashes must fail
-    // LOUDLY — zip_with null-pads mismatched arrays and the agreement
-    // count maps those nulls to 0, so estimated Jaccard would silently
-    // collapse toward 0 and every duplicate would be admitted. One
-    // codegen'd size() compare per row, both sides.
-    def checkedSig(sig: Column, side: String): Column =
-      when(size(sig) =!= numHashes,
-        raise_error(concat(
-          lit(s"lshIncremental: $side signature size "),
-          size(sig).cast("string"),
-          lit(s" != numHashes $numHashes — store and batch must use the same scheme"))))
-        .otherwise(sig)
+  /** [[lshIncremental]] over a PRE-BUILT [[lshBandIndex]] — the true-
+    * scale form: the store-side work per ingest is one bucket
+    * aggregation over the index (zero-Exchange when the index persists
+    * bucketed by (band, key)) plus a signature fetch for CANDIDATE ids
+    * only; no per-batch scan re-derives band keys from the signature
+    * store. Admit set is IDENTICAL to [[lshIncremental]] for an index
+    * built from the same store (property-tested): both paths share one
+    * body, differing only in where the (sid, band, key) rows come
+    * from. Same materialized-store contract for both inputs.
+    *
+    * @param sigStore  (id, sig) rows — verification fetches candidates'
+    *                  signatures from here
+    * @param bandIndex (id, band, key) rows — [[lshBandIndex]] of the
+    *                  same store
+    */
+  def lshIncrementalIndexed(batch: DataFrame, idCol: String, textCol: String,
+                            sigStore: DataFrame, bandIndex: DataFrame,
+                            shingleK: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16, threshold: Double = 0.9,
+                            maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val store0 = sigStore.select(col("id"),
+      checkedSig(col("sig"), "store", numHashes).as("sig"))
+    val storeBands = bandIndex.select(col("id").as("sid"), col("band"), col("key"))
+    lshIncrementalBands(batch, idCol, textCol, store0, storeBands,
+      shingleK, numHashes, bands, threshold, maxBucket)
+  }
 
-    val store0 = store.select(col("id"), checkedSig(col("sig"), "store").as("sig"))
+  /** Signature-agreement Jaccard estimate (E[agree/n] = J). */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
 
+  // r16 advice: a store built with a different numHashes must fail
+  // LOUDLY — zip_with null-pads mismatched arrays and the agreement
+  // count maps those nulls to 0, so estimated Jaccard would silently
+  // collapse toward 0 and every duplicate would be admitted. One
+  // codegen'd size() compare per row, both sides.
+  private def checkedSig(sig: Column, side: String, numHashes: Int): Column =
+    when(size(sig) =!= numHashes,
+      raise_error(concat(
+        lit(s"lshIncremental: $side signature size "),
+        size(sig).cast("string"),
+        lit(s" != numHashes $numHashes — store and batch must use the same scheme"))))
+      .otherwise(sig)
+
+  /** Shared body of [[lshIncremental]]/[[lshIncrementalIndexed]]:
+    * `store0` = scheme-checked (id, sig), `storeBands` = the store's
+    * (sid, band, key) rows — derived or indexed. */
+  private def lshIncrementalBands(batch: DataFrame, idCol: String,
+                                  textCol: String, store0: DataFrame,
+                                  storeBands: DataFrame, shingleK: Int,
+                                  numHashes: Int, bands: Int,
+                                  threshold: Double, maxBucket: Int): DataFrame = {
     // exact-signature collapse (min id per distinct signature): est
     // Jaccard between identical signatures is 1 ≥ any threshold, so
     // non-reps are dropped by the rule directly; two-seed fingerprint
@@ -696,7 +761,7 @@ object Dedup {
       .groupBy(xxhash64(col("sig")).as("fp_a"),
         xxhash64(lit("graft-fp2"), col("sig")).as("fp_b"))
       .agg(min(col("id")).as("id"), min_by(col("sig"), col("id")).as("sig"))
-      .select(col("id"), checkedSig(col("sig"), "batch").as("sig"))
+      .select(col("id"), checkedSig(col("sig"), "batch", numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val repBands = reps.select(col("id"),
@@ -710,15 +775,13 @@ object Dedup {
       .distinct()
       .join(reps.toDF("a", "sa"), "a")
       .join(reps.toDF("b", "sb"), "b")
-      .filter(estJaccard(col("sa"), col("sb")) >= threshold)
+      .filter(estJaccard(col("sa"), col("sb"), numHashes) >= threshold)
       .select(col("b").as("id"))
 
     // vs store: batch bands against capped store buckets — ONE
-    // aggregation over the store's derived index, one equi-join
-    val storeBuckets = store0
-      .select(col("id").as("sid"),
-        posexplode(call_function("graft_band_keys_sig", col("sig"), lit(bands))))
-      .toDF("sid", "band", "key")
+    // aggregation over the store's (sid, band, key) rows (derived or
+    // pre-built index), one equi-join
+    val storeBuckets = storeBands
       .groupBy(col("band"), col("key"))
       .agg(collect_list(col("sid")).as("ds"))
       // same disable convention as bucketPairs: maxBucket <= 0 means
@@ -729,7 +792,7 @@ object Dedup {
       .distinct()
       .join(reps, "id")
       .join(store0.select(col("id").as("sid"), col("sig").as("ssig")), "sid")
-      .filter(estJaccard(col("sig"), col("ssig")) >= threshold)
+      .filter(estJaccard(col("sig"), col("ssig"), numHashes) >= threshold)
       .select(col("id"))
 
     reps.join(withinDropped.union(crossDropped).distinct(),

@@ -20,8 +20,16 @@ object Bucketed {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int = 8): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-column bucketing — e.g. an [[graft.llm.Dedup.lshBandIndex]]
+    * bucketed by (band, key) so the indexed ingest's store-side bucket
+    * aggregation is zero-Exchange. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
     df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 

@@ -1220,6 +1220,56 @@ object LlmQueries {
           "no_kept_exact_in_store", "no_kept_exact_within",
           "all_kept_pass_quality", "append_rows_complete",
           "kept_subset_of_batch")
+    }),
+
+    // the q119 ingest via the TRUE-scale path (r17): a pre-built
+    // exploded (id, band, key) band INDEX replaces the per-batch
+    // store-side band derivation (persist it bucketed by (band, key)
+    // at real scale — zero-Exchange store aggregation, BucketedSpec).
+    // Oracle = the q119 invariant booleans + the decisive one: the
+    // indexed admit set EQUALS the signature-derivation path's.
+    "q127_incremental_lsh_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val storeDocs = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val store = graft.dsl.Rel.track(
+        graft.llm.Dedup.minhashSignatures(storeDocs, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val idx = graft.dsl.Rel.track(
+        graft.llm.Dedup.lshBandIndex(store)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val batch = graft.dsl.Rel.track(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .unionByName(storeDocs.select(
+            (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nBatch = batch.count()
+      val kept = graft.dsl.Rel.track(
+        graft.llm.Dedup.lshIncrementalIndexed(batch, "doc_id", "text",
+            store, idx)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val keptTexts = kept.select(col("id"))
+        .join(batch, col("id") === col("doc_id"))
+        .select(col("id"), col("text"))
+      val noReingested = kept.filter(col("id") >= 1000000L).count() == 0L
+      val noStoreExact = keptTexts
+        .join(storeDocs.select(col("text")), Seq("text"), "left_semi")
+        .count() == 0L
+      val noWithinExact = keptTexts.as("x")
+        .join(keptTexts.as("y"),
+          col("x.text") === col("y.text") && col("x.id") < col("y.id"))
+        .count() == 0L
+      val subset = kept.select(col("id"))
+        .join(batch, col("id") === col("doc_id"), "left_anti").count() == 0L
+      val viaSig = graft.llm.Dedup.lshIncremental(batch, "doc_id", "text", store)
+        .select(col("id"))
+      val sameAsSig =
+        kept.select(col("id")).exceptAll(viaSig).count() == 0L &&
+          viaSig.exceptAll(kept.select(col("id"))).count() == 0L
+      Seq((nBatch, noReingested, noStoreExact, noWithinExact, subset, sameAsSig))
+        .toDF("n_batch", "no_reingested_kept", "no_kept_exact_in_store",
+          "no_kept_exact_within", "kept_subset_of_batch",
+          "indexed_equals_sig_path")
     })
   )
 
@@ -1753,6 +1803,11 @@ object LlmQueries {
       """SELECT (SELECT COUNT(*) FROM documents) AS n_batch,
            TRUE AS no_reingested_kept, TRUE AS no_kept_exact_in_store,
            TRUE AS no_kept_exact_within, TRUE AS kept_subset_of_batch""",
+    "q127_incremental_lsh_indexed" ->
+      """SELECT (SELECT COUNT(*) FROM documents) AS n_batch,
+           TRUE AS no_reingested_kept, TRUE AS no_kept_exact_in_store,
+           TRUE AS no_kept_exact_within, TRUE AS kept_subset_of_batch,
+           TRUE AS indexed_equals_sig_path""",
     "q118_quality_classifier" ->
       """SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) AS n_docs,
            (SELECT COUNT(*) FROM documents

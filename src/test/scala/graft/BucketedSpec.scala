@@ -92,6 +92,41 @@ class BucketedSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("lshBandIndex bucketed by (band, key): bucket aggregation is zero-Exchange") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS lsh_idx")
+    val loc = new java.io.File("spark-warehouse/lsh_idx")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    val docs = Tables.load(spark, dir, "documents")
+    val storeDocs = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    val store = graft.llm.Dedup.minhashSignatures(storeDocs, "doc_id", "text")
+      .persist()
+    store.count()
+    graft.ops.Bucketed.writeBucketed(
+      graft.llm.Dedup.lshBandIndex(store), "lsh_idx", Seq("band", "key"), 4)
+    // the indexed path's only corpus-sized stage: groupBy over the
+    // bucketed index plans without any Exchange
+    val agg = spark.table("lsh_idx").groupBy($"band", $"key")
+      .agg(collect_list($"id").as("ds"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"), aggPlan.take(2000))
+    // and the full indexed ingest over the bucketed table matches the
+    // signature-derivation path end to end
+    val batch = docs.filter($"doc_id" % 2 === 1 && $"doc_id" < 600)
+      .select($"doc_id", $"text")
+    val viaIdx = graft.llm.Dedup.lshIncrementalIndexed(
+        batch, "doc_id", "text", store, spark.table("lsh_idx"))
+      .select($"id").as[Long].collect().toSet
+    val viaSig = graft.llm.Dedup.lshIncremental(
+        batch, "doc_id", "text", store)
+      .select($"id").as[Long].collect().toSet
+    store.unpersist()
+    assert(viaIdx == viaSig)
+  }
+
   test("collectedGroup refuses a table not bucketed by the group key") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS li_flat")

@@ -178,6 +178,29 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set.empty[Long]) // t is a store dup; nulls dropped
   }
 
+  test("lshIncrementalIndexed equals lshIncremental for an index of the same store") {
+    def mk(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val store = Dedup.minhashSignatures(
+        docs(1L -> mk(40, "w"), 2L -> mk(40, "x"), 3L -> mk(40, "y")),
+        "doc_id", "text")
+      .persist()
+    store.count()
+    val idx = Dedup.lshBandIndex(store).persist()
+    idx.count()
+    // exact re-ingest, near-dup, within-batch dup pair, novel
+    val nearX = ((1 to 39).map(i => s"x$i") :+ "CHANGED").mkString(" ")
+    val batch = docs(10L -> mk(40, "w"), 11L -> nearX, 12L -> mk(40, "z"),
+      13L -> mk(40, "z"), 14L -> mk(50, "q")).repartition(5)
+    for (th <- Seq(0.5, 0.9)) {
+      val viaSig = Dedup.lshIncremental(batch, "doc_id", "text", store,
+        threshold = th).select("id").as[Long].collect().toSet
+      val viaIdx = Dedup.lshIncrementalIndexed(batch, "doc_id", "text",
+        store, idx, threshold = th).select("id").as[Long].collect().toSet
+      assert(viaIdx == viaSig, s"threshold $th: indexed $viaIdx != sig-path $viaSig")
+    }
+    store.unpersist(); idx.unpersist()
+  }
+
   test("lshIncremental: a store built with a different numHashes fails loudly") {
     // r16 advice regression: zip_with null-pads mismatched signature
     // arrays and the agreement count maps nulls to 0, so a mismatched
