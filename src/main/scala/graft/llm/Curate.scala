@@ -140,13 +140,20 @@ object Curate {
     *
     * @param fpStore  (fp_a, fp_b) rows from previous batches
     * @param sigStore (id, sig) rows from previous batches
+    * @param bandIndex optional pre-built [[Dedup.lshBandIndex]] of
+    *        `sigStore` — when given, the near-dedup leg runs
+    *        [[Dedup.lshIncrementalIndexed]] (identical admit set, no
+    *        per-batch store band derivation; at real scale keep it as
+    *        a table bucketed by (band, key) and append admitted docs'
+    *        index rows alongside the two store appends)
     * @return (id, fp_a, fp_b, sig) per admitted batch doc
     */
   def incrementalCurate(batch: DataFrame, idCol: String, textCol: String,
                         fpStore: DataFrame, sigStore: DataFrame,
                         minQuality: Double = 0.5, shingleK: Int = 3,
                         numHashes: Int = 64, bands: Int = 16,
-                        threshold: Double = 0.9): DataFrame = {
+                        threshold: Double = 0.9,
+                        bandIndex: Option[DataFrame] = None): DataFrame = {
     val gated = graft.dsl.Rel.track(
       batch.filter(Text.qualityScore(col(textCol)) >= minQuality)
         .select(col(idCol), col(textCol))
@@ -155,8 +162,13 @@ object Curate {
     val survivors = gated
       .join(exactNew.select(col("id")), col(idCol) === col("id"))
       .drop("id")
-    Dedup.lshIncremental(survivors, idCol, textCol, sigStore,
+    val admitted = bandIndex match {
+      case Some(idx) => Dedup.lshIncrementalIndexed(survivors, idCol, textCol,
+        sigStore, idx, shingleK, numHashes, bands, threshold)
+      case None => Dedup.lshIncremental(survivors, idCol, textCol, sigStore,
         shingleK, numHashes, bands, threshold)
+    }
+    admitted
       .join(exactNew.withColumnRenamed("id", idCol),
         col("id") === col(idCol))
       .select(col("id"), col("fp_a"), col("fp_b"), col("sig"))

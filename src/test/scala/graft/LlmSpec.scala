@@ -1431,6 +1431,38 @@ class TextSpec extends SparkSuite {
     } finally graft.dsl.Rel.releaseTracked()
   }
 
+  test("incrementalCurate with a band index admits the same set as without (r17)") {
+    val good = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (1 to 60).map(i => s"v$i").mkString(" ")
+    val nearGood = ((1 to 59).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val novel = (1 to 60).map(i => s"z$i").mkString(" ")
+    val storeDocs = Seq((2L, good)).toDF("doc_id", "text")
+    val fpStore = storeDocs.select(
+      xxhash64($"text").as("fp_a"),
+      xxhash64(lit("graft-fp2"), $"text").as("fp_b"))
+    val sigStore = graft.llm.Dedup.minhashSignatures(storeDocs, "doc_id", "text")
+      .persist()
+    sigStore.count()
+    val idx = graft.llm.Dedup.lshBandIndex(sigStore).persist()
+    idx.count()
+    val batch = Seq((11L, good), (13L, nearGood), (17L, other), (19L, other),
+      (21L, novel)).toDF("doc_id", "text")
+    try {
+      val plain = graft.llm.Curate.incrementalCurate(
+          batch, "doc_id", "text", fpStore, sigStore, threshold = 0.5)
+        .select($"id").as[Long].collect().toSet
+      val indexed = graft.llm.Curate.incrementalCurate(
+          batch, "doc_id", "text", fpStore, sigStore, threshold = 0.5,
+          bandIndex = Some(idx))
+        .select($"id").as[Long].collect().toSet
+      assert(indexed == plain && plain == Set(17L, 21L),
+        s"indexed $indexed vs plain $plain")
+    } finally {
+      graft.dsl.Rel.releaseTracked()
+      sigStore.unpersist(); idx.unpersist()
+    }
+  }
+
   test("unigramLogProb scores common-word docs above rare-word docs") {
     val df = Seq(
       (1L, "the the the the"),   // all high-frequency tokens
