@@ -126,26 +126,52 @@ object Windows {
         state.remove()
         out
       } else {
+        // assemble this batch's events into gap-separated sessions,
+        // then interval-merge the OPEN STATE session into the sorted
+        // list. The old single-cursor fold compared each event only
+        // against the running session's `last` with a SIGNED delta, so
+        // a within-watermark event OLDER than the open session (late
+        // rows still reach fn) merged unconditionally — wrong
+        // membership and a session_start after its own events (r17
+        // review). Interval merge gives the session_window semantics:
+        // an old event extends start backward iff it is within the
+        // gap, and otherwise forms its own (already gapped-out,
+        // immediately emitted) session.
         val sorted = rows.toSeq.sortBy(_.ts.getTime)
-        var cur = state.getOption
-        val closed = Vector.newBuilder[SessionOut]
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
         sorted.foreach { e =>
           val t = e.ts.getTime
-          cur match {
+          sessions.lastOption match {
             case Some(s) if t - s.last < gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
-            case Some(s) =>
-              closed += emit(s)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
+              sessions(sessions.length - 1) =
+                SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value)
+            case _ => sessions += SessionState(t, t, 1, e.value)
           }
         }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
+        val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+        (state.getOption.toSeq ++ sessions).sortBy(_.start).foreach { s =>
+          merged.lastOption match {
+            case Some(p) if s.start - p.last < gapMs =>
+              merged(merged.length - 1) = SessionState(p.start,
+                math.max(p.last, s.last), p.n + s.n, p.sum + s.sum)
+            case _ => merged += s
+          }
         }
-        closed.result().iterator
+        // all but the newest are gap-closed by construction; the
+        // newest stays open. Its natural timeout can sit at or below
+        // the current watermark when a late event re-extended old
+        // state while other keys advanced the watermark — Spark
+        // rejects such a timestamp, so clamp strictly above (the
+        // session then times out on the next watermark move, which is
+        // exactly when it becomes emittable).
+        if (merged.isEmpty) Iterator.empty
+        else {
+          val open = merged.last
+          state.update(open)
+          state.setTimeoutTimestamp(
+            math.max(open.last + gapMs, state.getCurrentWatermarkMs() + 1))
+          merged.init.map(emit).iterator
+        }
       }
     }
 

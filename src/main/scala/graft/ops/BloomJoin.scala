@@ -27,23 +27,34 @@ object BloomJoin {
 
   /** Left-semi join with a bloom pre-filter on the probe side.
     * Result is EXACTLY the semi-join (bloom only pre-filters).
+    *
+    * The bloom path requires IDENTICAL key types: xxhash64 is
+    * type-sensitive, and hashing the build side through a cast to the
+    * probe type can disagree with the exact join's own Catalyst
+    * coercion (string "042" vs bigint 42: the join coerces and
+    * matches, the cast-then-hash does not — a bloom FALSE NEGATIVE
+    * that silently drops a matching row; under ANSI a malformed value
+    * makes the cast itself throw where the plain join succeeds). With
+    * differing types the pre-filter is skipped and the call IS the
+    * exact semi-join — exactness is the contract, the bloom only an
+    * optimization (r17 review).
     */
   def semiJoin(left: DataFrame, leftKey: String,
                right: DataFrame, rightKey: String,
                expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    // Hash both sides identically: xxhash64 is type-sensitive (int and
-    // long hash differently), so the build side casts to the probe
-    // side's key type before hashing.
-    val probeType = left.schema(leftKey).dataType
-    val bf = right
-      .select(xxhash64(col(rightKey).cast(probeType)).as("__graft_h"))
-      .stat.bloomFilter("__graft_h", expectedItems, fpp)
-    val bos = new ByteArrayOutputStream()
-    bf.writeTo(bos)
-    val probe =
-      call_function("graft_might_contain", lit(bos.toByteArray), xxhash64(col(leftKey)))
-    left.filter(probe)
-      .join(right, left(leftKey) === right(rightKey), "left_semi")
+    val exact = left.join(right, left(leftKey) === right(rightKey), "left_semi")
+    if (left.schema(leftKey).dataType != right.schema(rightKey).dataType) exact
+    else {
+      val bf = right
+        .select(xxhash64(col(rightKey)).as("__graft_h"))
+        .stat.bloomFilter("__graft_h", expectedItems, fpp)
+      val bos = new ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val probe =
+        call_function("graft_might_contain", lit(bos.toByteArray), xxhash64(col(leftKey)))
+      left.filter(probe)
+        .join(right, left(leftKey) === right(rightKey), "left_semi")
+    }
   }
 
   /** Anti-join complement: bloom can't pre-filter an anti-join (a bloom

@@ -38,7 +38,9 @@ object Profile {
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
         count(in(c)).as(s"_graft_p${i}_n"),
-        sum(when(in(c).isNull, 1L).otherwise(0L)).as(s"_graft_p${i}_nn"),
+        // count, not sum: sum over an empty table is NULL, and a
+        // quality gate reading n_null == 0 would misclassify it
+        count(when(in(c).isNull, lit(1))).as(s"_graft_p${i}_nn"),
         ndAgg(in(c)).as(s"_graft_p${i}_nd"),
         min(in(c)).cast("string").as(s"_graft_p${i}_mn"),
         max(in(c)).cast("string").as(s"_graft_p${i}_mx"))

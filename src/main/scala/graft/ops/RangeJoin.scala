@@ -51,11 +51,18 @@ object RangeJoin {
     val lt = unix_micros(col(leftTime))
     val rt = unix_micros(col(rightTime))
 
+    // decimal division, not `/` (which promotes long to DOUBLE): at
+    // ≥ 2^53 µs a double's ulp exceeds 32 µs, so the two sides could
+    // round a boundary timestamp into different buckets and silently
+    // drop an in-range pair — the AsofJoin.bucketOf rule (r17 review)
+    def bucket(t: Column): Column =
+      floor(t.cast("decimal(38,0)") / lit(width)).cast("long")
+
     val l = left.withColumn("graft_rj_t", lt)
-      .withColumn("graft_rj_b", floor(lt / width))
+      .withColumn("graft_rj_b", bucket(lt))
     val r = right.select(rt.as("graft_rj_rt"),
-      explode(sequence(floor((rt - radiusUs) / width),
-        floor((rt + radiusUs) / width))).as("graft_rj_b"))
+      explode(sequence(bucket(rt - radiusUs),
+        bucket(rt + radiusUs))).as("graft_rj_b"))
 
     val carried: Seq[Column] =
       left.columns.toSeq.filterNot(_ == leftId).map(c => first(col(c)).as(c))

@@ -139,16 +139,22 @@ object Rank {
     } else {
       val keys = df.select(keyNames.map(col).toIndexedSeq: _*).distinct()
       val ranked = rowNumber(keys, sortCols, as)
-      joinBackNullSafe(df, ranked, keyNames, bcast = true)
+      // no forced broadcast: this is the compiler entry point for
+      // EVERY dense rank, and a near-unique key column makes the
+      // distinct set data-sized — a hardwired hint would collect it
+      // to the driver regardless. AQE upgrades the join to broadcast
+      // on its own whenever the set is actually small (r17 review).
+      joinBackNullSafe(df, ranked, keyNames, bcast = false)
     }
 
-  /** DENSE rank by keys — rank over the distinct key set (small), joined
-    * back: distinct keys → sorted → row-numbered → broadcast join. */
+  /** DENSE rank by keys — rank over the distinct key set, joined back
+    * (AQE broadcasts the join when the set is actually small; see
+    * rankBy for why the hint is never forced). */
   def denseRank(df: DataFrame, keyCols: Seq[String], ascending: Boolean = true,
                 as: String = "rank"): DataFrame = {
     val keys = df.select(keyCols.map(col).toIndexedSeq: _*).distinct()
     val sortCols = keyCols.map(c => if (ascending) col(c).asc else col(c).desc)
     val ranked = rowNumber(keys, sortCols, as)
-    joinBackNullSafe(df, ranked, keyCols, bcast = true)
+    joinBackNullSafe(df, ranked, keyCols, bcast = false)
   }
 }

@@ -41,18 +41,37 @@ object SecondarySort {
         def next(): Iterator[Row] = {
           val key = keyIdx.map(buf.head.get)
           val run = new Iterator[Row] {
-            def hasNext: Boolean = buf.hasNext && keyIdx.map(buf.head.get) == key
+            def hasNext: Boolean =
+              buf.hasNext && sameKey(keyIdx.map(buf.head.get), key)
             def next(): Row = buf.next()
           }
           val out = f(key, run)
           // drain any rows the callback didn't consume so the outer
-          // iterator lands on the next key
-          val result = out.toVector
-          while (run.hasNext) run.next()
-          result.iterator
+          // iterator lands on the next key — LAZILY, after the
+          // callback's output is exhausted (Iterator.++'s by-name
+          // right operand; flatten consumes each inner iterator fully
+          // before advancing). The old out.toVector materialized the
+          // whole per-group output on one task — exactly the bag-spill
+          // hazard this operator exists to avoid (r17 review).
+          out ++ { while (run.hasNext) run.next(); Iterator.empty }
         }
       }.flatten
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Group-boundary equality that compares BinaryType key values by
+    * CONTENT: Row.get returns a fresh Array[Byte] per access, and Seq
+    * `==` on arrays is reference equality — a binary key column (e.g.
+    * a fingerprint digest) would otherwise split every row into its
+    * own group, silently (r17 review). Non-binary values (including
+    * ArrayType, which Row.get surfaces as a value-equal Seq) keep
+    * plain equality. */
+  private def sameKey(a: Seq[Any], b: Seq[Any]): Boolean =
+    a.length == b.length && a.indices.forall { i =>
+      (a(i), b(i)) match {
+        case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+        case (x, y) => x == y
+      }
+    }
 }

@@ -160,6 +160,20 @@ class BloomJoinSpec extends SparkSuite {
     assert(gotS == wantS)
   }
 
+  test("semiJoin with differing key types still equals the exact semi-join (r17 review)") {
+    // "042" (string) vs 42 (bigint): the exact join coerces and
+    // matches; a cast-then-hash bloom would read hash("042") vs
+    // hash("42") — a false NEGATIVE — so the pre-filter must be
+    // skipped, never trusted, across types
+    val left = Seq("042", "42", "7", "xyz").toDF("k")
+    val right = Seq(42L, 8L).toDF("k2")
+    val got = graft.ops.BloomJoin.semiJoin(left, "k", right, "k2")
+      .select("k").as[String].collect().toSet
+    val want = left.join(right, $"k" === $"k2", "left_semi")
+      .select("k").as[String].collect().toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("bloom probe is the native might_contain expression, not a Scala UDF") {
     // range-backed inputs: LocalRelation would let ConvertToLocalRelation
     // evaluate the probe filter at optimization time and hide it
@@ -490,6 +504,23 @@ class RangeJoinSpec extends SparkSuite {
     assert(got == Map(1L -> 2L, 2L -> 0L))
   }
 
+  test("timestamps beyond 2^53 us bucket exactly (decimal division, r17 review)") {
+    // at ~9.1e15 us a double's ulp is 2 us > 0: double-divided buckets
+    // can disagree between the two sides and drop an in-range pair
+    val base = 9100000000000000L // > 2^53 ~ 9.007e15
+    val radius = 5000000L
+    val l = Seq((1L, ts(base))).toDF("id", "t")
+    val r = Seq(ts(base + radius), ts(base + radius + 1000),
+      ts(base - radius), ts(base - radius - 1000)).map(Tuple1(_)).toDF("t")
+    val got = RangeJoin.countWithinRadius(l, r, "id", "t", "t", radius, as = "n")
+      .select("id", "n").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L), got)
+    val gotOdd = RangeJoin.countWithinRadius(l, r, "id", "t", "t", radius,
+        widthUs = 777000L, as = "n")
+      .select("id", "n").as[(Long, Long)].collect().toMap
+    assert(gotOdd == Map(1L -> 2L), gotOdd)
+  }
+
   test("plan is a hash equi-join on buckets, not a nested loop") {
     val l = Seq((1L, ts(1000L))).toDF("id", "t")
     val r = Seq(Tuple1(ts(2000L))).toDF("t")
@@ -598,5 +629,61 @@ class CountMinSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("sketch size mismatch")
       || err.getCause != null)
+  }
+}
+
+/** Secondary-sort run iterator (r17 review regressions). */
+class SecondarySortSpec extends SparkSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  test("binary group keys compare by content, not reference") {
+    // Row.get returns a fresh Array[Byte] per access; reference
+    // equality would split every row into its own run
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("c", 5L))
+      .toDF("g", "v")
+      .select(org.apache.spark.sql.functions.expr("cast(g as binary)").as("gb"),
+        $"v")
+    val schema = StructType(Seq(
+      StructField("n", LongType), StructField("s", LongType)))
+    val got = graft.ops.SecondarySort.sortedGroups(
+        df, Seq("gb"), Seq("v"), schema) { (_, rows) =>
+        var n = 0L; var s = 0L
+        rows.foreach { r => n += 1; s += r.getLong(1) }
+        Iterator(Row(n, s))
+      }
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 3L), (2L, 7L), (1L, 5L)), got)
+  }
+
+  test("unconsumed run rows drain; output streams without whole-group buffering") {
+    val df = (1 to 100).map(i => (i % 4, i)).toDF("g", "v")
+    val schema = StructType(Seq(StructField("g", IntegerType),
+      StructField("first_v", IntegerType)))
+    // callback reads only the FIRST row of each run: the drain must
+    // land the outer iterator on the next key
+    val got = graft.ops.SecondarySort.sortedGroups(
+        df, Seq("g"), Seq("v"), schema) { (key, rows) =>
+        val h = rows.next()
+        Iterator(Row(key.head, h.getInt(1)))
+      }
+      .as[(Int, Int)].collect().toSet
+    assert(got == Set((0, 4), (1, 1), (2, 2), (3, 3)), got)
+  }
+}
+
+/** Profile over degenerate inputs (r17 review regression). */
+class ProfileEmptySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("an empty table profiles n_null = 0, not NULL") {
+    val empty = Seq.empty[(Long, String)].toDF("a", "b")
+    val got = graft.ops.Profile.profile(empty, Seq("a", "b"))
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    val nullIdx = got.columns.indexOf("n_null")
+    assert(nullIdx >= 0 && rows.forall(r => !r.isNullAt(nullIdx) && r.getLong(nullIdx) == 0L),
+      rows.mkString(","))
   }
 }

@@ -90,6 +90,41 @@ class WindowsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("statefulSessionize: a late event older than the open session never absorbs into it (r17 review)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Windows.SessionEvent]
+    val sessions = Windows.statefulSessionize(input.toDS(),
+      gapMs = 30 * 60 * 1000L, delay = "2 hours")
+    val q = sessions.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      // u1 and u3 open sessions at 03:00
+      input.addData(
+        Windows.SessionEvent(1L, ts("2024-01-01 03:00:00"), 1.0),
+        Windows.SessionEvent(3L, ts("2024-01-01 03:00:00"), 1.0))
+      q.processAllAvailable()
+      // late but within-watermark events: u1's is 90 min BEFORE its
+      // open session (beyond the gap — its own session, emitted at
+      // once); u3's is 15 min before (within the gap — must merge and
+      // extend session_start BACKWARD). The old signed-delta fold
+      // absorbed u1's into the 03:00 session with start unchanged.
+      input.addData(
+        Windows.SessionEvent(1L, ts("2024-01-01 01:30:00"), 7.0),
+        Windows.SessionEvent(3L, ts("2024-01-01 02:45:00"), 7.0))
+      q.processAllAvailable()
+      // advance event time far past the gap: remaining sessions close
+      input.addData(Windows.SessionEvent(2L, ts("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("late_sessions")
+        .select($"user_id", $"session_start".cast("string"),
+          $"n_events", $"sum_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(got.contains((1L, "2024-01-01 01:30:00", 1L, 7.0)), got)
+      assert(got.contains((1L, "2024-01-01 03:00:00", 1L, 1.0)), got)
+      assert(got.contains((3L, "2024-01-01 02:45:00", 2L, 8.0)), got)
+    } finally q.stop()
+  }
+
   test("streaming session window merges events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
