@@ -68,7 +68,13 @@ object Tables {
     * Spark's tz-naive inference; cast is identity in a UTC session).
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is session config owned by Graft.configure (every
+    // repo entry point builds its session through it); load() no
+    // longer force-sets it per call — mutating a caller's session as a
+    // read side effect changed parquet nanos semantics for all their
+    // unrelated reads (r17 review). A foreign session without the flag
+    // fails LOUDLY on nanos files ("Illegal Parquet type"), which is
+    // the correct surface for the fix.
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
       case "events" =>

@@ -45,9 +45,14 @@ object Bucketed {
   }
 
   /** GroupBy on the bucket key of a bucketed table — aggregation without
-    * a shuffle (the COLLECTED-group analog). */
+    * a shuffle (the COLLECTED-group analog). Routed through
+    * [[collectedGroup]] so a non-bucketed (or wrong-key-bucketed)
+    * table fails loudly instead of silently degrading to the full
+    * shuffle the name promises to avoid (r17 review). */
   def groupBucketed(spark: SparkSession, table: String, key: String): DataFrame =
-    spark.table(table).groupBy(key).count()
+    collectedGroup(spark, table, key,
+      Seq(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("count")))
 
   /** COLLECTED group [R: …/relationalOperators/POCollectedGroup.java]:
     * `GROUP … USING 'collected'` with arbitrary algebraic aggregates.

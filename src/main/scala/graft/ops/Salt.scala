@@ -26,18 +26,31 @@ object Salt {
     // outer-preserving the REPLICATED side would emit `salts` copies of
     // every unmatched small-side row — only join types that never
     // null-pad the replicated side are sound under salting
-    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(
-        joinType.toLowerCase.replace("_", "")),
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+        "semi", "anti")(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin: joinType '$joinType' would duplicate unmatched replicated rows " +
         "(use inner/left/left_outer/left_semi/left_anti, or AQE's skew join for outer)")
-    val salted = big.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
-    val replicated = small.withColumn("_salt",
+    val saltCol = "_graft_salt"
+    require(!big.columns.contains(saltCol) && !small.columns.contains(saltCol),
+      s"saltedJoin: inputs must not already carry a '$saltCol' column")
+    // content-derived salt, NOT monotonically_increasing_id: the id is
+    // order-dependent, and if `big` sits downstream of a shuffle a
+    // retried map task can recompute rows with DIFFERENT salts after
+    // some reducers fetched the old output — rows duplicated or lost
+    // (the nondeterministic-shuffle-key hazard). Hashing the whole row
+    // is deterministic under any recomputation; fully-identical rows
+    // share a salt, which only matters if the hot key's rows are
+    // byte-identical duplicates (collapse those first — they are a
+    // dedup problem, not a skew problem).
+    val salted = big.withColumn(saltCol,
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)),
+        lit(salts.toLong)).cast("int"))
+    val replicated = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated,
         salted(bigKey) === replicated(smallKey) &&
-          salted("_salt") === replicated("_salt"),
+          salted(saltCol) === replicated(saltCol),
         joinType)
-      .drop("_salt")
+      .drop(saltCol)
   }
 }

@@ -93,13 +93,19 @@ object AvroStorage {
   private def readWriterSchema(spark: SparkSession, path: String): Schema = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val file =
-      if (fs.getFileStatus(p).isFile) p
-      else fs.listStatus(p).map(_.getPath)
-        .filter(f => f.getName.endsWith(".avro") || f.getName.startsWith("part-"))
-        .sortBy(_.getName)
-        .headOption
-        .getOrElse(throw new IllegalArgumentException(s"no avro files under $path"))
+    // globStatus, not getFileStatus: newAPIHadoopFile itself expands
+    // globs, so schema discovery must accept the same paths (a plain
+    // file or dir is a 1-element glob match) — r17 review
+    val matches = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    if (matches.isEmpty)
+      throw new IllegalArgumentException(s"no files match $path")
+    val file = matches.iterator
+      .flatMap(m => if (m.isFile) Iterator(m.getPath)
+        else fs.listStatus(m.getPath).iterator.map(_.getPath)
+          .filter(f => f.getName.endsWith(".avro") || f.getName.startsWith("part-")))
+      .toSeq.sortBy(_.getName)
+      .headOption
+      .getOrElse(throw new IllegalArgumentException(s"no avro files under $path"))
     val in = fs.open(file)
     try {
       val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
@@ -117,7 +123,14 @@ object AvroStorage {
     case Schema.Type.FLOAT => FloatType
     case Schema.Type.DOUBLE => DoubleType
     case Schema.Type.STRING | Schema.Type.ENUM => StringType
-    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      // the scaladoc's contract: decimal is rejected LOUDLY — returning
+      // BinaryType here would hand callers the unscaled big-endian
+      // bytes as if they were data (r17 review)
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.Decimal])
+        throw new IllegalArgumentException(
+          s"unsupported Avro logical type decimal: $s — convert upstream")
+      BinaryType
     case Schema.Type.ARRAY => ArrayType(avroToSpark(s.getElementType), containsNull = true)
     case Schema.Type.MAP => MapType(StringType, avroToSpark(s.getValueType), valueContainsNull = true)
     case Schema.Type.RECORD =>
@@ -175,7 +188,14 @@ object AvroStorage {
       case DateType =>
         java.sql.Date.valueOf(LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
       case ArrayType(el, _) =>
-        v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq.map(fromAvro(_, el))
+        // single pass into a pre-sized array (the old asScala.toSeq.map
+        // copied every array twice on the decode hot path — r17 review)
+        val c = v.asInstanceOf[java.util.Collection[Any]]
+        val out = new Array[Any](c.size())
+        val it = c.iterator()
+        var i = 0
+        while (it.hasNext) { out(i) = fromAvro(it.next(), el); i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
       case MapType(_, vt, _) =>
         v.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
           case (k, mv) => k.toString -> fromAvro(mv, vt)
@@ -202,12 +222,24 @@ object AvroStorage {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(path)
     val fs = target.getFileSystem(hconf)
-    if (fs.exists(target)) fs.delete(target, true)
+    // write to a temp sibling, swap on success: the old eager
+    // fs.delete(target) ran BEFORE the lazy job, so overwriting a path
+    // the frame was read from destroyed the input mid-plan, and any
+    // job failure left neither old nor new data (r17 review)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val job = Job.getInstance(hconf)
     AvroJob.setOutputKeySchema(job, avroSchema)
-    pairs.saveAsNewAPIHadoopFile(path, classOf[AvroKey[GenericRecord]],
-      classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
-      job.getConfiguration)
+    try {
+      pairs.saveAsNewAPIHadoopFile(tmp.toString, classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+        job.getConfiguration)
+      if (fs.exists(target)) fs.delete(target, true)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"storeAvro: rename $tmp -> $target failed")
+    } finally {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
   }
 
   private[sources] def sparkToAvroRecord(st: StructType, name: String): Schema = {
@@ -256,8 +288,21 @@ object AvroStorage {
     rec
   }
 
+  /** Allocation-free for the common `union[null, T]` (this sits on the
+    * per-row/per-element write path — r17 review); anything wider
+    * still routes through nonNullBranch's loud rejection. */
   private def unwrapNullable(s: Schema): Schema =
-    if (s.getType == Schema.Type.UNION) nonNullBranch(s) else s
+    if (s.getType != Schema.Type.UNION) s
+    else {
+      val ts = s.getTypes
+      if (ts.size == 2) {
+        val a = ts.get(0)
+        val b = ts.get(1)
+        if (a.getType == Schema.Type.NULL) b
+        else if (b.getType == Schema.Type.NULL) a
+        else nonNullBranch(s)
+      } else nonNullBranch(s)
+    }
 
   private def toAvro(v: Any, dt: DataType, schema: Schema): Any =
     if (v == null) null
@@ -287,6 +332,13 @@ object AvroStorage {
           case (k, mv) => out.put(k.toString, toAvro(mv, vt, valSchema))
         }
         out
+      // sparkToAvro maps Short/Byte to Avro INT, so the VALUE must box
+      // to Integer too: GenericData.resolveUnion's isInteger check is
+      // `instanceof Integer`, and a boxed Short/Byte in union[null,int]
+      // throws UnresolvedUnionException on the first non-null row
+      // (r17 review, verified against the shipped avro 1.12.1)
+      case ShortType => v.asInstanceOf[Short].toInt
+      case ByteType => v.asInstanceOf[Byte].toInt
       case st: StructType => rowToRecord(v.asInstanceOf[Row], st, schema)
       case _ => v
     }

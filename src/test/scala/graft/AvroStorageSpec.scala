@@ -57,6 +57,35 @@ class AvroStorageSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("nullable smallint/tinyint columns store and round-trip as Avro int (r17 review)") {
+    // GenericData.resolveUnion checks `instanceof Integer`: a boxed
+    // Short/Byte in union[null,int] threw UnresolvedUnionException
+    val schema = StructType(Seq(
+      StructField("sh", ShortType, nullable = true),
+      StructField("by", ByteType, nullable = true)))
+    val rows = Seq(Row(7.toShort, 3.toByte), Row(null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = tmpDir("avro_short")
+    AvroStorage.storeAvro(df, dir)
+    val got = AvroStorage.avroLoader(spark, dir)
+      .select($"sh".cast("int"), $"by".cast("int"))
+      .as[(Option[Int], Option[Int])].collect().toSet
+    assert(got == Set((Some(7), Some(3)), (None, None)), got)
+  }
+
+  test("storeAvro over the path a frame is read from keeps the data (r17 review)") {
+    // the old eager fs.delete(target) destroyed the input before the
+    // lazy write job computed its splits: self-overwrite lost the
+    // dataset AND failed the job
+    val dir = tmpDir("avro_selfow")
+    AvroStorage.storeAvro((1L to 100L).toDF("v"), dir)
+    val filtered = AvroStorage.avroLoader(spark, dir).filter($"v" <= 40L)
+    AvroStorage.storeAvro(filtered, dir)
+    val back = AvroStorage.avroLoader(spark, dir).as[Long].collect().toSet
+    assert(back == (1L to 40L).toSet, s"got ${back.size} rows")
+  }
+
   test("nulls ride union[null, T] and come back as nulls") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
