@@ -80,10 +80,15 @@ object PageRank {
         Seq("node"), "left")
       .select(col("node"), coalesce(!col("has_out"), lit(true)).as("dang"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+    // ONE job over the persisted node table answers both driver
+    // scalars (node count + sink count); count() + filter().count()
+    // was two
+    val firstRow = nodes.agg(count(lit(1)),
+      sum(when(col("dang"), 1L).otherwise(0L))).head()
+    val n = firstRow.getLong(0)
     require(n > 0, "pagerank needs a non-empty edge list")
     if (dangling == "check") {
-      val sinks = nodes.filter(col("dang")).count()
+      val sinks = firstRow.getLong(1)
       require(sinks == 0L,
         s"pagerank: $sinks node(s) have no out-edges — rank mass would " +
           "leak; pass dangling=\"redistribute\" (or \"leak\" to accept)")
