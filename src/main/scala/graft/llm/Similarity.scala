@@ -1,9 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.dsl.PigFunctions.roundCompat
 import graft.ops.TopKAgg
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
@@ -57,7 +55,7 @@ object Similarity {
   }
 
   private def planeComponentK(j: Int, i: Int): Double = {
-    val m = ((j * 64 + i).toLong * 2654435761L) % 1000003L
+    val m = ((j.toLong * graft.plans.SignLshF.PlaneStride + i) * 2654435761L) % 1000003L
     (m % 2001L - 1000L).toDouble / 1000.0
   }
 
@@ -65,6 +63,8 @@ object Similarity {
     * hyperplane family (table t of a multi-table index = offset
     * t·planes; offset 0 is the single-table bucket). */
   private[graft] def bucketK(v: Seq[Float], planes: Int, offset: Int = 0): Long = {
+    require(v.length <= graft.plans.SignLshF.PlaneStride,
+      s"vector dim ${v.length} exceeds the plane stride")
     var acc = 0L; var j = 0
     while (j < planes) {
       var d = 0.0; var i = 0; val n = v.length
@@ -112,12 +112,31 @@ object Similarity {
         (0 until tables).map(t => bucketExprTable(planes, t)(col(vecCol))): _*)))
       .toDF(outId, "tbl", "bucket")
 
+  /** Drop query==neighbor id matches. Every top-k API defaults to the
+    * self-query shape (queries drawn FROM the corpus, so a query must
+    * not return itself); pass excludeSelf=false when query and corpus
+    * id spaces are INDEPENDENT — with the filter on, a corpus row that
+    * merely shares a query's id value would silently never be returned
+    * (r17 review). */
+  private def dropSelf(df: DataFrame, excludeSelf: Boolean): DataFrame =
+    if (excludeSelf) df.filter(col("query_id") =!= col("neighbor_id")) else df
+
   /** Per-query top-k via the bounded [[graft.ops.TopKAgg]] aggregator:
     * partial/final aggregation keeps k rows per map task — no full sort
     * of the scored pairs through a window exchange. Output matches the
     * window row_number formulation exactly (score desc, id asc ties).
     */
   private def topKSelect(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+    // TopKAgg's buffer carries ids as primitive longs — a clear error
+    // at the API boundary beats the encoder's "Cannot up cast" (r17
+    // review; string/UUID ids need a surrogate long key first)
+    val idType = scored.schema("neighbor_id").dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+        .contains(idType),
+      s"top-k requires integral id columns (got $idType) — map string ids " +
+        "to a surrogate long (e.g. xxhash64) before calling")
     val agg = TopKAgg.topK(k)
     scored.filter(col("cosine").isNotNull)
       .groupBy("query_id")
@@ -127,19 +146,19 @@ object Similarity {
         col("col._1").as("cosine"), (col("pos") + 1).cast("int").as("rk"))
   }
 
-  /** Brute-force cosine top-k: every query row against every corpus row,
-    * then a per-query window top-k. The cross join broadcasts the
-    * smaller side (queries); the window partitions by query id so the
-    * top-k never funnels through one task. This is the exact baseline
-    * the ANN variants are measured against.
+  /** Brute-force cosine top-k: every query row against every corpus
+    * row (the cross join broadcasts the smaller query side), then the
+    * bounded [[topKSelect]] aggregation — k rows of state per map
+    * task, no window exchange. This is the exact baseline the ANN
+    * variants are measured against.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      queryId: String, corpusId: String, vecCol: String,
-                     k: Int): DataFrame = {
+                     k: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .transform(dropSelf(_, excludeSelf))
       .select(col("query_id"), col("neighbor_id"),
         cosineExpr(col("qv"), col("cv")).as("cosine"))
     topKSelect(scored, k)
@@ -148,10 +167,14 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component: an integer-only
     * formula (multiplicative hashing, exactly reproducible in any SQL
     * engine) mapped to [-1, 1] in steps of 1e-3.
-    * component(j, i) = (((j*64+i) * 2654435761) mod 1000003 mod 2001 - 1000) / 1000
+    * component(j, i) = (((j*4096+i) * 2654435761) mod 1000003 mod 2001 - 1000) / 1000
+    * The stride ([[graft.plans.SignLshF.PlaneStride]]) must exceed the
+    * vector dim or components collide across planes (the pre-r17
+    * stride of 64 correlated adjacent planes for dim > 64).
     */
   def planeComponent(j: Column, i: Column): Column =
-    ((pmod(pmod((j * 64 + i) * lit(2654435761L), lit(1000003L)), lit(2001L)) - 1000L)
+    ((pmod(pmod((j.cast("long") * graft.plans.SignLshF.PlaneStride + i)
+        * lit(2654435761L), lit(1000003L)), lit(2001L)) - 1000L)
       .cast("double") / 1000.0)
 
   /** Sign-LSH bucket id over `planes` deterministic hyperplanes: bit j =
@@ -176,21 +199,24 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               queryId: String, corpusId: String, vecCol: String,
-              k: Int, planes: Int = 8, tables: Int = 1): DataFrame = {
+              k: Int, planes: Int = 8, tables: Int = 1,
+              excludeSelf: Boolean = true): DataFrame = {
+    require(planes >= 1 && planes <= 64 && tables >= 1,
+      s"lshTopK: planes must be in [1, 64] (bits of one long) and tables >= 1, got planes=$planes tables=$tables")
     val scored = if (tables <= 1) {
       val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
         bucketExpr(planes)(col(vecCol)).as("bucket"))
       val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
         bucketExpr(planes)(col(vecCol)).as("bucket"))
       q.join(c, Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
+        .transform(dropSelf(_, excludeSelf))
         .select(col("query_id"), col("neighbor_id"),
           cosineExpr(col("qv"), col("cv")).as("cosine"))
     } else {
       val cand = bandedBuckets(queries, queryId, vecCol, planes, tables, "query_id")
         .join(bandedBuckets(corpus, corpusId, vecCol, planes, tables, "neighbor_id"),
           Seq("tbl", "bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
+        .transform(dropSelf(_, excludeSelf))
         .select(col("query_id"), col("neighbor_id"))
         .distinct()
       cand
@@ -258,7 +284,12 @@ object Similarity {
     */
   private[graft] def sampleVectors(corpus: DataFrame, idCol: String, vecCol: String,
                                    maxTrain: Long): Array[Array[Double]] = {
+    // skip null vectors and vectors with null elements: the collect
+    // side's getSeq(...).map would NPE on them, crashing every
+    // training entry point while the distributed scoring paths
+    // tolerate the same rows (cosineExpr -> null) — r17 review
     val v0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
     val total = v0.count()
     val s = if (total > maxTrain) v0.sample(maxTrain.toDouble / total, 42L) else v0
     s.orderBy("id").collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -405,7 +436,7 @@ object Similarity {
   def ivfKmeansTopK(queries: DataFrame, corpus: DataFrame,
                     queryId: String, corpusId: String, vecCol: String,
                     k: Int, nCells: Int = 16, nprobe: Int = 3,
-                    iters: Int = 3): DataFrame = {
+                    iters: Int = 3, excludeSelf: Boolean = true): DataFrame = {
     val cents = kmeansCentroids(corpus, corpusId, vecCol, nCells, iters)
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
       nearestCellsExpr(cents, 1)(col(vecCol))(0).as("cell"))
@@ -416,7 +447,7 @@ object Similarity {
     // pairs are unique by construction — a distinct here would shuffle
     // the full scored set for nothing (the operator's one hot exchange)
     val scored = q.join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .transform(dropSelf(_, excludeSelf))
       .select(col("query_id"), col("neighbor_id"),
         cosineExpr(col("qv"), col("cv")).as("cosine"))
     topKSelect(scored, k)
@@ -498,7 +529,7 @@ object Similarity {
              queryId: String, corpusId: String, vecCol: String,
              k: Int, m: Int = 8, codewords: Int = 16,
              rerank: Int = 4, iters: Int = 3,
-             maxTrain: Long = 16384L): DataFrame = {
+             maxTrain: Long = 16384L, excludeSelf: Boolean = true): DataFrame = {
     // maxTrain bounds codebook training INDEPENDENT of corpus size:
     // 16k vectors give ~1k training points per codeword per subspace
     // at the default (m, codewords) — sampling past that buys nothing
@@ -521,7 +552,7 @@ object Similarity {
       call_function("graft_dot", sub, element_at(cbF, col("codes")(s) + 1))
     }.reduce(_ + _)
     val shortlist = enc.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .transform(dropSelf(_, excludeSelf))
       .select(col("query_id"), col("neighbor_id"),
         (adc / (col("qnorm") * col("rnorm"))).as("cosine"))
     val cand = topKSelect(shortlist, k * rerank)
@@ -558,7 +589,7 @@ object Similarity {
                 queryId: String, corpusId: String, vecCol: String,
                 k: Int, nCells: Int = 16, nprobe: Int = 3,
                 m: Int = 16, codewords: Int = 16,
-                rerank: Int = 8, iters: Int = 3,
+                rerank: Int = 8, iters: Int = 3, excludeSelf: Boolean = true,
                 maxTrain: Long = 16384L): DataFrame = {
     // BOTH quantizers train from ONE collected sample (one count + one
     // collect total): coarse cells directly, then PQ books on the
@@ -588,7 +619,12 @@ object Similarity {
     val assigned =
       corpus.select(col(corpusId).as("neighbor_id"), col(vecCol).as("cv"),
           nearestCellsExpr(cents, 1)(col(vecCol))(0).as("cell"))
-        .select(col("neighbor_id"), col("cell"), norm(col("cv")).as("xnorm"),
+        // sqrt(graft_dot), not the HOF norm(): this runs once per
+        // corpus row on the encode scan, exactly the CodegenFallback
+        // hot path graft_dot exists to avoid (r17 review); same
+        // accumulation order, bit-equal
+        .select(col("neighbor_id"), col("cell"),
+          sqrt(call_function("graft_dot", col("cv"), col("cv"))).as("xnorm"),
           residual(col("cv"), col("cell")).as("rv"))
     val dsub = books(0)(0).length
     val enc = pqEncode(assigned, "neighbor_id", "rv", books,
@@ -610,11 +646,16 @@ object Similarity {
       call_function("graft_dot", sub, element_at(cbF, col("codes")(s) + 1))
     }.reduce(_ + _)
     val shortlist = broadcast(q).join(enc, Seq("cell")) // inverted-list pruning
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .transform(dropSelf(_, excludeSelf))
       .select(col("query_id"), col("neighbor_id"),
         ((col("qc_dot") + adcResid) / (col("qnorm") * col("xnorm"))).as("cosine"))
+    // NO distinct: probe cells are distinct per query and each encoded
+    // neighbor lives in exactly one cell, so topKSelect's (query,
+    // neighbor) pairs are already unique — same invariant as pqTopK
+    // and ivfKmeansTopK (the old distinct was one wasted exchange of
+    // the candidate set; r17 review)
     val cand = topKSelect(shortlist, k * rerank)
-      .select(col("query_id"), col("neighbor_id")).distinct()
+      .select(col("query_id"), col("neighbor_id"))
     val exact = cand
       .join(queries.select(col(queryId).as("query_id"), col(vecCol).as("qv")),
         "query_id")
@@ -627,7 +668,10 @@ object Similarity {
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               queryId: String, corpusId: String, vecCol: String,
-              k: Int, planes: Int = 6, nprobe: Int = 3): DataFrame = {
+              k: Int, planes: Int = 6, nprobe: Int = 3,
+              excludeSelf: Boolean = true): DataFrame = {
+    require(planes >= 1 && planes <= 64,
+      s"ivfTopK: planes must be in [1, 64], got $planes")
     // probe p flips bit p-1: only `planes` flips address real cells;
     // an excess probe would match nothing and silently waste "recall"
     require(nprobe >= 1 && nprobe <= planes + 1,
@@ -649,7 +693,7 @@ object Similarity {
     // distinct and each neighbor has one cell — (query, neighbor) pairs
     // are already unique (see ivfKmeansTopK)
     val scored = q.join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .transform(dropSelf(_, excludeSelf))
       .select(col("query_id"), col("neighbor_id"),
         cosineExpr(col("qv"), col("cv")).as("cosine"))
     topKSelect(scored, k)

@@ -64,8 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fingerprint"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FingerprintF].getName, "graft_fingerprint"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FingerprintF(children.head)))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          s"graft_fingerprint expects 1 argument, got ${children.size}")
+        FingerprintF(children.head)
+      }))
     // Native sign-LSH bucket (see SignLshF):
     // graft_lsh_bucket(vec, planes[, offset]) — codegen'd replacement
     // for the Scala UDF on the embedding scan hot path (q39/q43/q79);
@@ -182,8 +185,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "graft_might_contain"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"graft_might_contain expects 2 arguments, got ${children.size}")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children.head, children(1))))
+          children.head, children(1))
+      }))
   }
 }

@@ -98,6 +98,16 @@ object BpeTokensF {
       }
       val st = new State(m, b.result())
       memo.set(st)
+      // release at task end: executor threads are pooled, and a
+      // ThreadLocal holding up to MaxMemo word->token arrays per
+      // thread would otherwise pin tens of MB per thread for the
+      // process lifetime after the BPE stage finishes (r17 review).
+      // Re-registration per new State is idempotent; a next task on
+      // the same thread just rebuilds from the literal (cheap once
+      // per task). Driver-side eval (TaskContext null, e.g. constant
+      // folding) keeps the small state — no pool to pollute.
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => memo.remove())
       st
     }
   }

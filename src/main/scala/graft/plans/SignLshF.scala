@@ -59,22 +59,34 @@ case class SignLshF(first: Expression, second: Expression, third: Expression)
 }
 
 object SignLshF {
+
+  /** Component-index stride between consecutive hyperplanes. The old
+    * stride of 64 made planes COLLIDE for vectors wider than 64 dims
+    * (component(p, 64) == component(p+1, 0) — adjacent planes shared
+    * most components, correlating bucket bits and quietly degrading
+    * recall; r17 review). 4096 covers every common embedding width;
+    * [[compute]] rejects wider vectors loudly. */
+  val PlaneStride = 4096
+
   /** The kernel generated code calls into. Arithmetic is kept EXACTLY
     * as `Similarity.bucketK`: per bit j, d accumulates
     * v(i) * component(offset+j, i) left-to-right in double, where
-    * component(p, i) = (((p*64+i) * 2654435761) mod 1000003 mod 2001
+    * component(p, i) = (((p*4096+i) * 2654435761) mod 1000003 mod 2001
     * - 1000) / 1000 — all operands non-negative, so `%` ≡ `pmod` and
     * the bucket is reproducible in any engine.
     */
   def compute(v: ArrayData, planes: Int, offset: Int): Long = {
     val n = v.numElements()
+    if (n > PlaneStride) throw new IllegalArgumentException(
+      s"graft_lsh_bucket: vector dim $n exceeds the plane stride $PlaneStride " +
+        "— components would collide across planes")
     var acc = 0L
     var j = 0
     while (j < planes) {
       var d = 0.0
       var i = 0
       while (i < n) {
-        val m = (((offset + j) * 64 + i).toLong * 2654435761L) % 1000003L
+        val m = (((offset + j).toLong * PlaneStride + i) * 2654435761L) % 1000003L
         d += v.getFloat(i).toDouble * ((m % 2001L - 1000L).toDouble / 1000.0)
         i += 1
       }

@@ -87,9 +87,10 @@ object LlmQueries {
         FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM ($docsExpr))"""
 
   /** Deterministic hyperplane literal for the SQL oracle — the same
-    * integer formula as [[Similarity.planeComponent]]. */
+    * integer formula (and [[graft.plans.SignLshF.PlaneStride]]) as
+    * [[Similarity.planeComponent]]. */
   private def planeLit(j: Int): String = (0 until 64).map { i =>
-    val m = ((j * 64 + i).toLong * 2654435761L) % 1000003L
+    val m = ((j.toLong * graft.plans.SignLshF.PlaneStride + i) * 2654435761L) % 1000003L
     ((m % 2001L - 1000L).toDouble / 1000.0).toString
   }.mkString("[", ", ", "]")
 

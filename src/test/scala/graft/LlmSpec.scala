@@ -507,6 +507,63 @@ class SimilaritySpec extends SparkSuite {
       s"duplicate centroids after reseed: ${cents.map(_.mkString("(", ",", ")")).mkString(" ")}")
   }
 
+  test("excludeSelf=false: a corpus row sharing a query's id value is returned (r17 review)") {
+    // independent id spaces: query 1 and corpus 1 are DIFFERENT rows;
+    // the default self-filter would silently drop the true neighbor
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val queries = vecs(1L -> base)
+    val corpus = vecs(1L -> base.map(_ * 2f), 2L -> Array.tabulate(8)(i => if (i == 0) 1f else 0f))
+    val without = Similarity.bruteForceTopK(queries, corpus,
+        "vec_id", "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(without == Seq(2L)) // default: id 1 excluded as "self"
+    val got = Similarity.bruteForceTopK(queries, corpus,
+        "vec_id", "vec_id", "embedding", 1, excludeSelf = false)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L), got) // same-direction corpus row wins
+  }
+
+  test("top-k rejects non-integral id columns with a clear message (r17 review)") {
+    val base = Array.tabulate(4)(_.toFloat + 1f)
+    val df = Seq(("a", base), ("b", base.map(_ * 2f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(df, df, "vec_id", "vec_id", "embedding", 1)
+    }
+    assert(e.getMessage.contains("integral id"), e.getMessage)
+  }
+
+  test("training samples skip null vectors instead of NPE-ing (r17 review)") {
+    val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, null))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", 2, 1)
+    assert(cents.length == 2)
+  }
+
+  test("plane components do not collide across planes for dim > 64 (r17 review)") {
+    // pre-r17 stride 64: bucket bit j of one-hot(64+i) equaled bit j
+    // of plane j+1 at i — adjacent planes shared shifted components.
+    // Distinct high dims must now see independent components: two
+    // dim-128 one-hot vectors at 64 and 65 get buckets from distinct
+    // component streams (and the old aliasing identity no longer holds)
+    def oneHot(dim: Int, at: Int) = Array.tabulate(dim)(i => if (i == at) 1f else 0f)
+    val b64 = Similarity.bucketK(oneHot(128, 64).toSeq, planes = 16)
+    val b0shift = Similarity.bucketK(oneHot(64, 0).toSeq, planes = 16)
+    // old code: bucket(one-hot 64) bit j == sign(comp(j+1, 0)) ==
+    // bucket(one-hot 0) bit j+1 — i.e. b64 == b0shift >> 1. Refuted now:
+    assert(b64 != (b0shift >> 1), s"plane aliasing survives: $b64")
+    // dim guard: wider than the stride fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bucketK(Array.fill(4097)(1f).toSeq, planes = 2)
+    }
+    assert(e.getMessage.contains("stride"))
+    // planes bounds enforced at the API
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(vecs(1L -> oneHot(8, 0)), vecs(2L -> oneHot(8, 1)),
+        "vec_id", "vec_id", "embedding", 1, planes = 0)
+    }
+    assert(e2.getMessage.contains("planes"))
+  }
+
   test("cosine: identical → 1, orthogonal → 0, zero vector → null") {
     val a = Array(1f, 0f); val b = Array(0f, 1f); val z = Array(0f, 0f)
     val df = Seq((a, a), (a, b), (a, z)).toDF("x", "y")

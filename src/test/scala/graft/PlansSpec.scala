@@ -144,6 +144,19 @@ class DotProductFSpec extends SparkSuite {
     assert(plan.contains("*(1) Project")) // *(n) = whole-stage codegen stage
   }
 
+  test("graft_fingerprint and graft_might_contain reject wrong arity with a clear error (r17 review)") {
+    // extra args were silently discarded; zero args threw a bare
+    // NoSuchElementException instead of the sibling builders' message
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_fingerprint('a', 2)").collect()
+    }
+    assert(e1.getMessage.contains("expects 1 argument"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_might_contain(cast('x' as binary))").collect()
+    }
+    assert(e2.getMessage.contains("expects 2 arguments"), e2.getMessage)
+  }
+
   test("graft_dot rejects wrong input types at analysis") {
     val df = Seq((Seq(1.0), "x")).toDF("a", "b")
     intercept[Exception](df.select(call_function("graft_dot", $"a", $"b")).collect())
