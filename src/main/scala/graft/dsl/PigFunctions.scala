@@ -28,6 +28,13 @@ object PigFunctions {
 
   def indexOf(str: Column, sub: String): Column = indexOf(str, lit(sub))
 
+  /** 3-arg INDEXOF(str, sub, from) — java String.indexOf(sub, from):
+    * search starts at the 0-based `from` (negative clamps to 0), -1 if
+    * absent. locate's 1-based pos form maps directly. */
+  def indexOf(str: Column, sub: Column, from: Column): Column =
+    (call_function("locate", sub, str,
+      (greatest(from.cast(IntegerType), lit(0)) + 1)) - 1).cast(IntegerType)
+
   /** LAST_INDEX_OF(str, sub) — 0-based, -1 if absent
     * [R: src/org/apache/pig/builtin/LAST_INDEX_OF.java]. Implemented by
     * locating the reversed needle in the reversed haystack.
@@ -83,7 +90,20 @@ object PigFunctions {
 
   /** STRSPLIT → array of tokens (Pig returns a tuple; positional access
     * maps to array indexing) [R: src/org/apache/pig/builtin/STRSPLIT.java]. */
-  def strSplit(str: Column, regex: String): Column = split(str, regex)
+  /** STRSPLIT — java String.split(regex) semantics: trailing empty
+    * strings are DROPPED (Spark's split keeps them regardless of the
+    * limit argument, so the trim is explicit: slice up to the last
+    * non-empty element; java's one edge, "" -> [""], is special-cased).
+    * [R: src/org/apache/pig/builtin/STRSPLIT.java] */
+  def strSplit(str: Column, regex: String): Column = {
+    val a = split(str, regex, -1)
+    val lastNonEmpty = aggregate(
+      zip_with(a, sequence(lit(1), size(a)),
+        (x, i) => when(length(x) > 0, i).otherwise(0)),
+      lit(0), (acc, v) => greatest(acc, v))
+    when(length(str) === 0, array(lit("")))
+      .otherwise(slice(a, lit(1), lastNonEmpty))
+  }
 
   /** TOKENIZE(str[,delims]) — bag of words; default delimiters are
     * space, double-quote, comma, parens, star
@@ -92,6 +112,13 @@ object PigFunctions {
     */
   def tokenize(str: Column, delimRegex: String = "[ \",()*]"): Column =
     filter(split(str, delimRegex), t => length(t) > 0)
+
+  /** 2-arg TOKENIZE: every CHARACTER of `delims` is a delimiter
+    * (StringTokenizer semantics) — quoted into a regex char class. */
+  def tokenizeChars(str: Column, delims: String): Column = {
+    require(delims.nonEmpty, "TOKENIZE delimiter chars must be non-empty")
+    tokenize(str, "[\\Q" + delims + "\\E]")
+  }
 
   /** SPRINTF [R: src/org/apache/pig/builtin/SPRINTF.java]. */
   def sprintf(fmt: String, args: Column*): Column = format_string(fmt, args: _*)
@@ -269,7 +296,7 @@ object PigFunctions {
 
   /** STRSPLITTOBAG — like STRSPLIT but a bag (array) result; identical
     * here since bags of single-field tuples map to plain arrays. */
-  def strSplitToBag(str: Column, regex: String): Column = split(str, regex)
+  def strSplitToBag(str: Column, regex: String): Column = strSplit(str, regex)
 
   /** PluckTuple: project columns by prefix. */
   def pluck(cols: Seq[String], prefix: String): Seq[Column] =

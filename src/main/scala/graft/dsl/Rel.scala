@@ -281,7 +281,6 @@ final case class Rel(df: DataFrame) {
     Rel(out.toDF("line"))
   }
 
-  private def spark_ = df.sparkSession
 }
 
 /** Result of GROUP/COGROUP before the downstream FOREACH decides what to

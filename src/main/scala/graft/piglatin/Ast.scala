@@ -37,7 +37,11 @@ object Ast {
   final case class CastE(typ: String, e: Expr) extends Expr         // (int)x
 
   // -------------------------------------------------------------- operators
-  final case class GenItem(expr: Expr, alias: Option[String], flatten: Boolean)
+  /** One GENERATE item. `aliases` carries the multi-name
+    * `AS (a, b, …)` form (used with FLATTEN of a tuple/multi-key
+    * group); a single-name AS folds into `alias`. */
+  final case class GenItem(expr: Expr, alias: Option[String], flatten: Boolean,
+                           aliases: List[String] = Nil)
 
   sealed trait RelOp
   final case class Load(path: String, using: Option[FuncCall],

@@ -705,7 +705,11 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     // an empty path would resolve to the base DIRECTORY and silently
     // scan whatever parquet happens to live there (PigFuzzSpec find)
     require(p.trim.nonEmpty, "LOAD/STORE path must be non-empty")
-    if (p.startsWith("/") || baseDir.isEmpty) p else s"${baseDir.get}/$p"
+    // scheme-qualified URIs (hdfs://, s3a://, file:) pass through —
+    // prefixing them with baseDir produced /base/hdfs://… (r17 review)
+    val hasScheme = p.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*")
+    if (p.startsWith("/") || hasScheme || baseDir.isEmpty) p
+    else s"${baseDir.get}/$p"
   }
 
   private def pigType(t: String): DataType = t match {
@@ -1003,7 +1007,7 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
   private def fusedAgg(g: GroupInfo, gens: List[GenItem]): DataFrame = {
     val pre = g.pre
     val keyed = keyedGroup(g)
-    val (keyGens, aggGens) = gens.partition(gi => gi.expr match {
+    val aggGens = gens.filterNot(gi => gi.expr match {
       case FieldRef("group") | Deref(FieldRef("group"), _) => true
       case _ => false
     })
@@ -1023,8 +1027,29 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     val keyNames = g.keyCols.map(_._2)
     val outCols = gens.zipWithIndex.flatMap { case (gi, i) =>
       gi.expr match {
+        // FLATTEN(group): splat the key dims into columns — for
+        // cube/rollup they already live as top-level dim columns; for
+        // a plain multi-key GROUP they live inside the `group` struct
+        // (pre-r17 the plain-GROUP case fell through un-splatted,
+        // emitting one struct column where Pig emits a, b — review)
         case FieldRef("group") if gi.flatten && flatKeys =>
-          keyNames.map(col) // FLATTEN(group): splat dims into columns
+          val ns = if (gi.aliases.nonEmpty) gi.aliases else keyNames
+          require(ns.length == keyNames.length,
+            s"FLATTEN(group) AS: ${ns.length} name(s) for ${keyNames.length} key(s)")
+          keyNames.zip(ns).map { case (kn, n) => col(kn).as(n) }
+        case FieldRef("group") if gi.flatten =>
+          // plain GROUP: a multi-key group is ONE struct column named
+          // `group` — splat its fields (renamed by AS (…) if given);
+          // a scalar key flattens to itself
+          agged.schema("group").dataType match {
+            case s: StructType =>
+              val ns = if (gi.aliases.nonEmpty) gi.aliases
+                else s.fields.map(_.name).toList
+              require(ns.length == s.fields.length,
+                s"FLATTEN(group) AS: ${ns.length} name(s) for ${s.fields.length} key field(s)")
+              s.fields.zip(ns).map { case (f, n) => col(s"group.`${f.name}`").as(n) }
+            case _ => Seq(col("group").as(gi.alias.getOrElse("group")))
+          }
         case FieldRef("group") if flatKeys =>
           Seq(struct(keyNames.map(col): _*).as(gi.alias.getOrElse("group")))
         case FieldRef("group") =>
@@ -1076,7 +1101,6 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
 
   private def plainForeach(df: DataFrame, gens: List[GenItem]): DataFrame = {
     // 1) compute all items as columns (Star expands in place)
-    var tmpIdx = 0
     val cols = gens.zipWithIndex.flatMap { case (gi, i) =>
       gi.expr match {
         case Star if !gi.flatten => df.columns.map(col).toSeq
@@ -1112,25 +1136,37 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     gens.zipWithIndex.foreach { case (gi, i) =>
       if (gi.flatten) {
         val name = gi.alias.getOrElse(defaultName(gi.expr, i))
+        def doSplat(s: StructType): Unit =
+          out =
+            if (gi.aliases.nonEmpty) splat(out, name, s, gi.aliases)
+            else splat(out, name, s, s.fields.map(_.name).toList)
         out.schema(name).dataType match {
           case ArrayType(_, _) =>
             out = out.withColumn(name, explode(col(name)))
             out.schema(name).dataType match {
-              case s: StructType if gi.alias.isEmpty =>
-                out = splat(out, name, s)
+              case s: StructType if gi.alias.isEmpty => doSplat(s)
               case _ =>
             }
-          case s: StructType => out = splat(out, name, s)
-          case _ => // flatten of scalar is a no-op
+          case s: StructType => doSplat(s)
+          case _ =>
+            // flatten of a scalar is a no-op; AS (a, b, …) on one
+            // would silently drop names — refuse
+            require(gi.aliases.isEmpty,
+              s"FLATTEN AS (${gi.aliases.mkString(", ")}): '$name' is not a tuple/bag")
         }
       }
     }
     out
   }
 
-  private def splat(df: DataFrame, name: String, s: StructType): DataFrame = {
+  private def splat(df: DataFrame, name: String, s: StructType,
+                    as: List[String]): DataFrame = {
+    require(as.length == s.fields.length,
+      s"FLATTEN AS: ${as.length} name(s) for ${s.fields.length} field(s) of '$name'")
     val others = df.columns.filterNot(_ == name).map(col)
-    val fields = s.fields.map(f => col(s"`$name`.`${f.name}`").as(f.name))
+    val fields = s.fields.zip(as).map { case (f, n) =>
+      col(s"`$name`.`${f.name}`").as(n)
+    }
     df.select(others ++ fields: _*)
   }
 
@@ -1217,7 +1253,11 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case "LTRIM" => ltrim(cs.head)
     case "RTRIM" => rtrim(cs.head)
     case "SUBSTRING" => PF.substringPig(cs.head, cs(1), cs(2))
-    case "INDEXOF" => PF.indexOf(cs.head, cs(1))
+    case "INDEXOF" =>
+      // 3-arg form searches from a 0-based start index (java
+      // String.indexOf(sub, from)); it was silently dropped pre-r17
+      if (cs.length >= 3) PF.indexOf(cs.head, cs(1), cs(2))
+      else PF.indexOf(cs.head, cs(1))
     case "LAST_INDEX_OF" =>
       raw(1) match { case Lit(s: String) => PF.lastIndexOf(cs.head, s)
         case _ => sys.error("LAST_INDEX_OF needs a literal needle") }
@@ -1233,15 +1273,24 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       case List(_, Lit(p: String)) => PF.regexExtractAll(cs.head, p)
       case _ => sys.error("REGEX_EXTRACT_ALL needs a literal pattern")
     }
+    // java String.split semantics: trailing empty strings are DROPPED,
+    // matching Pig's STRSPLIT (Spark's split keeps them — r17 review:
+    // STRSPLIT('a,b,,', ',') must be ("a","b"))
     case "STRSPLIT" => raw match {
-      case List(_, Lit(p: String)) => split(cs.head, p)
+      case List(_, Lit(p: String)) => PF.strSplit(cs.head, p)
       case _ => sys.error("STRSPLIT needs a literal pattern")
     }
     case "STRSPLITTOBAG" => raw match {
-      case List(_, Lit(p: String)) => split(cs.head, p)
+      case List(_, Lit(p: String)) => PF.strSplitToBag(cs.head, p)
       case _ => sys.error("STRSPLITTOBAG needs a literal pattern")
     }
-    case "TOKENIZE" => PF.tokenize(cs.head)
+    case "TOKENIZE" => raw match {
+      case List(_) => PF.tokenize(cs.head)
+      // 2-arg form: every character of the literal is a delimiter
+      // (StringTokenizer semantics); it was silently ignored pre-r17
+      case List(_, Lit(d: String)) => PF.tokenizeChars(cs.head, d)
+      case _ => sys.error("TOKENIZE takes (expr[, literal delimiter chars])")
+    }
     case "SPRINTF" => raw.head match {
       case Lit(f: String) => format_string(f, cs.tail: _*)
       case _ => sys.error("SPRINTF needs a literal format")
@@ -1331,8 +1380,16 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     // columns. Pig COUNT/SUM skip null elements (the fused path's
     // count(x)/sum(x) do too) — a raw size() would count nulls and a
     // raw fold would null the whole SUM on one null element
-    case "COUNT" =>
-      size(filter(cs.head, x => x.isNotNull)).cast(LongType)
+    case "COUNT" => typeOf(df, cs.head) match {
+      // whole-tuple bag: Pig COUNT skips tuples whose FIRST field is
+      // null (the fused path's count(first column) does too); struct
+      // elements themselves are never null, so the element filter
+      // below would count everything (r17 review)
+      case ArrayType(s: StructType, _) =>
+        size(filter(cs.head,
+          x => x.getField(s.fields.head.name).isNotNull)).cast(LongType)
+      case _ => size(filter(cs.head, x => x.isNotNull)).cast(LongType)
+    }
     case "SUM" => typeOf(df, cs.head) match {
       case ArrayType(IntegerType | LongType | ShortType | ByteType, _) =>
         aggregate(filter(cs.head, x => x.isNotNull),
@@ -1342,9 +1399,15 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
           lit(0.0), (acc, x) => acc + x.cast(DoubleType))
     }
     case "AVG" => typeOf(df, cs.head) match {
+      // null elements are SKIPPED (Pig AVG / the fused avg(x)): one
+      // null used to poison the whole fold, and the divisor counted
+      // nulls; an all-null/empty bag averages to NULL (r17 review)
       case _: ArrayType =>
-        aggregate(cs.head, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) /
-          size(cs.head)
+        val nn = filter(cs.head, x => x.isNotNull)
+        when(size(nn) === 0, lit(null).cast(DoubleType))
+          .otherwise(
+            aggregate(nn, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) /
+              size(nn))
       case _ => sys.error("AVG outside aggregation needs a bag argument")
     }
     case "MAX" => array_max(cs.head)

@@ -351,12 +351,23 @@ object Parser {
           items += GenItem(RangeProj(Some(e), to), None, flatten = false)
           return
         }
-        val alias = if (tryKw("as")) {
-          // AS name or AS (name:type) — keep simple name form
-          if (trySym("(")) { val n = ident(); if (trySym(":")) ident(); eatSym(")"); Some(n) }
-          else { val n = ident(); if (trySym(":")) ident(); Some(n) }
-        } else None
-        items += GenItem(e, alias, flat)
+        // AS name | AS (name:type) | AS (a, b, …) — the multi-name
+        // parenthesized form is the standard Pig idiom after
+        // FLATTEN(tuple) and used to fail at the first comma (r17
+        // review); one name folds into `alias`, several into `aliases`
+        val (alias, aliases) = if (tryKw("as")) {
+          if (trySym("(")) {
+            val ns = List.newBuilder[String]
+            def oneName(): Unit = { val n = ident(); if (trySym(":")) ident(); ns += n }
+            oneName(); while (trySym(",")) oneName()
+            eatSym(")")
+            ns.result() match {
+              case n :: Nil => (Some(n), Nil)
+              case many => (None, many)
+            }
+          } else { val n = ident(); if (trySym(":")) ident(); (Some(n), Nil) }
+        } else (None, Nil)
+        items += GenItem(e, alias, flat, aliases)
       }
       one(); while (trySym(",")) one()
       items.result()
@@ -452,22 +463,16 @@ object Parser {
       if (atSym("-")) { p += 1; Neg(unary()) }
       else if (atSym("(")) {
         // cast or parenthesized expr
+        eatSym("(")
         cur match {
+          case Ident(t, _) if types.contains(t.toLowerCase) && toks.lift(p + 1).exists {
+            case Sym(")", _) => true; case _ => false
+          } =>
+            val typ = ident().toLowerCase; eatSym(")")
+            CastE(typ, unary())
           case _ =>
-            val save = p
-            p += 1 // consumed '(' via save-based path below
-            p = save
-            eatSym("(")
-            cur match {
-              case Ident(t, _) if types.contains(t.toLowerCase) && toks.lift(p + 1).exists {
-                case Sym(")", _) => true; case _ => false
-              } =>
-                val typ = ident().toLowerCase; eatSym(")")
-                CastE(typ, unary())
-              case _ =>
-                val e = expr(); eatSym(")")
-                postfix(e)
-            }
+            val e = expr(); eatSym(")")
+            postfix(e)
         }
       }
       else postfix(primary())

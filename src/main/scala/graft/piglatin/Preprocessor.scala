@@ -20,7 +20,10 @@ package graft.piglatin
   */
 object Preprocessor {
 
-  private val DeclareRe = """(?i)^\s*%(declare|default)\s+(\w+)\s+(?:'([^']*)'|(\S+))\s*;?\s*$""".r
+  // bare values exclude ';' — a greedy \S+ swallowed the statement
+  // terminator into the value (`%declare N 100;` -> "100;"), so the
+  // substituted text terminated expressions early (r17 review)
+  private val DeclareRe = """(?i)^\s*%(declare|default)\s+(\w+)\s+(?:'([^']*)'|([^;\s]+))\s*;?\s*$""".r
   private val DefineFuncRe = """(?i)^\s*define\s+(\w+)\s+([\w.]+)\s*;\s*$""".r
   /** `DEFINE alias `cmd` [SHIP(…)] [CACHE(…)] [INPUT(…)] [OUTPUT(…)]
     * [STDERR(…)];` — a streaming-command definition

@@ -895,3 +895,106 @@ class PigDiagnosticsSpec extends SparkSuite {
     assert(e.relation("out").agg(max($"n")).as[Long].head() <= 2)
   }
 }
+
+/** r17 front-end review regressions. */
+class PigFrontendR17Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def withTmp(dfs: (String, org.apache.spark.sql.DataFrame)*): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r17fe").toString
+    dfs.foreach { case (n, d) =>
+      d.write.mode("overwrite").parquet(s"$tmp/$n.parquet") }
+    tmp
+  }
+
+  test("TOKENIZE honors the 2-arg custom delimiter set (was silently ignored)") {
+    val tmp = withTmp("t" -> Seq((1L, "a|b,c|d")).toDF("id", "s"))
+    val e = new graft.piglatin.PigEngine(spark, Some(tmp)).run("""
+      t = LOAD 't.parquet';
+      w = FOREACH t GENERATE FLATTEN(TOKENIZE(s, '|')) AS tok;
+      """)
+    val got = e.relation("w").as[String].collect().toSet
+    assert(got == Set("a", "b,c", "d"), got)
+  }
+
+  test("INDEXOF honors the 3-arg start index (was silently dropped)") {
+    val tmp = withTmp("t" -> Seq((1L, "abcabc")).toDF("id", "s"))
+    val e = new graft.piglatin.PigEngine(spark, Some(tmp)).run("""
+      t = LOAD 't.parquet';
+      r = FOREACH t GENERATE INDEXOF(s, 'a', 1) AS i1, INDEXOF(s, 'a', 4) AS i2,
+          INDEXOF(s, 'a') AS i0;
+      """)
+    val row = e.relation("r").collect()(0)
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((3, -1, 0)), row)
+  }
+
+  test("STRSPLIT drops trailing empty strings like java split (Pig semantics)") {
+    val tmp = withTmp("t" -> Seq((1L, "a,b,,")).toDF("id", "s"))
+    val e = new graft.piglatin.PigEngine(spark, Some(tmp)).run("""
+      t = LOAD 't.parquet';
+      r = FOREACH t GENERATE SIZE(STRSPLIT(s, ',')) AS n;
+      """)
+    assert(e.relation("r").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("non-fused bag AVG skips nulls; bag COUNT skips null-first-field tuples") {
+    val tmp = withTmp("t" ->
+      Seq((1L, Option(1.0)), (1L, Option.empty[Double]), (1L, Option(3.0)))
+        .toDF("k", "x"))
+    val e = new graft.piglatin.PigEngine(spark, Some(tmp)).run("""
+      t = LOAD 't.parquet';
+      g = GROUP t BY k;
+      -- FLATTEN alongside the aggregates forces the non-fused bag path
+      r = FOREACH g GENERATE group, AVG(t.x) AS a, COUNT(t.x) AS c,
+          FLATTEN(MAX(t.x)) AS mx;
+      """)
+    val row = e.relation("r").collect()(0)
+    assert(row.getDouble(1) == 2.0, s"AVG: ${row.getDouble(1)}") // not null, not 4/3
+    assert(row.getLong(2) == 2L, s"COUNT: ${row.getLong(2)}")
+  }
+
+  test("FLATTEN(group) on a multi-key plain GROUP splats into key columns (fused path)") {
+    val tmp = withTmp("t" ->
+      Seq((1L, "x", 10L), (1L, "x", 20L), (2L, "y", 5L)).toDF("a", "b", "v"))
+    val e = new graft.piglatin.PigEngine(spark, Some(tmp)).run("""
+      t = LOAD 't.parquet';
+      g = GROUP t BY (a, b);
+      r = FOREACH g GENERATE FLATTEN(group), COUNT(t) AS n;
+      s = FILTER r BY a > 1L;
+      """)
+    val got = e.relation("s").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((2L, "y", 1L)), got)
+  }
+
+  test("FLATTEN(group) AS (k1, k2) multi-name parses and renames") {
+    val tmp = withTmp("t" ->
+      Seq((1L, "x", 10L), (2L, "y", 5L)).toDF("a", "b", "v"))
+    val e = new graft.piglatin.PigEngine(spark, Some(tmp)).run("""
+      t = LOAD 't.parquet';
+      g = GROUP t BY (a, b);
+      r = FOREACH g GENERATE FLATTEN(group) AS (k1, k2), COUNT(t) AS n;
+      s = FILTER r BY k1 > 1L;
+      """)
+    val got = e.relation("s").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((2L, "y", 1L)), got)
+  }
+
+  test("%declare bare value does not swallow the statement terminator") {
+    val tmp = withTmp("t" -> Seq((1L, 150L), (2L, 50L)).toDF("id", "n"))
+    val e = new graft.piglatin.PigEngine(spark, Some(tmp)).run("""
+      %declare N 100;
+      t = LOAD 't.parquet';
+      r = FILTER t BY n > $N AND id > 0L;
+      """)
+    assert(e.relation("r").count() == 1L)
+  }
+
+  test("scheme-qualified LOAD paths bypass the base directory") {
+    val tmp = withTmp("t" -> Seq((1L, "x")).toDF("id", "s"))
+    // baseDir points elsewhere; the file: URI must win
+    val e = new graft.piglatin.PigEngine(spark, Some("/nonexistent_base")).run(s"""
+      t = LOAD 'file:$tmp/t.parquet';
+      """)
+    assert(e.relation("t").count() == 1L)
+  }
+}
