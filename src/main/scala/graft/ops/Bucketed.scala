@@ -24,14 +24,30 @@ object Bucketed {
 
   /** Multi-column bucketing — e.g. an [[graft.llm.Dedup.lshBandIndex]]
     * bucketed by (band, key) so the indexed ingest's store-side bucket
-    * aggregation is zero-Exchange. */
+    * aggregation is zero-Exchange.
+    *
+    * Stale-location recovery (r17 review, hoisted here from q96 so
+    * EVERY caller gets it): a killed JVM can leave the catalog entry
+    * gone but the warehouse directory populated — `mode("overwrite")`
+    * then fails with "location is not empty". Drop the table AND
+    * delete its would-be managed location (resolved through the
+    * session catalog + Hadoop Path, so configured warehouse dirs,
+    * URIs, and non-default databases all work) before writing. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — planned
     * without any Exchange when bucket counts match.

@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
 import graft.dsl.{JoinHint, PigFunctions => PF, Rel}
 import graft.ops.Rank
 
@@ -19,8 +18,11 @@ import graft.ops.Rank
 object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
-  private def dec2(c: Column) = c.cast("decimal(18,2)")
+  import QCommon.{t, dec2}
+  // q105's relative standard deviation — ONE constant feeding both the
+  // profileApprox call and the within-3-rsd acceptance band (a bare
+  // 0.06 literal silently encoded 3×rsd; r17 review)
+  private val Rsd105 = 0.02
 
   val queries: Map[String, Q] = Map(
 
@@ -390,14 +392,14 @@ object CoreQueries {
     "q105_profile_approx" -> ((s, dir) => {
       val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")
       val li = t(s, dir, "lineitem")
-      val approx = graft.ops.Profile.profileApprox(li, cols, rsd = 0.02)
+      val approx = graft.ops.Profile.profileApprox(li, cols, rsd = Rsd105)
       val exact = graft.ops.Profile.profile(li, cols)
         .select(col("col_name"), col("n_distinct"))
       approx.join(exact, "col_name")
         .select(col("col_name"), col("n_nonnull"), col("n_null"),
           col("min_str"), col("max_str"),
           (abs(col("approx_distinct") - col("n_distinct")).cast("double")
-            <= col("n_distinct").cast("double") * 0.06).as("within_3rsd"))
+            <= col("n_distinct").cast("double") * (3 * Rsd105)).as("within_3rsd"))
         .orderBy(col("col_name"))
     }),
 
@@ -407,18 +409,11 @@ object CoreQueries {
     // BucketedSpec). Results are identical to a plain GROUP BY (the
     // hint is purely physical), which is what the oracle re-derives.
     "q96_collected_group" -> ((s, dir) => {
-      val tbl = "graft_q96_li_b"
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      // resolve the REAL warehouse dir — a hard-coded cwd-relative
-      // "spark-warehouse/" misses a configured warehouse location and
-      // leaves a stale table directory saveAsTable then trips over
-      val wh = new java.io.File(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
-      val loc = new java.io.File(wh, tbl)
-      if (loc.exists()) {
-        import scala.reflect.io.Directory
-        new Directory(loc).deleteRecursively()
-      }
+      // per-sfDir table name (the q83/q85 convention): a fixed global
+      // name let two concurrent runs on different sf dirs clobber each
+      // other's bucketed files mid-read. Stale-location recovery lives
+      // inside writeBucketed now (r17 review).
+      val tbl = s"graft_q96_li_b_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.ops.Bucketed.writeBucketed(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
         tbl, "l_orderkey", buckets = 8)
@@ -518,12 +513,16 @@ object CoreQueries {
     // rounds of exact integer math (`div` truncation both engines), so
     // the DuckDB unrolled-recurrence oracle hash-matches bit-exactly
     "q122_pagerank" -> ((s, dir) => {
-      val pairs = t(s, dir, "orders")
+      // persisted: ranks() materializes nodes and edges+degree in
+      // separate jobs, each of which would otherwise re-run this
+      // orders⋈lineitem join + distinct from scratch (r17 review)
+      val pairs = graft.dsl.Rel.track(t(s, dir, "orders")
         .join(t(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_partkey") * 2 + 1).as("dst"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.PageRank.ranks(edges, iterations = 5)
         .orderBy(col("r").desc, col("node"))

@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
 import graft.events.Windows
 
 /** Event-time windowing t2 queries over the `events` table (additive
@@ -15,8 +14,13 @@ import graft.events.Windows
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
-  private def dec2(c: Column) = c.cast("decimal(18,2)")
+  import QCommon.{t, dec2}
+
+  // secondary-sort: per-user ordered iteration (no bag materialization)
+  private val gapSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("max_gap_us", org.apache.spark.sql.types.LongType)))
 
   val queries: Map[String, Q] = Map[String, Q](
 
@@ -86,29 +90,28 @@ object EventQueries {
           col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
-    })
-  ) ++ queries2
+    }),
 
-  // secondary-sort: per-user ordered iteration (no bag materialization)
-  private val gapSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("max_gap_us", org.apache.spark.sql.types.LongType)))
-
-  lazy val queries2: Map[String, Q] = Map[String, Q](
     "q47_secondary_sort" -> ((s, dir) => {
       val e = t(s, dir, "events").select(col("user_id"), col("ts"))
       graft.ops.SecondarySort.sortedGroups(e, Seq("user_id"), Seq("ts"), gapSchema) {
         (key, rows) =>
+          // null-safe (r17 review): a NULL user_id key passes through
+          // as a NULL-keyed output row (SQL GROUP BY semantics —
+          // asInstanceOf[Long] coerced it to 0, colliding with a real
+          // user 0), and NULL ts rows count but contribute no gap
+          // (they sort first, before any epoch math)
           var n = 0L; var prev = Long.MinValue; var maxGap = 0L
           rows.foreach { r =>
+            n += 1
             val ts = r.getAs[java.sql.Timestamp](1)
-            val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-            if (prev != Long.MinValue && us - prev > maxGap) maxGap = us - prev
-            prev = us; n += 1
+            if (ts != null) {
+              val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+              if (prev != Long.MinValue && us - prev > maxGap) maxGap = us - prev
+              prev = us
+            }
           }
-          Iterator.single(org.apache.spark.sql.Row(
-            key.head.asInstanceOf[Long], n, maxGap))
+          Iterator.single(org.apache.spark.sql.Row(key.head, n, maxGap))
       }.orderBy(col("user_id"))
     }),
 

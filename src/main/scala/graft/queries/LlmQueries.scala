@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
 import graft.llm.{Bpe, Dedup, Multimodal, Retrieval, Similarity, Text}
 
 /** Training-data-pipeline t2 queries: dedup family, similarity search,
@@ -57,7 +56,7 @@ object LlmQueries {
       .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")
   }
 
-  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+  import QCommon.t
 
   /** documents ∪ mutated copies (first 3 words dropped, id+1e6, every
     * 10th doc) — a corpus with guaranteed near-duplicates at every sf,
