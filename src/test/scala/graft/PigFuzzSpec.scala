@@ -207,9 +207,12 @@ class PigFuzzSpec extends SparkSuite {
         case PreDistinct => d.distinct()
       }}
 
+    // post = 0: plain projection; 1: single-key GROUP+agg; 2:
+    // multi-key GROUP + FLATTEN(group) AS (…, …) + agg — the fused
+    // splat shape the r17 front-end review fixed, kept under fuzz
     val caseGen = for {
       pa <- preGen; pb <- preGen; c <- combinerGen
-      post <- Gen.oneOf(true, false)
+      post <- Gen.choose(0, 2)
     } yield (pa, pb, c, post)
 
     val prop = Prop.forAllNoShrink(caseGen) { case (pa, pb, c, post) =>
@@ -226,16 +229,20 @@ class PigFuzzSpec extends SparkSuite {
           }
           script.append(
             s"j = JOIN $lastA BY r_regionkey$outerKw, $lastB BY n_regionkey;\n")
-          if (post) script.append(
+          if (post == 1) script.append(
             """g = GROUP j BY r_name;
               |out = FOREACH g GENERATE group, COUNT_STAR(j) AS n, SUM(j.n_nationkey) AS s;
+              |""".stripMargin)
+          else if (post == 2) script.append(
+            """g = GROUP j BY (r_name, n_regionkey);
+              |out = FOREACH g GENERATE FLATTEN(group) AS (nm, rk), COUNT_STAR(j) AS n;
               |""".stripMargin)
           else script.append("out = FOREACH j GENERATE r_name, n_nationkey;\n")
         case CUnion =>
           script.append(s"pa = FOREACH $lastA GENERATE r_regionkey AS k, r_name AS v;\n")
           script.append(s"pb = FOREACH $lastB GENERATE n_regionkey AS k, n_name AS v;\n")
           script.append("u = UNION ONSCHEMA pa, pb;\n")
-          if (post) script.append(
+          if (post >= 1) script.append(
             """g = GROUP u BY v;
               |out = FOREACH g GENERATE group, COUNT_STAR(u) AS n, SUM(u.k) AS s;
               |""".stripMargin)
@@ -260,15 +267,18 @@ class PigFuzzSpec extends SparkSuite {
             case "right" => "right_outer"; case "full" => "full_outer"
           }
           val j = a.join(b, a("r_regionkey") === b("n_regionkey"), jt)
-          if (post)
+          if (post == 1)
             j.groupBy(col("r_name")).agg(
                 count(lit(1)).as("n"), sum(col("n_nationkey")).as("s"))
               .withColumnRenamed("r_name", "group")
+          else if (post == 2)
+            j.groupBy(col("r_name").as("nm"), col("n_regionkey").as("rk"))
+              .agg(count(lit(1)).as("n"))
           else j.select(col("r_name"), col("n_nationkey"))
         case CUnion =>
           val u = a.select(col("r_regionkey").as("k"), col("r_name").as("v"))
             .unionByName(b.select(col("n_regionkey").as("k"), col("n_name").as("v")))
-          if (post)
+          if (post >= 1)
             u.groupBy(col("v")).agg(
                 count(lit(1)).as("n"), sum(col("k")).as("s"))
               .withColumnRenamed("v", "group")
