@@ -65,12 +65,10 @@ object Bench {
     // local[32]; median-of-5 with the per-iteration array printed makes
     // a >20% regression claim checkable from one artifact (VERDICT r6 #3)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
-    val spark = Graft.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ONE session recipe for every entry point (r17 review: Bench,
+    // Verify, and tools each hand-assembled the same builder — config
+    // drift across copies is how nanosAsLong once diverged)
+    val spark = Graft.localSession(cpus.toInt, "graft-bench")
     // warmup: JIT/codegen/shuffle machinery, so the first timed query
     // isn't charged for JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -113,15 +111,39 @@ object Bench {
     // state — the warm-up stalled on a pre-JIT plateau (two warm passes
     // can agree at 4 s while the compiled steady state is 0.4 s: r11
     // run1's q53 timed [3.53, 4.01, 1.74, 0.44, 0.42])
-    def unconverged(ts: Vector[Double]): Boolean = {
-      val m = medianOf(ts)
-      val s = medianOf(ts.takeRight(math.min(3, ts.size)))
-      (ts.min > 0 && ts.min < 0.67 * m) || (s > 0 && m > 1.5 * s)
-    }
+    // the TWO adjudication detectors, defined once and shared by the
+    // retry trigger AND the artifact's inflated/warmupSuspect flags —
+    // two literal copies could silently desynchronize what gets
+    // retried from what gets reported (r17 review)
+    def inflatedP(median: Double, steady: Double): Boolean =
+      steady > 0 && median > 1.5 * steady
+    def warmupP(ts: Vector[Double]): Boolean =
+      ts.min > 0 && ts.min < 0.67 * medianOf(ts)
+    def unconverged(ts: Vector[Double]): Boolean =
+      warmupP(ts) ||
+        inflatedP(medianOf(ts), medianOf(ts.takeRight(math.min(3, ts.size))))
+    // queries that threw during ANY iteration: their times are
+    // until-throw durations, not measurements — the artifact must say
+    // so (pre-r17 the catch silently recorded a broken query as a
+    // ~0.02 s "speedup"; r17 review)
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val measured = selected.map { case (name, fn) =>
+      // timed action is count(): a KNOWN, documented trade — Catalyst
+      // prunes columns the count doesn't need, so work living ONLY in
+      // a final projection is under-measured (most queries' cost is in
+      // aggregations/joins/sorts that count() does execute, and
+      // Verify/check_oracle execute + correctness-gate the full rows).
+      // Changing the action (e.g. to a noop writer) would re-baseline
+      // every cross-round comparison, so it stays count() under the
+      // comparable_to contract (r17 review).
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            failed += name
+            System.err.println(s"[bench] QUERY FAILED $name: " +
+              s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(300)}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries are independent: drop their persisted intermediates so
         // cache pressure doesn't pollute the next measurement
@@ -190,10 +212,10 @@ object Bench {
     //      median, so the median itself is not the converged state,
     //      even when the last-3 median agrees with it.
     val inflated = medians.zip(steadies).collect {
-      case ((k, m), (_, s)) if s > 0 && m > 1.5 * s => k
+      case ((k, m), (_, s)) if inflatedP(m, s) => k
     }
     val warmupSuspect = results.collect {
-      case (k, ts) if ts.min > 0 && ts.min < 0.67 * medianOf(ts) => k
+      case (k, ts) if warmupP(ts) => k
     }
     val adjudication = (inflated, warmupSuspect) match {
       case (Nil, Nil) =>
@@ -212,6 +234,12 @@ object Bench {
     // metric (ADVICE r3), and record the real heap so "ran with a small
     // JVM" is visible in the artifact rather than guessed from logs
     val onlyMark = only.map(o => s""","only":"${o.mkString(",")}"""").getOrElse("")
+    // failed queries (r17 review): recorded in BOTH artifacts so a
+    // throwing query can never read as a speedup; total stays the sum
+    // (the failed list marks which addends are until-throw durations)
+    val failedMark =
+      if (failed.isEmpty) ""
+      else failed.map(k => s"\"" + k + "\"").mkString(""","failed":[""", ",", "]")
     // original (pre-retry) iteration arrays for any query that was
     // re-measured — the evidence trail for the retry policy above
     val retriedMark =
@@ -229,8 +257,17 @@ object Bench {
     val metric = if (only.isDefined) "subset_total" else "total"
     val calibMed = medianOf(calib)
     val calibJson = calib.map(f).mkString("[", ",", "]")
+    // env-derived strings ride raw into the JSON: escape them (the
+    // Verify escaper's rule — an sfDir with a quote or backslash would
+    // otherwise corrupt both artifacts; r17 review)
+    def jq(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
     val json =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"$adjudication","iterations":$itersJson,"spread_max_over_min":$spread,"calibration_sec":${f(calibMed)},"calibration_iters":$calibJson,"sf":"$sfDir","heap_gb":$heapGb,"comparable_to":"$comparableTo"$onlyMark$retriedMark}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"${jq(adjudication)}","iterations":$itersJson,"spread_max_over_min":$spread,"calibration_sec":${f(calibMed)},"calibration_iters":$calibJson,"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}"$onlyMark$failedMark$retriedMark}"""
     // The launcher that captures this main's stdout keeps only the LAST
     // ~2000 characters; BENCH_r10/r11 show the full line (per-query
     // iteration arrays push it past 10 KB) arriving head-truncated and
@@ -254,13 +291,22 @@ object Bench {
       .mkString("{", ",", "}")
     // cap the flagged list so a pathological all-flagged run can't push
     // the compact line past the launcher's ~2000-char stdout window
+    // cap at 8, not 20: the 127-entry queries map already puts the
+    // base line near ~1750 chars, and 20 flagged names plus two-digit
+    // values could push past the launcher's ~2000-char tail window —
+    // the exact head-truncation this line exists to prevent (r17
+    // review)
     val flaggedAll = (inflated ++ warmupSuspect).distinct.map(short)
     val adjShort =
       if (flaggedAll.isEmpty) "converged"
-      else if (flaggedAll.size > 20) s"flagged:${flaggedAll.size} queries (see bench_out.json)"
+      else if (flaggedAll.size > 8) s"flagged:${flaggedAll.size} queries (see bench_out.json)"
       else "flagged:" + flaggedAll.mkString(",")
+    val failedShort =
+      if (failed.isEmpty) "" else s""","failed":${failed.size}"""
     val compact =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort","calibration_sec":${f2(calibMed)},"sf":"$sfDir","heap_gb":$heapGb,"comparable_to":"$comparableTo","detail":"bench_out.json"$onlyMark}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort"$failedShort,"calibration_sec":${f2(calibMed)},"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}","detail":"bench_out.json"$onlyMark}"""
+    if (compact.length > 1950)
+      System.err.println(s"[bench] WARNING: compact line ${compact.length} chars — near the launcher's ~2000-char tail window")
     println(compact)
     // the full-evidence artifact, immune to any log-prefix wrapping or
     // tail truncation

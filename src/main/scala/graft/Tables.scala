@@ -80,6 +80,12 @@ object Tables {
       case "events" =>
         df.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType =>
+            // `div` truncates toward ZERO — deliberately: DuckDB's own
+            // ns→us read does too (empirically: -1500 ns reads back as
+            // epoch_us = -1, not floor's -2), so pre-epoch timestamps
+            // stay bit-equal cross-engine. Do NOT "fix" this to a
+            // floor division (r17 review proposed it; refuted by the
+            // probe above).
             df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
           case _ =>
             df.withColumn("ts", col("ts").cast("timestamp"))

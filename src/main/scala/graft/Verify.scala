@@ -11,12 +11,8 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Graft.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the shared session recipe (see Bench — r17 review)
+    val spark = Graft.localSession(cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
     val status = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -50,6 +46,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query status — a query failing BEFORE its write job creates
+    // no dump dir, and a dir-globbing checker would silently skip it
+    // (or worse, compare a stale dump from a previous run). The status
+    // file makes every attempted query's outcome explicit;
+    // tools/check_oracle.py fails the gate on any non-ok entry (r17
+    // review).
+    val statusJson = status
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/status.json"), statusJson)
     spark.stop()
   }
 }

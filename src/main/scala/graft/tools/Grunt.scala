@@ -28,8 +28,24 @@ object Grunt {
       else {
         buf.append(line).append("\n")
         val s = buf.toString
-        val complete = s.trim.endsWith(";") &&
-          s.count(_ == '{') == s.count(_ == '}')
+        // brace balance ignores single-quoted string content: a '{'
+        // inside a Pig string literal would otherwise buffer the
+        // statement forever (and a '}' could submit an incomplete
+        // block early) — r17 review
+        val outside = {
+          val sb = new StringBuilder
+          var inStr = false
+          var i = 0
+          while (i < s.length) {
+            val c = s.charAt(i)
+            if (c == '\'') inStr = !inStr
+            else if (!inStr) sb.append(c)
+            i += 1
+          }
+          sb.toString
+        }
+        val complete = outside.trim.endsWith(";") &&
+          outside.count(_ == '{') == outside.count(_ == '}')
         if (complete) {
           try engine.run(s)
           catch { case e: Exception => println(s"ERROR: ${e.getMessage}") }

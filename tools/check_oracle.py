@@ -52,6 +52,22 @@ def eq(a, b):
 names = sorted(set(
     os.path.basename(p) for p in glob.glob(f"{outdir}/q*") if os.path.isdir(p)))
 npass = nfail = 0
+# Verify's per-query status (r17 review): a query that fails BEFORE its
+# write job leaves no dump dir, so the dir glob alone would silently
+# skip it — or compare a stale dump from a previous run. Any attempted
+# query that didn't finish "ok" fails the gate; an ok query with no
+# dump dir is likewise an error.
+status_path = f"{outdir}/status.json"
+if os.path.exists(status_path):
+    status = json.load(open(status_path))
+    for name, st in sorted(status.items()):
+        if st != "ok":
+            print(f"VERR  {name}: verify-side {st}"); nfail += 1
+        elif name not in names:
+            print(f"MISS  {name}: status ok but no dump dir"); nfail += 1
+    # stale dirs from a previous, larger run must not masquerade as
+    # this run's results
+    names = [n for n in names if n in status and status[n] == "ok"]
 for name in names:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
