@@ -69,7 +69,11 @@ object Dedup {
 
   /** FNV-1a 64 over UTF-16 code units + murmur finalizer — deterministic,
     * well-mixed; only internal bucket keys depend on it. */
-  private[graft] def hash64(s: String): Long = {
+  /** FNV-1a fold + murmur finalizer over any CharSequence — ONE
+    * definition serves String and StringBuilder callers (two verbatim
+    * copies previously had to be kept bit-identical by hand; r17
+    * review). */
+  private[graft] def hash64(s: CharSequence): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
@@ -118,7 +122,7 @@ object Dedup {
       sb.setLength(0)
       var j = 0
       while (j < k) { if (j > 0) sb.append(' '); sb.append(words(i + j)); j += 1 }
-      set.add(hash64sb(sb)); i += 1
+      set.add(hash64(sb)); i += 1
     }
     val out = new Array[Long](set.size)
     val it = set.iterator(); var o = 0
@@ -159,15 +163,6 @@ object Dedup {
     out
   }
 
-  /** [[hash64]] over a StringBuilder without materializing the String. */
-  private def hash64sb(s: java.lang.StringBuilder): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
-    h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
-    h
-  }
 
   /** Band keys from a shingle set: hash each shingle once, derive the
     * `numHashes` minhash functions as wrapped multiply-add permutations
@@ -686,7 +681,11 @@ object Dedup {
     * signature's scheme once (size == numHashes, fail-loud), so the
     * indexed path only re-checks candidate rows. Ingest loop: append
     * admitted docs' [[lshBandIndex]] rows next to their (id, sig)
-    * store rows each batch. */
+    * store rows each batch. The (sigStore, bandIndex) pair is ONE
+    * versioned store: consume it with the same (numHashes, bands) it
+    * was built with — a larger-bands index fails loudly at ingest
+    * (range check), a smaller-bands one is row-locally undetectable
+    * (in-range bands, different-r keys). */
   def lshBandIndex(sigStore: DataFrame, numHashes: Int = 64,
                    bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -721,7 +720,24 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val store0 = sigStore.select(col("id"),
       checkedSig(col("sig"), "store", numHashes).as("sig"))
-    val storeBands = bandIndex.select(col("id").as("sid"), col("band"), col("key"))
+    // scheme guard (the checkedSig rule for the index side): an index
+    // built with MORE bands than this call's `bands` fails LOUDLY via
+    // the per-row range check riding the rows we already scan — its
+    // band values exceed the range, and unguarded the (band, key)
+    // equi-join would silently match ~nothing and ADMIT every
+    // cross-store duplicate (r17 review). An index built with FEWER
+    // bands cannot be detected row-locally (its values are in range
+    // but its keys derive from a different r = numHashes/bands), so
+    // the (sigStore, bandIndex) pair must be maintained as ONE
+    // versioned store — see [[lshBandIndex]].
+    val storeBands = bandIndex.select(col("id").as("sid"),
+      when(col("band") >= bands,
+        raise_error(concat(
+          lit("lshIncrementalIndexed: index band "),
+          col("band").cast("string"),
+          lit(s" >= bands $bands — the index was built with a different band scheme"))))
+        .otherwise(col("band")).as("band"),
+      col("key"))
     lshIncrementalBands(batch, idCol, textCol, store0, storeBands,
       shingleK, numHashes, bands, threshold, maxBucket)
   }
@@ -830,10 +846,17 @@ object Dedup {
       // every copy of the losing sentence corpus-wide
       .withColumn("lh", xxhash64(col("line")))
       .withColumn("lh2", xxhash64(lit("graft-fp2"), col("line")))
-    val firsts = lines.groupBy(col("lh"), col("lh2"))
+    // null doc ids: excluded from first-occurrence selection and passed
+    // through unexamined — the spanDedup ADVICE-r15 convention. A null
+    // doc winning min(struct) would poison the equi-join below (null
+    // keys never match), deleting EVERY copy of that sentence
+    // corpus-wide including the identifiable ones (r17 review).
+    val firsts = lines.filter(col("doc").isNotNull)
+      .groupBy(col("lh"), col("lh2"))
       .agg(min(struct(col("doc"), col("pos"))).as("f"))
       .select(col("lh"), col("lh2"), col("f.doc").as("doc"), col("f.pos").as("pos"))
     lines.join(firsts, Seq("lh", "lh2", "doc", "pos"))
+      .unionByName(lines.filter(col("doc").isNull))
       .groupBy(col("doc"))
       .agg(
         array_join(

@@ -42,7 +42,12 @@ object Text {
     val es = hits(Seq("el", "la", "los", "de"))
     val fr = hits(Seq("le", "la", "les", "des"))
     val de = hits(Seq("der", "die", "das", "und"))
-    when(en >= es && en >= fr && en >= de, "en")
+    // NULL text identifies as NULL, not "en": under ANSI-off every
+    // hits() count is size(null) = -1, so the first branch's
+    // -1 >= -1 comparisons were all true (the qualityScore r17 rule,
+    // extended here by the second r17 review pass)
+    when(text.isNull, lit(null).cast("string"))
+      .when(en >= es && en >= fr && en >= de, "en")
       .when(es >= fr && es >= de, "es")
       .when(fr >= de, "fr")
       .otherwise("de")
@@ -66,12 +71,15 @@ object Text {
       roundCompat(ttr * 0.4 + meanLen * 0.3 + lengthPrior * 0.3, 4))
   }
 
-  /** Stopword ratio against a fixed small list. */
+  /** Stopword ratio against a fixed small list. NULL text is NULL —
+    * (-1)/(-1) under ANSI-off size(null) semantics scored unknown
+    * content 1.0, the value of maximally natural prose (r17 review). */
   def stopwordRatio(text: Column): Column = {
     val ws = words(text)
     val stop = Seq("the", "a", "of", "and", "to", "in")
-    roundCompat(size(filter(ws, w => stop.map(s => w === s).reduce(_ || _)))
-      .cast("double") / size(ws), 4)
+    when(text.isNotNull,
+      roundCompat(size(filter(ws, w => stop.map(s => w === s).reduce(_ || _)))
+        .cast("double") / size(ws), 4))
   }
 
   /** PII scrubbing: replace emails, international-ish phone numbers and
@@ -330,8 +338,12 @@ object Text {
   def sampleByQualityStrata(df: DataFrame, idCol: String, textCol: String,
                             strata: Int = 10): DataFrame = {
     require(strata >= 2, "stratified sampling needs at least two strata")
+    // unknown content is unbudgetable: null-quality (null-text) docs
+    // are excluded, not parked in stratum 0 by nulls-first ordering
+    // (the sampleByTokenBudget rule; r17 review)
     val scored = graft.dsl.Rel.track(
       df.select(col(idCol), qualityScore(col(textCol)).as("quality"))
+        .filter(col("quality").isNotNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n = scored.count()
     val rn = graft.ops.Rank.rowNumber(
@@ -353,8 +365,11 @@ object Text {
   def qualityStrataApprox(df: DataFrame, idCol: String, textCol: String,
                           strata: Int = 10, accuracy: Int = 10000): DataFrame = {
     require(strata >= 2, "stratified sampling needs at least two strata")
+    // null-quality exclusion, as in the exact twin above (also keeps
+    // the bounds collect from NPE-ing on an all-null corpus)
     val scored = graft.dsl.Rel.track(
       df.select(col(idCol), qualityScore(col(textCol)).as("quality"))
+        .filter(col("quality").isNotNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val qs = (1 until strata).map(_.toDouble / strata)
     val bounds = scored.select(
@@ -583,7 +598,11 @@ object Text {
   def chunk(df: DataFrame, idCol: String, textCol: String,
             chunkWords: Int = 32, stride: Int = 24): DataFrame = {
     require(chunkWords > 0 && stride > 0, "chunkWords and stride must be positive")
-    val pre = df.select(col(idCol).as("doc"), words(col(textCol)).as("graft_chunk_w"))
+    // the packSequences/tokenPack rule: null text emits NO chunks —
+    // un-filtered it produced a bogus (n_words = -1, null chunk_text)
+    // row per null doc via size(null) = -1 (r17 review)
+    val pre = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), words(col(textCol)).as("graft_chunk_w"))
     val w = col("graft_chunk_w")
     val n = size(w)
     // m strided starts strictly before the anchored tail start (n - cw):
@@ -679,16 +698,22 @@ object Text {
     * bags). At 100 TB both paths partial-aggregate map-side.
     */
   def qualityRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // null text is dropped EXPLICITLY (unknown content must not be
+    // scored — the Dedup rule): the inner join below silently erased
+    // those docs anyway (the explode side emits nothing for them), so
+    // the filter makes the contract visible instead of incidental
+    // (r17 review)
+    val in = df.filter(col(textCol).isNotNull)
     val ws = words(col(textCol))
     val n = size(ws).cast("double")
-    val perRow = df.select(
+    val perRow = in.select(
       col(idCol),
       size(ws).cast("long").as("n_words"),
       roundCompat(length(regexp_replace(col(textCol), " ", "")).cast("double") / n, 4)
         .as("mean_word_len"),
       roundCompat(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / n, 4)
         .as("frac_alpha"))
-    val topWord = df
+    val topWord = in
       .select(col(idCol), explode(words(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(max(col("c")).as("top_c"), sum(col("c")).as("n_w"))
@@ -791,18 +816,22 @@ object Text {
     val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
     val wordCounts = transform(arr, l => size(split(l, " ")))
     val n = size(arr).cast("double")
+    // null text: every signal NULL (size(null) = -1 leaked n_lines =
+    // -1 into aggregations and a fabricated frac_short_lines = 1.0;
+    // r17 review — the analyze() convention)
+    val nn = col(textCol).isNotNull
     df.select(
       col(idCol),
-      size(arr).cast("long").as("n_lines"),
-      roundCompat(
+      when(nn, size(arr).cast("long")).as("n_lines"),
+      when(nn, roundCompat(
         aggregate(wordCounts, lit(0L), (acc, c) => acc + c).cast("double") / n,
-        4).as("mean_line_words"),
-      roundCompat(
+        4)).as("mean_line_words"),
+      when(nn, roundCompat(
         size(filter(wordCounts, c => c < shortWords)).cast("double") / n,
-        4).as("frac_short_lines"),
-      roundCompat(
+        4)).as("frac_short_lines"),
+      when(nn, roundCompat(
         (n - size(array_distinct(arr)).cast("double")) / n,
-        4).as("frac_dup_lines"))
+        4)).as("frac_dup_lines"))
   }
 
   /** Deterministic train/val/test split assignment — the standard
@@ -887,8 +916,13 @@ object Text {
     * Returns (doc, term, tf, df, tfidf).
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val nDocs = df.count() // corpus size: one scalar action, then broadcast-folded
-    val terms = df.select(col(idCol).as("doc"), explode(words(col(textCol))).as("term"))
+    // corpus size counts only SCORABLE (non-null-text) docs — the
+    // explode drops null-text rows, so counting them in nDocs inflated
+    // every idf by log(total/scorable) and corpus-wide stopwords no
+    // longer zeroed out (r17 review)
+    val in = df.filter(col(textCol).isNotNull)
+    val nDocs = in.count() // one scalar action, then broadcast-folded
+    val terms = in.select(col(idCol).as("doc"), explode(words(col(textCol))).as("term"))
     // persisted: the (doc, term) aggregation feeds both the df
     // derivation and the final join — one aggregation, not two
     val tf = graft.dsl.Rel.track(

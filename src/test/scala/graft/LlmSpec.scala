@@ -724,6 +724,39 @@ class TextSpec extends SparkSuite {
     assert(packed == Seq(1L))
   }
 
+  test("NULL text: the remaining signal family yields NULL/empty, never fabricated values (r17 review pass 2)") {
+    val df = Seq((1L, "the cat and the dog of the house in a box"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // langId: -1 >= -1 made null text identify as "en"
+    assert(df.select(Text.langIdHeuristic($"text")).as[Option[String]]
+      .collect().toSeq.map(_.isDefined) == Seq(true, false))
+    // stopwordRatio: (-1)/(-1) scored null text 1.0
+    assert(df.select(Text.stopwordRatio($"text")).as[Option[Double]]
+      .collect().toSeq.map(_.isDefined) == Seq(true, false))
+    // chunk: null text emitted a bogus (n_words = -1, null) chunk row
+    val ch = Text.chunk(df, "doc_id", "text", chunkWords = 4, stride = 3)
+    assert(ch.filter($"doc" === 2L).count() == 0L)
+    assert(ch.filter($"n_words" < 0).count() == 0L)
+    // lineSignals: n_lines = -1 and frac_short_lines = 1.0 leaked
+    val ls = Text.lineSignals(df, "doc_id", "text")
+      .filter($"doc_id" === 2L).collect()(0)
+    assert((1 to 4).forall(ls.isNullAt), ls)
+    // strata samplers: null-quality docs landed in stratum 0
+    val many = (1 to 30).map(i => (i.toLong, s"words w$i x$i y$i z$i make quality")) :+
+      (99L, null.asInstanceOf[String])
+    val strat = Text.sampleByQualityStrata(many.toDF("doc_id", "text"),
+      "doc_id", "text", strata = 3)
+    assert(strat.filter($"doc_id" === 99L).count() == 0L)
+    // tfidf: nDocs counted null-text docs, inflating every idf — a
+    // term in ALL scorable docs must idf to exactly 0
+    val tf = Text.tfidf(Seq((1L, "common alpha"), (2L, "common beta"),
+        (3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val common = tf.filter($"term" === "common").select("tfidf")
+      .as[Double].collect().toSeq
+    assert(common.nonEmpty && common.forall(_ == 0.0), common)
+  }
+
   test("quality score stays in [0,1] and rewards diverse long docs") {
     val low = "a a a a a"
     val high = (1 to 120).map(i => s"w$i").mkString(" ")
@@ -1241,6 +1274,41 @@ class TextSpec extends SparkSuite {
     val got2 = graft.llm.Dedup.sentenceDedup(self, "doc_id", "text")
       .as[(Long, String, Long)].head()
     assert(got2 == ((7L, "a b. c d", 2L)))
+  }
+
+  test("sentenceDedup: a null doc id never deletes other docs' copies (r17 review)") {
+    // pre-fix: the null doc won min(struct(doc,pos)) for "shared sent"
+    // and the equi-join (null keys never match) deleted EVERY copy —
+    // including doc 1's, the only identifiable first occurrence. The
+    // spanDedup convention: null-doc rows pass through unexamined,
+    // non-null docs dedup among themselves.
+    val df = Seq(
+      (Option.empty[Long], "shared sent. null own"),
+      (Option(1L), "shared sent. one own"),
+      (Option(2L), "shared sent. two own")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.sentenceDedup(df, "doc_id", "text")
+      .as[(Option[Long], String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got(Some(1L)) == "shared sent. one own", got)
+    assert(got(Some(2L)) == "two own", got)
+    assert(got(None) == "shared sent. null own", got) // passed through
+  }
+
+  test("lshIncrementalIndexed: an index built with MORE bands fails loudly (r17 review)") {
+    def mk(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val store = graft.llm.Dedup.minhashSignatures(
+      Seq((1L, mk(40, "w"))).toDF("doc_id", "text"), "doc_id", "text").persist()
+    store.count()
+    val idx32 = graft.llm.Dedup.lshBandIndex(store, bands = 32).persist()
+    idx32.count()
+    val batch = Seq((10L, mk(40, "w"))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.llm.Dedup.lshIncrementalIndexed(batch, "doc_id", "text",
+        store, idx32, bands = 16).collect()
+    }
+    store.unpersist(); idx32.unpersist()
+    assert(e.getMessage != null && e.getMessage.contains("band scheme"),
+      e.getMessage)
   }
 
   test("gramHashes: positional, length n-k+1, short docs empty, equal windows equal hashes") {
