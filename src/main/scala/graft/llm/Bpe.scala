@@ -163,10 +163,23 @@ object Bpe {
   /** Train merge rules on a corpus column. ONE distributed word-count
     * aggregation; the dict collect is bounded at `maxWords` rows by
     * (freq desc, word asc) — deterministic, model-sized. */
+  /** Reserved-marker guard riding the existing scan: text containing
+    * the literal `</w>` would train/encode without error but
+    * decode∘encode would silently return DIFFERENT text (the in-word
+    * marker becomes a space) — fail loudly instead, the
+    * checkedSig/prefixSum discipline (r17 review). Null text passes
+    * through (contains → null → otherwise). */
+  private def checkedText(text: Column): Column =
+    when(text.contains(EndOfWord),
+      raise_error(lit(s"bpe: text contains the reserved end-of-word " +
+        s"marker '$EndOfWord' — the decode/encode round trip would " +
+        "silently corrupt; strip or escape it upstream")))
+      .otherwise(text)
+
   def train(df: DataFrame, textCol: String, numMerges: Int,
             maxWords: Int = 5000): Vector[(String, String)] = {
     require(numMerges > 0 && maxWords > 0, "bpe: numMerges/maxWords must be positive")
-    val wf = df.select(explode(split(col(textCol), " ")).as("w"))
+    val wf = df.select(explode(split(checkedText(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= "" && col("w").isNotNull)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
@@ -185,7 +198,7 @@ object Bpe {
              merges: Seq[(String, String)]): DataFrame = {
     val mergeLit = typedLit(merges.map(p => Seq(p._1, p._2)))
     df.select(col(idCol).as("doc"),
-      call_function("graft_bpe_tokens", col(textCol), mergeLit).as("tokens"))
+      call_function("graft_bpe_tokens", checkedText(col(textCol)), mergeLit).as("tokens"))
       .withColumn("n_tokens",
         // size(null) is -1 here, not null: Graft sessions run with
         // spark.sql.ansi.enabled=false, which flips the implied
@@ -202,7 +215,7 @@ object Bpe {
     * [[encode]] sizeOfNull note). */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column = {
     val mergeLit = typedLit(merges.map(p => Seq(p._1, p._2)))
-    val toks = call_function("graft_bpe_tokens", text, mergeLit)
+    val toks = call_function("graft_bpe_tokens", checkedText(text), mergeLit)
     when(toks.isNull, lit(null)).otherwise(size(toks)).cast("long")
   }
 }

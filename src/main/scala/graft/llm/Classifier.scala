@@ -105,8 +105,13 @@ object Classifier {
     // terms — and an index touched only by them would sum to a NULL
     // gradient and NPE in the driver fold below.
     val yCast = col(labelCol).cast("double")
+    // null TEXT is dropped too (r17 review): score() refuses to
+    // classify unknown content, so training must not learn from it
+    // either — left in, each null-text doc became an all-zero feature
+    // row pulling the bias toward its label every iteration
     val feats = graft.dsl.Rel.track(
-      featurize(df.filter(yCast.isNotNull && !isnan(yCast)),
+      featurize(df.filter(yCast.isNotNull && !isnan(yCast) &&
+            col(textCol).isNotNull),
           idCol, textCol, labelCol, dim)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val n = feats.count().toDouble

@@ -28,9 +28,12 @@ object Curate {
     // runs twice, 2× the scan cost at corpus scale. Tracked so the
     // application releases it after the consuming action (Rel scaladoc).
     val cleaned = graft.dsl.Rel.track(
-      Text.removeBoilerplate(docs, idCol, textCol, ". ", boilerMaxDf)
+      // srcCol rides THROUGH the boilerplate stage (passthrough) — the
+      // old re-attach join read the corpus a second time and added an
+      // unacknowledged corpus-wide shuffle (r17 review)
+      Text.removeBoilerplate(docs, idCol, textCol, ". ", boilerMaxDf,
+          passthrough = Seq(srcCol))
         .withColumnRenamed("doc", idCol)
-        .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
         .withColumn("clean", Text.scrubPii(col("clean")))
         .withColumn("quality", Text.qualityScore(col("clean")))
         .filter(col("quality") >= minQuality)
@@ -64,10 +67,13 @@ object Curate {
       .filter(Text.qualityScore(col(textCol)) >= minQuality)
       // collision-proof internal names: a user column literally named
       // "fp" must survive untouched (graft_-prefix convention).
-      // TWO hash columns = a 128-bit-class key, the exactByFingerprint
-      // rule: the 31-bit rolling fingerprint alone would falsely drop
-      // ~n²/2³² distinct docs per watermark horizon (~230 at 1M docs)
-      .withColumn("graft_curate_fp", Text.fingerprint(col(textCol)))
+      // The key is exactByFingerprint's EXACT xxhash64 pair — a true
+      // 128-bit-class key, AND interoperable with the batch/incremental
+      // fingerprint store (pre-r17 the first component was the rolling
+      // graft_fingerprint, so stream keys could never be seeded from
+      // or reconciled against the batch fpStore despite the scaladoc's
+      // same-kernels claim; r17 review)
+      .withColumn("graft_curate_fp", xxhash64(col(textCol)))
       .withColumn("graft_curate_fp2", xxhash64(lit("graft-fp2"), col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("graft_curate_fp", "graft_curate_fp2")
@@ -158,10 +164,21 @@ object Curate {
       batch.filter(Text.qualityScore(col(textCol)) >= minQuality)
         .select(col(idCol), col(textCol))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val exactNew = Dedup.exactIncremental(gated, textCol, idCol, fpStore)
+    // persisted: TWO consumers (the survivors semi-join and the final
+    // append-row join) would otherwise re-run the batch fingerprint
+    // aggregation AND the corpus-sized fpStore anti-join each — the
+    // same plan-luck exposure the lshIncremental store contract names
+    // (r17 review). The exactNew id is renamed to a graft_-prefixed
+    // temp: with idCol itself named "id" (the Dedup store convention!)
+    // the join conditions were AMBIGUOUS_REFERENCE crashes.
+    val exactNew = graft.dsl.Rel.track(
+      Dedup.exactIncremental(gated, textCol, idCol, fpStore)
+        .withColumnRenamed("id", "graft_ic_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val survivors = gated
-      .join(exactNew.select(col("id")), col(idCol) === col("id"))
-      .drop("id")
+      .join(exactNew.select(col("graft_ic_id")),
+        col(idCol) === col("graft_ic_id"))
+      .drop("graft_ic_id")
     val admitted = bandIndex match {
       case Some(idx) => Dedup.lshIncrementalIndexed(survivors, idCol, textCol,
         sigStore, idx, shingleK, numHashes, bands, threshold)
@@ -169,8 +186,7 @@ object Curate {
         shingleK, numHashes, bands, threshold)
     }
     admitted
-      .join(exactNew.withColumnRenamed("id", idCol),
-        col("id") === col(idCol))
+      .join(exactNew, col("id") === col("graft_ic_id"))
       .select(col("id"), col("fp_a"), col("fp_b"), col("sig"))
   }
 

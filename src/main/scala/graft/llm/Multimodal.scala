@@ -319,11 +319,17 @@ object Multimodal {
     * shape (explode of per-row frame lists, frame index metadata) is
     * identical to real video frame extraction.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 256, everyN: Int = 4): DataFrame =
-    media.select(col("media_id"),
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256, everyN: Int = 4): DataFrame = {
+    // fail loudly like every sibling (frameBytes = 0 silently yielded
+    // one empty frame per row via ANSI-off null math); an EMPTY payload
+    // emits no frames, same as a null one (r17 review)
+    require(frameBytes > 0 && everyN > 0, "frameBytes and everyN must be positive")
+    media.filter(col("payload").isNotNull && octet_length(col("payload")) > 0)
+      .select(col("media_id"),
         posexplode(split_binaryFrames(col("payload"), frameBytes)))
       .toDF("media_id", "frame_idx", "frame")
       .filter(pmod(col("frame_idx"), lit(everyN)) === 0)
+  }
 
   /** Byte-range frame splitter as an expression (substr on binary). */
   private def split_binaryFrames(payload: org.apache.spark.sql.Column, frameBytes: Int) =

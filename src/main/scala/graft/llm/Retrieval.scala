@@ -81,10 +81,23 @@ object Retrieval {
 
   /** Top-k documents per query by BM25, rank attached:
     * (qid, rank, doc, score_nano), rank 1-based by
-    * (score_nano desc, doc asc). */
+    * (score_nano desc, doc asc).
+    *
+    * Doc ids must be INTEGRAL (TopKAgg carries them as primitive
+    * longs); [[bm25]] itself takes any id type — map string ids to a
+    * surrogate long (e.g. xxhash64) before calling this form. The
+    * require turns the encoder's opaque up-cast failure into a clear
+    * error (r17 review). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+        .contains(idType),
+      s"bm25TopK requires integral doc ids (got $idType) — bm25 itself " +
+        "accepts any type; map string ids to a surrogate long first")
     val scored = bm25(docs, idCol, textCol, queries, k1, b)
     val top = graft.ops.TopKAgg.topK(k)
     // score_nano < 2^53 for any real corpus, so the double carry is exact

@@ -117,21 +117,28 @@ object Text {
     * ≈ n²/2⁶⁵ over DISTINCT sentences, irrelevant below trillions.
     */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
-                        sep: String = ". ", maxDocFreq: Int = 3): DataFrame = {
+                        sep: String = ". ", maxDocFreq: Int = 3,
+                        passthrough: Seq[String] = Nil): DataFrame = {
+    // passthrough columns (constant per doc) ride the explode and come
+    // back via first() in the reassembly — so a caller needing them
+    // (Curate.curate's srcCol) doesn't pay a second corpus scan plus a
+    // corpus-wide re-attach join (r17 review)
     val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
-    val lines = df.select(col(idCol).as("doc"),
-        posexplode(arr).as(Seq("pos", "line")))
+    val lines = df.select(col(idCol).as("doc") +: passthrough.map(col) :+
+        posexplode(arr).as(Seq("pos", "line")): _*)
       .withColumn("lh", xxhash64(col("line")))
     val keepable = lines.select(col("lh"), col("doc")).distinct()
       .groupBy(col("lh")).agg(count(lit(1)).as("docs"))
       .filter(col("docs") <= maxDocFreq)
       .select(col("lh"))
+    val reassemble = array_join(
+      transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")),
+      sep).as("clean")
+    val aggs = reassemble +: passthrough.map(c => first(col(c)).as(c))
     lines.join(keepable, "lh")
       .groupBy(col("doc"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x.getField("line")),
-        sep).as("clean"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Polynomial rolling hash of the whole text (mod 2^31-1, base 31) —

@@ -150,3 +150,82 @@ class BpeSpec extends SparkSuite {
     }
   }
 }
+
+/** r17 review regressions for Bpe and the llm-layer entry guards. */
+class LlmGuardsR17Spec extends SparkSuite {
+  import spark.implicits._
+
+  test("text containing the reserved </w> marker fails loudly at encode") {
+    val merges = graft.llm.Bpe.train(
+      Seq("clean words only here").toDF("text"), "text", numMerges = 5)
+    val bad = Seq((1L, "escaped html with </w> inside")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.llm.Bpe.encode(bad, "doc_id", "text", merges).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("reserved"), e.getMessage)
+    // null text still passes through as null tokens
+    val ok = graft.llm.Bpe.encode(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", merges).collect()(0)
+    assert(ok.isNullAt(1) && ok.isNullAt(2))
+  }
+
+  test("incrementalCurate works when idCol is literally named 'id' (r17 review)") {
+    val good = (1 to 60).map(i => s"w$i").mkString(" ")
+    val novel = (1 to 60).map(i => s"z$i").mkString(" ")
+    val storeDocs = Seq((2L, good)).toDF("id", "text")
+    val fpStore = storeDocs.select(
+      xxhash64($"text").as("fp_a"),
+      xxhash64(lit("graft-fp2"), $"text").as("fp_b"))
+    val sigStore = graft.llm.Dedup.minhashSignatures(storeDocs, "id", "text")
+      .persist()
+    sigStore.count()
+    val batch = Seq((11L, good), (21L, novel)).toDF("id", "text")
+    try {
+      val got = graft.llm.Curate.incrementalCurate(
+          batch, "id", "text", fpStore, sigStore, threshold = 0.5)
+        .select($"id").as[Long].collect().toSet
+      assert(got == Set(21L), got) // pre-fix: AMBIGUOUS_REFERENCE crash
+    } finally {
+      graft.dsl.Rel.releaseTracked(); sigStore.unpersist()
+    }
+  }
+
+  test("trainLogReg ignores null-text rows: model equals training on the filtered corpus") {
+    val base = (1 to 40).map(i =>
+      (i.toLong, s"w$i " + (if (i % 2 == 0) "spark good" else "noise bad"), i % 2))
+    val withNulls = base ++ Seq((98L, null.asInstanceOf[String], 1),
+      (99L, null.asInstanceOf[String], 1))
+    val m1 = graft.llm.Classifier.trainLogReg(
+      base.toDF("doc_id", "text", "label"), "doc_id", "text", "label",
+      dim = 64, iters = 3)
+    graft.dsl.Rel.releaseTracked()
+    val m2 = graft.llm.Classifier.trainLogReg(
+      withNulls.toDF("doc_id", "text", "label"), "doc_id", "text", "label",
+      dim = 64, iters = 3)
+    graft.dsl.Rel.releaseTracked()
+    assert(m1.bias == m2.bias && m1.weights.toSeq == m2.weights.toSeq,
+      s"null-text rows moved the model: bias ${m1.bias} vs ${m2.bias}")
+  }
+
+  test("sampleFrames: zero frameBytes refuses; empty payload emits no frames") {
+    val media = Seq((1L, Array[Byte](1, 2, 3, 4, 5)),
+      (2L, Array.empty[Byte]), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    intercept[IllegalArgumentException] {
+      graft.llm.Multimodal.sampleFrames(media, frameBytes = 0)
+    }
+    val got = graft.llm.Multimodal.sampleFrames(media, frameBytes = 2, everyN = 1)
+      .select($"media_id").as[Long].collect().toSeq
+    assert(got.forall(_ == 1L) && got.size == 3, got) // ceil(5/2) frames, ids 2/3 none
+  }
+
+  test("bm25TopK rejects non-integral doc ids with a clear message") {
+    val docs = Seq(("a", "hello world")).toDF("doc_id", "text")
+    val qs = Seq((1, "hello")).toDF("qid", "term")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text", qs, 5)
+    }
+    assert(e.getMessage.contains("integral doc ids"), e.getMessage)
+  }
+}
