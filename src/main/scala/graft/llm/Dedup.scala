@@ -855,8 +855,7 @@ object Dedup {
       .groupBy(col("lh"), col("lh2"))
       .agg(min(struct(col("doc"), col("pos"))).as("f"))
       .select(col("lh"), col("lh2"), col("f.doc").as("doc"), col("f.pos").as("pos"))
-    lines.join(firsts, Seq("lh", "lh2", "doc", "pos"))
-      .unionByName(lines.filter(col("doc").isNull))
+    val kept = lines.join(firsts, Seq("lh", "lh2", "doc", "pos"))
       .groupBy(col("doc"))
       .agg(
         array_join(
@@ -864,6 +863,17 @@ object Dedup {
             x => x.getField("line")),
           sep).as("clean"),
         count(lit(1)).as("n_kept"))
+    // null-doc passthrough is per ORIGINAL ROW, never re-grouped: a
+    // groupBy(doc) treats every null id as ONE group and would merge
+    // distinct null-id documents into a single interleaved row (r17
+    // ADVICE). clean = original text verbatim (unexamined contract);
+    // n_kept = sentence count of that row alone. No shuffle, no tag.
+    val nullPass = df.filter(col(idCol).isNull)
+      .select(col(idCol).as("doc"), col(textCol).as("clean"),
+        // ANSI-off size(null) = -1 (the Text leak family) — guard it
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(arr).cast("long")).as("n_kept"))
+    kept.unionByName(nullPass)
   }
 
   /** Exact duplicated-span (substring-level) dedup — the ExactSubstr

@@ -286,10 +286,15 @@ object Multimodal {
       val (width, height) = parsePnmHeader(b) match {
         case Some((channels, w, h, mx, pixelStart)) =>
           val bytesPerSample = if (mx > 255) 2 else 1 // netpbm 16-bit form
-          // declared size in Long: a hostile header like 100000x100000
-          // overflows the Int product and would zero out the histogram
-          // while width/height still report the parsed dims
-          val declared = channels.toLong * w * h * bytesPerSample
+          // declared size, overflow-saturated: w·h each reach
+          // Int.MaxValue, so even the Long product of all four factors
+          // can wrap negative and zero the histogram (r17 ADVICE). The
+          // histogram is capped at the payload anyway, so once the pixel
+          // count alone covers b.length the exact product is irrelevant.
+          val pixels = w.toLong * h.toLong // ≤ (2³¹)² < Long.MaxValue
+          val declared =
+            if (pixels >= b.length.toLong) b.length.toLong
+            else pixels * channels * bytesPerSample // pixels < 2³¹ ⇒ fits
           histogramOf(pixelStart,
             math.min(b.length.toLong, pixelStart + declared).toInt)
           (w, h)

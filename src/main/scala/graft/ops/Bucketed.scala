@@ -36,8 +36,14 @@ object Bucketed {
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    // quote PER PART: backticking the whole name turns a db-qualified
+    // `db.tbl` into a single-part identifier in the current database,
+    // so the DROP and the location delete below would target different
+    // tables (r17 ADVICE)
+    val quoted = (ident.database.toSeq :+ ident.table)
+      .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+    spark.sql(s"DROP TABLE IF EXISTS $quoted")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -37,14 +37,23 @@ object Salt {
     // order-dependent, and if `big` sits downstream of a shuffle a
     // retried map task can recompute rows with DIFFERENT salts after
     // some reducers fetched the old output — rows duplicated or lost
-    // (the nondeterministic-shuffle-key hazard). Hashing the whole row
-    // is deterministic under any recomputation; fully-identical rows
-    // share a salt, which only matters if the hot key's rows are
-    // byte-identical duplicates (collapse those first — they are a
-    // dedup problem, not a skew problem).
+    // (the nondeterministic-shuffle-key hazard). Hashing the row
+    // is deterministic under any recomputation; rows identical on the
+    // hashed columns share a salt, which only matters if the hot key's
+    // rows are duplicates there (collapse those first — they are a
+    // dedup problem, not a skew problem). Map-typed columns (including
+    // maps nested in structs/arrays) are excluded: Spark rejects hash
+    // functions over MapType at analysis time (r17 ADVICE), and the
+    // remaining columns — the join key is never map-typed, equi-join
+    // equality on maps is itself unsupported — keep the salt content-
+    // derived and deterministic.
+    val hashable = big.schema.fields
+      .filterNot(f => containsMapType(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    require(hashable.nonEmpty,
+      "saltedJoin: every big-side column contains a MapType — no hashable salt source")
     val salted = big.withColumn(saltCol,
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)),
-        lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(struct(hashable: _*)), lit(salts.toLong)).cast("int"))
     val replicated = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated,
@@ -52,5 +61,15 @@ object Salt {
           salted(saltCol) === replicated(saltCol),
         joinType)
       .drop(saltCol)
+  }
+
+  private def containsMapType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType     => true
+      case s: StructType  => s.fields.exists(f => containsMapType(f.dataType))
+      case a: ArrayType   => containsMapType(a.elementType)
+      case _              => false
+    }
   }
 }

@@ -299,16 +299,20 @@ object ScaleCurve {
           .distinct().count())
 
       // ---- q125: tokenizer-aware sequence packing capstone (r17) ----
-      // merges train once on the maxWords-capped dict (model-sized
-      // rule); the timed region is chunk scan + codegen'd BPE
+      // merges train ONCE per factor, OUTSIDE the timed region (r17
+      // ADVICE: train inside the report() closure charged a full
+      // corpus word-count aggregation to every timed iteration,
+      // contradicting this comment and TokenPackProbe's fullNoTrain
+      // decomposition); the timed region is chunk scan + codegen'd BPE
       // tokenCount + 2-pass prefix sum + bin assignment — every term
       // corpus-linear. Returned metric = bin count (token mass grows
       // m×, so bins must too).
-      report("q125_token_pack", () => {
-        val merges = graft.llm.Bpe.train(docs, "text", numMerges = 200)
-        Curate.tokenPack(docs, "doc_id", "text", merges)
-          .agg(countDistinct(col("bin")).as("n")).head().getLong(0)
-      })
+      if (only.forall(_.exists("q125_token_pack".startsWith))) {
+        val merges125 = graft.llm.Bpe.train(docs, "text", numMerges = 200)
+        report("q125_token_pack", () =>
+          Curate.tokenPack(docs, "doc_id", "text", merges125)
+            .agg(countDistinct(col("bin")).as("n")).head().getLong(0))
+      }
 
       // ---- q126: incremental-ingest curation capstone (r17) ----
       // stores = even ids (fingerprints + signatures), batch = odd ids

@@ -127,6 +127,29 @@ class BucketedSpec extends SparkSuite {
     assert(viaIdx == viaSig)
   }
 
+  test("writeBucketed handles db-qualified names: DROP targets the real table (r17 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    // pre-fix, DROP TABLE IF EXISTS `db.tbl` treated the whole name as
+    // a single-part identifier in the CURRENT database, so the intended
+    // table was never dropped while the location delete DID hit it —
+    // an inconsistent catalog/filesystem pair for qualified names
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_qdb")
+    spark.sql("DROP TABLE IF EXISTS graft_qdb.qt")
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Bucketed.writeBucketed(df1, "graft_qdb.qt", "k", buckets = 2)
+    assert(spark.table("graft_qdb.qt").count() == 2)
+    // overwrite through the same path must drop + rewrite cleanly
+    val df2 = Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "v")
+    Bucketed.writeBucketed(df2, "graft_qdb.qt", "k", buckets = 2)
+    assert(spark.table("graft_qdb.qt").select("k").as[Long].collect().toSet
+      == Set(3L, 4L, 5L))
+    // and no stray single-part table named "graft_qdb.qt" materialized
+    // in the default database
+    assert(!spark.catalog.tableExists("`graft_qdb.qt`"))
+    spark.sql("DROP TABLE IF EXISTS graft_qdb.qt")
+    spark.sql("DROP DATABASE IF EXISTS graft_qdb")
+  }
+
   test("collectedGroup refuses a table not bucketed by the group key") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS li_flat")

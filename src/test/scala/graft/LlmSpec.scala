@@ -1294,6 +1294,31 @@ class TextSpec extends SparkSuite {
     assert(got(None) == "shared sent. null own", got) // passed through
   }
 
+  test("sentenceDedup: distinct null-id docs pass through as distinct rows (r17 ADVICE)") {
+    // pre-fix: groupBy(doc) treated every null id as ONE group, merging
+    // distinct null-id documents into a single row with their sentences
+    // interleaved by array_sort
+    val df = Seq(
+      (Option.empty[Long], "alpha one. alpha two"),
+      (Option.empty[Long], "beta one. beta two. beta three"),
+      (Option(1L), "real doc")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.sentenceDedup(df, "doc_id", "text")
+      .as[(Option[Long], String, Long)].collect().toSeq
+    val nulls = got.filter(_._1.isEmpty).map(r => (r._2, r._3)).toSet
+    assert(nulls == Set(("alpha one. alpha two", 2L),
+      ("beta one. beta two. beta three", 3L)), got)
+    assert(got.filter(_._1.nonEmpty) == Seq((Some(1L), "real doc", 1L)), got)
+    // null id AND null text: still one passthrough row, n_kept 0 (the
+    // ANSI-off size(null) = -1 guard)
+    val gotNullText = graft.llm.Dedup.sentenceDedup(
+        Seq((Option.empty[Long], Option.empty[String]),
+          (Option(5L), Option("x y"))).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Option[Long], Option[String], Long)].collect().toSeq
+    assert(gotNullText.toSet ==
+      Set((None, None, 0L), (Some(5L), Some("x y"), 1L)), gotNullText)
+  }
+
   test("lshIncrementalIndexed: an index built with MORE bands fails loudly (r17 review)") {
     def mk(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
     val store = graft.llm.Dedup.minhashSignatures(
@@ -1697,6 +1722,21 @@ class MultimodalSpec extends SparkSuite {
       Seq((8L, "hello".getBytes("UTF-8"))).toDF("media_id", "payload")).collect()(0)
     assert(g.getAs[Int]("width") == 0 && g.getAs[Int]("height") == 0)
     assert(g.getSeq[Long](3).sum == 5L)
+  }
+
+  test("hostile PNM header near Int.MaxValue dims cannot zero the histogram (r17 ADVICE)") {
+    // 3 · 2³¹ · 2³¹ · 2 exceeds Long.MaxValue: the un-saturated product
+    // went negative and histogramOf covered nothing while width/height
+    // still reported the parsed dims — the exact bug the r16 Long
+    // widening claimed to have fixed
+    val header = s"P6\n${Int.MaxValue} ${Int.MaxValue}\n300\n" // mx>255 → 2B/sample
+    val payload = (header + "A" * 32).getBytes("UTF-8")
+    val r = Multimodal.extractFeatures(
+      Seq((9L, payload)).toDF("media_id", "payload")).collect()(0)
+    assert(r.getAs[Int]("width") == Int.MaxValue)
+    val hist = r.getSeq[Long](3)
+    assert(hist.sum == 32L, s"histogram must cover the 32 payload bytes, got $hist")
+    assert(hist(4) == 32L) // 'A' = 0x41 → bin 4
   }
 
   test("packPpm emits well-formed P6 whose header matches the length-derived dims") {

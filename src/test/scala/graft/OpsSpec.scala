@@ -139,6 +139,26 @@ class SaltSpec extends SparkSuite {
       .select("k", "v", "name").as[(Long, Int, String)].collect().toSet
     assert(got == want && got.size == 5000)
   }
+
+  test("saltedJoin works when the big side carries map columns (r17 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    // hashing struct(all cols) fails analysis on MapType (and on maps
+    // nested in structs); the salt must skip map-bearing columns
+    val big = (1 to 500).map(i => (1L, i)).toDF("k", "v")
+      .withColumn("m", map(lit("a"), col("v")))
+      .withColumn("nested", struct(col("v").as("x"), map(lit("b"), col("v")).as("mm")))
+    val small = Seq((1L, "dim1"), (2L, "dim2")).toDF("k2", "name")
+    val got = graft.ops.Salt.saltedJoin(big, "k", small, "k2", salts = 4)
+      .select("k", "v", "name").as[(Long, Int, String)].collect().toSet
+    val want = big.join(small, $"k" === $"k2")
+      .select("k", "v", "name").as[(Long, Int, String)].collect().toSet
+    assert(got == want && got.size == 500)
+    // the salt still spreads the hot key over multiple salt values
+    val spread = big.withColumn("s",
+        pmod(xxhash64(struct(col("k"), col("v"))), lit(4L)))
+      .select("s").distinct().count()
+    assert(spread > 1)
+  }
 }
 
 /** Bloom semi-join: exact result, native (non-UDF) probe. */
