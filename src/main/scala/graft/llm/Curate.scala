@@ -152,6 +152,11 @@ object Curate {
     *        per-batch store band derivation; at real scale keep it as
     *        a table bucketed by (band, key) and append admitted docs'
     *        index rows alongside the two store appends)
+    * @param manifest optional persisted [[Dedup.lshManifest]] of the
+    *        store set — validated up front (fail-loud on any scheme
+    *        mismatch, including the fewer-bands index mismatch no
+    *        row-local check can see); at real scale keep the one-row
+    *        manifest table next to the stores and always pass it
     * @return (id, fp_a, fp_b, sig) per admitted batch doc
     */
   def incrementalCurate(batch: DataFrame, idCol: String, textCol: String,
@@ -159,7 +164,10 @@ object Curate {
                         minQuality: Double = 0.5, shingleK: Int = 3,
                         numHashes: Int = 64, bands: Int = 16,
                         threshold: Double = 0.9,
-                        bandIndex: Option[DataFrame] = None): DataFrame = {
+                        bandIndex: Option[DataFrame] = None,
+                        manifest: Option[DataFrame] = None): DataFrame = {
+    manifest.foreach(Dedup.requireManifest(_, "incrementalCurate",
+      Some(shingleK), numHashes, bands))
     val gated = graft.dsl.Rel.track(
       batch.filter(Text.qualityScore(col(textCol)) >= minQuality)
         .select(col(idCol), col(textCol))

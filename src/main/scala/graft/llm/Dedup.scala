@@ -600,6 +600,57 @@ object Dedup {
       .select(col("id"), col("fp_a"), col("fp_b"))
   }
 
+  /** One-row SCHEME MANIFEST for a persisted LSH store set — the
+    * versioned-store contract the (sigStore, bandIndex) pairing
+    * requires (r17 VERDICT): the row-local guards catch a wrong
+    * signature SIZE ([[lshIncremental]]'s `checkedSig`) and a
+    * LARGER-bands index (band values out of range), but an index built
+    * with FEWER bands than the call's scheme is row-locally
+    * undetectable — its band values are in range, its keys just derive
+    * from a different r = numHashes/bands, so the (band, key)
+    * equi-join silently matches ~nothing and ADMITS every cross-store
+    * duplicate. Persist THIS next to the store tables (one extra
+    * one-row table per store set), pass it back at ingest, and every
+    * scheme mismatch — numHashes, bands, shingleK — fails loudly
+    * before any corpus-sized work starts.
+    *
+    * Ingest loop contract: the manifest is written ONCE when the store
+    * set is bootstrapped and never mutated by appends; rebuilding the
+    * store under a new scheme bumps `version` and rewrites the row.
+    *
+    * @return one row: (shingle_k, num_hashes, bands, version)
+    */
+  def lshManifest(spark: org.apache.spark.sql.SparkSession,
+                  shingleK: Int = 3, numHashes: Int = 64,
+                  bands: Int = 16, version: Long = 1L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import spark.implicits._
+    Seq((shingleK, numHashes, bands, version))
+      .toDF("shingle_k", "num_hashes", "bands", "version")
+  }
+
+  /** Fail-loud manifest validation — driver-side, one-row collect
+    * (bounded by construction), runs before any corpus-sized work.
+    * Shared by [[lshIncremental]]/[[lshIncrementalIndexed]]/
+    * [[lshBandIndex]]/[[graft.llm.Curate.incrementalCurate]]. */
+  private[graft] def requireManifest(manifest: DataFrame, op: String,
+                                     shingleK: Option[Int], numHashes: Int,
+                                     bands: Int): Unit = {
+    val rows = manifest.select(col("shingle_k").cast("int"),
+      col("num_hashes").cast("int"), col("bands").cast("int")).collect()
+    require(rows.length == 1,
+      s"$op: store manifest must have exactly one row, got ${rows.length} — " +
+        "one manifest row per store set (lshManifest)")
+    val r = rows(0)
+    val (mk, mh, mb) = (r.getInt(0), r.getInt(1), r.getInt(2))
+    require(shingleK.forall(_ == mk) && mh == numHashes && mb == bands,
+      s"$op: store manifest scheme (shingleK=$mk, numHashes=$mh, bands=$mb) " +
+        s"!= call scheme (shingleK=${shingleK.map(_.toString).getOrElse("-")}, " +
+        s"numHashes=$numHashes, bands=$bands) — pass the parameters the store " +
+        "was built with, or rebuild the store set (and bump the manifest " +
+        "version) under the new scheme")
+  }
+
   /** Minhash signatures for a corpus: (id, sig) — the persistable
     * store rows of [[lshIncremental]]. Build once over the existing
     * corpus to bootstrap the store; thereafter each batch's surviving
@@ -638,6 +689,17 @@ object Dedup {
     * though c may not near-dup a — cluster-precise semantics are
     * [[nearDupClusters]]' job, not an ingest filter's.
     *
+    * BATCH-SPLIT ORDER-DEPENDENCE (inherent to the pessimistic rule,
+    * spec'd in LlmSpec): the admit set depends on how the stream is
+    * batched. In one batch {a, b, c} with b~a and c~b but c!~a, the
+    * within-batch rule drops BOTH b and c; split as {a, b} then {c},
+    * the store after round 1 holds only a (b was dropped, dropped docs
+    * are never appended), so c near-dups nothing and is ADMITTED. Any
+    * chain tail can flip this way at a batch boundary. The loop
+    * INVARIANTS (no admit exact/near-dups a prior admit, re-ingest
+    * admits nothing — q128) hold for EVERY split; the admit ids
+    * themselves are only reproducible for a fixed batching.
+    *
     * Scale shape: corpus-sized inputs touch only (a) the store's
     * (id, sig) scan deriving band keys — at true scale use
     * [[lshIncrementalIndexed]] over a persisted [[lshBandIndex]]
@@ -659,9 +721,11 @@ object Dedup {
   def lshIncremental(batch: DataFrame, idCol: String, textCol: String,
                      store: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
                      bands: Int = 16, threshold: Double = 0.9,
-                     maxBucket: Int = 10000): DataFrame = {
+                     maxBucket: Int = 10000,
+                     manifest: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    manifest.foreach(requireManifest(_, "lshIncremental", Some(shingleK), numHashes, bands))
     val store0 = store.select(col("id"),
       checkedSig(col("sig"), "store", numHashes).as("sig"))
     val storeBands = store0
@@ -685,10 +749,17 @@ object Dedup {
     * versioned store: consume it with the same (numHashes, bands) it
     * was built with — a larger-bands index fails loudly at ingest
     * (range check), a smaller-bands one is row-locally undetectable
-    * (in-range bands, different-r keys). */
+    * (in-range bands, different-r keys) and is exactly what the
+    * persisted [[lshManifest]] closes: pass it here and at every
+    * ingest so the whole scheme is checked loudly up front. */
   def lshBandIndex(sigStore: DataFrame, numHashes: Int = 64,
-                   bands: Int = 16): DataFrame = {
+                   bands: Int = 16,
+                   manifest: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // shingleK is not an index-side concern (signatures are already
+    // built) — only the signature/band scheme is validated here
+    manifest.foreach(requireManifest(_, "lshBandIndex", shingleK = None,
+      numHashes = numHashes, bands = bands))
     sigStore.select(col("id"),
         checkedSig(col("sig"), "store", numHashes).as("sig"))
       .select(col("id"),
@@ -715,9 +786,16 @@ object Dedup {
                             sigStore: DataFrame, bandIndex: DataFrame,
                             shingleK: Int = 3, numHashes: Int = 64,
                             bands: Int = 16, threshold: Double = 0.9,
-                            maxBucket: Int = 10000): DataFrame = {
+                            maxBucket: Int = 10000,
+                            manifest: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // the manifest is what closes the FEWER-bands index hole described
+    // below — pass the store set's persisted lshManifest here and the
+    // whole scheme (shingleK, numHashes, bands) is checked loudly up
+    // front, not just the row-locally detectable axes
+    manifest.foreach(requireManifest(_, "lshIncrementalIndexed",
+      Some(shingleK), numHashes, bands))
     val store0 = sigStore.select(col("id"),
       checkedSig(col("sig"), "store", numHashes).as("sig"))
     // scheme guard (the checkedSig rule for the index side): an index

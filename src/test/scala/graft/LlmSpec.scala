@@ -1336,6 +1336,106 @@ class TextSpec extends SparkSuite {
       e.getMessage)
   }
 
+  test("lshManifest: every scheme mismatch fails loudly, incl. the fewer-bands index (r18)") {
+    def mk(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val D = graft.llm.Dedup
+    val store = D.minhashSignatures(
+      Seq((1L, mk(40, "w")), (2L, mk(40, "v"))).toDF("doc_id", "text"),
+      "doc_id", "text").persist()
+    store.count()
+    val batch = Seq((10L, mk(40, "w")), (11L, mk(40, "u"))).toDF("doc_id", "text")
+    val good = D.lshManifest(spark, shingleK = 3, numHashes = 64, bands = 16)
+
+    // matching manifest: admit set identical to the manifest-less call
+    val withM = D.lshIncremental(batch, "doc_id", "text", store,
+      manifest = Some(good)).select("id").as[Long].collect().toSet
+    val noM = D.lshIncremental(batch, "doc_id", "text", store)
+      .select("id").as[Long].collect().toSet
+    assert(withM == noM && withM == Set(11L)) // 10 near-dups stored doc 1
+
+    def mustFail(m: org.apache.spark.sql.DataFrame)(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("manifest scheme"), e.getMessage)
+    }
+    // each axis individually wrong → loud failure BEFORE any Spark job
+    mustFail(good)(D.lshIncremental(batch, "doc_id", "text", store,
+      bands = 8, manifest = Some(good)))
+    mustFail(good)(D.lshIncremental(batch, "doc_id", "text", store,
+      numHashes = 32, bands = 16, manifest = Some(good)))
+    mustFail(good)(D.lshIncremental(batch, "doc_id", "text", store,
+      shingleK = 5, manifest = Some(good)))
+    mustFail(good)(graft.llm.Curate.incrementalCurate(batch, "doc_id", "text",
+      Seq((0L, 0L)).toDF("fp_a", "fp_b"), store, bands = 8,
+      manifest = Some(good)))
+
+    // THE hole the manifest closes: an index built with FEWER bands is
+    // row-locally undetectable (in-range band values, different-r keys)
+    // — the (band,key) join would match ~nothing and admit every
+    // cross-store duplicate. With the manifest it fails loudly instead.
+    val idx8 = D.lshBandIndex(store, bands = 8).persist()
+    idx8.count()
+    val m8 = D.lshManifest(spark, shingleK = 3, numHashes = 64, bands = 8)
+    // silent wrong admit without the manifest (documents the hazard):
+    val silent = D.lshIncrementalIndexed(batch, "doc_id", "text", store,
+      idx8, bands = 16).select("id").as[Long].collect().toSet
+    assert(silent == Set(10L, 11L)) // 10 wrongly admitted — the hazard
+    mustFail(m8)(D.lshIncrementalIndexed(batch, "doc_id", "text", store,
+      idx8, bands = 16, manifest = Some(m8)))
+    // and the correctly-paired call under the stored scheme still works
+    val viaIdx8 = D.lshIncrementalIndexed(batch, "doc_id", "text", store,
+      idx8, bands = 8, manifest = Some(m8)).select("id").as[Long].collect().toSet
+    val viaSig8 = D.lshIncremental(batch, "doc_id", "text", store,
+      bands = 8, manifest = Some(m8)).select("id").as[Long].collect().toSet
+    assert(viaIdx8 == viaSig8)
+    // lshBandIndex itself validates the signature/band axes (shingleK
+    // is not an index-side concern)
+    mustFail(m8)(D.lshBandIndex(store, bands = 16, manifest = Some(m8)))
+    // a manifest must be exactly one row
+    val e2 = intercept[IllegalArgumentException](
+      D.lshIncremental(batch, "doc_id", "text", store,
+        manifest = Some(good.unionAll(good))))
+    assert(e2.getMessage.contains("exactly one row"), e2.getMessage)
+    store.unpersist(); idx8.unpersist()
+  }
+
+  test("lshIncremental chain-pessimistic drop rule is batch-split-dependent (documented)") {
+    // a = w1..w40, b = w11..w50, c = w21..w60: sliding 40-word windows
+    // over a 60-word universe. Shingle (k=3) Jaccards: J(a,b) = J(b,c)
+    // = 28/48 ≈ 0.58, J(a,c) = 18/58 ≈ 0.31 — a chain b~a, c~b, c!~a
+    // at threshold 0.45. ONE batch drops the whole chain tail {b, c};
+    // split {a,b} then {c}, round 2's store holds only a (dropped docs
+    // never append), so c is ADMITTED. This is the documented inherent
+    // order-dependence of the pessimistic rule, not a defect — the
+    // q128 loop invariants hold under both splits.
+    val D = graft.llm.Dedup
+    def doc(from: Int, until: Int) = (from until until).map(i => s"w$i").mkString(" ")
+    val a = (1L, doc(1, 41)); val b = (2L, doc(11, 51)); val c = (3L, doc(21, 61))
+    val empty = Seq.empty[(Long, Array[Long])].toDF("id", "sig")
+    def ingest(docs: Seq[(Long, String)], store: org.apache.spark.sql.DataFrame) =
+      D.lshIncremental(docs.toDF("doc_id", "text"), "doc_id", "text", store,
+        numHashes = 64, bands = 32, threshold = 0.45)
+
+    // one batch: only a survives (b dropped by a, c dropped by b —
+    // pessimistic even though c !~ a)
+    val oneBatch = ingest(Seq(a, b, c), empty).select("id").as[Long].collect().toSet
+    assert(oneBatch == Set(1L), s"one-batch admits: $oneBatch")
+
+    // two halves: {a, b} admits a; then {c} vs store {a} admits c
+    val round1 = ingest(Seq(a, b), empty)
+      .select("id", "sig").persist()
+    assert(round1.select("id").as[Long].collect().toSet == Set(1L))
+    val round2 = ingest(Seq(c), round1).select("id").as[Long].collect().toSet
+    round1.unpersist()
+    assert(round2 == Set(3L), s"split admits c: $round2")
+    // the invariant that DOES hold under both splits: admits are
+    // pairwise below threshold vs the store they were admitted against
+    // (a vs c): directly check est-Jaccard via signature agreement
+    val sigs = D.minhashSignatures(Seq(a, c).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("id").as[(Long, Array[Long])].collect()
+    val agree = sigs(0)._2.zip(sigs(1)._2).count { case (x, y) => x == y }
+    assert(agree / 64.0 < 0.45, s"est J(a,c) = ${agree / 64.0}")
+  }
+
   test("gramHashes: positional, length n-k+1, short docs empty, equal windows equal hashes") {
     val h = graft.llm.Dedup.gramHashes("a b c a b c d", 3)
     assert(h.length == 5)
