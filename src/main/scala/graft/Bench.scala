@@ -179,6 +179,48 @@ object Bench {
     }
     val results = measured.map { case (name, ts, _) => name -> ts }
     val retriedOrig = measured.collect { case (name, _, Some(orig)) => name -> orig }
+    // operator-vs-verification split (VERDICT r17 task 4): the composed
+    // self-verifying queries run their operator PLUS an in-query oracle,
+    // so their headline seconds price verification as operator cost.
+    // A second pass measures ONLY the operator (fixtures built untimed,
+    // cleaned up after) — emitted as operator_sec in both artifacts.
+    // Skippable with SPARK_GRAFT_BENCH_OPSLICES=0.
+    val opSlices =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_OPSLICES", "1") == "0") Seq.empty
+      else graft.queries.OperatorSlices.slices.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    val opResults = opSlices.flatMap { case (name, mk) =>
+      try {
+        val (thunk, cleanup) = mk(spark, sfDir) // fixture setup — untimed
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          thunk()
+          val dt = (System.nanoTime() - t0) / 1e9
+          // release operator-internal tracked persists only — fixtures
+          // are plain persist() by the OperatorSlices contract
+          graft.dsl.Rel.releaseTracked()
+          dt
+        }
+        if (warm) {
+          var prev = once()
+          var cur = once()
+          var extra = 0
+          while (prev > 1.3 * cur && extra < 6) { prev = cur; cur = once(); extra += 1 }
+        }
+        val ts = (1 to iters).map(_ => once()).toVector
+        cleanup()
+        spark.catalog.clearCache()
+        graft.dsl.Rel.releaseTracked()
+        Some(name -> ts)
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] OPERATOR SLICE FAILED $name: " +
+            s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(300)}")
+          spark.catalog.clearCache()
+          graft.dsl.Rel.releaseTracked()
+          None
+      }
+    }
     def f(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     val medians = results.map { case (k, ts) => k -> medianOf(ts) }
     // steady state = median of the LAST 3 iterations — the adjudication
@@ -247,6 +289,16 @@ object Bench {
       else retriedOrig.map { case (k, ts) =>
         s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
       }.mkString(""","retried":{""", ",", "}")
+    // operator slice medians + per-iteration evidence (full artifact);
+    // compact line carries the medians only
+    val opMedians = opResults.map { case (k, ts) => k -> medianOf(ts) }
+    val opJson =
+      if (opMedians.isEmpty) ""
+      else opMedians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+        .mkString(""","operator_sec":{""", ",", "}") +
+        opResults.map { case (k, ts) =>
+          s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
+        }.mkString(""","operator_iters":{""", ",", "}")
     val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
     // the artifact names the config family it may be compared against
     // (BENCH_NOTES protocol: same heap, same cores, same sf) — a
@@ -267,7 +319,7 @@ object Bench {
       case c => c.toString
     }
     val json =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"${jq(adjudication)}","iterations":$itersJson,"spread_max_over_min":$spread,"calibration_sec":${f(calibMed)},"calibration_iters":$calibJson,"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}"$onlyMark$failedMark$retriedMark}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"${jq(adjudication)}","iterations":$itersJson,"spread_max_over_min":$spread,"calibration_sec":${f(calibMed)},"calibration_iters":$calibJson,"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}"$onlyMark$failedMark$retriedMark$opJson}"""
     // The launcher that captures this main's stdout keeps only the LAST
     // ~2000 characters; BENCH_r10/r11 show the full line (per-query
     // iteration arrays push it past 10 KB) arriving head-truncated and
@@ -303,8 +355,15 @@ object Bench {
       else "flagged:" + flaggedAll.mkString(",")
     val failedShort =
       if (failed.isEmpty) "" else s""","failed":${failed.size}"""
+    // operator slice medians in the compact line too (qNN keys,
+    // 2 decimals): the driver's BENCH_r{N}.json is parsed from stdout,
+    // so the split must survive the ~2000-char tail window
+    val opShort =
+      if (opMedians.isEmpty) ""
+      else opMedians.map { case (k, v) => s"\"${short(k)}\":${f2(v)}" }
+        .mkString(""","operator_sec":{""", ",", "}")
     val compact =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort"$failedShort,"calibration_sec":${f2(calibMed)},"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}","detail":"bench_out.json"$onlyMark}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort"$failedShort$opShort,"calibration_sec":${f2(calibMed)},"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}","detail":"bench_out.json"$onlyMark}"""
     if (compact.length > 1950)
       System.err.println(s"[bench] WARNING: compact line ${compact.length} chars — near the launcher's ~2000-char tail window")
     println(compact)

@@ -1270,6 +1270,145 @@ object LlmQueries {
         .toDF("n_batch", "no_reingested_kept", "no_kept_exact_in_store",
           "no_kept_exact_within", "kept_subset_of_batch",
           "indexed_equals_sig_path")
+    }),
+
+    // multi-batch ingest-LOOP capstone (r18, VERDICT task 1): q126/q127
+    // each ingest ONE batch against a fresh store; this exercises the
+    // promised production loop — "append admitted rows, repeat next
+    // batch" — over 3 successive batches with stores that START EMPTY
+    // and grow by exactly each round's admits (fingerprints, signatures
+    // AND band-index rows, all three appends, validated by the
+    // persisted lshManifest every round). Loop invariants asserted:
+    //  * no re-ingested exact copy of an earlier ADMIT is ever admitted
+    //    (round i's batch deliberately re-ingests round i-1's admits)
+    //  * re-ingesting round i's admits against the post-round store
+    //    admits NOTHING (the append really closed the loop)
+    //  * no two admits across all rounds share text (cross-round exact)
+    //  * no later-round admit shares an LSH band bucket with an
+    //    earlier admit at est-Jaccard ≥ threshold (cross-round near —
+    //    exactly the guarantee the operator makes, nothing stronger:
+    //    banding-missed pairs are the LSH approximation, not a loop
+    //    defect)
+    //  * the accumulated band index EQUALS lshBandIndex of the
+    //    accumulated signature store (the appended-index contract)
+    //  * a wrong-scheme manifest fails loudly (bands=8 vs the stored 16)
+    // NOTE the chain-pessimistic drop rule makes the ADMIT SET
+    // batch-split-dependent (one batch vs two halves may differ on
+    // chain tails — spec'd in LlmSpec); the invariants above hold for
+    // EVERY split, which is why they, not the admit ids, are the oracle.
+    "q128_ingest_loop" -> ((s, dir) => {
+      import s.implicits._
+      val ML = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      def track(df: DataFrame): DataFrame = graft.dsl.Rel.track(df)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val man = Dedup.lshManifest(s) // shingleK=3, numHashes=64, bands=16, v1
+      val q = Text.qualityScore(col("text"))
+      val nDocs = d.count()
+      val nQualityPass = d.filter(q >= 0.5).count()
+      // stores start EMPTY — the loop is bootstrapped from nothing.
+      // LINEAGE DISCIPLINE: in production each append writes to a
+      // TABLE, so every round's ingest plans against a flat scan. A
+      // persist() does NOT give that — the logical plan still nests the
+      // whole previous round (incrementalCurate self-joins its inputs,
+      // so the un-cut plan grows MULTIPLICATIVELY per round; the first
+      // attempt spent >10 min inside plan-tree stringification alone).
+      // localCheckpoint (eager) is the in-session stand-in for the
+      // table boundary: it cuts the plan to an RDD scan each round.
+      var fpStore = Seq.empty[(Long, Long)].toDF("fp_a", "fp_b").localCheckpoint()
+      var sigStore = Seq.empty[(Long, Array[Long])].toDF("id", "sig").localCheckpoint()
+      var bandIdx = Seq.empty[(Long, Long, Long)]
+        .toDF("id", "band", "key")
+        .select(col("id"), col("band").cast("int").as("band"), col("key"))
+        .localCheckpoint()
+      var prevAdmittedDocs = Seq.empty[(Long, String)].toDF("id", "text")
+      var noCopyAdmitted = true
+      var reingestNothing = true
+      var admitsSubset = true
+      val admitsPerRound = new scala.collection.mutable.ArrayBuffer[DataFrame]
+      for (i <- 0 until 3) {
+        // round i = base slice (doc_id % 3 == i) + exact copies of the
+        // PREVIOUS round's admits under fresh ids — every copy must be
+        // rejected by the fingerprint store the loop just appended to
+        val batch = track(d.filter(pmod(col("doc_id"), lit(3)) === i)
+          .unionByName(prevAdmittedDocs.select(
+            (col("id") + 1000000L * (i + 1)).as("doc_id"), col("text")))
+          .persist(ML))
+        batch.count()
+        val admitted = track(graft.llm.Curate.incrementalCurate(
+            batch, "doc_id", "text", fpStore, sigStore,
+            bandIndex = Some(bandIdx), manifest = Some(man))
+          .persist(ML))
+        noCopyAdmitted &&= admitted.filter(col("id") >= 1000000L).count() == 0L
+        admitsSubset &&= admitted.select(col("id"))
+          .join(batch, col("id") === col("doc_id"), "left_anti").count() == 0L
+        val admittedDocs = admitted.select(col("id"))
+          .join(batch, col("id") === col("doc_id"))
+          .select(col("id").as("id"), col("text"))
+          .localCheckpoint()
+        // the three appends — each cut at the table boundary (above)
+        fpStore = fpStore
+          .unionByName(admitted.select(col("fp_a"), col("fp_b"))).localCheckpoint()
+        sigStore = sigStore
+          .unionByName(admitted.select(col("id"), col("sig"))).localCheckpoint()
+        bandIdx = bandIdx.unionByName(
+            Dedup.lshBandIndex(admitted.select(col("id"), col("sig")),
+              manifest = Some(man)))
+          .localCheckpoint()
+        // closed-loop check: this round's admits, re-ingested under new
+        // ids against the JUST-APPENDED stores, admit nothing
+        reingestNothing &&= graft.llm.Curate.incrementalCurate(
+          admittedDocs.select((col("id") + 5000000L).as("doc_id"), col("text")),
+          "doc_id", "text", fpStore, sigStore,
+          bandIndex = Some(bandIdx), manifest = Some(man)).count() == 0L
+        admitsPerRound += admittedDocs.withColumn("round", lit(i))
+        prevAdmittedDocs = admittedDocs
+      }
+      val allAdmits = track(admitsPerRound.reduce(_ unionByName _).persist(ML))
+      val nAdmitted = allAdmits.count()
+      // cross-round exact: no two admits (any rounds) share text
+      val noCrossExact = allAdmits.groupBy(col("text")).count()
+        .filter(col("count") > 1).count() == 0L
+      // cross-round near (the operator's own guarantee): no later admit
+      // shares a band bucket with an earlier admit at est ≥ threshold
+      val sigs = allAdmits.select(col("id"), col("round"))
+        .join(sigStore, "id")
+      val bandRows = sigs.select(col("id"), col("round"),
+          posexplode(call_function("graft_band_keys_sig", col("sig"), lit(16))))
+        .toDF("id", "round", "band", "key")
+      val candPairs = bandRows.as("x").join(bandRows.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.round") < col("y.round"))
+        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      val est = aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / 64
+      val noCrossNear = candPairs
+        .join(sigStore.toDF("a", "sa"), "a")
+        .join(sigStore.toDF("b", "sb"), "b")
+        .filter(est >= 0.9).count() == 0L
+      // appended-index contract: the accumulated index IS the index of
+      // the accumulated signature store
+      val fullIdx = Dedup.lshBandIndex(sigStore)
+      val idxMatches = bandIdx.exceptAll(fullIdx).count() == 0L &&
+        fullIdx.exceptAll(bandIdx).count() == 0L
+      // manifest guard live in the loop's own shape: a wrong-scheme
+      // call against these stores fails loudly before any work
+      val wrongManifestFails =
+        try {
+          graft.llm.Curate.incrementalCurate(
+            d.limit(1), "doc_id", "text", fpStore, sigStore,
+            bands = 8, bandIndex = Some(bandIdx), manifest = Some(man))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val admitsBounded = nAdmitted <= nQualityPass
+      Seq((nDocs, nQualityPass, 3, noCopyAdmitted, reingestNothing,
+          admitsSubset, noCrossExact, noCrossNear, idxMatches,
+          wrongManifestFails, admitsBounded))
+        .toDF("n_docs", "n_quality_pass", "n_rounds",
+          "no_reingested_copy_admitted", "reingest_admits_nothing",
+          "admits_subset_of_batches", "no_cross_round_exact",
+          "no_cross_round_near", "index_equals_sigstore_bands",
+          "wrong_manifest_fails", "admits_bounded_by_gate")
     })
   )
 
@@ -1808,6 +1947,33 @@ object LlmQueries {
            TRUE AS no_reingested_kept, TRUE AS no_kept_exact_in_store,
            TRUE AS no_kept_exact_within, TRUE AS kept_subset_of_batch,
            TRUE AS indexed_equals_sig_path""",
+    // q128: SQL-derivable counts (total docs, quality-gate passes over
+    // the base batches = over all documents, each doc in exactly one
+    // slice) + the loop invariants as Spark-checked booleans the oracle
+    // states — the q119/q126 pattern; admit ids themselves are
+    // hash-dependent AND batch-split-dependent (chain-pessimistic rule)
+    "q128_ingest_loop" ->
+      """WITH s AS (SELECT doc_id, text,
+             len(string_split(text, ' '))::DOUBLE AS n,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE AS lnd
+           FROM documents),
+         q AS (SELECT doc_id,
+             FLOOR(((lnd / n) * 0.4
+                    + (LEAST(LENGTH(text)::DOUBLE / n, 8.0) / 8.0) * 0.3
+                    + LEAST(n / 100.0, 1.0) * 0.3) * 10000 + 0.5) / 10000
+               AS quality
+           FROM s)
+         SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM q WHERE quality >= 0.5) AS n_quality_pass,
+           3 AS n_rounds,
+           TRUE AS no_reingested_copy_admitted,
+           TRUE AS reingest_admits_nothing,
+           TRUE AS admits_subset_of_batches,
+           TRUE AS no_cross_round_exact,
+           TRUE AS no_cross_round_near,
+           TRUE AS index_equals_sigstore_bands,
+           TRUE AS wrong_manifest_fails,
+           TRUE AS admits_bounded_by_gate""",
     "q118_quality_classifier" ->
       """SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) AS n_docs,
            (SELECT COUNT(*) FROM documents

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llm.{Bpe, Dedup}
+
+/** Operator-only bench slices for the composed SELF-VERIFYING queries
+  * (r17 VERDICT task 4): q120/q125/q126/q127/q128-style entries run
+  * their operator PLUS an in-query oracle (property recomputes,
+  * equality checks against a second path, multi-store fixtures), so
+  * the headline per-query seconds price verification work as operator
+  * cost — q127's 5.57 s artifact row was ~1.5 s of operator by the
+  * r17 A/B. Bench measures these slices in a separate pass and emits
+  * them as `operator_sec`, so artifact readers (and the 2×-bar
+  * arithmetic) can read the operator's true cost without losing the
+  * composed query's verification value.
+  *
+  * Contract per entry: the OUTER call does all FIXTURE work
+  * (store/index construction, persists, counts — untimed), and
+  * returns (thunk, cleanup). Bench times ONLY the thunk — the
+  * operator run the production user pays per batch — and calls
+  * cleanup once after the timed iterations. Fixtures use plain
+  * persist() (never Rel.track) so the per-iteration
+  * Rel.releaseTracked() frees operator internals without dropping
+  * fixtures mid-measurement.
+  */
+object OperatorSlices {
+  /** (thunk to time, cleanup after all iterations) */
+  type Slice = (SparkSession, String) => (() => Long, () => Unit)
+
+  private val ML = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    QCommon.t(s, dir, "documents").select(col("doc_id"), col("text"))
+
+  /** The q119/q126/q127 fixture: store side = even ids, batch = odd
+    * ids + re-ingested evens under fresh ids. */
+  private def evensBatch(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir)
+    val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0).persist(ML)
+    evens.count()
+    val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .unionByName(evens.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .persist(ML)
+    batch.count()
+    (evens, batch)
+  }
+
+  val slices: Map[String, Slice] = Map(
+    // operator = ONE incremental LSH ingest against a materialized
+    // signature store (q119 also re-joins texts for four invariant
+    // checks — verification)
+    "q119_incremental_lsh" -> ((s, dir) => {
+      val (evens, batch) = evensBatch(s, dir)
+      val store = Dedup.minhashSignatures(evens, "doc_id", "text").persist(ML)
+      store.count()
+      (() => Dedup.lshIncremental(batch, "doc_id", "text", store).count(),
+        () => { store.unpersist(); evens.unpersist(); batch.unpersist(); () })
+    }),
+
+    // operator = sketch build + merge + 5 φ-reads (q120 also recomputes
+    // every estimate's TRUE corpus rank with a full-corpus aggregation
+    // — verification)
+    "q120_quantile_sketch" -> ((s, dir) => {
+      val li = QCommon.t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice")).persist(ML)
+      li.count()
+      val phis = Seq(0.01, 0.25, 0.50, 0.75, 0.99)
+      (() => {
+        val perGroup = graft.ops.QuantileSketch.sketchBy(
+          li, Seq("l_returnflag"), col("l_extendedprice"))
+        val global = graft.ops.QuantileSketch.mergeSketches(perGroup, Seq.empty)
+        global.select(
+            graft.ops.QuantileSketch.totalWeight(col("kll")).as("tw"),
+            graft.ops.QuantileSketch.weightedItems(col("kll")).as("items"))
+          .select(explode(array(phis.map(lit): _*)).as("phi"),
+            col("items"), col("tw"))
+          .select(graft.ops.QuantileSketch.quantileAt(
+            col("items"), col("tw"), col("phi")).as("est"))
+          .count()
+      }, () => { li.unpersist(); () })
+    }),
+
+    // operator = chunk → BPE tokenCount → 2-pass prefix-sum packing;
+    // merge TRAINING is model building (the ScaleCurve convention) and
+    // the driver re-encode / windowed prefix recompute are verification
+    "q125_token_pack" -> ((s, dir) => {
+      val d = docs(s, dir).persist(ML)
+      d.count()
+      val merges = Bpe.train(d, "text", numMerges = 200)
+      (() => graft.llm.Curate.tokenPack(d, "doc_id", "text", merges,
+          chunkWords = 12, stride = 8, seqTokens = 256L).count(),
+        () => { d.unpersist(); () })
+    }),
+
+    // operator = ONE incrementalCurate call against materialized
+    // fingerprint + signature stores (q126 also derives gate counts and
+    // five invariant joins — verification)
+    "q126_incremental_curate" -> ((s, dir) => {
+      val (evens, batch) = evensBatch(s, dir)
+      val fpStore = evens.select(
+        xxhash64(col("text")).as("fp_a"),
+        xxhash64(lit("graft-fp2"), col("text")).as("fp_b")).persist(ML)
+      val sigStore = Dedup.minhashSignatures(evens, "doc_id", "text").persist(ML)
+      fpStore.count(); sigStore.count()
+      (() => graft.llm.Curate.incrementalCurate(
+          batch, "doc_id", "text", fpStore, sigStore).count(),
+        () => { fpStore.unpersist(); sigStore.unpersist()
+          evens.unpersist(); batch.unpersist(); () })
+    }),
+
+    // operator = ONE index-path ingest over a pre-built band index
+    // (q127 additionally runs the WHOLE derivation path plus an
+    // exceptAll equality check — the heaviest verification in the
+    // suite; the r17 A/B put the operator at ~1.5 s of its 5.57 s row)
+    "q127_incremental_lsh_indexed" -> ((s, dir) => {
+      val (evens, batch) = evensBatch(s, dir)
+      val store = Dedup.minhashSignatures(evens, "doc_id", "text").persist(ML)
+      store.count()
+      val idx = Dedup.lshBandIndex(store).persist(ML)
+      idx.count()
+      (() => Dedup.lshIncrementalIndexed(
+          batch, "doc_id", "text", store, idx).count(),
+        () => { store.unpersist(); idx.unpersist()
+          evens.unpersist(); batch.unpersist(); () })
+    }),
+
+    // operator = the 3-round ingest LOOP itself (curate + the three
+    // store appends per round, lineage cut at each append — the
+    // production per-batch cost ×3); q128's re-ingest probes,
+    // cross-round near/exact scans, index-equality exceptAll and
+    // manifest-failure probe are verification
+    "q128_ingest_loop" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).persist(ML)
+      d.count()
+      (() => {
+        var fpStore = Seq.empty[(Long, Long)].toDF("fp_a", "fp_b").localCheckpoint()
+        var sigStore = Seq.empty[(Long, Array[Long])].toDF("id", "sig").localCheckpoint()
+        var bandIdx = Seq.empty[(Long, Long, Long)]
+          .toDF("id", "band", "key")
+          .select(col("id"), col("band").cast("int").as("band"), col("key"))
+          .localCheckpoint()
+        var total = 0L
+        for (i <- 0 until 3) {
+          val batch = d.filter(pmod(col("doc_id"), lit(3)) === i)
+          val admitted = graft.llm.Curate.incrementalCurate(
+              batch, "doc_id", "text", fpStore, sigStore,
+              bandIndex = Some(bandIdx))
+            .persist(ML)
+          total += admitted.count()
+          fpStore = fpStore
+            .unionByName(admitted.select(col("fp_a"), col("fp_b"))).localCheckpoint()
+          sigStore = sigStore
+            .unionByName(admitted.select(col("id"), col("sig"))).localCheckpoint()
+          bandIdx = bandIdx.unionByName(
+              Dedup.lshBandIndex(admitted.select(col("id"), col("sig"))))
+            .localCheckpoint()
+          admitted.unpersist()
+        }
+        total
+      }, () => { d.unpersist(); () })
+    })
+  )
+}
