@@ -3,8 +3,10 @@ package graft.piglatin
 /** AST for the Pig Latin subset (SURVEY.md §2.1; grammar reference
   * [R: src/org/apache/pig/parser/QueryParser.g]). The subset covers the
   * relational statements and expression forms the reference's e2e tests
-  * exercise; macros/%declare/NATIVE/STREAM-DEFINE are out of scope
-  * (documented in Compiler).
+  * exercise. Macros, %declare/%default and stream DEFINEs are handled
+  * TEXTUALLY by [[Preprocessor]] before parsing (like Pig's own
+  * parameter-substitution phase), so they have no AST nodes here; only
+  * NATIVE-MR is out of scope (documented in Compiler / SURVEY §7.3).
   */
 object Ast {
 

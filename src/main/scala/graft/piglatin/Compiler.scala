@@ -1300,11 +1300,20 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
     case "EQUALSIGNORECASE" => PF.equalsIgnoreCase(cs.head, cs(1))
     case "UCFIRST" => PF.ucfirst(cs.head)
     case "LCFIRST" => PF.lcfirst(cs.head)
+    // SIZE(null) is NULL in Pig for EVERY input type (r18 piglatin
+    // review): the bare size() reads -1 under this session's ANSI-off
+    // legacy sizeOfNull, and the static-arity/scalar-1 branches ignored
+    // nullness entirely — all three need the explicit guard
     case "SIZE" => typeOf(df, cs.head) match {
       case StringType => PF.sizeOfString(cs.head)
-      case _: ArrayType | _: MapType => size(cs.head).cast(LongType)
-      case s: StructType => lit(s.fields.length.toLong) // tuple arity (static schema)
-      case _ => lit(1L)
+      case _: ArrayType | _: MapType =>
+        when(cs.head.isNull, lit(null).cast(LongType))
+          .otherwise(size(cs.head).cast(LongType))
+      case s: StructType => // tuple arity (static schema)
+        when(cs.head.isNull, lit(null).cast(LongType))
+          .otherwise(lit(s.fields.length.toLong))
+      case _ =>
+        when(cs.head.isNull, lit(null).cast(LongType)).otherwise(lit(1L))
     }
     case "ISEMPTY" => PF.isEmpty(cs.head)
     case "BAGTOSTRING" => raw(1) match {
@@ -1384,11 +1393,17 @@ final class PigEngine(spark: SparkSession, baseDir: Option[String] = None) {
       // whole-tuple bag: Pig COUNT skips tuples whose FIRST field is
       // null (the fused path's count(first column) does too); struct
       // elements themselves are never null, so the element filter
-      // below would count everything (r17 review)
+      // below would count everything (r17 review). A NULL bag counts
+      // NULL, not the -1 the ANSI-off size(null) would leak (r18
+      // piglatin review — filter(null) is null, so the guard is the
+      // size() call's, same family as SIZE above)
       case ArrayType(s: StructType, _) =>
-        size(filter(cs.head,
-          x => x.getField(s.fields.head.name).isNotNull)).cast(LongType)
-      case _ => size(filter(cs.head, x => x.isNotNull)).cast(LongType)
+        when(cs.head.isNull, lit(null).cast(LongType))
+          .otherwise(size(filter(cs.head,
+            x => x.getField(s.fields.head.name).isNotNull)).cast(LongType))
+      case _ =>
+        when(cs.head.isNull, lit(null).cast(LongType))
+          .otherwise(size(filter(cs.head, x => x.isNotNull)).cast(LongType))
     }
     case "SUM" => typeOf(df, cs.head) match {
       case ArrayType(IntegerType | LongType | ShortType | ByteType, _) =>

@@ -31,8 +31,13 @@ object Lexer {
       if (c.isWhitespace) i += 1
       else if (c == '-' && peek(1) == '-') { while (i < n && src.charAt(i) != '\n') i += 1 }
       else if (c == '/' && peek(1) == '*') {
+        val start = i
         i += 2
         while (i + 1 < n && !(src.charAt(i) == '*' && src.charAt(i + 1) == '/')) i += 1
+        // an unterminated /* swallowed the rest of the script silently
+        // (r18 piglatin review) — everything after it was dropped, so a
+        // missing */ made trailing statements vanish without diagnosis
+        if (i + 1 >= n) return Left(s"unterminated block comment at $start")
         i += 2
       }
       else if (c == '\'') {

@@ -28,18 +28,21 @@ object Grunt {
       else {
         buf.append(line).append("\n")
         val s = buf.toString
-        // brace balance ignores single-quoted string content: a '{'
-        // inside a Pig string literal would otherwise buffer the
+        // brace balance ignores single-quoted string AND backtick
+        // command content: a '{' inside a Pig string literal or a
+        // STREAM `sh -c '…{…}'` command would otherwise buffer the
         // statement forever (and a '}' could submit an incomplete
-        // block early) — r17 review
+        // block early) — r17 review, backticks r18
         val outside = {
           val sb = new StringBuilder
           var inStr = false
+          var inTick = false
           var i = 0
           while (i < s.length) {
             val c = s.charAt(i)
-            if (c == '\'') inStr = !inStr
-            else if (!inStr) sb.append(c)
+            if (c == '\'' && !inTick) inStr = !inStr
+            else if (c == '`' && !inStr) inTick = !inTick
+            else if (!inStr && !inTick) sb.append(c)
             i += 1
           }
           sb.toString

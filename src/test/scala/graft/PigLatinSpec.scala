@@ -38,6 +38,34 @@ class PigLatinSpec extends SparkSuite {
     }
   }
 
+  test("SIZE/COUNT of a NULL bag/tuple/scalar is NULL, not -1 or static arity (r18 review)") {
+    // ANSI-off legacy size(null) = -1 leaked through the bare size()
+    // calls, and the struct-arity/scalar-1 SIZE branches ignored
+    // nullness entirely; Pig's SIZE/COUNT return null on null input
+    val p = "/tmp/pig_nullbag"
+    Seq((1L, Option(Seq(10L, 20L)), Option((1L, "x")), Option(5L)),
+        (2L, None: Option[Seq[Long]], None: Option[(Long, String)], None: Option[Long]))
+      .toDF("k", "b", "t", "s").write.mode("overwrite").parquet(p)
+    val e = engine.run(s"""
+      a = LOAD '$p';
+      out = FOREACH a GENERATE k, SIZE(b) AS szb, COUNT(b) AS cnt,
+                               SIZE(t) AS szt, SIZE(s) AS szs;
+      """)
+    val got = e.relation("out").orderBy("k")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, Some(2L), Some(2L), Some(2L), Some(1L)),
+      (2L, None, None, None, None)), got)
+  }
+
+  test("unterminated block comment is a lex error, not silent truncation (r18 review)") {
+    val r = Parser.parse("a = LOAD 'x.parquet'; /* oops, never closed\nb = FILTER a BY 1 == 1;")
+    assert(r.isLeft && r.left.exists(_.contains("unterminated block comment")), r)
+    // a properly terminated comment still parses
+    assert(Parser.parse("a = LOAD 'x.parquet'; /* fine */ b = FILTER a BY $0 > 1;").isRight)
+  }
+
   test("LOAD/FILTER/FOREACH computes the same rows as the DataFrame query") {
     val e = engine.run("""
       li = LOAD 'lineitem.parquet';
