@@ -197,8 +197,13 @@ object Bench {
           thunk()
           val dt = (System.nanoTime() - t0) / 1e9
           // release operator-internal tracked persists only — fixtures
-          // are plain persist() by the OperatorSlices contract
-          graft.dsl.Rel.releaseTracked()
+          // are plain persist() by the OperatorSlices contract. The
+          // release is BLOCKING (unlike the main loop, which clearCaches
+          // everything per iteration): async unpersist drained slower
+          // than iterations created blocks, evicting the fixture and
+          // inflating later iterations (q125 slice 2.3 s → 9.2 s in
+          // bench_r18_run1) — the barrier is outside the timed region
+          graft.dsl.Rel.releaseTracked(blocking = true)
           dt
         }
         if (warm) {

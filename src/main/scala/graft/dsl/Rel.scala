@@ -54,10 +54,16 @@ object Rel {
   private[graft] def track(df: DataFrame): DataFrame = { tracked.add(df); df }
 
   /** Unpersist every tracked frame (idempotent; safe mid-query only if
-    * no returned DataFrame still needs them). */
-  def releaseTracked(): Unit = {
+    * no returned DataFrame still needs them). Non-blocking by default;
+    * pass blocking=true where the caller must NOT start the next
+    * measurement until the blocks are really gone (Bench's operator-
+    * slice loop: without the barrier, per-iteration internal persists
+    * piled up faster than async removal drained them and evicted the
+    * slice's own fixture — q125's slice iterations climbed
+    * 2.3 s → 9.2 s across five iterations in bench_r18_run1). */
+  def releaseTracked(blocking: Boolean = false): Unit = {
     var d = tracked.poll()
-    while (d != null) { d.unpersist(false); d = tracked.poll() }
+    while (d != null) { d.unpersist(blocking); d = tracked.poll() }
   }
 }
 
