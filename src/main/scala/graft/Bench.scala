@@ -146,9 +146,18 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries are independent: drop their persisted intermediates so
-        // cache pressure doesn't pollute the next measurement
+        // cache pressure doesn't pollute the next measurement.
+        // clearCache() clears the SQL cache ONLY — localCheckpoint
+        // blocks (q128's per-append lineage cuts) are raw RDD persists
+        // invisible to it, and in bench_r18_run1 they lingered for the
+        // rest of the suite: every memory-hungry query sorting after
+        // q128 inflated steadily (q57 0.19 s → 3.3 s, q99 1.0 → 3.0)
+        // while queries before it stayed flat. After clearCache the
+        // remaining persistent RDDs are exactly those orphans — drop
+        // them too.
         spark.catalog.clearCache()
         graft.dsl.Rel.releaseTracked()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         dt
       }
       // warm until CONVERGENCE, not a fixed count: one untimed pass was
@@ -192,6 +201,10 @@ object Bench {
     val opResults = opSlices.flatMap { case (name, mk) =>
       try {
         val (thunk, cleanup) = mk(spark, sfDir) // fixture setup — untimed
+        // fixture blocks (incl. the SQL-cache RDDs backing persisted
+        // fixtures) must survive iterations; snapshot their ids so the
+        // per-iteration orphan sweep below can never drop them
+        val fixtureRddIds = spark.sparkContext.getPersistentRDDs.keySet
         def once(): Double = {
           val t0 = System.nanoTime()
           thunk()
@@ -202,8 +215,14 @@ object Bench {
           // everything per iteration): async unpersist drained slower
           // than iterations created blocks, evicting the fixture and
           // inflating later iterations (q125 slice 2.3 s → 9.2 s in
-          // bench_r18_run1) — the barrier is outside the timed region
+          // bench_r18_run1) — the barrier is outside the timed region.
+          // Then sweep orphaned raw-RDD persists (q128's localCheckpoint
+          // blocks — invisible to both releaseTracked and clearCache),
+          // sparing the snapshot-listed fixture RDDs.
           graft.dsl.Rel.releaseTracked(blocking = true)
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!fixtureRddIds.contains(id)) rdd.unpersist(true)
+          }
           dt
         }
         if (warm) {

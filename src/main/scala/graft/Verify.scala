@@ -26,9 +26,12 @@ object Verify {
         s"failed: ${e.getClass.getSimpleName}"
       }
       // queries are independent: don't let one query's persisted
-      // intermediates pressure the next 50
+      // intermediates pressure the next 50. localCheckpoint blocks
+      // (raw RDD persists) are invisible to clearCache — drop the
+      // orphans explicitly (the bench_r18_run1 finding)
       spark.catalog.clearCache()
       graft.dsl.Rel.releaseTracked()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> s
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
