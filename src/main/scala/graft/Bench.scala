@@ -106,6 +106,17 @@ object Bench {
     // SPARK_GRAFT_BENCH_WARM=0 to reproduce the old cold-start shape.
     val warm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
     def medianOf(ts: Vector[Double]): Double = ts.sorted.apply(ts.size / 2)
+    // ONE warm-until-convergence policy for the main loop AND the
+    // operator-slice loop (r18 review: two literal copies could
+    // desynchronize, warming operator_sec under a different policy
+    // than the headline seconds it is read against — the same hazard
+    // class as the r17 detector dedup)
+    def warmConverged(once: () => Double): Unit = if (warm) {
+      var prev = once()
+      var cur = once()
+      var extra = 0
+      while (prev > 1.3 * cur && extra < 6) { prev = cur; cur = once(); extra += 1 }
+    }
     // a query whose min iteration is far below its median, or whose
     // median is far above its last-3 median, did NOT measure a converged
     // state — the warm-up stalled on a pre-JIT plateau (two warm passes
@@ -167,12 +178,7 @@ object Bench {
       // median-of-last-3 "steady" statistic (VERDICT r10 item 2). Keep
       // warming while the time is still falling fast (prev > 1.3x cur),
       // bounded at 6 extra passes so a genuinely noisy query can't spin.
-      if (warm) {
-        var prev = once()
-        var cur = once()
-        var extra = 0
-        while (prev > 1.3 * cur && extra < 6) { prev = cur; cur = once(); extra += 1 }
-      }
+      warmConverged(() => once())
       val first = (1 to iters).map(_ => once()).toVector
       // bounded post-hoc retry: convergence-checked warm-up still stalls
       // when a query has TWO plateaus (interpreted vs JIT-compiled) and
@@ -225,23 +231,24 @@ object Bench {
           }
           dt
         }
-        if (warm) {
-          var prev = once()
-          var cur = once()
-          var extra = 0
-          while (prev > 1.3 * cur && extra < 6) { prev = cur; cur = once(); extra += 1 }
-        }
+        warmConverged(() => once())
         val ts = (1 to iters).map(_ => once()).toVector
         cleanup()
         spark.catalog.clearCache()
         graft.dsl.Rel.releaseTracked()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         Some(name -> ts)
       } catch {
         case t: Throwable =>
           System.err.println(s"[bench] OPERATOR SLICE FAILED $name: " +
             s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(300)}")
+          // full sweep, fixtures included (cleanup() never ran): a
+          // failed slice's leaked localCheckpoint/fixture blocks would
+          // otherwise be snapshot-spared by every LATER slice and
+          // contaminate the rest of the pass (r18 review)
           spark.catalog.clearCache()
           graft.dsl.Rel.releaseTracked()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
           None
       }
     }

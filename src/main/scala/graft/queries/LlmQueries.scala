@@ -1305,6 +1305,14 @@ object LlmQueries {
       val q = Text.qualityScore(col("text"))
       val nDocs = d.count()
       val nQualityPass = d.filter(q >= 0.5).count()
+      // copy-id base DERIVED from the data, not a hardcoded 1000000L
+      // (r18 review: a corpus with doc_id >= 1e6 — the repo's own
+      // salted/256x fixtures build such ids — would miscount a real
+      // admit as a re-ingested copy and could collide copy ids with
+      // real ids). Rounds use copyBase*(i+1), the reingest probe
+      // copyBase*4; real ids are always <= maxId < copyBase.
+      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      val copyBase = maxId + 1L
       // stores start EMPTY — the loop is bootstrapped from nothing.
       // LINEAGE DISCIPLINE: in production each append writes to a
       // TABLE, so every round's ingest plans against a flat scan. A
@@ -1331,14 +1339,14 @@ object LlmQueries {
         // rejected by the fingerprint store the loop just appended to
         val batch = track(d.filter(pmod(col("doc_id"), lit(3)) === i)
           .unionByName(prevAdmittedDocs.select(
-            (col("id") + 1000000L * (i + 1)).as("doc_id"), col("text")))
+            (col("id") + copyBase * (i + 1)).as("doc_id"), col("text")))
           .persist(ML))
         batch.count()
         val admitted = track(graft.llm.Curate.incrementalCurate(
             batch, "doc_id", "text", fpStore, sigStore,
             bandIndex = Some(bandIdx), manifest = Some(man))
           .persist(ML))
-        noCopyAdmitted &&= admitted.filter(col("id") >= 1000000L).count() == 0L
+        noCopyAdmitted &&= admitted.filter(col("id") > maxId).count() == 0L
         admitsSubset &&= admitted.select(col("id"))
           .join(batch, col("id") === col("doc_id"), "left_anti").count() == 0L
         val admittedDocs = admitted.select(col("id"))
@@ -1357,7 +1365,7 @@ object LlmQueries {
         // closed-loop check: this round's admits, re-ingested under new
         // ids against the JUST-APPENDED stores, admit nothing
         reingestNothing &&= graft.llm.Curate.incrementalCurate(
-          admittedDocs.select((col("id") + 5000000L).as("doc_id"), col("text")),
+          admittedDocs.select((col("id") + copyBase * 4).as("doc_id"), col("text")),
           "doc_id", "text", fpStore, sigStore,
           bandIndex = Some(bandIdx), manifest = Some(man)).count() == 0L
         admitsPerRound += admittedDocs.withColumn("round", lit(i))

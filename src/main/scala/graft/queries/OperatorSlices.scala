@@ -71,14 +71,21 @@ object OperatorSlices {
         val perGroup = graft.ops.QuantileSketch.sketchBy(
           li, Seq("l_returnflag"), col("l_extendedprice"))
         val global = graft.ops.QuantileSketch.mergeSketches(perGroup, Seq.empty)
-        global.select(
+        // CONSUME the estimates, never count() them: a bare count lets
+        // ColumnPruning drop the unreferenced quantileAt projection and
+        // then the KLL aggregates themselves, timing only a distinct
+        // scan of the cached fixture — bench_r18_run1-4 recorded that
+        // pruned plan as 0.06-0.08 s "operator" (r18 review). The sum
+        // forces every φ-read and, through it, the sketch build+merge.
+        val s = global.select(
             graft.ops.QuantileSketch.totalWeight(col("kll")).as("tw"),
             graft.ops.QuantileSketch.weightedItems(col("kll")).as("items"))
           .select(explode(array(phis.map(lit): _*)).as("phi"),
             col("items"), col("tw"))
           .select(graft.ops.QuantileSketch.quantileAt(
             col("items"), col("tw"), col("phi")).as("est"))
-          .count()
+          .agg(sum(col("est"))).head().getDouble(0)
+        if (s.isNaN) -1L else phis.size.toLong
       }, () => { li.unpersist(); () })
     }),
 
