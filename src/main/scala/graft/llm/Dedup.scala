@@ -745,7 +745,9 @@ object Dedup {
     * signature's scheme once (size == numHashes, fail-loud), so the
     * indexed path only re-checks candidate rows. Ingest loop: append
     * admitted docs' [[lshBandIndex]] rows next to their (id, sig)
-    * store rows each batch. The (sigStore, bandIndex) pair is ONE
+    * store rows each batch ([[graft.ops.Bucketed.appendBucketed]] is
+    * the durable table-backed append; it validates the bucket spec so
+    * the zero-Exchange contract survives every append). The (sigStore, bandIndex) pair is ONE
     * versioned store: consume it with the same (numHashes, bands) it
     * was built with — a larger-bands index fails loudly at ingest
     * (range check), a smaller-bands one is row-locally undetectable

@@ -101,4 +101,43 @@ object Bucketed {
         "write it with Bucketed.writeBucketed first or use a plain groupBy")
     spark.table(table).groupBy(key).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** APPEND rows to an existing bucketed table — the ingest-loop's
+    * store append made durable (r18): q128 proves the loop's
+    * semantics over in-session checkpointed frames; production keeps
+    * (fpStore, sigStore, bandIndex) as bucketed TABLES and appends
+    * each batch's admitted rows here. Fails loudly unless the table
+    * exists AND its bucket spec matches (`keys`, `buckets`) exactly —
+    * Spark would otherwise throw away the co-location guarantee or
+    * reject the write with an analysis error deep inside the loop.
+    *
+    * Post-append properties (spec-asserted in BucketedSpec): the scan
+    * still reports HashPartitioning on the bucket keys, so joins and
+    * aggregations on them stay ZERO-Exchange. The per-file SORT
+    * guarantee weakens — each append writes its own sorted files, so
+    * a bucket now holds several sorted runs and Spark re-sorts
+    * (without shuffling) where a single-run bucket could skip the
+    * sort. For the LSH band index and fingerprint stores the
+    * aggregation/join co-location is the contract; the sort is
+    * incidental.
+    */
+  def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
+                     buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    require(spark.sessionState.catalog.tableExists(ident),
+      s"appendBucketed: table '$table' does not exist — bootstrap the store " +
+        "with Bucketed.writeBucketed first")
+    val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+    require(spec.exists(s => s.numBuckets == buckets &&
+        s.bucketColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase)),
+      s"appendBucketed: table '$table' bucket spec $spec does not match " +
+        s"(keys=$keys, buckets=$buckets) — appending under a different spec " +
+        "would silently break the zero-Exchange co-location contract")
+    df.write.mode("append")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

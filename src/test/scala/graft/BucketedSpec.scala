@@ -150,6 +150,69 @@ class BucketedSpec extends SparkSuite {
     spark.sql("DROP DATABASE IF EXISTS graft_qdb")
   }
 
+  test("appendBucketed: table-backed store appends keep the zero-Exchange contract (r18)") {
+    import org.apache.spark.sql.functions._
+    Seq("sig_store_t", "band_idx_t").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val b0 = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    // bootstrap: batch-0 signatures + band index as bucketed TABLES
+    val sig0 = graft.llm.Dedup.minhashSignatures(b0, "doc_id", "text").persist()
+    sig0.count()
+    Bucketed.writeBucketed(sig0, "sig_store_t", Seq("id"), 4)
+    Bucketed.writeBucketed(graft.llm.Dedup.lshBandIndex(sig0),
+      "band_idx_t", Seq("band", "key"), 4)
+    // ingest batch 1 against the TABLES, append its admits to both
+    val admitted = graft.llm.Dedup.lshIncrementalIndexed(
+      b1, "doc_id", "text", spark.table("sig_store_t"), spark.table("band_idx_t"))
+      .persist()
+    val nAdmit = admitted.count()
+    assert(nAdmit > 0)
+    Bucketed.appendBucketed(admitted.select($"id", $"sig"), "sig_store_t", Seq("id"), 4)
+    Bucketed.appendBucketed(graft.llm.Dedup.lshBandIndex(admitted.select($"id", $"sig")),
+      "band_idx_t", Seq("band", "key"), 4)
+    // appended counts add up, and the post-append index equals the
+    // index of the post-append signature store
+    assert(spark.table("sig_store_t").count() == sig0.count() + nAdmit)
+    val fullIdx = graft.llm.Dedup.lshBandIndex(spark.table("sig_store_t"))
+    assert(spark.table("band_idx_t").exceptAll(fullIdx).isEmpty &&
+      fullIdx.exceptAll(spark.table("band_idx_t")).isEmpty)
+    // the zero-Exchange contract SURVIVES the append: the indexed
+    // ingest's store-side bucket aggregation still plans shuffle-free
+    val agg = spark.table("band_idx_t").groupBy($"band", $"key")
+      .agg(collect_list($"id").as("ds"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    // and a further ingest over the appended tables matches the
+    // signature-derivation path on the same (grown) store
+    val b2 = docs.filter($"doc_id" % 3 === 2 && $"doc_id" < 900)
+    val viaIdx = graft.llm.Dedup.lshIncrementalIndexed(
+        b2, "doc_id", "text", spark.table("sig_store_t"), spark.table("band_idx_t"))
+      .select($"id").as[Long].collect().toSet
+    val viaSig = graft.llm.Dedup.lshIncremental(
+        b2, "doc_id", "text", spark.table("sig_store_t"))
+      .select($"id").as[Long].collect().toSet
+    assert(viaIdx == viaSig)
+    // mismatched spec / missing table fail loudly
+    val e1 = intercept[IllegalArgumentException](
+      Bucketed.appendBucketed(admitted.select($"id", $"sig"), "sig_store_t", Seq("sig"), 4))
+    assert(e1.getMessage.contains("bucket spec"))
+    val e2 = intercept[IllegalArgumentException](
+      Bucketed.appendBucketed(admitted.select($"id", $"sig"), "sig_store_t", Seq("id"), 8))
+    assert(e2.getMessage.contains("bucket spec"))
+    val e3 = intercept[IllegalArgumentException](
+      Bucketed.appendBucketed(admitted.select($"id", $"sig"), "no_such_store", Seq("id"), 4))
+    assert(e3.getMessage.contains("does not exist"))
+    sig0.unpersist(); admitted.unpersist()
+  }
+
   test("collectedGroup refuses a table not bucketed by the group key") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS li_flat")
