@@ -120,6 +120,13 @@ object Bucketed {
     * sort. For the LSH band index and fingerprint stores the
     * aggregation/join co-location is the contract; the sort is
     * incidental.
+    *
+    * Small-files note: each append writes ≥ `buckets` new files, so a
+    * long-running loop accumulates one file set per batch per bucket.
+    * Compact periodically by rewriting the table through
+    * [[writeBucketed]] (same keys/buckets — co-location is preserved,
+    * single-run sortedness is restored); at 100 TB that is a scheduled
+    * maintenance job, not a per-batch cost.
     */
   def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
                      buckets: Int): Unit = {
