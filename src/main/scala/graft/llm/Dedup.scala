@@ -636,10 +636,16 @@ object Dedup {
   private[graft] def requireManifest(manifest: DataFrame, op: String,
                                      shingleK: Option[Int], numHashes: Int,
                                      bands: Int): Unit = {
+    // limit(2): two rows already prove the one-row invariant violated,
+    // and the bound keeps an accidentally-passed corpus-sized frame
+    // (e.g. the sig store) from being collected whole to the driver
+    // before the intended loud failure (r18 ADVICE)
     val rows = manifest.select(col("shingle_k").cast("int"),
-      col("num_hashes").cast("int"), col("bands").cast("int")).collect()
+      col("num_hashes").cast("int"), col("bands").cast("int"))
+      .limit(2).collect()
     require(rows.length == 1,
-      s"$op: store manifest must have exactly one row, got ${rows.length} — " +
+      s"$op: store manifest must have exactly one row, got " +
+        s"${if (rows.length > 1) ">1" else "0"} — " +
         "one manifest row per store set (lshManifest)")
     val r = rows(0)
     val (mk, mh, mb) = (r.getInt(0), r.getInt(1), r.getInt(2))

@@ -136,11 +136,18 @@ object Bucketed {
       s"appendBucketed: table '$table' does not exist — bootstrap the store " +
         "with Bucketed.writeBucketed first")
     val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+    // sortColumnNames too (r18 ADVICE): a table bootstrapped by an
+    // external writer with a different (or absent) sortBy passes a
+    // bucket-only check and then fails mid-write with Spark's own
+    // "specified sorting does not match existing" AnalysisException —
+    // exactly the deep-in-the-loop failure this require pre-empts
     require(spec.exists(s => s.numBuckets == buckets &&
-        s.bucketColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase)),
+        s.bucketColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase) &&
+        s.sortColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase)),
       s"appendBucketed: table '$table' bucket spec $spec does not match " +
-        s"(keys=$keys, buckets=$buckets) — appending under a different spec " +
-        "would silently break the zero-Exchange co-location contract")
+        s"(keys=$keys, buckets=$buckets, sortBy=$keys) — appending under a " +
+        "different spec would silently break the zero-Exchange co-location " +
+        "contract (or fail mid-write on a sort mismatch)")
     df.write.mode("append")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

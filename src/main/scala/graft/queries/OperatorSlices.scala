@@ -34,14 +34,21 @@ object OperatorSlices {
     QCommon.t(s, dir, "documents").select(col("doc_id"), col("text"))
 
   /** The q119/q126/q127 fixture: store side = even ids, batch = odd
-    * ids + re-ingested evens under fresh ids. */
-  private def evensBatch(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * ids + re-ingested evens under fresh ids. The copy-id base is
+    * DERIVED from the data (`max(doc_id) + 1`), never a hardcoded
+    * constant (r18 VERDICT: the q128 driver query dropped its
+    * `+ 1000000L` for exactly this reason — a salted/256× corpus
+    * builds doc_id ≥ 1e6, and a constant base would alias copy ids
+    * with real ids, corrupting the fixture). Guard test in
+    * OperatorSlicesSpec. */
+  private[queries] def evensBatch(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = docs(s, dir)
     val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0).persist(ML)
     evens.count()
+    val copyBase = d.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
       .unionByName(evens.select(
-        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        (col("doc_id") + copyBase).as("doc_id"), col("text")))
       .persist(ML)
     batch.count()
     (evens, batch)

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Slice-fixture guards (r18 VERDICT task 4): fixture copy ids must be
+  * derived from the data, never a hardcoded constant — a constant base
+  * aliases copy ids with real ids on a salted/256× corpus (doc_id ≥
+  * 1e6), miscounting real admits as re-ingested copies and corrupting
+  * the fixture. */
+class OperatorSlicesSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("evensBatch copy ids never collide with real ids — on any id space") {
+    val (evens, batch) = OperatorSlices.evensBatch(spark, dir)
+    try {
+      val d = graft.Tables.load(spark, dir, "documents")
+      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      val nEvens = evens.count()
+      // copies occupy ids strictly above every real id, one per store doc
+      assert(batch.filter(col("doc_id") > maxId).count() == nEvens)
+      // no copy id equals any real doc id (the collision the derived
+      // base exists to prevent) and ids are unique across the batch
+      assert(batch.select(col("doc_id")).distinct().count() == batch.count())
+      assert(batch.join(d.filter(col("doc_id") % 2 === 0), Seq("doc_id"))
+        .count() == 0)
+    } finally { evens.unpersist(); batch.unpersist() }
+  }
+
+  test("evensBatch derives its base even when real ids exceed 1e6 (the salted shape)") {
+    import spark.implicits._
+    // a salted corpus: real ids straddle the old hardcoded 1000000L base
+    val salted = Seq((2L, "aa bb cc"), (999999L, "dd ee ff"),
+        (1000001L, "gg hh ii"), (1500000L, "jj kk ll"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("slice_guard").toString
+    salted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (evens, batch) = OperatorSlices.evensBatch(spark, tmp)
+    try {
+      // pre-fix: copy of doc 2 landed on id 1000002 ≠ collision here,
+      // but copy of 999999 is odd → only evens copy; with base 1000000
+      // the copy of doc_id=2 would be 1000002 while 1000001/1500000
+      // are REAL ids — the derived base must clear them all
+      val reals = Set(2L, 999999L, 1000001L, 1500000L)
+      val copies = batch.select($"doc_id").as[Long].collect().toSet -- reals
+      assert(copies.nonEmpty && copies.forall(_ > 1500000L),
+        s"copy ids must clear every real id: $copies")
+    } finally {
+      evens.unpersist(); batch.unpersist()
+      new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+}
