@@ -154,4 +154,68 @@ object Bucketed {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** COMPACT an appended bucketed table — the scheduled-maintenance
+    * half of the ingest story that [[appendBucketed]]'s scaladoc
+    * prescribes: each append writes ≥ `buckets` new files, so a
+    * long-running loop accumulates one file set per batch per bucket
+    * and each bucket degrades into many small sorted runs. This
+    * rewrites the table under its OWN validated spec (read from the
+    * catalog — no caller-supplied keys to get wrong), restoring
+    * one-file-per-bucket layout and single-run sortedness; co-location
+    * and content are preserved (spec-asserted in BucketedSpec).
+    *
+    * Mechanics: the content is rewritten into a sibling `_compacting`
+    * table first (the original stays intact and readable for the whole
+    * rewrite — at 100 TB this is a full-scan job, not a pause), then
+    * the original is dropped and the sibling renamed into place. The
+    * swap window is the only non-atomic step; a crash there leaves the
+    * complete `_compacting` table on disk — rerunning compact (which
+    * fails loudly on the leftover) or a manual RENAME completes the
+    * swap, nothing is lost.
+    *
+    * One-file-per-bucket, ZERO shuffle: the rewrite forces the
+    * bucketed scan (`autoBucketedScan` off for the duration — with it
+    * on, Spark elides a `repartition(buckets, keys)` against the
+    * scan's declared HashPartitioning yet reads plain file splits, so
+    * the write degrades to tasks × buckets files; probed empirically
+    * on the shipped Spark 4.1.2). Bucket-grouped read partitions are
+    * indexed BY bucket id — each write task holds exactly one bucket's
+    * sorted runs and emits exactly one file, no Exchange anywhere.
+    * That is the 100 TB shape: compaction cost = one read + one write
+    * of the table, per-bucket parallel, no network movement.
+    */
+  def compact(spark: SparkSession, table: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    require(spark.sessionState.catalog.tableExists(ident),
+      s"compact: table '$table' does not exist")
+    val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+    require(spec.isDefined, s"compact: table '$table' is not bucketed — " +
+      "compaction is the bucketed-store maintenance path (writeBucketed first)")
+    val s = spec.get
+    val keys = s.bucketColumnNames
+    // the writeBucketed/appendBucketed family always writes sortBy ==
+    // bucket columns; a table sorted differently came from an external
+    // writer and rewriting it here would silently change its layout
+    require(s.sortColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase),
+      s"compact: table '$table' sortBy ${s.sortColumnNames} != bucket " +
+        s"columns $keys — not a graft-managed bucketed store")
+    def quoted(i: org.apache.spark.sql.catalyst.TableIdentifier) =
+      (i.database.toSeq :+ i.table)
+        .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+    val tmpIdent = ident.copy(table = ident.table + "_compacting")
+    require(!spark.sessionState.catalog.tableExists(tmpIdent),
+      s"compact: leftover '${tmpIdent.table}' exists — a previous compact " +
+        s"crashed mid-swap; it holds the COMPLETE rewritten content: rename " +
+        s"it into place (ALTER TABLE ${quoted(tmpIdent)} RENAME TO " +
+        s"${quoted(ident)}) or drop it, then rerun")
+    val tmpName = (tmpIdent.database.toSeq :+ tmpIdent.table).mkString(".")
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try writeBucketed(spark.table(quoted(ident)), tmpName, keys, s.numBuckets)
+    finally spark.conf.set(autoKey, prevAuto)
+    spark.sql(s"DROP TABLE ${quoted(ident)}")
+    spark.sql(s"ALTER TABLE ${quoted(tmpIdent)} RENAME TO ${quoted(ident)}")
+  }
 }

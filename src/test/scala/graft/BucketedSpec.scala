@@ -213,6 +213,60 @@ class BucketedSpec extends SparkSuite {
     sig0.unpersist(); admitted.unpersist()
   }
 
+  test("compact: file count collapses, co-location preserved, content identical (r19)") {
+    import org.apache.spark.sql.functions._
+    Seq("cmp_t", "cmp_t_compacting").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    // bootstrap + 3 appends: the appendBucketed small-files shape
+    Bucketed.writeBucketed(docs.filter($"doc_id" % 4 === 0), "cmp_t", Seq("doc_id"), 4)
+    (1 to 3).foreach { i =>
+      Bucketed.appendBucketed(docs.filter($"doc_id" % 4 === i), "cmp_t", Seq("doc_id"), 4)
+    }
+    val before = rowsOf(spark.table("cmp_t").orderBy($"doc_id"))
+    def dataFiles(t: String): Seq[java.io.File] =
+      new java.io.File(s"spark-warehouse/$t").listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet"))
+    val nBefore = dataFiles("cmp_t").size
+    assert(nBefore > 4, s"appends should have left >buckets files, got $nBefore")
+
+    Bucketed.compact(spark, "cmp_t")
+
+    // one file per bucket, content bit-identical, spec unchanged
+    assert(dataFiles("cmp_t").size == 4, dataFiles("cmp_t").map(_.getName))
+    assert(rowsOf(spark.table("cmp_t").orderBy($"doc_id")) == before)
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("cmp_t")).bucketSpec
+    assert(spec.exists(s => s.numBuckets == 4 &&
+      s.bucketColumnNames == Seq("doc_id") && s.sortColumnNames == Seq("doc_id")))
+    // co-location preserved: zero-Exchange aggregation still plans
+    val agg = spark.table("cmp_t").groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    // and further appends keep working against the compacted table
+    Bucketed.appendBucketed(
+      docs.filter($"doc_id" % 4 === 0).select($"doc_id" + 1000000L as "doc_id", $"text"),
+      "cmp_t", Seq("doc_id"), 4)
+    assert(spark.table("cmp_t").count() == before.size +
+      docs.filter($"doc_id" % 4 === 0).count())
+
+    // guards: non-bucketed and leftover-_compacting fail loudly
+    spark.sql("DROP TABLE IF EXISTS cmp_flat")
+    docs.limit(5).write.mode("overwrite").format("parquet").saveAsTable("cmp_flat")
+    val e1 = intercept[IllegalArgumentException](Bucketed.compact(spark, "cmp_flat"))
+    assert(e1.getMessage.contains("not bucketed"))
+    spark.sql("DROP TABLE cmp_flat")
+    spark.sql("CREATE TABLE cmp_t_compacting (x INT) USING parquet")
+    val e2 = intercept[IllegalArgumentException](Bucketed.compact(spark, "cmp_t"))
+    assert(e2.getMessage.contains("leftover"))
+    spark.sql("DROP TABLE cmp_t_compacting")
+  }
+
   test("collectedGroup refuses a table not bucketed by the group key") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS li_flat")
