@@ -123,10 +123,22 @@ object Bucketed {
     *
     * Small-files note: each append writes ≥ `buckets` new files, so a
     * long-running loop accumulates one file set per batch per bucket.
-    * Compact periodically by rewriting the table through
-    * [[writeBucketed]] (same keys/buckets — co-location is preserved,
-    * single-run sortedness is restored); at 100 TB that is a scheduled
-    * maintenance job, not a per-batch cost.
+    * Compact periodically with [[compact]] (shuffle-free rewrite under
+    * the same spec — co-location preserved, single-run sortedness
+    * restored); at 100 TB that is a scheduled maintenance job, not a
+    * per-batch cost.
+    *
+    * READ-MODIFY-WRITE HAZARD (r19, found by q129's parity check): if
+    * the rows being appended derive from a scan of the SAME store
+    * tables the loop is mutating, sever their lineage with
+    * `localCheckpoint()` BEFORE the first append — `persist()` is NOT
+    * enough. Each append's catalog refresh makes Spark RECACHE cached
+    * plans that reference the appended table, so a persisted admit
+    * frame silently recomputes against the half-mutated stores between
+    * appends (observed: an admit set recomputed after its own
+    * fingerprint append collapsed from 160 rows to the 3 chain tails
+    * its own fingerprints no longer blocked). An RDD-backed frame has
+    * no table dependency and is immune.
     */
   def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
                      buckets: Int): Unit = {

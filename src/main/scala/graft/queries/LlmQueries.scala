@@ -1417,6 +1417,165 @@ object LlmQueries {
           "admits_subset_of_batches", "no_cross_round_exact",
           "no_cross_round_near", "index_equals_sigstore_bands",
           "wrong_manifest_fails", "admits_bounded_by_gate")
+    }),
+
+    // DURABLE-table ingest loop (r19, VERDICT task 1): q128 proves the
+    // loop's semantics over in-session localCheckpoint frames and names
+    // bucketed TABLES as the production shape — this runs that shape:
+    // (fpStore, sigStore, bandIndex) live as bucketed tables in
+    // spark-warehouse, bootstrapped EMPTY under the operators' own
+    // schemas, each round appending via Bucketed.appendBucketed (which
+    // validates the bucket+sort spec, so the zero-Exchange co-location
+    // contract cannot silently break), the manifest riding as its own
+    // one-row table. Asserted:
+    //  * admit PARITY with the in-session localCheckpoint loop on the
+    //    SAME batches (the operator is deterministic; any divergence
+    //    would be durable-path drift — append misrouting, schema
+    //    mangling, sort weakening)
+    //  * no re-ingested exact copy of an earlier admit is admitted by
+    //    the TABLE-backed fingerprint store
+    //  * the post-append band-index bucket aggregation plans with ZERO
+    //    Exchange (the contract appendBucketed's scaladoc promises)
+    //  * a wrong-scheme call against the manifest TABLE fails loudly
+    //  * Bucketed.compact at the end: file count collapses to one per
+    //    bucket, content identical (index still equals
+    //    lshBandIndex(sig table)), co-location preserved
+    // Counts (n_docs, n_quality_pass) are SQL-derivable; admit ids are
+    // hash- and split-dependent (q128's rationale) so the invariants,
+    // not the ids, are the oracle. Buckets = 4 here; production sizes
+    // the bucket count to the cluster (thousands at 100 TB).
+    "q129_ingest_loop_tables" -> ((s, dir) => {
+      import s.implicits._
+      val ML = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val B = 4
+      val Bk = graft.ops.Bucketed
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val man = Dedup.lshManifest(s)
+      val q = Text.qualityScore(col("text"))
+      val nDocs = d.count()
+      val nQualityPass = d.filter(q >= 0.5).count()
+      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      val copyBase = maxId + 1L
+      // empty bootstrap frames derived THROUGH the operators' own
+      // expressions, so the tables' schemas can never drift from what
+      // incrementalCurate appends
+      val d0 = d.limit(0)
+      val fp0 = d0.select(xxhash64(col("text")).as("fp_a"),
+        xxhash64(lit("graft-fp2"), col("text")).as("fp_b"))
+      val sig0 = Dedup.minhashSignatures(d0, "doc_id", "text")
+      val idx0 = Dedup.lshBandIndex(sig0)
+      Seq("g129_fp", "g129_sig", "g129_idx").zip(
+          Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
+        .foreach { case (tn, (df0, keys)) => Bk.writeBucketed(df0, tn, keys, B) }
+      s.sql("DROP TABLE IF EXISTS g129_man")
+      man.write.mode("overwrite").format("parquet").saveAsTable("g129_man")
+      val manT = s.table("g129_man")
+      // the in-session parity twin's stores (the q128 mechanics)
+      var fpMem = fp0.localCheckpoint()
+      var sigMem = sig0.localCheckpoint()
+      var idxMem = idx0.localCheckpoint()
+      var prevAdmittedDocs = d0.select(col("doc_id").as("id"), col("text"))
+      var noCopyAdmitted = true
+      for (i <- 0 until 3) {
+        // round i = base slice + exact copies of the previous round's
+        // admits under fresh ids (the q128 batch shape) — TWO loop
+        // consumers, so the batch is persisted
+        val batch = graft.dsl.Rel.track(
+          d.filter(pmod(col("doc_id"), lit(3)) === i)
+            .unionByName(prevAdmittedDocs.select(
+              (col("id") + copyBase * (i + 1)).as("doc_id"), col("text")))
+            .persist(ML))
+        batch.count()
+        // durable path: curate against the TABLES, append all three.
+        // localCheckpoint, NOT persist: the admit frame's lineage reads
+        // the very tables the appends mutate, and each append's catalog
+        // refresh RECACHES dependent cached plans — a persist()ed
+        // admitted silently recomputes against the half-mutated stores
+        // between the three appends (observed: the sig append wrote 3
+        // rows of 160 — the recompute re-ran the exact anti-join over
+        // the just-appended fp store). Severing the plan to an RDD scan
+        // is the only safe materialization before a store mutation; the
+        // parity boolean below is the regression guard.
+        val admitted = graft.llm.Curate.incrementalCurate(
+            batch, "doc_id", "text", s.table("g129_fp"), s.table("g129_sig"),
+            bandIndex = Some(s.table("g129_idx")), manifest = Some(manT))
+          .localCheckpoint()
+        noCopyAdmitted &&= admitted.filter(col("id") > maxId).count() == 0L
+        Bk.appendBucketed(admitted.select(col("fp_a"), col("fp_b")),
+          "g129_fp", Seq("fp_a"), B)
+        Bk.appendBucketed(admitted.select(col("id"), col("sig")),
+          "g129_sig", Seq("id"), B)
+        Bk.appendBucketed(Dedup.lshBandIndex(admitted.select(col("id"), col("sig"))),
+          "g129_idx", Seq("band", "key"), B)
+        // in-session twin: SAME batch, localCheckpoint stores (three
+        // consumers → persist; no table lineage, so persist is safe
+        // here)
+        val admMem = graft.dsl.Rel.track(graft.llm.Curate.incrementalCurate(
+            batch, "doc_id", "text", fpMem, sigMem,
+            bandIndex = Some(idxMem), manifest = Some(man))
+          .persist(ML))
+        fpMem = fpMem.unionByName(admMem.select(col("fp_a"), col("fp_b")))
+          .localCheckpoint()
+        sigMem = sigMem.unionByName(admMem.select(col("id"), col("sig")))
+          .localCheckpoint()
+        idxMem = idxMem.unionByName(
+            Dedup.lshBandIndex(admMem.select(col("id"), col("sig"))))
+          .localCheckpoint()
+        prevAdmittedDocs = admitted.select(col("id"))
+          .join(batch, col("id") === col("doc_id"))
+          .select(col("id"), col("text"))
+          .localCheckpoint()
+      }
+      // admit parity: the table-backed corpus IS the in-session corpus
+      val tblIds = s.table("g129_sig").select(col("id"))
+      val memIds = sigMem.select(col("id"))
+      val parity = tblIds.exceptAll(memIds).count() == 0L &&
+        memIds.exceptAll(tblIds).count() == 0L
+      val nAdmitted = tblIds.count()
+      // post-append zero-Exchange contract on the index table
+      val aggPlan = s.table("g129_idx").groupBy(col("band"), col("key"))
+        .agg(collect_list(col("id")).as("ds"))
+        .queryExecution.executedPlan.toString
+      val idxZeroExchange = !aggPlan.contains("Exchange")
+      // manifest as a TABLE: a wrong-scheme call fails loudly before
+      // any corpus-sized work
+      val wrongManifestFails =
+        try {
+          graft.llm.Curate.incrementalCurate(
+            d.limit(1), "doc_id", "text", s.table("g129_fp"), s.table("g129_sig"),
+            bands = 8, bandIndex = Some(s.table("g129_idx")), manifest = Some(manT))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      // scheduled maintenance: compact the appended index table —
+      // content identical, one file per bucket, co-location preserved
+      val idxBefore = s.table("g129_idx").count()
+      Bk.compact(s, "g129_idx")
+      val fullIdx = Dedup.lshBandIndex(s.table("g129_sig"))
+      val compactPreserves = s.table("g129_idx").count() == idxBefore &&
+        s.table("g129_idx").exceptAll(fullIdx).count() == 0L &&
+        fullIdx.exceptAll(s.table("g129_idx")).count() == 0L
+      val idxLoc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.getTableMetadata(
+          s.sessionState.sqlParser.parseTableIdentifier("g129_idx")).location)
+      val fs = idxLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val nIdxFiles = fs.listStatus(idxLoc)
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val compactOneFilePerBucket = nIdxFiles == B
+      val aggPlan2 = s.table("g129_idx").groupBy(col("band"), col("key"))
+        .agg(collect_list(col("id")).as("ds"))
+        .queryExecution.executedPlan.toString
+      val compactZeroExchange = !aggPlan2.contains("Exchange")
+      val admitsBounded = nAdmitted <= nQualityPass
+      Seq("g129_fp", "g129_sig", "g129_idx", "g129_man")
+        .foreach(tn => s.sql(s"DROP TABLE IF EXISTS $tn"))
+      Seq((nDocs, nQualityPass, 3, parity, noCopyAdmitted, idxZeroExchange,
+          wrongManifestFails, compactPreserves, compactOneFilePerBucket,
+          compactZeroExchange, admitsBounded))
+        .toDF("n_docs", "n_quality_pass", "n_rounds",
+          "table_admits_equal_insession", "no_reingested_copy_admitted",
+          "idx_agg_zero_exchange_post_append", "manifest_table_wrong_scheme_fails",
+          "compact_preserves_index", "compact_one_file_per_bucket",
+          "compact_zero_exchange", "admits_bounded_by_gate")
     })
   )
 
@@ -1981,6 +2140,32 @@ object LlmQueries {
            TRUE AS no_cross_round_near,
            TRUE AS index_equals_sigstore_bands,
            TRUE AS wrong_manifest_fails,
+           TRUE AS admits_bounded_by_gate""",
+    // q129: the durable-table twin of q128 — same SQL-derivable counts,
+    // the durable-path invariants (parity with the in-session loop,
+    // zero-Exchange post-append plans, manifest-table guard, compact
+    // preservation) as Spark-checked booleans the oracle states
+    "q129_ingest_loop_tables" ->
+      """WITH s AS (SELECT doc_id, text,
+             len(string_split(text, ' '))::DOUBLE AS n,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE AS lnd
+           FROM documents),
+         q AS (SELECT doc_id,
+             FLOOR(((lnd / n) * 0.4
+                    + (LEAST(LENGTH(text)::DOUBLE / n, 8.0) / 8.0) * 0.3
+                    + LEAST(n / 100.0, 1.0) * 0.3) * 10000 + 0.5) / 10000
+               AS quality
+           FROM s)
+         SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM q WHERE quality >= 0.5) AS n_quality_pass,
+           3 AS n_rounds,
+           TRUE AS table_admits_equal_insession,
+           TRUE AS no_reingested_copy_admitted,
+           TRUE AS idx_agg_zero_exchange_post_append,
+           TRUE AS manifest_table_wrong_scheme_fails,
+           TRUE AS compact_preserves_index,
+           TRUE AS compact_one_file_per_bucket,
+           TRUE AS compact_zero_exchange,
            TRUE AS admits_bounded_by_gate""",
     "q118_quality_classifier" ->
       """SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) AS n_docs,

@@ -175,6 +175,52 @@ object OperatorSlices {
         }
         total
       }, () => { d.unpersist(); () })
+    }),
+
+    // operator = the DURABLE 3-round ingest loop (bootstrap empty
+    // bucketed tables + per round: curate against the tables + the
+    // three appendBucketed writes — the production per-batch cost ×3
+    // including real table I/O); q129's in-session parity twin,
+    // manifest probe, plan asserts and compact run are verification.
+    // Tables are rebuilt inside the thunk (bootstrap is part of the
+    // durable lifecycle and costs two empty writes); cleanup drops
+    // them.
+    "q129_ingest_loop_tables" -> ((s, dir) => {
+      val d = docs(s, dir).persist(ML)
+      d.count()
+      val B = 4
+      val Bk = graft.ops.Bucketed
+      val tabs = Seq("g129s_fp", "g129s_sig", "g129s_idx")
+      (() => {
+        val d0 = d.limit(0)
+        val fp0 = d0.select(xxhash64(col("text")).as("fp_a"),
+          xxhash64(lit("graft-fp2"), col("text")).as("fp_b"))
+        val sig0 = Dedup.minhashSignatures(d0, "doc_id", "text")
+        val idx0 = Dedup.lshBandIndex(sig0)
+        tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
+          .foreach { case (tn, (df0, keys)) => Bk.writeBucketed(df0, tn, keys, B) }
+        var total = 0L
+        for (i <- 0 until 3) {
+          val batch = d.filter(pmod(col("doc_id"), lit(3)) === i)
+          // localCheckpoint, NOT persist: the append refresh recaches
+          // table-derived plans (the appendBucketed RMW hazard)
+          val admitted = graft.llm.Curate.incrementalCurate(
+              batch, "doc_id", "text", s.table("g129s_fp"), s.table("g129s_sig"),
+              bandIndex = Some(s.table("g129s_idx")))
+            .localCheckpoint()
+          total += admitted.count()
+          Bk.appendBucketed(admitted.select(col("fp_a"), col("fp_b")),
+            "g129s_fp", Seq("fp_a"), B)
+          Bk.appendBucketed(admitted.select(col("id"), col("sig")),
+            "g129s_sig", Seq("id"), B)
+          Bk.appendBucketed(Dedup.lshBandIndex(admitted.select(col("id"), col("sig"))),
+            "g129s_idx", Seq("band", "key"), B)
+        }
+        total
+      }, () => {
+        tabs.foreach(tn => s.sql(s"DROP TABLE IF EXISTS $tn"))
+        d.unpersist(); ()
+      })
     })
   )
 }

@@ -213,6 +213,37 @@ class BucketedSpec extends SparkSuite {
     sig0.unpersist(); admitted.unpersist()
   }
 
+  test("appendBucketed read-modify-write: persist recomputes on refresh, localCheckpoint is immune (r19)") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS rmw_t")
+    val loc = new java.io.File("spark-warehouse/rmw_t")
+    if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    import spark.implicits._
+    Bucketed.writeBucketed(Seq((1L, "a")).toDF("k", "v"), "rmw_t", Seq("k"), 2)
+    // a frame whose lineage READS the table (the ingest-loop admit
+    // shape): new rows = not yet in the store
+    val incoming = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    def fresh = incoming.join(spark.table("rmw_t"), Seq("k"), "left_anti")
+    // persisted: the append's catalog refresh RECACHES the dependent
+    // plan, so the frame silently recomputes against the mutated table
+    val persisted = fresh.persist()
+    assert(persisted.count() == 2)
+    Bucketed.appendBucketed(persisted, "rmw_t", Seq("k"), 2)
+    assert(persisted.count() == 0, "persist does NOT pin a table-derived " +
+      "frame across an append — this documents the Spark behavior the " +
+      "appendBucketed scaladoc warns about")
+    persisted.unpersist()
+    // localCheckpoint: lineage severed to an RDD scan — immune
+    spark.sql("DROP TABLE IF EXISTS rmw_t")
+    Bucketed.writeBucketed(Seq((1L, "a")).toDF("k", "v"), "rmw_t", Seq("k"), 2)
+    val pinned = fresh.localCheckpoint()
+    assert(pinned.count() == 2)
+    Bucketed.appendBucketed(pinned, "rmw_t", Seq("k"), 2)
+    assert(pinned.count() == 2, "localCheckpoint frame must survive the append")
+    assert(spark.table("rmw_t").count() == 3)
+    spark.sql("DROP TABLE IF EXISTS rmw_t")
+  }
+
   test("compact: file count collapses, co-location preserved, content identical (r19)") {
     import org.apache.spark.sql.functions._
     Seq("cmp_t", "cmp_t_compacting").foreach { t =>
