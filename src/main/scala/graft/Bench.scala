@@ -16,6 +16,14 @@ object Bench {
     */
   val PinnedHeapGb = 24L
 
+  /** Reference calibration for the normalized column (r18 VERDICT task
+    * 3): the probe-introduction cluster median — r14–r16 clean quiet-
+    * machine runs measured 0.41–0.45 s on the fixed 20M-row probe.
+    * Arbitrary-but-fixed by design; documented in BASELINE.md
+    * §"Calibration reference". Change it and every historical
+    * `sec_norm` reading shifts — don't. */
+  val CalibRef = 0.44
+
   /** If the launching JVM's heap differs from the pin, re-exec this
     * main in a child JVM at exactly -Xmx{pin}g (same classpath, same
     * env, stdout inherited so the driver's one-line-JSON parse still
@@ -340,6 +348,24 @@ object Bench {
     val metric = if (only.isDefined) "subset_total" else "total"
     val calibMed = medianOf(calib)
     val calibJson = calib.map(f).mkString("[", ",", "]")
+    // calibration-normalized column (r18 VERDICT task 3): cross-round
+    // per-query reads were hand-scaled by the probe ratio every round —
+    // make it mechanical. CalibRef = 0.44 s, the probe-introduction
+    // cluster median (r14–r16 clean runs measured 0.41–0.45 on a quiet
+    // machine; documented in BASELINE.md §"Calibration reference").
+    // sec_norm = sec × (CalibRef / calibration_sec) — a run on a 1.5×-
+    // loaded machine reads 1.5× hot and normalizes back down. The
+    // probe measures ambient CPU speed ONLY: block-manager pressure,
+    // spill, and GC pathologies do NOT scale with it (the r18 q57
+    // lesson), so sec_norm makes ratios comparable, not identical.
+    val normFactor = if (calibMed > 0) CalibRef / calibMed else 1.0
+    val normTotal = total * normFactor
+    val normJson = medians.map { case (k, v) => s"\"" + k + "\":" + f(v * normFactor) }
+      .mkString("""{""", ",", "}")
+    val opNormJson =
+      if (opMedians.isEmpty) ""
+      else opMedians.map { case (k, v) => s"\"" + k + "\":" + f(v * normFactor) }
+        .mkString(""","operator_sec_norm":{""", ",", "}")
     // env-derived strings ride raw into the JSON: escape them (the
     // Verify escaper's rule — an sfDir with a quote or backslash would
     // otherwise corrupt both artifacts; r17 review)
@@ -350,7 +376,7 @@ object Bench {
       case c => c.toString
     }
     val json =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"${jq(adjudication)}","iterations":$itersJson,"spread_max_over_min":$spread,"calibration_sec":${f(calibMed)},"calibration_iters":$calibJson,"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}"$onlyMark$failedMark$retriedMark$opJson}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"${jq(adjudication)}","iterations":$itersJson,"spread_max_over_min":$spread,"calibration_sec":${f(calibMed)},"calibration_iters":$calibJson,"calibration_ref":$CalibRef,"norm_factor":${f(normFactor)},"norm_total":${f(normTotal)},"queries_norm":$normJson$opNormJson,"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}"$onlyMark$failedMark$retriedMark$opJson}"""
     // The launcher that captures this main's stdout keeps only the LAST
     // ~2000 characters; BENCH_r10/r11 show the full line (per-query
     // iteration arrays push it past 10 KB) arriving head-truncated and
@@ -393,8 +419,12 @@ object Bench {
       if (opMedians.isEmpty) ""
       else opMedians.map { case (k, v) => s"\"${short(k)}\":${f2(v)}" }
         .mkString(""","operator_sec":{""", ",", "}")
+    // compact line carries the normalization SCALARS only (the full
+    // queries_norm map lives in bench_out.json — the ~2000-char stdout
+    // window can't fit a second per-query map): per-query sec_norm =
+    // sec × norm_factor, one multiplication for any reader
     val compact =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort"$failedShort$opShort,"calibration_sec":${f2(calibMed)},"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}","detail":"bench_out.json"$onlyMark}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort"$failedShort$opShort,"calibration_sec":${f2(calibMed)},"calibration_ref":$CalibRef,"norm_factor":${f2(normFactor)},"norm_total":${f2(normTotal)},"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}","detail":"bench_out.json"$onlyMark}"""
     if (compact.length > 1950)
       System.err.println(s"[bench] WARNING: compact line ${compact.length} chars — near the launcher's ~2000-char tail window")
     println(compact)
