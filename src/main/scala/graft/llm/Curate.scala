@@ -157,7 +157,23 @@ object Curate {
     *        mismatch, including the fewer-bands index mismatch no
     *        row-local check can see); at real scale keep the one-row
     *        manifest table next to the stores and always pass it
-    * @return (id, fp_a, fp_b, sig) per admitted batch doc
+    * @param splitInvariant opt-in batch-split-invariant admit
+    *        semantics (r19): the near-dedup leg returns EVERY surviving
+    *        rep with an `admitted` boolean and the caller appends ALL
+    *        returned rows' (id, sig) — and their band-index rows — to
+    *        the signature store, while the FINGERPRINT store still
+    *        gets `admitted` rows only (an exact copy of a non-admitted
+    *        rep then passes the exact stage and is re-dropped by the
+    *        near stage at estimated Jaccard 1 — same outcome, one
+    *        stage later). With the store holding every seen rep, the
+    *        admit set no longer depends on where batch boundaries fall
+    *        in an id-ordered stream (the default chain-pessimistic
+    *        rule's documented order-dependence); semantics + edges in
+    *        [[Dedup.lshIncremental]]
+    * @return (id, fp_a, fp_b, sig) per admitted batch doc; with
+    *         `splitInvariant`, (id, fp_a, fp_b, sig, admitted) per
+    *         SEEN batch rep (append sig+index rows for all, fp rows
+    *         for admitted only)
     */
   def incrementalCurate(batch: DataFrame, idCol: String, textCol: String,
                         fpStore: DataFrame, sigStore: DataFrame,
@@ -165,7 +181,8 @@ object Curate {
                         numHashes: Int = 64, bands: Int = 16,
                         threshold: Double = 0.9,
                         bandIndex: Option[DataFrame] = None,
-                        manifest: Option[DataFrame] = None): DataFrame = {
+                        manifest: Option[DataFrame] = None,
+                        splitInvariant: Boolean = false): DataFrame = {
     manifest.foreach(Dedup.requireManifest(_, "incrementalCurate",
       Some(shingleK), numHashes, bands))
     val gated = graft.dsl.Rel.track(
@@ -189,13 +206,18 @@ object Curate {
       .drop("graft_ic_id")
     val admitted = bandIndex match {
       case Some(idx) => Dedup.lshIncrementalIndexed(survivors, idCol, textCol,
-        sigStore, idx, shingleK, numHashes, bands, threshold)
+        sigStore, idx, shingleK, numHashes, bands, threshold,
+        splitInvariant = splitInvariant)
       case None => Dedup.lshIncremental(survivors, idCol, textCol, sigStore,
-        shingleK, numHashes, bands, threshold)
+        shingleK, numHashes, bands, threshold,
+        splitInvariant = splitInvariant)
     }
-    admitted
+    val out = admitted
       .join(exactNew, col("id") === col("graft_ic_id"))
-      .select(col("id"), col("fp_a"), col("fp_b"), col("sig"))
+    if (splitInvariant)
+      out.select(col("id"), col("fp_a"), col("fp_b"), col("sig"), col("admitted"))
+    else
+      out.select(col("id"), col("fp_a"), col("fp_b"), col("sig"))
   }
 
   /** The sequence-preparation capstone (the other half of the curation

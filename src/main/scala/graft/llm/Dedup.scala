@@ -722,13 +722,26 @@ object Dedup {
     *        exchange is plan luck — the r17 LshIncProfile measured an
     *        un-persisted derived store swinging 23 s ↔ 183 s at 64×
     *        on exactly that flip (flat 17–19 s persisted)
-    * @return (id, sig) — admitted batch rows, ready to append to the store
+    * @param splitInvariant opt-in batch-split-invariant mode: the
+    *        result covers EVERY batch rep with an `admitted` boolean
+    *        and the caller appends ALL rows to the store ("all seen
+    *        reps"), making the admit set independent of where batch
+    *        boundaries fall in an id-ordered stream — see
+    *        `lshIncrementalBands`' scaladoc for semantics and edges.
+    *        Default false: the chain-pessimistic admits-only store,
+    *        whose admit set is batch-split-DEPENDENT on chain tails
+    *        (spec'd in LlmSpec)
+    * @return (id, sig) — admitted batch rows, ready to append to the
+    *         store; with `splitInvariant`, (id, sig, admitted) — ALL
+    *         batch reps, EVERY row appended, `admitted` marking the
+    *         actually-new documents
     */
   def lshIncremental(batch: DataFrame, idCol: String, textCol: String,
                      store: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
                      bands: Int = 16, threshold: Double = 0.9,
                      maxBucket: Int = 10000,
-                     manifest: Option[DataFrame] = None): DataFrame = {
+                     manifest: Option[DataFrame] = None,
+                     splitInvariant: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     manifest.foreach(requireManifest(_, "lshIncremental", Some(shingleK), numHashes, bands))
@@ -739,7 +752,7 @@ object Dedup {
         posexplode(call_function("graft_band_keys_sig", col("sig"), lit(bands))))
       .toDF("sid", "band", "key")
     lshIncrementalBands(batch, idCol, textCol, store0, storeBands,
-      shingleK, numHashes, bands, threshold, maxBucket)
+      shingleK, numHashes, bands, threshold, maxBucket, splitInvariant)
   }
 
   /** The exploded (id, band, key) index rows for a signature store —
@@ -795,7 +808,8 @@ object Dedup {
                             shingleK: Int = 3, numHashes: Int = 64,
                             bands: Int = 16, threshold: Double = 0.9,
                             maxBucket: Int = 10000,
-                            manifest: Option[DataFrame] = None): DataFrame = {
+                            manifest: Option[DataFrame] = None,
+                            splitInvariant: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // the manifest is what closes the FEWER-bands index hole described
@@ -825,7 +839,7 @@ object Dedup {
         .otherwise(col("band")).as("band"),
       col("key"))
     lshIncrementalBands(batch, idCol, textCol, store0, storeBands,
-      shingleK, numHashes, bands, threshold, maxBucket)
+      shingleK, numHashes, bands, threshold, maxBucket, splitInvariant)
   }
 
   /** Signature-agreement Jaccard estimate (E[agree/n] = J). */
@@ -848,12 +862,37 @@ object Dedup {
 
   /** Shared body of [[lshIncremental]]/[[lshIncrementalIndexed]]:
     * `store0` = scheme-checked (id, sig), `storeBands` = the store's
-    * (sid, band, key) rows — derived or indexed. */
+    * (sid, band, key) rows — derived or indexed.
+    *
+    * `splitInvariant = true` (r18 VERDICT task 5) switches what the
+    * result covers, NOT the drop rule: EVERY batch rep comes back with
+    * an `admitted` boolean, and the caller appends ALL rows' (id, sig)
+    * — dropped reps included — to the signature store (and their
+    * [[lshBandIndex]] rows to the index). The store then holds every
+    * SEEN rep, so a doc's admit decision depends only on the set of
+    * docs seen before it — never on where batch boundaries fall. The
+    * default mode's chain-tail flip ({a,b,c} drops c via b, but
+    * {a,b}+{c} admits c because dropped b never reached the store)
+    * cannot happen: b's signature is in the store either way. Formally:
+    * for any split of an id-ordered stream into consecutive (prefix)
+    * batches, the admit set equals the one-batch admit set, modulo two
+    * documented edges — (1) a (band,key) bucket crossing `maxBucket`
+    * in one split but not another changes candidate discovery (keep
+    * buckets under the cap, or disable it); (2) cross-batch exact-sig
+    * duplicates append one extra non-admitted store row per copy
+    * (harmless: an identical signature re-confirms every drop it
+    * already caused). Non-prefix splits get arrival-order-greedy
+    * semantics — "first seen wins" — which is the production meaning
+    * of an ingest stream anyway. Costs: the store grows with SEEN reps
+    * (admits + near-dup rejects), not admits only — bounded by the
+    * stream's distinct-signature count.
+    */
   private def lshIncrementalBands(batch: DataFrame, idCol: String,
                                   textCol: String, store0: DataFrame,
                                   storeBands: DataFrame, shingleK: Int,
                                   numHashes: Int, bands: Int,
-                                  threshold: Double, maxBucket: Int): DataFrame = {
+                                  threshold: Double, maxBucket: Int,
+                                  splitInvariant: Boolean = false): DataFrame = {
     // exact-signature collapse (min id per distinct signature): est
     // Jaccard between identical signatures is 1 ≥ any threshold, so
     // non-reps are dropped by the rule directly; two-seed fingerprint
@@ -897,8 +936,13 @@ object Dedup {
       .filter(estJaccard(col("sig"), col("ssig"), numHashes) >= threshold)
       .select(col("id"))
 
-    reps.join(withinDropped.union(crossDropped).distinct(),
-      Seq("id"), "left_anti")
+    val dropped = withinDropped.union(crossDropped).distinct()
+    if (!splitInvariant) reps.join(dropped, Seq("id"), "left_anti")
+    else reps
+      .join(dropped.select(col("id"), lit(true).as("graft_si_dropped")),
+        Seq("id"), "left_outer")
+      .select(col("id"), col("sig"),
+        col("graft_si_dropped").isNull.as("admitted"))
   }
 
   /** Global sentence-level exact dedup — the C4/Dolma "keep one copy

@@ -1436,6 +1436,106 @@ class TextSpec extends SparkSuite {
     assert(agree / 64.0 < 0.45, s"est J(a,c) = ${agree / 64.0}")
   }
 
+  test("splitInvariant mode: admit set identical across every prefix split (r19)") {
+    // the same chain fixture that PROVES the default rule's
+    // order-dependence above: b~a, c~b, c!~a at threshold 0.45. In
+    // split-invariant mode every seen rep's signature is appended
+    // (admitted or not), so c meets b's signature in the store no
+    // matter where the boundary fell — the q128-scenario flip
+    // ({a,b,c} drops c, {a,b}+{c} admits it) cannot happen.
+    val D = graft.llm.Dedup
+    def doc(from: Int, until: Int) = (from until until).map(i => s"w$i").mkString(" ")
+    val a = (1L, doc(1, 41)); val b = (2L, doc(11, 51)); val c = (3L, doc(21, 61))
+    val empty = Seq.empty[(Long, Array[Long])].toDF("id", "sig")
+    def run(batches: Seq[Seq[(Long, String)]]): (Set[Long], Long) = {
+      var store = empty.localCheckpoint()
+      var admits = Set.empty[Long]
+      batches.foreach { docs =>
+        val res = D.lshIncremental(docs.toDF("doc_id", "text"), "doc_id", "text",
+            store, numHashes = 64, bands = 32, threshold = 0.45,
+            splitInvariant = true)
+          .persist()
+        assert(res.columns.toSeq == Seq("id", "sig", "admitted"))
+        admits ++= res.filter($"admitted").select("id").as[Long].collect()
+        // the mode's append contract: ALL seen reps enter the store
+        store = store.unionByName(res.select("id", "sig")).localCheckpoint()
+        res.unpersist()
+      }
+      (admits, store.count())
+    }
+    val splits = Seq(
+      Seq(Seq(a, b, c)),
+      Seq(Seq(a, b), Seq(c)),
+      Seq(Seq(a), Seq(b, c)),
+      Seq(Seq(a), Seq(b), Seq(c)))
+    val results = splits.map(run)
+    // every split admits exactly {a}; the one-batch result is the
+    // corpus semantics and every other split equals it
+    assert(results.forall(_._1 == Set(1L)), s"admit sets: ${results.map(_._1)}")
+    // all three seen reps reach the store under every split
+    assert(results.forall(_._2 == 3L), s"store sizes: ${results.map(_._2)}")
+    // contrast pinned: the DEFAULT rule still flips on the {a,b}+{c}
+    // split (the documented order-dependence this mode removes)
+    val r1 = D.lshIncremental(Seq(a, b).toDF("doc_id", "text"), "doc_id", "text",
+      empty, numHashes = 64, bands = 32, threshold = 0.45).persist()
+    val r2 = D.lshIncremental(Seq(c).toDF("doc_id", "text"), "doc_id", "text",
+      r1, numHashes = 64, bands = 32, threshold = 0.45)
+      .select("id").as[Long].collect().toSet
+    r1.unpersist()
+    assert(r2 == Set(3L))
+  }
+
+  test("splitInvariant incrementalCurate: prefix-split admit parity on real documents (r19)") {
+    // corpus-level: sf0.001 documents + exact and near duplicates,
+    // ingested as 1 / 2 / 3 consecutive id-range batches through
+    // incrementalCurate(splitInvariant = true) — admit sets must be
+    // identical. Store discipline per the contract: sig+index rows for
+    // ALL returned reps, fp rows for admitted only.
+    val C = graft.llm.Curate
+    val D = graft.llm.Dedup
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val maxId = docs.agg(org.apache.spark.sql.functions.max($"doc_id")).head().getLong(0)
+    // exact copies of every 7th doc + the doc itself = chain fodder
+    val corpus = docs.unionByName(
+        docs.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + maxId + 1).as("doc_id"), $"text"))
+      .persist()
+    corpus.count()
+    val hi = corpus.agg(org.apache.spark.sql.functions.max($"doc_id")).head().getLong(0)
+    def run(bounds: Seq[Long]): Set[Long] = {
+      val empty = corpus.limit(0)
+      var fpStore = empty.select(
+        org.apache.spark.sql.functions.xxhash64($"text").as("fp_a"),
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit("graft-fp2"), $"text").as("fp_b"))
+        .localCheckpoint()
+      var sigStore = D.minhashSignatures(empty, "doc_id", "text").localCheckpoint()
+      var admits = Set.empty[Long]
+      (Seq(Long.MinValue) ++ bounds).zip(bounds ++ Seq(hi + 1)).foreach {
+        case (lo, up) =>
+          val batch = corpus.filter($"doc_id" >= lo && $"doc_id" < up)
+          val res = C.incrementalCurate(batch, "doc_id", "text",
+              fpStore, sigStore, splitInvariant = true)
+            .persist()
+          admits ++= res.filter($"admitted").select("id").as[Long].collect()
+          fpStore = fpStore.unionByName(
+            res.filter($"admitted").select($"fp_a", $"fp_b")).localCheckpoint()
+          sigStore = sigStore.unionByName(res.select($"id", $"sig")).localCheckpoint()
+          res.unpersist()
+      }
+      admits
+    }
+    val one = run(Seq.empty)
+    val two = run(Seq(150L))
+    val three = run(Seq(100L, 200L))
+    corpus.unpersist()
+    assert(one == two, s"1-batch vs 2-batch: ${(one -- two) ++ (two -- one)}")
+    assert(one == three, s"1-batch vs 3-batch: ${(one -- three) ++ (three -- one)}")
+    assert(one.nonEmpty && one.forall(_ <= maxId),
+      "copies must never be admitted; originals admit")
+  }
+
   test("gramHashes: positional, length n-k+1, short docs empty, equal windows equal hashes") {
     val h = graft.llm.Dedup.gramHashes("a b c a b c d", 3)
     assert(h.length == 5)
