@@ -199,8 +199,20 @@ object Bucketed {
     */
   def compact(spark: SparkSession, table: String): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    def quoted(i: org.apache.spark.sql.catalyst.TableIdentifier) =
+      (i.database.toSeq :+ i.table)
+        .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+    val tmpIdent = ident.copy(table = ident.table + "_compacting")
+    // crash-between-DROP-and-RENAME recovery: the original is gone but
+    // the complete rewrite exists — say so instead of a bare "missing"
     require(spark.sessionState.catalog.tableExists(ident),
-      s"compact: table '$table' does not exist")
+      s"compact: table '$table' does not exist" +
+        (if (spark.sessionState.catalog.tableExists(tmpIdent))
+          s" — but '${tmpIdent.table}' does: a previous compact crashed " +
+            s"mid-swap AFTER the drop; it holds the COMPLETE rewritten " +
+            s"content — ALTER TABLE ${quoted(tmpIdent)} RENAME TO " +
+            s"${quoted(ident)} finishes the swap"
+        else ""))
     val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
     require(spec.isDefined, s"compact: table '$table' is not bucketed — " +
       "compaction is the bucketed-store maintenance path (writeBucketed first)")
@@ -212,10 +224,6 @@ object Bucketed {
     require(s.sortColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase),
       s"compact: table '$table' sortBy ${s.sortColumnNames} != bucket " +
         s"columns $keys — not a graft-managed bucketed store")
-    def quoted(i: org.apache.spark.sql.catalyst.TableIdentifier) =
-      (i.database.toSeq :+ i.table)
-        .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
-    val tmpIdent = ident.copy(table = ident.table + "_compacting")
     require(!spark.sessionState.catalog.tableExists(tmpIdent),
       s"compact: leftover '${tmpIdent.table}' exists — a previous compact " +
         s"crashed mid-swap; it holds the COMPLETE rewritten content: rename " +

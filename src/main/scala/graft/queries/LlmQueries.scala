@@ -1464,6 +1464,10 @@ object LlmQueries {
         xxhash64(lit("graft-fp2"), col("text")).as("fp_b"))
       val sig0 = Dedup.minhashSignatures(d0, "doc_id", "text")
       val idx0 = Dedup.lshBandIndex(sig0)
+      // a crash inside a previous iteration's compact would leave the
+      // _compacting sibling behind and fail THIS run's compact loudly —
+      // clear it up front (the rerun-completes-the-swap recovery)
+      s.sql("DROP TABLE IF EXISTS g129_idx_compacting")
       Seq("g129_fp", "g129_sig", "g129_idx").zip(
           Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
         .foreach { case (tn, (df0, keys)) => Bk.writeBucketed(df0, tn, keys, B) }

@@ -77,11 +77,15 @@ object ScaleCurve {
       val nDocs = docs.count()
 
       def report(q: String, run: () => Long,
-                 stages: () => Seq[(String, Double, Long)] = () => Nil): Unit = {
+                 stages: () => Seq[(String, Double, Long)] = () => Nil,
+                 postIter: () => Unit = () => ()): Unit = {
         if (!only.forall(_.exists(q.startsWith))) return
         val timesRows = (1 to iters).map { _ =>
           val (dt, rows) = time(run())
           graft.dsl.Rel.releaseTracked()
+          postIter() // untimed per-iteration cleanup (e.g. q128's
+                     // localCheckpoint blocks — invisible to
+                     // releaseTracked, the r18 Bench sweep finding)
           (dt, rows)
         }
         val med = timesRows.map(_._1).sorted.apply(iters / 2)
@@ -231,6 +235,61 @@ object ScaleCurve {
             store119, idx127).count())
         idx127.unpersist(blocking = false)
         store119.unpersist(blocking = false)
+      }
+
+      // ---- q128: the 3-round ingest LOOP (r19, VERDICT r18 task 6) ----
+      // stores START EMPTY and grow by each round's admits (fp, sig,
+      // band index — three appends per round, localCheckpoint per
+      // append, the q128 lineage discipline). The per-round "stages"
+      // (recorded from the last timed iteration, no extra pass) pin
+      // the property the incremental design exists for: per-batch cost
+      // must stay flat-ish as the store grows round over round, and
+      // the loop total must scale linearly in m — a store×batch
+      // interaction would show as super-linear growth AND rising
+      // rounds. localCheckpoint blocks are swept per iteration (they
+      // are invisible to releaseTracked — the r18 Bench finding; the
+      // docs fixture's own persist is spared via an id snapshot).
+      if (only.forall(_.exists("q128_ingest_loop".startsWith))) {
+        import spark.implicits._
+        val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet
+        var lastRounds: Seq[(String, Double, Long)] = Nil
+        report("q128_ingest_loop", () => {
+          var fpStore = Seq.empty[(Long, Long)].toDF("fp_a", "fp_b").localCheckpoint()
+          var sigStore = Seq.empty[(Long, Array[Long])].toDF("id", "sig").localCheckpoint()
+          var bandIdx = Seq.empty[(Long, Long, Long)]
+            .toDF("id", "band", "key")
+            .select(col("id"), col("band").cast("int").as("band"), col("key"))
+            .localCheckpoint()
+          var total = 0L
+          val rounds = Seq.newBuilder[(String, Double, Long)]
+          for (i <- 0 until 3) {
+            val batch = docs.select(col("doc_id"), col("text"))
+              .filter(pmod(col("doc_id"), lit(3)) === i)
+            val (dt, n) = time {
+              val adm = Curate.incrementalCurate(batch, "doc_id", "text",
+                  fpStore, sigStore, bandIndex = Some(bandIdx))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val n0 = adm.count()
+              fpStore = fpStore
+                .unionByName(adm.select(col("fp_a"), col("fp_b"))).localCheckpoint()
+              sigStore = sigStore
+                .unionByName(adm.select(col("id"), col("sig"))).localCheckpoint()
+              bandIdx = bandIdx.unionByName(
+                  Dedup.lshBandIndex(adm.select(col("id"), col("sig"))))
+                .localCheckpoint()
+              adm.unpersist()
+              n0
+            }
+            rounds += ((s"round$i", dt, n))
+            total += n
+          }
+          lastRounds = rounds.result()
+          total
+        }, stages = () => lastRounds,
+          postIter = () =>
+            spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+              if (!fixtureIds.contains(id)) rdd.unpersist(false)
+            })
       }
 
       // ---- q120: KLL quantile sketch build + merge + read (r16) ----

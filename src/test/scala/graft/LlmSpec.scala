@@ -1463,12 +1463,30 @@ class TextSpec extends SparkSuite {
       }
       (admits, store.count())
     }
+    // indexed path too (shared body, but pin it): same invariant run
+    // over a per-round rebuilt band index must agree
+    def runIdx(batches: Seq[Seq[(Long, String)]]): (Set[Long], Long) = {
+      var store = empty.localCheckpoint()
+      var admits = Set.empty[Long]
+      batches.foreach { docs =>
+        val idx = D.lshBandIndex(store, numHashes = 64, bands = 32)
+        val res = D.lshIncrementalIndexed(docs.toDF("doc_id", "text"),
+            "doc_id", "text", store, idx, numHashes = 64, bands = 32,
+            threshold = 0.45, splitInvariant = true)
+          .persist()
+        admits ++= res.filter($"admitted").select("id").as[Long].collect()
+        store = store.unionByName(res.select("id", "sig")).localCheckpoint()
+        res.unpersist()
+      }
+      (admits, store.count())
+    }
     val splits = Seq(
       Seq(Seq(a, b, c)),
       Seq(Seq(a, b), Seq(c)),
       Seq(Seq(a), Seq(b, c)),
       Seq(Seq(a), Seq(b), Seq(c)))
     val results = splits.map(run)
+    assert(splits.map(runIdx) == results, "indexed path must agree")
     // every split admits exactly {a}; the one-batch result is the
     // corpus semantics and every other split equals it
     assert(results.forall(_._1 == Set(1L)), s"admit sets: ${results.map(_._1)}")
