@@ -348,6 +348,14 @@ object Bench {
     val metric = if (only.isDefined) "subset_total" else "total"
     val calibMed = medianOf(calib)
     val calibJson = calib.map(f).mkString("[", ",", "]")
+    // END-of-run probe (r19): two r19 runs 30 min apart read start
+    // probes 0.64 vs 0.48 while their raw query totals agreed within
+    // 9% — a single start-of-run probe can be the noisiest instrument
+    // in the artifact. Recording the probe AGAIN after the last query
+    // makes within-run ambient drift visible right in the file; the
+    // normalization column stays pinned to the START median (stable
+    // definition beats a post-hoc blend).
+    val calibEnd = medianOf((1 to 5).map(_ => probeOnce()).toVector)
     // calibration-normalized column (r18 VERDICT task 3): cross-round
     // per-query reads were hand-scaled by the probe ratio every round —
     // make it mechanical. CalibRef = 0.44 s, the probe-introduction
@@ -376,7 +384,7 @@ object Bench {
       case c => c.toString
     }
     val json =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"${jq(adjudication)}","iterations":$itersJson,"spread_max_over_min":$spread,"calibration_sec":${f(calibMed)},"calibration_iters":$calibJson,"calibration_ref":$CalibRef,"norm_factor":${f(normFactor)},"norm_total":${f(normTotal)},"queries_norm":$normJson$opNormJson,"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}"$onlyMark$failedMark$retriedMark$opJson}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qs,"queries_steady":$steadyJson,"steady_total":${f(steadyTotal)},"warmed":$warm,"adjudication":"${jq(adjudication)}","iterations":$itersJson,"spread_max_over_min":$spread,"calibration_sec":${f(calibMed)},"calibration_iters":$calibJson,"calibration_end_sec":${f(calibEnd)},"calibration_ref":$CalibRef,"norm_factor":${f(normFactor)},"norm_total":${f(normTotal)},"queries_norm":$normJson$opNormJson,"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}"$onlyMark$failedMark$retriedMark$opJson}"""
     // The launcher that captures this main's stdout keeps only the LAST
     // ~2000 characters; BENCH_r10/r11 show the full line (per-query
     // iteration arrays push it past 10 KB) arriving head-truncated and
@@ -424,7 +432,7 @@ object Bench {
     // window can't fit a second per-query map): per-query sec_norm =
     // sec × norm_factor, one multiplication for any reader
     val compact =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort"$failedShort$opShort,"calibration_sec":${f2(calibMed)},"calibration_ref":$CalibRef,"norm_factor":${f2(normFactor)},"norm_total":${f2(normTotal)},"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}","detail":"bench_out.json"$onlyMark}"""
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort"$failedShort$opShort,"calibration_sec":${f2(calibMed)},"calibration_end_sec":${f2(calibEnd)},"calibration_ref":$CalibRef,"norm_factor":${f2(normFactor)},"norm_total":${f2(normTotal)},"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}","detail":"bench_out.json"$onlyMark}"""
     if (compact.length > 1950)
       System.err.println(s"[bench] WARNING: compact line ${compact.length} chars — near the launcher's ~2000-char tail window")
     println(compact)
