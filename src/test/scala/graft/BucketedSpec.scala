@@ -296,6 +296,15 @@ class BucketedSpec extends SparkSuite {
     val e2 = intercept[IllegalArgumentException](Bucketed.compact(spark, "cmp_t"))
     assert(e2.getMessage.contains("leftover"))
     spark.sql("DROP TABLE cmp_t_compacting")
+    // crash-AFTER-the-drop shape: original gone, _compacting present —
+    // the error must name the RENAME that finishes the swap, not read
+    // as a bare missing table
+    spark.sql("ALTER TABLE cmp_t RENAME TO cmp_t_compacting")
+    val e3 = intercept[IllegalArgumentException](Bucketed.compact(spark, "cmp_t"))
+    assert(e3.getMessage.contains("RENAME TO"), e3.getMessage)
+    spark.sql("ALTER TABLE cmp_t_compacting RENAME TO cmp_t")
+    assert(spark.table("cmp_t").count() > 0)
+    spark.sql("DROP TABLE cmp_t")
   }
 
   test("collectedGroup refuses a table not bucketed by the group key") {
