@@ -180,11 +180,14 @@ object Bucketed {
     * Mechanics: the content is rewritten into a sibling `_compacting`
     * table first (the original stays intact and readable for the whole
     * rewrite — at 100 TB this is a full-scan job, not a pause), then
-    * the original is dropped and the sibling renamed into place. The
-    * swap window is the only non-atomic step; a crash there leaves the
-    * complete `_compacting` table on disk — rerunning compact (which
-    * fails loudly on the leftover) or a manual RENAME completes the
-    * swap, nothing is lost.
+    * the original is dropped and the sibling renamed into place.
+    * Crash recovery, both cases fail-loud on rerun: a crash DURING
+    * the rewrite leaves the original intact and a possibly-PARTIAL
+    * sibling — drop the sibling and rerun (the error says so; it
+    * never suggests renaming a partial rewrite into place). A crash
+    * in the drop→rename window leaves the COMPLETE sibling as the
+    * only copy — the error names the exact RENAME that finishes the
+    * swap. Nothing is lost in either case.
     *
     * One-file-per-bucket, ZERO shuffle: the rewrite forces the
     * bucketed scan (`autoBucketedScan` off for the duration — with it
@@ -224,16 +227,25 @@ object Bucketed {
     require(s.sortColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase),
       s"compact: table '$table' sortBy ${s.sortColumnNames} != bucket " +
         s"columns $keys — not a graft-managed bucketed store")
+    // the original still exists here, so a leftover sibling means the
+    // crash happened DURING the rewrite (the widest window) and the
+    // leftover may be PARTIAL — never suggest renaming it into place
+    // (r19 review: the earlier message claimed completeness for this
+    // case too; an operator following a rename hint would replace the
+    // intact table with partial data). Completeness is only guaranteed
+    // in the crash-AFTER-drop case, handled by the require above.
     require(!spark.sessionState.catalog.tableExists(tmpIdent),
-      s"compact: leftover '${tmpIdent.table}' exists — a previous compact " +
-        s"crashed mid-swap; it holds the COMPLETE rewritten content: rename " +
-        s"it into place (ALTER TABLE ${quoted(tmpIdent)} RENAME TO " +
-        s"${quoted(ident)}) or drop it, then rerun")
-    val tmpName = (tmpIdent.database.toSeq :+ tmpIdent.table).mkString(".")
+      s"compact: leftover '${tmpIdent.table}' exists alongside the intact " +
+        s"'$table' — a previous compact crashed during its rewrite and the " +
+        s"leftover may be INCOMPLETE: drop it (DROP TABLE " +
+        s"${quoted(tmpIdent)}) and rerun; the original is untouched")
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = spark.conf.get(autoKey)
     spark.conf.set(autoKey, "false")
-    try writeBucketed(spark.table(quoted(ident)), tmpName, keys, s.numBuckets)
+    // quoted per part (the writeBucketed r17-ADVICE discipline): a
+    // single-part table name containing a dot must not re-parse as
+    // db.table inside writeBucketed/saveAsTable
+    try writeBucketed(spark.table(quoted(ident)), quoted(tmpIdent), keys, s.numBuckets)
     finally spark.conf.set(autoKey, prevAuto)
     spark.sql(s"DROP TABLE ${quoted(ident)}")
     spark.sql(s"ALTER TABLE ${quoted(tmpIdent)} RENAME TO ${quoted(ident)}")

@@ -16,33 +16,45 @@ object Grunt {
 
   /** True when the buffered input is a submittable statement: ends
     * with `;` and has balanced braces, both judged OUTSIDE
-    * single-quoted strings, backtick commands, and `--` line comments
-    * (comments stripped in the same scan, matching the Lexer — an odd
-    * number of quotes or backticks inside a comment would otherwise
-    * corrupt the balance state for the rest of the buffered statement,
-    * r18 ADVICE). Exposed for GruntSpec. */
+    * single-quoted strings (with the Lexer's `\x` escapes — an
+    * escaped quote must not close the string), backtick commands, and
+    * BOTH comment syntaxes the Lexer strips (`--` to end of line,
+    * `/* */` blocks) — comment content corrupting the balance state
+    * was the r18 ADVICE finding; the r19 review extended the fix to
+    * the remaining Lexer constructs. An unterminated string, backtick,
+    * or block comment keeps the statement buffering (the interactive
+    * analog of the Lexer's loud unterminated-construct errors).
+    * Exposed for GruntSpec. */
   private[tools] def statementComplete(s: String): Boolean = {
-    val outside = {
-      val sb = new StringBuilder
-      var inStr = false
-      var inTick = false
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (!inStr && !inTick && c == '-' && i + 1 < s.length &&
-            s.charAt(i + 1) == '-') {
-          while (i < s.length && s.charAt(i) != '\n') i += 1
-        } else {
-          if (c == '\'' && !inTick) inStr = !inStr
-          else if (c == '`' && !inStr) inTick = !inTick
-          else if (!inStr && !inTick) sb.append(c)
-          i += 1
+    val sb = new StringBuilder
+    val n = s.length
+    var i = 0
+    var open = false // unterminated string/backtick/block comment
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        if (i + 1 >= n) { open = true; i = n } else i += 2
+      } else if (c == '\'') {
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (s.charAt(i) == '\\' && i + 1 < n) i += 2
+          else if (s.charAt(i) == '\'') { closed = true; i += 1 }
+          else i += 1
         }
-      }
-      sb.toString
+        if (!closed) open = true
+      } else if (c == '`') {
+        i += 1
+        while (i < n && s.charAt(i) != '`') i += 1
+        if (i >= n) open = true else i += 1
+      } else { sb.append(c); i += 1 }
     }
-    outside.trim.endsWith(";") &&
-      outside.count(_ == '{') == outside.count(_ == '}')
+    !open && sb.toString.trim.endsWith(";") &&
+      sb.count(_ == '{') == sb.count(_ == '}')
   }
 
   def main(args: Array[String]): Unit = {

@@ -37,4 +37,29 @@ class GruntSpec extends AnyFunSuite {
     // and terminator after it must still be seen
     assert(Grunt.statementComplete("a = FOREACH x GENERATE CONCAT(s, '--');\n"))
   }
+
+  test("block comments are stripped like the Lexer's; unterminated ones buffer (r19 review)") {
+    // quote inside a /* */ block must not flip string state
+    assert(Grunt.statementComplete(
+      "a = LOAD 'x' USING parquet(); /* don't submit twice */\n"))
+    // commented-out brace must not defer submission
+    assert(Grunt.statementComplete("b = FILTER a BY x > 1; /* { */\n"))
+    // an OPEN block comment keeps buffering until */ arrives
+    assert(!Grunt.statementComplete("a = LOAD 'x'; /* multi\n"))
+    assert(Grunt.statementComplete("a = LOAD 'x'; /* multi\nline */ b = FILTER a BY y > 1;\n"))
+    // /* inside a string is content
+    assert(Grunt.statementComplete("a = FOREACH x GENERATE CONCAT(s, '/*');\n"))
+  }
+
+  test("backslash-escaped quotes inside strings match the Lexer (r19 review)") {
+    // the Lexer lexes \' as an escaped quote INSIDE the string — the
+    // scan must not close the string there, or the terminator reads as
+    // string content and the REPL buffers forever
+    assert(Grunt.statementComplete(
+      "a = FOREACH x GENERATE REPLACE(s, 'don\\'t', 'dont');\n"))
+    // still incomplete when the string genuinely stays open
+    assert(!Grunt.statementComplete("a = FOREACH x GENERATE 'don\\'t\n"))
+    // a string ending in a literal backslash-escaped backslash closes
+    assert(Grunt.statementComplete("a = FOREACH x GENERATE 'c:\\\\';\n"))
+  }
 }
