@@ -292,6 +292,67 @@ object ScaleCurve {
             })
       }
 
+      // ---- q129: the DURABLE-table twin of the q128 loop (r19) ----
+      // same 3 rounds, but the stores live as bucketed TABLES appended
+      // via appendBucketed — the per-round stage timings additionally
+      // price the real table I/O AND the growing per-bucket file count
+      // (round i reads a store holding i file sets per bucket); the
+      // final stage times Bucketed.compact on the appended index — the
+      // scheduled-maintenance cost as a function of store size.
+      // Admit frames are localCheckpoint'd (the appendBucketed RMW
+      // hazard); their blocks are swept per iteration like q128's.
+      if (only.forall(_.exists("q129_ingest_loop_tables".startsWith))) {
+        val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet
+        var lastRounds: Seq[(String, Double, Long)] = Nil
+        val B = 4
+        val tabs = Seq("zsc129_fp", "zsc129_sig", "zsc129_idx")
+        report("q129_ingest_loop_tables", () => {
+          val d0 = docs.select(col("doc_id"), col("text")).limit(0)
+          val fp0 = d0.select(xxhash64(col("text")).as("fp_a"),
+            xxhash64(lit("graft-fp2"), col("text")).as("fp_b"))
+          val sig0 = Dedup.minhashSignatures(d0, "doc_id", "text")
+          val idx0 = Dedup.lshBandIndex(sig0)
+          tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
+            .foreach { case (tn, (df0, keys)) =>
+              graft.ops.Bucketed.writeBucketed(df0, tn, keys, B) }
+          var total = 0L
+          val rounds = Seq.newBuilder[(String, Double, Long)]
+          for (i <- 0 until 3) {
+            val batch = docs.select(col("doc_id"), col("text"))
+              .filter(pmod(col("doc_id"), lit(3)) === i)
+            val (dt, n) = time {
+              val adm = Curate.incrementalCurate(batch, "doc_id", "text",
+                  spark.table("zsc129_fp"), spark.table("zsc129_sig"),
+                  bandIndex = Some(spark.table("zsc129_idx")))
+                .localCheckpoint()
+              val n0 = adm.count()
+              graft.ops.Bucketed.appendBucketed(
+                adm.select(col("fp_a"), col("fp_b")), "zsc129_fp", Seq("fp_a"), B)
+              graft.ops.Bucketed.appendBucketed(
+                adm.select(col("id"), col("sig")), "zsc129_sig", Seq("id"), B)
+              graft.ops.Bucketed.appendBucketed(
+                Dedup.lshBandIndex(adm.select(col("id"), col("sig"))),
+                "zsc129_idx", Seq("band", "key"), B)
+              n0
+            }
+            rounds += ((s"round$i", dt, n))
+            total += n
+          }
+          val (ct, cRows) = time {
+            graft.ops.Bucketed.compact(spark, "zsc129_idx")
+            spark.table("zsc129_idx").count()
+          }
+          rounds += (("compact_idx", ct, cRows))
+          lastRounds = rounds.result()
+          total
+        }, stages = () => lastRounds,
+          postIter = () =>
+            spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+              if (!fixtureIds.contains(id)) rdd.unpersist(false)
+            })
+        tabs.foreach(tn => spark.sql(s"DROP TABLE IF EXISTS $tn"))
+      }
+
       // ---- q120: KLL quantile sketch build + merge + read (r16) ----
       // per-source sketches over length(text), re-merged to global, 5
       // quantile reads: buffer is O(k·log n) per task regardless of m —
