@@ -1580,6 +1580,83 @@ object LlmQueries {
           "idx_agg_zero_exchange_post_append", "manifest_table_wrong_scheme_fails",
           "compact_preserves_index", "compact_one_file_per_bucket",
           "compact_zero_exchange", "admits_bounded_by_gate")
+    }),
+
+    // split-invariant ingest mode (r19, VERDICT task 5) as a DRIVER
+    // query: the corpus (real docs + a planted a~b~c near-dup chain
+    // whose members land in three different prefix batches) is ingested
+    // through incrementalCurate(splitInvariant = true) twice — as ONE
+    // batch and as THREE consecutive id-range batches — and the admit
+    // sets must be IDENTICAL (the mode's contract: every seen rep's
+    // signature is appended, so a document's admit decision depends
+    // only on what was seen before it, never on where the boundaries
+    // fall). The planted chain (the LlmSpec sliding-window fixture:
+    // J(a,b) = J(b,c) ≈ 0.58, J(a,c) ≈ 0.31 at threshold 0.45,
+    // bands=32 — candidate discovery probability ≈ 1, spec-pinned
+    // deterministic under the fixed hashes) makes the invariance BITE:
+    // in the DEFAULT chain-pessimistic mode the same 3-batch split
+    // ADMITS the chain tail c (b was dropped and never reached the
+    // store) — that flip is demonstrated in-query as the contrast
+    // boolean. Real ids are shifted ×10 so the planted ids (≡1 mod 10,
+    // one per tercile) can never collide. n_docs is SQL-derivable
+    // (count + 3); the booleans are Spark-checked, oracle-stated.
+    "q130_split_invariant_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val ML = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val d0 = t(s, dir, "documents")
+        .select((col("doc_id") * 10).as("doc_id"), col("text"))
+      def w(from: Int, until: Int) = (from until until).map(i => s"w$i").mkString(" ")
+      val maxId = d0.agg(max(col("doc_id"))).head().getLong(0)
+      val t1 = maxId / 3; val t2 = 2 * maxId / 3
+      val aId = t1 - t1 % 10 - 9
+      val bId = t2 - t2 % 10 - 9
+      val cId = maxId - maxId % 10 - 9
+      val chain = Seq((aId, w(1, 41)), (bId, w(11, 51)), (cId, w(21, 61)))
+        .toDF("doc_id", "text")
+      val corpus = graft.dsl.Rel.track(
+        d0.unionByName(chain).persist(ML))
+      val nDocs = corpus.count()
+      val empty = corpus.limit(0)
+      // one ingest pass over consecutive id-range batches; returns the
+      // accumulated admit-id frame (store discipline per mode contract)
+      def run(bounds: Seq[Long], splitInv: Boolean): DataFrame = {
+        var fp = empty.select(xxhash64(col("text")).as("fp_a"),
+          xxhash64(lit("graft-fp2"), col("text")).as("fp_b")).localCheckpoint()
+        var sig = Dedup.minhashSignatures(empty, "doc_id", "text").localCheckpoint()
+        var admits = empty.select(col("doc_id").as("id")).localCheckpoint()
+        (Seq(Long.MinValue) ++ bounds).zip(bounds ++ Seq(Long.MaxValue)).foreach {
+          case (lo, hi) =>
+            val batch = corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            val res = graft.llm.Curate.incrementalCurate(batch, "doc_id", "text",
+                fp, sig, bands = 32, threshold = 0.45,
+                splitInvariant = splitInv)
+              .persist(ML)
+            val adm = if (splitInv) res.filter(col("admitted")) else res
+            fp = fp.unionByName(adm.select(col("fp_a"), col("fp_b"))).localCheckpoint()
+            sig = sig.unionByName(
+              (if (splitInv) res else adm).select(col("id"), col("sig"))).localCheckpoint()
+            admits = admits.unionByName(adm.select(col("id"))).localCheckpoint()
+            res.unpersist()
+        }
+        admits
+      }
+      val one = run(Seq.empty, splitInv = true)
+      val three = run(Seq(t1, t2), splitInv = true)
+      val invariant = one.exceptAll(three).count() == 0L &&
+        three.exceptAll(one).count() == 0L
+      val aAdmittedBoth = one.filter(col("id") === aId).count() == 1L &&
+        three.filter(col("id") === aId).count() == 1L
+      val cDroppedBoth = one.filter(col("id") === cId).count() == 0L &&
+        three.filter(col("id") === cId).count() == 0L
+      // the contrast: the default pessimistic rule ADMITS the chain
+      // tail on the same 3-batch split (dropped b never reached the
+      // store) — exactly the order-dependence the mode removes
+      val defaultAdmitsTailOnSplit =
+        run(Seq(t1, t2), splitInv = false)
+          .filter(col("id") === cId).count() == 1L
+      Seq((nDocs, invariant, aAdmittedBoth, cDroppedBoth, defaultAdmitsTailOnSplit))
+        .toDF("n_docs", "split_equals_one_batch", "chain_head_admitted",
+          "chain_tail_dropped_both", "default_admits_tail_on_split")
     })
   )
 
@@ -2171,6 +2248,15 @@ object LlmQueries {
            TRUE AS compact_one_file_per_bucket,
            TRUE AS compact_zero_exchange,
            TRUE AS admits_bounded_by_gate""",
+    // q130: SQL-derivable corpus size (+3 planted chain docs) + the
+    // split-invariance booleans the mode guarantees (Spark-checked,
+    // hash-deterministic under the fixed kernels — the LlmSpec fixture)
+    "q130_split_invariant_ingest" ->
+      """SELECT (SELECT COUNT(*) + 3 FROM documents) AS n_docs,
+           TRUE AS split_equals_one_batch,
+           TRUE AS chain_head_admitted,
+           TRUE AS chain_tail_dropped_both,
+           TRUE AS default_admits_tail_on_split""",
     "q118_quality_classifier" ->
       """SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) AS n_docs,
            (SELECT COUNT(*) FROM documents
