@@ -1603,7 +1603,12 @@ object LlmQueries {
     "q130_split_invariant_ingest" -> ((s, dir) => {
       import s.implicits._
       val ML = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val d0 = t(s, dir, "documents")
+      // bounded sub-corpus (≤1500 real docs): invariance is a property
+      // of the RULE, not of corpus volume — 7 full ingest passes over
+      // the whole sf0.1 corpus at threshold 0.45 cost 19 s of pure
+      // re-demonstration (scale evidence lives in the q119/q128
+      // curves, not here)
+      val d0 = t(s, dir, "documents").filter(col("doc_id") < 1500)
         .select((col("doc_id") * 10).as("doc_id"), col("text"))
       def w(from: Int, until: Int) = (from until until).map(i => s"w$i").mkString(" ")
       val maxId = d0.agg(max(col("doc_id"))).head().getLong(0)
@@ -2252,7 +2257,8 @@ object LlmQueries {
     // split-invariance booleans the mode guarantees (Spark-checked,
     // hash-deterministic under the fixed kernels — the LlmSpec fixture)
     "q130_split_invariant_ingest" ->
-      """SELECT (SELECT COUNT(*) + 3 FROM documents) AS n_docs,
+      """SELECT (SELECT COUNT(*) + 3 FROM documents WHERE doc_id < 1500)
+             AS n_docs,
            TRUE AS split_equals_one_batch,
            TRUE AS chain_head_admitted,
            TRUE AS chain_tail_dropped_both,

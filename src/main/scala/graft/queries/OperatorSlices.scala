@@ -221,6 +221,46 @@ object OperatorSlices {
         tabs.foreach(tn => s.sql(s"DROP TABLE IF EXISTS $tn"))
         d.unpersist(); ()
       })
+    }),
+
+    // operator = ONE split-invariant 3-batch ingest pass (q130 also
+    // runs the one-batch twin, the equality exceptAll, and the
+    // default-mode contrast pass — verification). Chain planting is
+    // fixture work (untimed).
+    "q130_split_invariant_ingest" -> ((s, dir) => {
+      import s.implicits._
+      // same bounded sub-corpus as the query (invariance is a rule
+      // property; scale evidence lives in the curves)
+      val d0 = docs(s, dir).filter(col("doc_id") < 1500)
+        .select((col("doc_id") * 10).as("doc_id"), col("text"))
+      def w(from: Int, until: Int) = (from until until).map(i => s"w$i").mkString(" ")
+      val maxId = d0.agg(max(col("doc_id"))).head().getLong(0)
+      val t1 = maxId / 3; val t2 = 2 * maxId / 3
+      val chain = Seq((t1 - t1 % 10 - 9, w(1, 41)), (t2 - t2 % 10 - 9, w(11, 51)),
+          (maxId - maxId % 10 - 9, w(21, 61)))
+        .toDF("doc_id", "text")
+      val corpus = d0.unionByName(chain).persist(ML)
+      corpus.count()
+      val empty = corpus.limit(0)
+      (() => {
+        var fp = empty.select(xxhash64(col("text")).as("fp_a"),
+          xxhash64(lit("graft-fp2"), col("text")).as("fp_b")).localCheckpoint()
+        var sig = Dedup.minhashSignatures(empty, "doc_id", "text").localCheckpoint()
+        var total = 0L
+        Seq((Long.MinValue, t1), (t1, t2), (t2, Long.MaxValue)).foreach {
+          case (lo, hi) =>
+            val batch = corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            val res = graft.llm.Curate.incrementalCurate(batch, "doc_id", "text",
+                fp, sig, bands = 32, threshold = 0.45, splitInvariant = true)
+              .persist(ML)
+            total += res.filter(col("admitted")).count()
+            fp = fp.unionByName(res.filter(col("admitted"))
+              .select(col("fp_a"), col("fp_b"))).localCheckpoint()
+            sig = sig.unionByName(res.select(col("id"), col("sig"))).localCheckpoint()
+            res.unpersist()
+        }
+        total
+      }, () => { corpus.unpersist(); () })
     })
   )
 }
