@@ -1603,23 +1603,14 @@ object LlmQueries {
     "q130_split_invariant_ingest" -> ((s, dir) => {
       import s.implicits._
       val ML = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      // bounded sub-corpus (≤1500 real docs): invariance is a property
-      // of the RULE, not of corpus volume — 7 full ingest passes over
-      // the whole sf0.1 corpus at threshold 0.45 cost 19 s of pure
-      // re-demonstration (scale evidence lives in the q119/q128
-      // curves, not here)
-      val d0 = t(s, dir, "documents").filter(col("doc_id") < 1500)
-        .select((col("doc_id") * 10).as("doc_id"), col("text"))
-      def w(from: Int, until: Int) = (from until until).map(i => s"w$i").mkString(" ")
-      val maxId = d0.agg(max(col("doc_id"))).head().getLong(0)
-      val t1 = maxId / 3; val t2 = 2 * maxId / 3
-      val aId = t1 - t1 % 10 - 9
-      val bId = t2 - t2 % 10 - 9
-      val cId = maxId - maxId % 10 - 9
-      val chain = Seq((aId, w(1, 41)), (bId, w(11, 51)), (cId, w(21, 61)))
-        .toDF("doc_id", "text")
-      val corpus = graft.dsl.Rel.track(
-        d0.unionByName(chain).persist(ML))
+      // bounded sub-corpus + planted chain from the SHARED fixture
+      // (QCommon.chainCorpus — one definition for the query and its
+      // operator slice): invariance is a property of the RULE, not of
+      // corpus volume — 7 full ingest passes over the whole sf0.1
+      // corpus at threshold 0.45 cost 19 s of pure re-demonstration
+      // (scale evidence lives in the q119/q128 curves, not here)
+      val (corpus0, t1, t2, aId, _, cId) = QCommon.chainCorpus(s, dir)
+      val corpus = graft.dsl.Rel.track(corpus0.persist(ML))
       val nDocs = corpus.count()
       val empty = corpus.limit(0)
       // one ingest pass over consecutive id-range batches; returns the

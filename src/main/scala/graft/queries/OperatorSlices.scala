@@ -228,18 +228,12 @@ object OperatorSlices {
     // default-mode contrast pass — verification). Chain planting is
     // fixture work (untimed).
     "q130_split_invariant_ingest" -> ((s, dir) => {
-      import s.implicits._
-      // same bounded sub-corpus as the query (invariance is a rule
-      // property; scale evidence lives in the curves)
-      val d0 = docs(s, dir).filter(col("doc_id") < 1500)
-        .select((col("doc_id") * 10).as("doc_id"), col("text"))
-      def w(from: Int, until: Int) = (from until until).map(i => s"w$i").mkString(" ")
-      val maxId = d0.agg(max(col("doc_id"))).head().getLong(0)
-      val t1 = maxId / 3; val t2 = 2 * maxId / 3
-      val chain = Seq((t1 - t1 % 10 - 9, w(1, 41)), (t2 - t2 % 10 - 9, w(11, 51)),
-          (maxId - maxId % 10 - 9, w(21, 61)))
-        .toDF("doc_id", "text")
-      val corpus = d0.unionByName(chain).persist(ML)
+      // the SAME fixture as the query, by construction (shared
+      // QCommon.chainCorpus — duplicated fixture math is how
+      // operator_sec ends up pricing a different operator than the
+      // headline, the evensBatch lesson)
+      val (corpus0, t1, t2, _, _, _) = QCommon.chainCorpus(s, dir)
+      val corpus = corpus0.persist(ML)
       corpus.count()
       val empty = corpus.limit(0)
       (() => {

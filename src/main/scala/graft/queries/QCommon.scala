@@ -13,4 +13,41 @@ private[queries] object QCommon {
   /** Money-sum determinism: exact decimal(18,2) accumulation, cast to
     * double only at the end — bit-identical across engines. */
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** The q130 split-invariance fixture, ONE definition for the query
+    * and its operator slice (the evensBatch rule: duplicated fixture
+    * math drifts, and then operator_sec silently prices a different
+    * operator than the headline runs): a bounded ≤1500-real-doc
+    * sub-corpus with ids shifted ×10 plus a planted a~b~c near-dup
+    * chain (the LlmSpec sliding-window texts, J(a,b)=J(b,c)≈0.58,
+    * J(a,c)≈0.31 at threshold 0.45), chain ids ≡1 (mod 10) — one per
+    * id tercile so prefix splits at (t1, t2) put each member in its
+    * own batch, never colliding with the ×10 real ids.
+    *
+    * @return (corpus NOT persisted — caller persists/tracks,
+    *         t1, t2, aId, bId, cId)
+    */
+  def chainCorpus(s: SparkSession, dir: String)
+      : (DataFrame, Long, Long, Long, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val d0 = t(s, dir, "documents").filter(col("doc_id") < 1500)
+      .select((col("doc_id") * 10).as("doc_id"), col("text"))
+    // max over an EMPTY sub-corpus is null → an opaque NPE at getLong;
+    // fail with the cause instead (a corpus whose ids all exceed the
+    // fixed 1500 bound — e.g. a salted/256× id space; r19 review)
+    val maxRow = d0.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0),
+      "chainCorpus: no documents with doc_id < 1500 — the q130 fixture's " +
+        "fixed sub-corpus bound does not fit this corpus's id space")
+    val maxId = maxRow.getLong(0)
+    val t1 = maxId / 3; val t2 = 2 * maxId / 3
+    def w(from: Int, until: Int) = (from until until).map(i => s"w$i").mkString(" ")
+    val aId = t1 - t1 % 10 - 9
+    val bId = t2 - t2 % 10 - 9
+    val cId = maxId - maxId % 10 - 9
+    val chain = Seq((aId, w(1, 41)), (bId, w(11, 51)), (cId, w(21, 61)))
+      .toDF("doc_id", "text")
+    (d0.unionByName(chain), t1, t2, aId, bId, cId)
+  }
 }

@@ -51,4 +51,27 @@ class OperatorSlicesSpec extends SparkSuite {
       new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
+
+  test("chainCorpus fails diagnosably when the fixed sub-corpus bound misses the id space (r19 review)") {
+    import spark.implicits._
+    // pre-guard this was an opaque NPE from max(doc_id) = null
+    val tall = Seq((2000000L, "aa bb"), (3000000L, "cc dd")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("chain_guard").toString
+    tall.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val e = intercept[IllegalArgumentException](QCommon.chainCorpus(spark, tmp))
+      assert(e.getMessage.contains("doc_id < 1500"), e.getMessage)
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  test("chainCorpus plants one chain member per prefix tercile, ids collision-free") {
+    val (corpus, t1, t2, aId, bId, cId) = QCommon.chainCorpus(spark, dir)
+    import org.apache.spark.sql.functions._
+    assert(aId < t1 && t1 <= bId && bId < t2 && t2 <= cId)
+    assert(Seq(aId, bId, cId).forall(_ % 10 == 1)) // never a x10 real id
+    assert(corpus.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).count() == 0)
+  }
 }
