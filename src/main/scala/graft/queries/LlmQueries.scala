@@ -320,9 +320,13 @@ object LlmQueries {
       val store = storeDocs.select(
         xxhash64(col("text")).as("fp_a"),
         xxhash64(lit("graft-fp2"), col("text")).as("fp_b"))
+      // copy-id base derived from the data, never 1000000L (q119's
+      // rationale); the oracle derives the same MAX(doc_id)+1, so the
+      // two batch constructions stay in lockstep on any id space
+      val copyBase = d.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
         .unionByName(storeDocs.select(
-          (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          (col("doc_id") + copyBase).as("doc_id"), col("text")))
       Dedup.exactIncremental(batch, "text", "doc_id", store)
         .select(col("id"))
         .orderBy(col("id"))
@@ -341,6 +345,13 @@ object LlmQueries {
       import s.implicits._
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val storeDocs = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      // copy-id base DERIVED from the data (the q128/evensBatch rule,
+      // r19 queries deep-dive): a hardcoded 1000000L base aliases copy
+      // ids with real ids on a salted/256× corpus (doc_id ≥ 1e6), and
+      // the re-ingest invariant below would then miscount a REAL admit
+      // as a re-ingested copy. Real ids are always <= maxId < copyBase.
+      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      val copyBase = maxId + 1L
       // lshIncremental's contract: the store MUST be materialized (two
       // store-side consumers; exchange reuse of a derived lineage is
       // plan luck — the r17 curve bimodality finding)
@@ -350,7 +361,7 @@ object LlmQueries {
       val batch = graft.dsl.Rel.track(
         d.filter(pmod(col("doc_id"), lit(2)) === 1)
           .unionByName(storeDocs.select(
-            (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+            (col("doc_id") + copyBase).as("doc_id"), col("text")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nBatch = batch.count()
       val kept = graft.dsl.Rel.track(
@@ -359,7 +370,7 @@ object LlmQueries {
       val keptTexts = kept.select(col("id"))
         .join(batch, col("id") === col("doc_id"))
         .select(col("id"), col("text"))
-      val noReingested = kept.filter(col("id") >= 1000000L).count() == 0L
+      val noReingested = kept.filter(col("id") > maxId).count() == 0L
       val noStoreExact = keptTexts
         .join(storeDocs.select(col("text")), Seq("text"), "left_semi")
         .count() == 0L
@@ -1186,10 +1197,14 @@ object LlmQueries {
       val sigStore = graft.dsl.Rel.track(
         Dedup.minhashSignatures(evens, "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // copy-id base derived from the data, never 1000000L (q119's
+      // rationale — the salted/256× id-space alias)
+      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      val copyBase = maxId + 1L
       val batch = graft.dsl.Rel.track(
         d.filter(pmod(col("doc_id"), lit(2)) === 1)
           .unionByName(evens.select(
-            (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+            (col("doc_id") + copyBase).as("doc_id"), col("text")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nBatch = batch.count()
       val admitted = graft.dsl.Rel.track(
@@ -1201,7 +1216,7 @@ object LlmQueries {
         .select(col("id"), col("text"))
       val q = Text.qualityScore(col("text"))
       val nQualityPass = batch.filter(q >= 0.5).count()
-      val noReingested = admitted.filter(col("id") >= 1000000L).count() == 0L
+      val noReingested = admitted.filter(col("id") > maxId).count() == 0L
       val noStoreExact = aTexts
         .join(evens.select(col("text")), Seq("text"), "left_semi")
         .count() == 0L
@@ -1238,10 +1253,14 @@ object LlmQueries {
       val idx = graft.dsl.Rel.track(
         graft.llm.Dedup.lshBandIndex(store)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // copy-id base derived from the data, never 1000000L (q119's
+      // rationale — the salted/256× id-space alias)
+      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+      val copyBase = maxId + 1L
       val batch = graft.dsl.Rel.track(
         d.filter(pmod(col("doc_id"), lit(2)) === 1)
           .unionByName(storeDocs.select(
-            (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+            (col("doc_id") + copyBase).as("doc_id"), col("text")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nBatch = batch.count()
       val kept = graft.dsl.Rel.track(
@@ -1251,7 +1270,7 @@ object LlmQueries {
       val keptTexts = kept.select(col("id"))
         .join(batch, col("id") === col("doc_id"))
         .select(col("id"), col("text"))
-      val noReingested = kept.filter(col("id") >= 1000000L).count() == 0L
+      val noReingested = kept.filter(col("id") > maxId).count() == 0L
       val noStoreExact = keptTexts
         .join(storeDocs.select(col("text")), Seq("text"), "left_semi")
         .count() == 0L
@@ -2270,7 +2289,8 @@ object LlmQueries {
       """WITH store AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
          batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
                    UNION ALL
-                   SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0),
+                   SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+                   FROM documents WHERE doc_id % 2 = 0),
          keep AS (SELECT text, MIN(doc_id) AS id FROM batch GROUP BY text)
          SELECT id FROM keep
          WHERE text NOT IN (SELECT text FROM store)

@@ -66,6 +66,39 @@ class OperatorSlicesSpec extends SparkSuite {
     }
   }
 
+  test("q109/q119/q126/q127 derive their copy-id base — invariants hold when real ids straddle 1e6 (r19 queries deep-dive)") {
+    import spark.implicits._
+    // the salted shape: real ids straddle the old hardcoded 1000000L
+    // base. Pre-fix, q119/q126/q127 admitted doc 1000001 (a REAL odd
+    // doc) and their `id >= 1000000L` re-ingest invariant read FALSE.
+    def words(seed: Int) = (0 until 10).map(i => s"w${seed}x$i").mkString(" ")
+    val salted = Seq((2L, words(1)), (999999L, words(2)),
+        (1000001L, words(3)), (1500000L, words(4)))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("qid_guard").toString
+    salted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      for (q <- Seq("q119_incremental_lsh", "q126_incremental_curate",
+          "q127_incremental_lsh_indexed")) {
+        val df = LlmQueries.queries(q)(spark, tmp)
+        val row = df.head()
+        df.schema.fields.zipWithIndex.foreach {
+          case (f, i) if f.dataType == org.apache.spark.sql.types.BooleanType =>
+            assert(row.getBoolean(i), s"$q: invariant '${f.name}' is false")
+          case _ =>
+        }
+      }
+      // q109's oracle derives the same MAX+1 base: admits = the odd ids
+      val ids = LlmQueries.queries("q109_incremental_dedup")(spark, tmp)
+        .as[Long].collect().toSeq
+      assert(ids == Seq(999999L, 1000001L), ids.toString)
+    } finally {
+      spark.catalog.clearCache()
+      graft.dsl.Rel.releaseTracked()
+      new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("chainCorpus plants one chain member per prefix tercile, ids collision-free") {
     val (corpus, t1, t2, aId, bId, cId) = QCommon.chainCorpus(spark, dir)
     import org.apache.spark.sql.functions._
