@@ -220,6 +220,28 @@ object Curate {
       out.select(col("id"), col("fp_a"), col("fp_b"), col("sig"))
   }
 
+  /** EMPTY (fpStore, sigStore, bandIndex) frames for bootstrapping an
+    * ingest loop from nothing — derived THROUGH the operators' own
+    * expressions from `docs.limit(0)`, so the store schemas can never
+    * drift from what [[incrementalCurate]] appends. ONE definition:
+    * the q128/q129 driver queries, their bench slices and the
+    * scale-curve harness each built these by hand (r19 review — two
+    * sites with hand-typed `toDF` schemas, exactly the drift the
+    * derive-through-operators rule exists to prevent). Callers
+    * `localCheckpoint()` the frames (in-session loop) or `writeBucketed`
+    * them (durable tables).
+    */
+  def emptyStores(docs: DataFrame, idCol: String, textCol: String,
+                  shingleK: Int = 3, numHashes: Int = 64,
+                  bands: Int = 16): (DataFrame, DataFrame, DataFrame) = {
+    val d0 = docs.select(col(idCol), col(textCol)).limit(0)
+    val fp0 = d0.select(xxhash64(col(textCol)).as("fp_a"),
+      xxhash64(lit("graft-fp2"), col(textCol)).as("fp_b"))
+    val sig0 = Dedup.minhashSignatures(d0, idCol, textCol, shingleK, numHashes)
+    val idx0 = Dedup.lshBandIndex(sig0, numHashes, bands)
+    (fp0, sig0, idx0)
+  }
+
   /** The sequence-preparation capstone (the other half of the curation
     * story): quality-filter → sliding-window [[Text.chunk]] → pack the
     * chunk stream into fixed-token training sequences (the

@@ -323,7 +323,7 @@ object LlmQueries {
       // copy-id base derived from the data, never 1000000L (q119's
       // rationale); the oracle derives the same MAX(doc_id)+1, so the
       // two batch constructions stay in lockstep on any id space
-      val copyBase = d.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val copyBase = QCommon.copyBase(d, "doc_id")
       val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
         .unionByName(storeDocs.select(
           (col("doc_id") + copyBase).as("doc_id"), col("text")))
@@ -349,9 +349,8 @@ object LlmQueries {
       // r19 queries deep-dive): a hardcoded 1000000L base aliases copy
       // ids with real ids on a salted/256× corpus (doc_id ≥ 1e6), and
       // the re-ingest invariant below would then miscount a REAL admit
-      // as a re-ingested copy. Real ids are always <= maxId < copyBase.
-      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
-      val copyBase = maxId + 1L
+      // as a re-ingested copy. Real ids are always < copyBase.
+      val copyBase = QCommon.copyBase(d, "doc_id")
       // lshIncremental's contract: the store MUST be materialized (two
       // store-side consumers; exchange reuse of a derived lineage is
       // plan luck — the r17 curve bimodality finding)
@@ -370,7 +369,7 @@ object LlmQueries {
       val keptTexts = kept.select(col("id"))
         .join(batch, col("id") === col("doc_id"))
         .select(col("id"), col("text"))
-      val noReingested = kept.filter(col("id") > maxId).count() == 0L
+      val noReingested = kept.filter(col("id") >= copyBase).count() == 0L
       val noStoreExact = keptTexts
         .join(storeDocs.select(col("text")), Seq("text"), "left_semi")
         .count() == 0L
@@ -1199,8 +1198,7 @@ object LlmQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // copy-id base derived from the data, never 1000000L (q119's
       // rationale — the salted/256× id-space alias)
-      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
-      val copyBase = maxId + 1L
+      val copyBase = QCommon.copyBase(d, "doc_id")
       val batch = graft.dsl.Rel.track(
         d.filter(pmod(col("doc_id"), lit(2)) === 1)
           .unionByName(evens.select(
@@ -1216,7 +1214,7 @@ object LlmQueries {
         .select(col("id"), col("text"))
       val q = Text.qualityScore(col("text"))
       val nQualityPass = batch.filter(q >= 0.5).count()
-      val noReingested = admitted.filter(col("id") > maxId).count() == 0L
+      val noReingested = admitted.filter(col("id") >= copyBase).count() == 0L
       val noStoreExact = aTexts
         .join(evens.select(col("text")), Seq("text"), "left_semi")
         .count() == 0L
@@ -1255,8 +1253,7 @@ object LlmQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // copy-id base derived from the data, never 1000000L (q119's
       // rationale — the salted/256× id-space alias)
-      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
-      val copyBase = maxId + 1L
+      val copyBase = QCommon.copyBase(d, "doc_id")
       val batch = graft.dsl.Rel.track(
         d.filter(pmod(col("doc_id"), lit(2)) === 1)
           .unionByName(storeDocs.select(
@@ -1270,7 +1267,7 @@ object LlmQueries {
       val keptTexts = kept.select(col("id"))
         .join(batch, col("id") === col("doc_id"))
         .select(col("id"), col("text"))
-      val noReingested = kept.filter(col("id") > maxId).count() == 0L
+      val noReingested = kept.filter(col("id") >= copyBase).count() == 0L
       val noStoreExact = keptTexts
         .join(storeDocs.select(col("text")), Seq("text"), "left_semi")
         .count() == 0L
@@ -1329,10 +1326,10 @@ object LlmQueries {
       // salted/256x fixtures build such ids — would miscount a real
       // admit as a re-ingested copy and could collide copy ids with
       // real ids). Rounds use copyBase*(i+1), the reingest probe
-      // copyBase*4; real ids are always <= maxId < copyBase.
-      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
-      val copyBase = maxId + 1L
-      // stores start EMPTY — the loop is bootstrapped from nothing.
+      // copyBase*4; real ids are always < copyBase.
+      val copyBase = QCommon.copyBase(d, "doc_id")
+      // stores start EMPTY — the loop is bootstrapped from nothing,
+      // schemas derived through the operators (Curate.emptyStores).
       // LINEAGE DISCIPLINE: in production each append writes to a
       // TABLE, so every round's ingest plans against a flat scan. A
       // persist() does NOT give that — the logical plan still nests the
@@ -1341,12 +1338,10 @@ object LlmQueries {
       // attempt spent >10 min inside plan-tree stringification alone).
       // localCheckpoint (eager) is the in-session stand-in for the
       // table boundary: it cuts the plan to an RDD scan each round.
-      var fpStore = Seq.empty[(Long, Long)].toDF("fp_a", "fp_b").localCheckpoint()
-      var sigStore = Seq.empty[(Long, Array[Long])].toDF("id", "sig").localCheckpoint()
-      var bandIdx = Seq.empty[(Long, Long, Long)]
-        .toDF("id", "band", "key")
-        .select(col("id"), col("band").cast("int").as("band"), col("key"))
-        .localCheckpoint()
+      val (fp0, sig0, idx0) = graft.llm.Curate.emptyStores(d, "doc_id", "text")
+      var fpStore = fp0.localCheckpoint()
+      var sigStore = sig0.localCheckpoint()
+      var bandIdx = idx0.localCheckpoint()
       var prevAdmittedDocs = Seq.empty[(Long, String)].toDF("id", "text")
       var noCopyAdmitted = true
       var reingestNothing = true
@@ -1365,7 +1360,7 @@ object LlmQueries {
             batch, "doc_id", "text", fpStore, sigStore,
             bandIndex = Some(bandIdx), manifest = Some(man))
           .persist(ML))
-        noCopyAdmitted &&= admitted.filter(col("id") > maxId).count() == 0L
+        noCopyAdmitted &&= admitted.filter(col("id") >= copyBase).count() == 0L
         admitsSubset &&= admitted.select(col("id"))
           .join(batch, col("id") === col("doc_id"), "left_anti").count() == 0L
         val admittedDocs = admitted.select(col("id"))
@@ -1473,16 +1468,13 @@ object LlmQueries {
       val q = Text.qualityScore(col("text"))
       val nDocs = d.count()
       val nQualityPass = d.filter(q >= 0.5).count()
-      val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
-      val copyBase = maxId + 1L
+      val copyBase = QCommon.copyBase(d, "doc_id")
       // empty bootstrap frames derived THROUGH the operators' own
-      // expressions, so the tables' schemas can never drift from what
-      // incrementalCurate appends
+      // expressions (Curate.emptyStores — shared with q128, the bench
+      // slices and the scale-curve harness), so the tables' schemas
+      // can never drift from what incrementalCurate appends
       val d0 = d.limit(0)
-      val fp0 = d0.select(xxhash64(col("text")).as("fp_a"),
-        xxhash64(lit("graft-fp2"), col("text")).as("fp_b"))
-      val sig0 = Dedup.minhashSignatures(d0, "doc_id", "text")
-      val idx0 = Dedup.lshBandIndex(sig0)
+      val (fp0, sig0, idx0) = graft.llm.Curate.emptyStores(d, "doc_id", "text")
       // a crash inside a previous iteration's compact would leave the
       // _compacting sibling behind and fail THIS run's compact loudly —
       // clear it up front (the rerun-completes-the-swap recovery)
@@ -1523,7 +1515,7 @@ object LlmQueries {
             batch, "doc_id", "text", s.table("g129_fp"), s.table("g129_sig"),
             bandIndex = Some(s.table("g129_idx")), manifest = Some(manT))
           .localCheckpoint()
-        noCopyAdmitted &&= admitted.filter(col("id") > maxId).count() == 0L
+        noCopyAdmitted &&= admitted.filter(col("id") >= copyBase).count() == 0L
         Bk.appendBucketed(admitted.select(col("fp_a"), col("fp_b")),
           "g129_fp", Seq("fp_a"), B)
         Bk.appendBucketed(admitted.select(col("id"), col("sig")),
@@ -1635,9 +1627,9 @@ object LlmQueries {
       // one ingest pass over consecutive id-range batches; returns the
       // accumulated admit-id frame (store discipline per mode contract)
       def run(bounds: Seq[Long], splitInv: Boolean): DataFrame = {
-        var fp = empty.select(xxhash64(col("text")).as("fp_a"),
-          xxhash64(lit("graft-fp2"), col("text")).as("fp_b")).localCheckpoint()
-        var sig = Dedup.minhashSignatures(empty, "doc_id", "text").localCheckpoint()
+        val (fpE, sigE, _) = graft.llm.Curate.emptyStores(corpus, "doc_id", "text")
+        var fp = fpE.localCheckpoint()
+        var sig = sigE.localCheckpoint()
         var admits = empty.select(col("doc_id").as("id")).localCheckpoint()
         (Seq(Long.MinValue) ++ bounds).zip(bounds ++ Seq(Long.MaxValue)).foreach {
           case (lo, hi) =>

@@ -45,7 +45,7 @@ object OperatorSlices {
     val d = docs(s, dir)
     val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0).persist(ML)
     evens.count()
-    val copyBase = d.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val copyBase = QCommon.copyBase(d, "doc_id")
     val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
       .unionByName(evens.select(
         (col("doc_id") + copyBase).as("doc_id"), col("text")))
@@ -150,12 +150,12 @@ object OperatorSlices {
       val d = docs(s, dir).persist(ML)
       d.count()
       (() => {
-        var fpStore = Seq.empty[(Long, Long)].toDF("fp_a", "fp_b").localCheckpoint()
-        var sigStore = Seq.empty[(Long, Array[Long])].toDF("id", "sig").localCheckpoint()
-        var bandIdx = Seq.empty[(Long, Long, Long)]
-          .toDF("id", "band", "key")
-          .select(col("id"), col("band").cast("int").as("band"), col("key"))
-          .localCheckpoint()
+        // empty stores derived through the operators (Curate.emptyStores
+        // — one schema definition with the q128 query; r19 review)
+        val (fp0, sig0, idx0) = graft.llm.Curate.emptyStores(d, "doc_id", "text")
+        var fpStore = fp0.localCheckpoint()
+        var sigStore = sig0.localCheckpoint()
+        var bandIdx = idx0.localCheckpoint()
         var total = 0L
         for (i <- 0 until 3) {
           val batch = d.filter(pmod(col("doc_id"), lit(3)) === i)
@@ -192,11 +192,7 @@ object OperatorSlices {
       val Bk = graft.ops.Bucketed
       val tabs = Seq("g129s_fp", "g129s_sig", "g129s_idx")
       (() => {
-        val d0 = d.limit(0)
-        val fp0 = d0.select(xxhash64(col("text")).as("fp_a"),
-          xxhash64(lit("graft-fp2"), col("text")).as("fp_b"))
-        val sig0 = Dedup.minhashSignatures(d0, "doc_id", "text")
-        val idx0 = Dedup.lshBandIndex(sig0)
+        val (fp0, sig0, idx0) = graft.llm.Curate.emptyStores(d, "doc_id", "text")
         tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
           .foreach { case (tn, (df0, keys)) => Bk.writeBucketed(df0, tn, keys, B) }
         var total = 0L
@@ -235,11 +231,10 @@ object OperatorSlices {
       val (corpus0, t1, t2, _, _, _) = QCommon.chainCorpus(s, dir)
       val corpus = corpus0.persist(ML)
       corpus.count()
-      val empty = corpus.limit(0)
       (() => {
-        var fp = empty.select(xxhash64(col("text")).as("fp_a"),
-          xxhash64(lit("graft-fp2"), col("text")).as("fp_b")).localCheckpoint()
-        var sig = Dedup.minhashSignatures(empty, "doc_id", "text").localCheckpoint()
+        val (fpE, sigE, _) = graft.llm.Curate.emptyStores(corpus, "doc_id", "text")
+        var fp = fpE.localCheckpoint()
+        var sig = sigE.localCheckpoint()
         var total = 0L
         Seq((Long.MinValue, t1), (t1, t2), (t2, Long.MaxValue)).foreach {
           case (lo, hi) =>

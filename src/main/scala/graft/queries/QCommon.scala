@@ -14,6 +14,21 @@ private[queries] object QCommon {
     * double only at the end — bit-identical across engines. */
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Copy-id base for the re-ingest fixtures (q109/q119/q126–q129 and
+    * the bench slices): `max(id) + 1`, DERIVED from the data — a
+    * hardcoded constant aliases copy ids with real ids on a
+    * salted/256× id space (the r18 q128 review finding). ONE
+    * definition with ONE empty-corpus guard: on an empty corpus
+    * `max()` is NULL and an unguarded `getLong` was an opaque NPE
+    * (r19 review) — return 1L instead, preserving the pre-derivation
+    * behavior (no copies exist to collide; the queries emit their
+    * empty/vacuous results, matching their oracles). */
+  def copyBase(df: DataFrame, idCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    val r = df.agg(max(col(idCol))).head()
+    if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
+  }
+
   /** The q130 split-invariance fixture, ONE definition for the query
     * and its operator slice (the evensBatch rule: duplicated fixture
     * math drifts, and then operator_sec silently prices a different

@@ -254,12 +254,14 @@ object ScaleCurve {
         val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet
         var lastRounds: Seq[(String, Double, Long)] = Nil
         report("q128_ingest_loop", () => {
-          var fpStore = Seq.empty[(Long, Long)].toDF("fp_a", "fp_b").localCheckpoint()
-          var sigStore = Seq.empty[(Long, Array[Long])].toDF("id", "sig").localCheckpoint()
-          var bandIdx = Seq.empty[(Long, Long, Long)]
-            .toDF("id", "band", "key")
-            .select(col("id"), col("band").cast("int").as("band"), col("key"))
-            .localCheckpoint()
+          // empty stores derived through the operators (Curate.emptyStores
+          // — one schema definition with the driver query; the hand-typed
+          // toDF schemas here could drift silently, r19 review)
+          val (fp0, sig0, idx0) = Curate.emptyStores(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text")
+          var fpStore = fp0.localCheckpoint()
+          var sigStore = sig0.localCheckpoint()
+          var bandIdx = idx0.localCheckpoint()
           var total = 0L
           val rounds = Seq.newBuilder[(String, Double, Long)]
           for (i <- 0 until 3) {
@@ -307,11 +309,15 @@ object ScaleCurve {
         val B = 4
         val tabs = Seq("zsc129_fp", "zsc129_sig", "zsc129_idx")
         report("q129_ingest_loop_tables", () => {
-          val d0 = docs.select(col("doc_id"), col("text")).limit(0)
-          val fp0 = d0.select(xxhash64(col("text")).as("fp_a"),
-            xxhash64(lit("graft-fp2"), col("text")).as("fp_b"))
-          val sig0 = Dedup.minhashSignatures(d0, "doc_id", "text")
-          val idx0 = Dedup.lshBandIndex(sig0)
+          // a crash inside a previous run's compact leaves the
+          // _compacting sibling behind; unlike the main tables (which
+          // writeBucketed drops) nothing below recreates it, so every
+          // rerun of the sweep would fail loudly inside compact until
+          // someone drops it by hand (r19 review — the q129 driver
+          // query already carries this pre-drop)
+          spark.sql("DROP TABLE IF EXISTS zsc129_idx_compacting")
+          val (fp0, sig0, idx0) = Curate.emptyStores(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text")
           tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
             .foreach { case (tn, (df0, keys)) =>
               graft.ops.Bucketed.writeBucketed(df0, tn, keys, B) }

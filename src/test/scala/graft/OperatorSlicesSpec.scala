@@ -99,6 +99,27 @@ class OperatorSlicesSpec extends SparkSuite {
     }
   }
 
+  test("copy-id base derivation survives an EMPTY corpus — no opaque NPE (r19 review)") {
+    import spark.implicits._
+    // pre-guard, QCommon.copyBase's max(doc_id) was NULL here and
+    // getLong threw an opaque NPE; the guarded base (1L) restores the
+    // pre-derivation behavior: empty/vacuous results matching the oracle
+    val tmp = java.nio.file.Files.createTempDirectory("empty_guard").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val r119 = LlmQueries.queries("q119_incremental_lsh")(spark, tmp).head()
+      assert(r119.getLong(0) == 0L && (1 to 4).forall(r119.getBoolean))
+      val r126 = LlmQueries.queries("q126_incremental_curate")(spark, tmp).head()
+      assert(r126.getLong(0) == 0L && (2 to 7).forall(r126.getBoolean))
+      assert(LlmQueries.queries("q109_incremental_dedup")(spark, tmp).count() == 0L)
+    } finally {
+      spark.catalog.clearCache()
+      graft.dsl.Rel.releaseTracked()
+      new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("chainCorpus plants one chain member per prefix tercile, ids collision-free") {
     val (corpus, t1, t2, aId, bId, cId) = QCommon.chainCorpus(spark, dir)
     import org.apache.spark.sql.functions._
