@@ -359,6 +359,60 @@ object ScaleCurve {
         tabs.foreach(tn => spark.sql(s"DROP TABLE IF EXISTS $tn"))
       }
 
+      // ---- q130: the SPLIT-INVARIANT-mode twin of the q128 loop (r19)
+      // same 3 batches and scheme as the q128 block; the only change is
+      // the mode — the signature store and band index grow with SEEN
+      // reps (admits + near-dup rejects) instead of admits only, which
+      // is the mode's entire cost story. The curve pins that the
+      // per-round cost stays flat-ish and the loop linear at the mode's
+      // bounded store-growth premium over the q128 rows (the planted-
+      // chain SEMANTICS are q130's driver-query job, not a scale
+      // question — this measures the production-shaped ingest).
+      if (only.forall(_.exists("q130_split_invariant_ingest".startsWith))) {
+        val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet
+        var lastRounds: Seq[(String, Double, Long)] = Nil
+        report("q130_split_invariant_ingest", () => {
+          val (fp0, sig0, idx0) = Curate.emptyStores(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text")
+          var fpStore = fp0.localCheckpoint()
+          var sigStore = sig0.localCheckpoint()
+          var bandIdx = idx0.localCheckpoint()
+          var total = 0L
+          val rounds = Seq.newBuilder[(String, Double, Long)]
+          for (i <- 0 until 3) {
+            val batch = docs.select(col("doc_id"), col("text"))
+              .filter(pmod(col("doc_id"), lit(3)) === i)
+            val (dt, n) = time {
+              val res = Curate.incrementalCurate(batch, "doc_id", "text",
+                  fpStore, sigStore, bandIndex = Some(bandIdx),
+                  splitInvariant = true)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val adm = res.filter(col("admitted"))
+              val n0 = adm.count()
+              // the mode's append discipline: fp rows for ADMITTED only,
+              // sig + index rows for EVERY seen rep (Curate scaladoc)
+              fpStore = fpStore
+                .unionByName(adm.select(col("fp_a"), col("fp_b"))).localCheckpoint()
+              sigStore = sigStore
+                .unionByName(res.select(col("id"), col("sig"))).localCheckpoint()
+              bandIdx = bandIdx.unionByName(
+                  Dedup.lshBandIndex(res.select(col("id"), col("sig"))))
+                .localCheckpoint()
+              res.unpersist()
+              n0
+            }
+            rounds += ((s"round$i", dt, n))
+            total += n
+          }
+          lastRounds = rounds.result()
+          total
+        }, stages = () => lastRounds,
+          postIter = () =>
+            spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+              if (!fixtureIds.contains(id)) rdd.unpersist(false)
+            })
+      }
+
       // ---- q120: KLL quantile sketch build + merge + read (r16) ----
       // per-source sketches over length(text), re-merged to global, 5
       // quantile reads: buffer is O(k·log n) per task regardless of m —
