@@ -249,50 +249,60 @@ object ScaleCurve {
       // rounds. localCheckpoint blocks are swept per iteration (they
       // are invisible to releaseTracked — the r18 Bench finding; the
       // docs fixture's own persist is spared via an id snapshot).
-      if (only.forall(_.exists("q128_ingest_loop".startsWith))) {
-        import spark.implicits._
-        val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet
-        var lastRounds: Seq[(String, Double, Long)] = Nil
-        report("q128_ingest_loop", () => {
-          // empty stores derived through the operators (Curate.emptyStores
-          // — one schema definition with the driver query; the hand-typed
-          // toDF schemas here could drift silently, r19 review)
-          val (fp0, sig0, idx0) = Curate.emptyStores(
-            docs.select(col("doc_id"), col("text")), "doc_id", "text")
-          var fpStore = fp0.localCheckpoint()
-          var sigStore = sig0.localCheckpoint()
-          var bandIdx = idx0.localCheckpoint()
-          var total = 0L
-          val rounds = Seq.newBuilder[(String, Double, Long)]
-          for (i <- 0 until 3) {
-            val batch = docs.select(col("doc_id"), col("text"))
-              .filter(pmod(col("doc_id"), lit(3)) === i)
-            val (dt, n) = time {
-              val adm = Curate.incrementalCurate(batch, "doc_id", "text",
-                  fpStore, sigStore, bandIndex = Some(bandIdx))
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              val n0 = adm.count()
-              fpStore = fpStore
-                .unionByName(adm.select(col("fp_a"), col("fp_b"))).localCheckpoint()
-              sigStore = sigStore
-                .unionByName(adm.select(col("id"), col("sig"))).localCheckpoint()
-              bandIdx = bandIdx.unionByName(
-                  Dedup.lshBandIndex(adm.select(col("id"), col("sig"))))
-                .localCheckpoint()
-              adm.unpersist()
-              n0
+      // ONE loop body for the q128 (default mode) and q130
+      // (split-invariant mode) curve blocks — they differ ONLY in the
+      // admit mode (the r19 review's single-definition rule: a
+      // hand-mirrored copy could silently price a different loop than
+      // the driver query). Empty stores derive through Curate.emptyStores
+      // (one schema definition with the driver queries). In
+      // split-invariant mode fp rows append for ADMITTED reps only
+      // while sig + index rows append for EVERY seen rep (the Curate
+      // scaladoc contract).
+      def inSessionLoopCurve(q: String, splitInv: Boolean): Unit =
+        if (only.forall(_.exists(q.startsWith))) {
+          val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet
+          var lastRounds: Seq[(String, Double, Long)] = Nil
+          report(q, () => {
+            val (fp0, sig0, idx0) = Curate.emptyStores(
+              docs.select(col("doc_id"), col("text")), "doc_id", "text")
+            var fpStore = fp0.localCheckpoint()
+            var sigStore = sig0.localCheckpoint()
+            var bandIdx = idx0.localCheckpoint()
+            var total = 0L
+            val rounds = Seq.newBuilder[(String, Double, Long)]
+            for (i <- 0 until 3) {
+              val batch = docs.select(col("doc_id"), col("text"))
+                .filter(pmod(col("doc_id"), lit(3)) === i)
+              val (dt, n) = time {
+                val res = Curate.incrementalCurate(batch, "doc_id", "text",
+                    fpStore, sigStore, bandIndex = Some(bandIdx),
+                    splitInvariant = splitInv)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                val adm = if (splitInv) res.filter(col("admitted")) else res
+                val n0 = adm.count()
+                val sigSrc = if (splitInv) res else adm
+                fpStore = fpStore
+                  .unionByName(adm.select(col("fp_a"), col("fp_b"))).localCheckpoint()
+                sigStore = sigStore
+                  .unionByName(sigSrc.select(col("id"), col("sig"))).localCheckpoint()
+                bandIdx = bandIdx.unionByName(
+                    Dedup.lshBandIndex(sigSrc.select(col("id"), col("sig"))))
+                  .localCheckpoint()
+                res.unpersist()
+                n0
+              }
+              rounds += ((s"round$i", dt, n))
+              total += n
             }
-            rounds += ((s"round$i", dt, n))
-            total += n
-          }
-          lastRounds = rounds.result()
-          total
-        }, stages = () => lastRounds,
-          postIter = () =>
-            spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-              if (!fixtureIds.contains(id)) rdd.unpersist(false)
-            })
-      }
+            lastRounds = rounds.result()
+            total
+          }, stages = () => lastRounds,
+            postIter = () =>
+              spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+                if (!fixtureIds.contains(id)) rdd.unpersist(false)
+              })
+        }
+      inSessionLoopCurve("q128_ingest_loop", splitInv = false)
 
       // ---- q129: the DURABLE-table twin of the q128 loop (r19) ----
       // same 3 rounds, but the stores live as bucketed TABLES appended
@@ -360,58 +370,15 @@ object ScaleCurve {
       }
 
       // ---- q130: the SPLIT-INVARIANT-mode twin of the q128 loop (r19)
-      // same 3 batches and scheme as the q128 block; the only change is
-      // the mode — the signature store and band index grow with SEEN
-      // reps (admits + near-dup rejects) instead of admits only, which
-      // is the mode's entire cost story. The curve pins that the
+      // same 3 batches and scheme, the shared loop body above with the
+      // mode flipped — the signature store and band index grow with
+      // SEEN reps (admits + near-dup rejects) instead of admits only,
+      // which is the mode's entire cost story. The curve pins that the
       // per-round cost stays flat-ish and the loop linear at the mode's
       // bounded store-growth premium over the q128 rows (the planted-
       // chain SEMANTICS are q130's driver-query job, not a scale
       // question — this measures the production-shaped ingest).
-      if (only.forall(_.exists("q130_split_invariant_ingest".startsWith))) {
-        val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet
-        var lastRounds: Seq[(String, Double, Long)] = Nil
-        report("q130_split_invariant_ingest", () => {
-          val (fp0, sig0, idx0) = Curate.emptyStores(
-            docs.select(col("doc_id"), col("text")), "doc_id", "text")
-          var fpStore = fp0.localCheckpoint()
-          var sigStore = sig0.localCheckpoint()
-          var bandIdx = idx0.localCheckpoint()
-          var total = 0L
-          val rounds = Seq.newBuilder[(String, Double, Long)]
-          for (i <- 0 until 3) {
-            val batch = docs.select(col("doc_id"), col("text"))
-              .filter(pmod(col("doc_id"), lit(3)) === i)
-            val (dt, n) = time {
-              val res = Curate.incrementalCurate(batch, "doc_id", "text",
-                  fpStore, sigStore, bandIndex = Some(bandIdx),
-                  splitInvariant = true)
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              val adm = res.filter(col("admitted"))
-              val n0 = adm.count()
-              // the mode's append discipline: fp rows for ADMITTED only,
-              // sig + index rows for EVERY seen rep (Curate scaladoc)
-              fpStore = fpStore
-                .unionByName(adm.select(col("fp_a"), col("fp_b"))).localCheckpoint()
-              sigStore = sigStore
-                .unionByName(res.select(col("id"), col("sig"))).localCheckpoint()
-              bandIdx = bandIdx.unionByName(
-                  Dedup.lshBandIndex(res.select(col("id"), col("sig"))))
-                .localCheckpoint()
-              res.unpersist()
-              n0
-            }
-            rounds += ((s"round$i", dt, n))
-            total += n
-          }
-          lastRounds = rounds.result()
-          total
-        }, stages = () => lastRounds,
-          postIter = () =>
-            spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-              if (!fixtureIds.contains(id)) rdd.unpersist(false)
-            })
-      }
+      inSessionLoopCurve("q130_split_invariant_ingest", splitInv = true)
 
       // ---- q120: KLL quantile sketch build + merge + read (r16) ----
       // per-source sketches over length(text), re-merged to global, 5

@@ -108,10 +108,17 @@ class OperatorSlicesSpec extends SparkSuite {
     Seq.empty[(Long, String)].toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     try {
-      val r119 = LlmQueries.queries("q119_incremental_lsh")(spark, tmp).head()
-      assert(r119.getLong(0) == 0L && (1 to 4).forall(r119.getBoolean))
-      val r126 = LlmQueries.queries("q126_incremental_curate")(spark, tmp).head()
-      assert(r126.getLong(0) == 0L && (2 to 7).forall(r126.getBoolean))
+      for (q <- Seq("q119_incremental_lsh", "q126_incremental_curate",
+          "q127_incremental_lsh_indexed")) {
+        val df = LlmQueries.queries(q)(spark, tmp)
+        val row = df.head()
+        assert(row.getLong(0) == 0L, s"$q: n_batch on empty corpus")
+        df.schema.fields.zipWithIndex.foreach {
+          case (f, i) if f.dataType == org.apache.spark.sql.types.BooleanType =>
+            assert(row.getBoolean(i), s"$q: invariant '${f.name}' is false")
+          case _ =>
+        }
+      }
       assert(LlmQueries.queries("q109_incremental_dedup")(spark, tmp).count() == 0L)
     } finally {
       spark.catalog.clearCache()
