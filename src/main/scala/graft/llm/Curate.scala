@@ -220,6 +220,162 @@ object Curate {
       out.select(col("id"), col("fp_a"), col("fp_b"), col("sig"))
   }
 
+  /** ONE micro-batch of the continuous-ingest stream, against the
+    * durable bucketed store TABLES — the body [[streamingIngest]] wires
+    * into `foreachBatch`, public so the batch-replay form can be driven
+    * (and oracled) directly: quality gate → exact dedup vs the fp table
+    * → near dedup vs the sig table via the pre-built band-index table →
+    * append all three stores with [[graft.ops.Bucketed.appendBucketed]]
+    * (spec-validated, so the zero-Exchange co-location contract cannot
+    * silently break).
+    *
+    * RECACHE DISCIPLINE (the q129 finding, `ops/Bucketed.scala`
+    * appendBucketed scaladoc): the admit frame's lineage reads the very
+    * tables the appends mutate, and each append's catalog refresh
+    * RECACHES dependent cached plans — so the frame is severed with
+    * `localCheckpoint()` BEFORE the first append; `persist()` would
+    * silently recompute against the half-mutated stores.
+    *
+    * EXACTLY-ONCE / REPLAY: `foreachBatch` re-runs a batch after a
+    * crash. The optional `ledgerTable` records each COMPLETED batch id
+    * (written last), so a fully-completed batch replays as a no-op —
+    * exactly-once at batch granularity. Within a batch, each table
+    * append is all-or-nothing (Spark's file commit protocol), so the
+    * crash windows sit BETWEEN appends; the idx → sig → fp order makes
+    * every window decision-equivalent on replay:
+    *  - crash before the idx append: clean re-run (nothing mutated);
+    *  - after idx, before sig: the re-run admits the SAME set (index
+    *    candidates verify against the sig table, which has no rows for
+    *    them yet) and re-appends the same idx rows — the index gains
+    *    duplicate rows, which candidate discovery dedupes (`distinct`
+    *    after the bucket explode) but which count against `maxBucket`
+    *    caps and break index≡lshBandIndex(sig) multiset equality until
+    *    a rebuild; admit decisions unchanged;
+    *  - after sig, before fp: the re-run admits nothing (est Jaccard 1
+    *    vs the docs' own stored signatures), so the batch's fp rows are
+    *    never appended — exact copies are then dropped one stage later
+    *    by the near stage at est 1 instead of by the exact stage (the
+    *    [[Dedup.lshIncremental]] splitInvariant edge-(2) semantics);
+    *    admit decisions unchanged.
+    * `onAdmitted` fires with the checkpointed result frame BEFORE any
+    * append, so delivery is at-least-once in every window (a replay
+    * may re-invoke it with the same or an empty frame) — the downstream
+    * sink must be idempotent, e.g. keyed on (batchId, id).
+    *
+    * Cache hygiene for an unbounded stream: the operator-internal
+    * tracked persists are released and the batch's own localCheckpoint
+    * blocks swept per batch (snapshot-diff of `getPersistentRDDs`, the
+    * Bench discipline — localCheckpoint blocks are invisible to
+    * `clearCache`/`releaseTracked`). The sweep assumes the ingest
+    * pipeline OWNS its session's cache (concurrent foreign persists
+    * created mid-batch would be swept); run it in its own session.
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
+                  textCol: String, fpTable: String, sigTable: String,
+                  idxTable: String, buckets: Int,
+                  manifestTable: Option[String] = None,
+                  ledgerTable: Option[String] = None,
+                  minQuality: Double = 0.5, shingleK: Int = 3,
+                  numHashes: Int = 64, bands: Int = 16,
+                  threshold: Double = 0.9,
+                  splitInvariant: Boolean = false,
+                  onAdmitted: (DataFrame, Long) => Unit = (_, _) => ()): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    def exists(t: String) = s.sessionState.catalog.tableExists(
+      s.sessionState.sqlParser.parseTableIdentifier(t))
+    // ledger skip: the row is written LAST, so its presence proves the
+    // batch's appends ALL committed — replaying it must be a no-op
+    val alreadyDone = ledgerTable.exists(lt => exists(lt) &&
+      s.table(lt).filter(col("batch_id") === batchId).limit(1).count() > 0L)
+    if (alreadyDone) return
+    val rddsBefore = s.sparkContext.getPersistentRDDs.keySet
+    try {
+      val res = incrementalCurate(batch, idCol, textCol,
+          s.table(fpTable), s.table(sigTable), minQuality, shingleK,
+          numHashes, bands, threshold,
+          bandIndex = Some(s.table(idxTable)),
+          manifest = manifestTable.map(s.table),
+          splitInvariant = splitInvariant)
+        .localCheckpoint() // RECACHE discipline — see scaladoc
+      onAdmitted(res, batchId)
+      // sig + index rows: every returned rep (= every SEEN rep in
+      // split-invariant mode, admits only in default mode); fp rows:
+      // admitted docs only — the incrementalCurate append contract
+      val sigRows = res.select(col("id"), col("sig"))
+      val fpRows = (if (splitInvariant) res.filter(col("admitted")) else res)
+        .select(col("fp_a"), col("fp_b"))
+      graft.ops.Bucketed.appendBucketed(
+        Dedup.lshBandIndex(sigRows, numHashes, bands),
+        idxTable, Seq("band", "key"), buckets)
+      graft.ops.Bucketed.appendBucketed(sigRows, sigTable, Seq("id"), buckets)
+      graft.ops.Bucketed.appendBucketed(fpRows, fpTable, Seq("fp_a"), buckets)
+      ledgerTable.foreach(lt => Seq(batchId).toDF("batch_id")
+        .write.mode("append").format("parquet").saveAsTable(lt))
+    } finally {
+      graft.dsl.Rel.releaseTracked()
+      s.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+        if (!rddsBefore.contains(id)) r.unpersist(false)
+      }
+    }
+  }
+
+  /** Continuous streaming ingest — the q128/q129 batch loop as a
+    * Structured Streaming pipeline (the production shape: the batch
+    * engine curates the backfill, this curates the live feed with the
+    * SAME [[incrementalCurate]] kernel against the SAME durable
+    * bucketed tables, so batch and stream agree by construction).
+    * `readStream` → `foreachBatch`([[ingestBatch]]): each micro-batch
+    * is quality-gated, exact- and near-deduped against the store
+    * tables, and its rows appended under the validated bucket specs.
+    *
+    * Scale/state shape at 100 TB: the ONLY streaming state is the
+    * source offsets in the checkpoint — dedup state lives in the
+    * bucketed TABLES, not in a state store, so state never grows with
+    * the corpus and a trigger can be minutes or hours without watermark
+    * tuning. Trigger cadence trades per-batch overhead (three appends
+    * ≥ 3 × buckets files) against admit latency; file accumulation is
+    * the cost, paid down by [[graft.ops.Bucketed.compact]] as a
+    * SCHEDULED job between triggers (pause the stream or accept the
+    * crash-recovery semantics in compact's scaladoc — never compact
+    * concurrently with an in-flight batch, both mutate the catalog
+    * entry). Crash/replay semantics are [[ingestBatch]]'s.
+    *
+    * Fails at WIRING time (not first batch) if any store table is
+    * missing or the manifest scheme mismatches — bootstrap with
+    * [[emptyStores]] + `Bucketed.writeBucketed` first.
+    *
+    * @return the configured `DataStreamWriter` — caller sets
+    *         `checkpointLocation`/`trigger` and calls `start()`
+    */
+  def streamingIngest(stream: DataFrame, idCol: String, textCol: String,
+                      fpTable: String, sigTable: String, idxTable: String,
+                      buckets: Int,
+                      manifestTable: Option[String] = None,
+                      ledgerTable: Option[String] = None,
+                      minQuality: Double = 0.5, shingleK: Int = 3,
+                      numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.9,
+                      splitInvariant: Boolean = false,
+                      onAdmitted: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val s = stream.sparkSession
+    Seq(fpTable, sigTable, idxTable).foreach { t =>
+      require(s.sessionState.catalog.tableExists(
+          s.sessionState.sqlParser.parseTableIdentifier(t)),
+        s"streamingIngest: store table '$t' does not exist — bootstrap the " +
+          "stores with Curate.emptyStores + Bucketed.writeBucketed first")
+    }
+    manifestTable.foreach(mt => Dedup.requireManifest(s.table(mt),
+      "streamingIngest", Some(shingleK), numHashes, bands))
+    stream.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ingestBatch(b.toDF(), id, idCol, textCol, fpTable, sigTable,
+          idxTable, buckets, manifestTable, ledgerTable, minQuality,
+          shingleK, numHashes, bands, threshold, splitInvariant, onAdmitted)
+    }
+  }
+
   /** EMPTY (fpStore, sigStore, bandIndex) frames for bootstrapping an
     * ingest loop from nothing — derived THROUGH the operators' own
     * expressions from `docs.limit(0)`, so the store schemas can never

@@ -884,8 +884,12 @@ object Dedup {
     * already caused). Non-prefix splits get arrival-order-greedy
     * semantics — "first seen wins" — which is the production meaning
     * of an ingest stream anyway. Costs: the store grows with SEEN reps
-    * (admits + near-dup rejects), not admits only — bounded by the
-    * stream's distinct-signature count.
+    * (admits + near-dup rejects, PLUS one row per cross-batch exact
+    * copy of a non-admitted rep — edge (2) above, so an adversarial
+    * stream resending the same rejected doc each batch grows the store
+    * linearly with those resends, not with distinct signatures; a
+    * caller facing that stream shape should dedupe its appends by
+    * signature).
     */
   private def lshIncrementalBands(batch: DataFrame, idCol: String,
                                   textCol: String, store0: DataFrame,

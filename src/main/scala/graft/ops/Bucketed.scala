@@ -227,6 +227,16 @@ object Bucketed {
     require(s.sortColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase),
       s"compact: table '$table' sortBy ${s.sortColumnNames} != bucket " +
         s"columns $keys — not a graft-managed bucketed store")
+    // provider too (r19 ADVICE): a bucketed ORC/Avro table with
+    // sortBy == bucket keys passes the spec check but writeBucketed
+    // always writes parquet — compacting it would silently CHANGE the
+    // table's format, not just its layout
+    val provider = spark.sessionState.catalog.getTableMetadata(ident)
+      .provider.map(_.toLowerCase)
+    require(provider.contains("parquet"),
+      s"compact: table '$table' provider $provider is not parquet — " +
+        "not a graft-managed bucketed store (compacting would rewrite it " +
+        "as parquet, silently changing the table's format)")
     // the original still exists here, so a leftover sibling means the
     // crash happened DURING the rewrite (the widest window) and the
     // leftover may be PARTIAL — never suggest renaming it into place

@@ -1664,6 +1664,121 @@ object LlmQueries {
       Seq((nDocs, invariant, aAdmittedBoth, cDroppedBoth, defaultAdmitsTailOnSplit))
         .toDF("n_docs", "split_equals_one_batch", "chain_head_admitted",
           "chain_tail_dropped_both", "default_admits_tail_on_split")
+    }),
+
+    // STREAMING continuous ingest, batch-replay form (r20, VERDICT
+    // task 1): the q129 durable-table loop driven through
+    // Curate.ingestBatch — the EXACT body streamingIngest wires into
+    // foreachBatch (the MemoryStream end-to-end run lives in
+    // CurateStreamSpec; here the replay-visible semantics are oracled):
+    //  * admit PARITY with the in-session localCheckpoint twin on the
+    //    same batches (would catch the RECACHE hazard — ingestBatch
+    //    localCheckpoints the admit frame before its appends)
+    //  * at-least-once DELIVERY closes: the onAdmitted callback's
+    //    delivered total equals the sig table's admit count
+    //  * exactly-once at batch granularity: replaying an already-
+    //    LEDGERED batch id leaves every store table untouched
+    //  * a NEW batch id re-sending earlier admits under fresh ids
+    //    admits nothing (the closed loop through the table stores) and
+    //    appends only its ledger row
+    //  * the ledger ends complete: one row per processed batch id
+    // Counts are SQL-derivable; admit ids are hash-dependent (q128's
+    // rationale), so the invariants are the oracle. Delivery tracking
+    // is COUNTS only — the callback must not retain its frame (the
+    // batch-end sweep unpersists it) and corpus-sized id collects are
+    // the anti-pattern the loop queries exist to avoid.
+    "q131_streaming_ingest_replay" -> ((s, dir) => {
+      import s.implicits._
+      val ML = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val B = 4
+      val C = graft.llm.Curate
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val man = Dedup.lshManifest(s)
+      val nDocs = d.count()
+      val nQualityPass = d.filter(Text.qualityScore(col("text")) >= 0.5).count()
+      val copyBase = QCommon.copyBase(d, "doc_id")
+      val (fp0, sig0, idx0) = C.emptyStores(d, "doc_id", "text")
+      Seq(("g131_fp", fp0, Seq("fp_a")), ("g131_sig", sig0, Seq("id")),
+          ("g131_idx", idx0, Seq("band", "key")))
+        .foreach { case (tn, df0, keys) =>
+          graft.ops.Bucketed.writeBucketed(df0, tn, keys, B) }
+      s.sql("DROP TABLE IF EXISTS g131_man")
+      man.write.format("parquet").saveAsTable("g131_man")
+      s.sql("DROP TABLE IF EXISTS g131_led")
+      def tableCounts() = Seq("g131_fp", "g131_sig", "g131_idx", "g131_led")
+        .map(tn => s.table(tn).count())
+      var delivered = 0L
+      val deliver: (DataFrame, Long) => Unit = (df, _) => delivered += df.count()
+      // in-session parity twin (the q128 mechanics)
+      var fpMem = fp0.localCheckpoint()
+      var sigMem = sig0.localCheckpoint()
+      var prevAdmittedDocs = d.limit(0).select(col("doc_id").as("id"), col("text"))
+      var lastBatch: DataFrame = null
+      for (i <- 0 until 3) {
+        val batch = graft.dsl.Rel.track(
+          d.filter(pmod(col("doc_id"), lit(3)) === i)
+            .unionByName(prevAdmittedDocs.select(
+              (col("id") + copyBase * (i + 1)).as("doc_id"), col("text")))
+            .persist(ML))
+        batch.count()
+        C.ingestBatch(batch, i.toLong, "doc_id", "text",
+          "g131_fp", "g131_sig", "g131_idx", B,
+          manifestTable = Some("g131_man"), ledgerTable = Some("g131_led"),
+          onAdmitted = deliver)
+        val admMem = graft.dsl.Rel.track(C.incrementalCurate(
+            batch, "doc_id", "text", fpMem, sigMem, manifest = Some(man))
+          .persist(ML))
+        fpMem = fpMem.unionByName(admMem.select(col("fp_a"), col("fp_b")))
+          .localCheckpoint()
+        sigMem = sigMem.unionByName(admMem.select(col("id"), col("sig")))
+          .localCheckpoint()
+        // next round's copies come from the TABLE path's admits (round
+        // i admits = sig-table ids ∩ this batch's ids — batch ids are
+        // disjoint across rounds)
+        prevAdmittedDocs = s.table("g131_sig").select(col("id"))
+          .join(batch, col("id") === col("doc_id"))
+          .select(col("id"), col("text"))
+          .localCheckpoint()
+        lastBatch = batch
+      }
+      val tblIds = s.table("g131_sig").select(col("id"))
+      val memIds = sigMem.select(col("id"))
+      val parity = tblIds.exceptAll(memIds).count() == 0L &&
+        memIds.exceptAll(tblIds).count() == 0L
+      val nAdmitted = tblIds.count()
+      val noCopyAdmitted = tblIds.filter(col("id") >= copyBase).count() == 0L
+      val deliveredMatches = delivered == nAdmitted
+      // exactly-once: replay the last LEDGERED batch id — a no-op
+      val before = tableCounts()
+      C.ingestBatch(lastBatch, 2L, "doc_id", "text",
+        "g131_fp", "g131_sig", "g131_idx", B,
+        manifestTable = Some("g131_man"), ledgerTable = Some("g131_led"),
+        onAdmitted = deliver)
+      val replayNoop = tableCounts() == before && delivered == nAdmitted
+      // a NEW batch id carrying copies of every admit: nothing admits,
+      // only the ledger row lands
+      C.ingestBatch(
+        // every admit is a real id (noCopyAdmitted above), so d alone
+        // recovers the admitted texts
+        tblIds.join(d, col("id") === col("doc_id"))
+          .select((col("id") + copyBase * 5).as("doc_id"), col("text")),
+        3L, "doc_id", "text", "g131_fp", "g131_sig", "g131_idx", B,
+        manifestTable = Some("g131_man"), ledgerTable = Some("g131_led"),
+        onAdmitted = deliver)
+      val reingestNothing = tableCounts() == before.init :+ (before.last + 1L) &&
+        delivered == nAdmitted
+      val ledgerComplete = s.table("g131_led").select(col("batch_id"))
+        .as[Long].collect().toSet == Set(0L, 1L, 2L, 3L)
+      val admitsBounded = nAdmitted <= nQualityPass
+      Seq("g131_fp", "g131_sig", "g131_idx", "g131_man", "g131_led")
+        .foreach(tn => s.sql(s"DROP TABLE IF EXISTS $tn"))
+      Seq((nDocs, nQualityPass, 3, parity, noCopyAdmitted, deliveredMatches,
+          replayNoop, reingestNothing, ledgerComplete, admitsBounded))
+        .toDF("n_docs", "n_quality_pass", "n_batches",
+          "table_admits_equal_insession", "no_reingested_copy_admitted",
+          "delivered_equals_admitted", "ledgered_replay_noop",
+          "new_batch_reingest_admits_nothing", "ledger_complete",
+          "admits_bounded_by_gate")
     })
   )
 
@@ -2254,6 +2369,29 @@ object LlmQueries {
            TRUE AS compact_preserves_index,
            TRUE AS compact_one_file_per_bucket,
            TRUE AS compact_zero_exchange,
+           TRUE AS admits_bounded_by_gate""",
+    // q131: the q129 count skeleton + the streaming-replay booleans
+    // (Spark-checked invariants of the foreachBatch body, oracle-stated)
+    "q131_streaming_ingest_replay" ->
+      """WITH s AS (SELECT doc_id, text,
+             len(string_split(text, ' '))::DOUBLE AS n,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE AS lnd
+           FROM documents),
+         q AS (SELECT doc_id,
+             FLOOR(((lnd / n) * 0.4
+                    + (LEAST(LENGTH(text)::DOUBLE / n, 8.0) / 8.0) * 0.3
+                    + LEAST(n / 100.0, 1.0) * 0.3) * 10000 + 0.5) / 10000
+               AS quality
+           FROM s)
+         SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM q WHERE quality >= 0.5) AS n_quality_pass,
+           3 AS n_batches,
+           TRUE AS table_admits_equal_insession,
+           TRUE AS no_reingested_copy_admitted,
+           TRUE AS delivered_equals_admitted,
+           TRUE AS ledgered_replay_noop,
+           TRUE AS new_batch_reingest_admits_nothing,
+           TRUE AS ledger_complete,
            TRUE AS admits_bounded_by_gate""",
     // q130: SQL-derivable corpus size (+3 planted chain docs) + the
     // split-invariance booleans the mode guarantees (Spark-checked,

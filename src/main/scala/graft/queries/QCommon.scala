@@ -6,7 +6,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * the table loader and the oracle-determinism decimal cast (they were
   * copy-pasted per object, so a change to the determinism contract
   * could silently apply to only some query groups; r17 review). */
-private[queries] object QCommon {
+// private[graft] (was private[queries]): the scale-curve harness needs
+// copyBase too — its q119/q126 blocks were the LAST hardcoded +1e9
+// bases in the repo (r19 VERDICT task 2: at 256× scaled ids reach
+// ~2.55e9, so +1e9 copies ALIAS store ids)
+private[graft] object QCommon {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
 
@@ -57,6 +61,13 @@ private[queries] object QCommon {
         "fixed sub-corpus bound does not fit this corpus's id space")
     val maxId = maxRow.getLong(0)
     val t1 = maxId / 3; val t2 = 2 * maxId / 3
+    // below ~60 the ‑9-shifted chain ids can fall outside their
+    // terciles, collide, or go negative — corrupting the fixture
+    // SILENTLY (the spec only pins the real-sf corpus); fail with the
+    // diagnosis instead, like the empty-corpus guard above (r19 ADVICE)
+    require(maxId >= 60,
+      s"chainCorpus: sub-corpus max doc_id $maxId < 60 — too small to place " +
+        "one planted chain member per id tercile without collisions")
     def w(from: Int, until: Int) = (from until until).map(i => s"w$i").mkString(" ")
     val aId = t1 - t1 % 10 - 9
     val bId = t2 - t2 % 10 - 9

@@ -21,8 +21,11 @@ object DedupProfile {
       r
     }
     val d = Tables.load(spark, dir, "documents")
+    // derived mutated-copy base (QCommon.copyBase, the r20 single
+    // definition) — fixed constants alias real ids on scaled id spaces
+    val cb = graft.queries.QCommon.copyBase(d, "doc_id")
     val mutated = d.filter(pmod(col("doc_id"), lit(10)) === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + cb).as("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 4, 1000000)).as("text"))
     val docs = d.select(col("doc_id"), col("text")).union(mutated)
     docs.count() // warmup

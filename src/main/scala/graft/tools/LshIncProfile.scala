@@ -43,12 +43,15 @@ object LshIncProfile {
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / numHashes
 
+    // derived copy-id base (QCommon.copyBase, the r20 single
+    // definition) — the old +1e9 aliased store ids at 256×
+    val cb = graft.queries.QCommon.copyBase(docs, "doc_id")
     for (iter <- 1 to iters) {
       val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       val batch = docs.select(col("doc_id"), col("text"))
         .filter(pmod(col("doc_id"), lit(2)) === 1)
         .unionByName(evens.select(
-          (col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+          (col("doc_id") + cb).as("doc_id"), col("text")))
 
       // (a) store signature derivation, forced alone
       val (tStoreSig, nStore) = time {

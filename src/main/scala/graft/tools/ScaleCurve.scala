@@ -216,10 +216,14 @@ object ScaleCurve {
         val store119 = Dedup.minhashSignatures(evens, "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         store119.count()
+        // copy-id base DERIVED from the scaled corpus (QCommon.copyBase —
+        // the single definition; r20): the old hardcoded +1e9 ALIASED
+        // copy ids with store ids at 256×, where scaled ids reach ~2.55e9
+        val cb119 = graft.queries.QCommon.copyBase(docs, "doc_id")
         val batch = docs.select(col("doc_id"), col("text"))
           .filter(pmod(col("doc_id"), lit(2)) === 1)
           .unionByName(evens.select(
-            (col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+            (col("doc_id") + cb119).as("doc_id"), col("text")))
         report("q119_incremental_lsh", () =>
           Dedup.lshIncremental(batch, "doc_id", "text", store119).count())
         // ---- q127: the same ingest via the pre-built band index ----
@@ -483,10 +487,12 @@ object ScaleCurve {
         val sigStore126 = Dedup.minhashSignatures(evens126, "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         fpStore126.count(); sigStore126.count()
+        // derived copy-id base (same r20 fix as the q119 block above)
+        val cb126 = graft.queries.QCommon.copyBase(docs, "doc_id")
         val batchReal = docs.select(col("doc_id"), col("text"))
           .filter(pmod(col("doc_id"), lit(2)) === 1)
           .unionByName(evens126.select(
-            (col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+            (col("doc_id") + cb126).as("doc_id"), col("text")))
         report("q126_incremental_curate", () =>
           Curate.incrementalCurate(batchReal, "doc_id", "text",
             fpStore126, sigStore126).count())

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.llm.{Curate, Dedup}
+import graft.ops.Bucketed
+
+/** Streaming continuous ingest (r20, VERDICT task 1): Curate.streamingIngest
+  * = foreachBatch(Curate.ingestBatch) against the durable bucketed store
+  * tables. The load-bearing assertions: admit PARITY with the q128/q129
+  * in-session batch loop on the SAME batch sequence (both admit modes),
+  * the ledger's exactly-once batch skip, and the wiring-time fail-loud
+  * contract. The RECACHE hazard (persist()ed admit frames recomputing
+  * against half-mutated stores) is what the parity test would catch —
+  * BucketedSpec pins the mechanism in isolation.
+  */
+class CurateStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val B = 2
+  private def mkTables(prefix: String): (String, String, String, String, String) = {
+    val (fpT, sigT, idxT, manT, ledT) =
+      (s"${prefix}_fp", s"${prefix}_sig", s"${prefix}_idx", s"${prefix}_man", s"${prefix}_led")
+    val d0 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (fp0, sig0, idx0) = Curate.emptyStores(d0, "doc_id", "text")
+    Bucketed.writeBucketed(fp0, fpT, Seq("fp_a"), B)
+    Bucketed.writeBucketed(sig0, sigT, Seq("id"), B)
+    Bucketed.writeBucketed(idx0, idxT, Seq("band", "key"), B)
+    spark.sql(s"DROP TABLE IF EXISTS $manT")
+    Dedup.lshManifest(spark).write.format("parquet").saveAsTable(manT)
+    spark.sql(s"DROP TABLE IF EXISTS $ledT")
+    (fpT, sigT, idxT, manT, ledT)
+  }
+  private def dropTables(prefix: String): Unit =
+    Seq("fp", "sig", "idx", "man", "led").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$s"))
+
+  // the LlmSpec incrementalCurate fixture texts, as three stream batches
+  private val good = (1 to 60).map(i => s"w$i").mkString(" ")
+  private val other = (1 to 60).map(i => s"v$i").mkString(" ")
+  private val nearGood = ((1 to 59).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+  private val novel = (1 to 60).map(i => s"z$i").mkString(" ")
+  private val novel2 = (1 to 60).map(i => s"y$i").mkString(" ")
+  private val batches: Seq[Seq[(Long, String)]] = Seq(
+    Seq((1L, good), (3L, "spam spam spam spam")),          // 3 fails the gate
+    Seq((11L, good), (13L, nearGood), (17L, other), (19L, other)),
+    Seq((21L, other), (23L, novel), (25L, nearGood)))
+  // expected drops: 11 exact-vs-store, 13 near-vs-store, 19 within-batch
+  // exact, 21 exact-vs-store, 25 near-vs-store (default mode) / exact-sig
+  // copy of seen rep 13 (split-invariant mode — dropped either way)
+
+  /** The q128-style in-session twin: same batches, localCheckpoint
+    * stores, the Curate append contract per admit mode. Returns
+    * (admit ids, seen-rep sig ids). */
+  private def batchLoop(splitInv: Boolean): (Set[Long], Set[Long]) = {
+    val d0 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (fp0, sig0, _) = Curate.emptyStores(d0, "doc_id", "text")
+    var fp = fp0.localCheckpoint()
+    var sig = sig0.localCheckpoint()
+    var admits = Set.empty[Long]
+    try {
+      batches.foreach { rows =>
+        val res = Curate.incrementalCurate(rows.toDF("doc_id", "text"),
+            "doc_id", "text", fp, sig, threshold = 0.5,
+            splitInvariant = splitInv)
+          .localCheckpoint()
+        val adm = if (splitInv) res.filter($"admitted") else res
+        admits ++= adm.select("id").as[Long].collect()
+        fp = fp.unionByName(adm.select($"fp_a", $"fp_b")).localCheckpoint()
+        sig = sig.unionByName(
+          (if (splitInv) res else adm).select($"id", $"sig")).localCheckpoint()
+      }
+      (admits, sig.select("id").as[Long].collect().toSet)
+    } finally graft.dsl.Rel.releaseTracked()
+  }
+
+  private def runStream(prefix: String, splitInv: Boolean,
+                        onAdmitted: (DataFrame, Long) => Unit = (_, _) => ())
+      : Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Curate.streamingIngest(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"${prefix}_fp", s"${prefix}_sig", s"${prefix}_idx",
+        buckets = B, manifestTable = Some(s"${prefix}_man"),
+        ledgerTable = Some(s"${prefix}_led"), threshold = 0.5,
+        splitInvariant = splitInv, onAdmitted = onAdmitted)
+      .start()
+    try batches.foreach { rows =>
+      input.addData(rows: _*) // one micro-batch per addData
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
+  test("streamingIngest: admit parity with the in-session batch loop (default mode)") {
+    val p = "gstr_d"
+    mkTables(p)
+    try {
+      var delivered = Set.empty[Long]
+      runStream(p, splitInv = false,
+        onAdmitted = (df, _) => delivered ++= df.select("id").as[Long].collect())
+      val (memAdmits, _) = batchLoop(splitInv = false)
+      val tblAdmits = spark.table(s"${p}_sig").select("id").as[Long].collect().toSet
+      assert(tblAdmits == memAdmits,
+        s"stream $tblAdmits vs batch loop $memAdmits")
+      assert(delivered == memAdmits, s"onAdmitted delivered $delivered")
+      assert(memAdmits == Set(1L, 17L, 23L))
+      // fp table: one row per admit; ledger: one row per micro-batch
+      assert(spark.table(s"${p}_fp").count() == memAdmits.size.toLong)
+      assert(spark.table(s"${p}_led").select("batch_id").as[Long]
+        .collect().toSet == Set(0L, 1L, 2L))
+      // appended index ≡ index of the appended sig table
+      val full = Dedup.lshBandIndex(spark.table(s"${p}_sig"))
+      assert(spark.table(s"${p}_idx").exceptAll(full).count() == 0L &&
+        full.exceptAll(spark.table(s"${p}_idx")).count() == 0L)
+    } finally dropTables(p)
+  }
+
+  test("streamingIngest: admit parity + seen-rep store growth (split-invariant mode)") {
+    val p = "gstr_si"
+    mkTables(p)
+    try {
+      runStream(p, splitInv = true)
+      val (memAdmits, memSeen) = batchLoop(splitInv = true)
+      val tblSeen = spark.table(s"${p}_sig").select("id").as[Long].collect().toSet
+      // fp rows are admit-only, sig rows cover every SEEN rep
+      assert(tblSeen == memSeen, s"stream seen $tblSeen vs batch $memSeen")
+      assert(spark.table(s"${p}_fp").count() == memAdmits.size.toLong)
+      // the mode's point: non-admitted seen reps (13) are in the store
+      assert((tblSeen -- memAdmits).nonEmpty)
+      assert(memAdmits == Set(1L, 17L, 23L))
+    } finally dropTables(p)
+  }
+
+  test("ingestBatch: a ledgered batch id replays as a no-op; re-ingest admits nothing") {
+    val p = "gstr_rp"
+    mkTables(p)
+    try {
+      def counts() = Seq("fp", "sig", "idx", "led")
+        .map(s => spark.table(s"${p}_$s").count())
+      val b0 = batches(1).toDF("doc_id", "text")
+      Curate.ingestBatch(b0, 0L, "doc_id", "text", s"${p}_fp", s"${p}_sig",
+        s"${p}_idx", B, ledgerTable = Some(s"${p}_led"), threshold = 0.5)
+      val after = counts()
+      assert(after == Seq(2L, 2L, 32L, 1L), after.toString) // 17+"good"(11, min id... ) admits
+      // exactly-once: same batch id again → every count unchanged
+      Curate.ingestBatch(b0, 0L, "doc_id", "text", s"${p}_fp", s"${p}_sig",
+        s"${p}_idx", B, ledgerTable = Some(s"${p}_led"), threshold = 0.5)
+      assert(counts() == after)
+      // a NEW batch id with already-stored docs admits nothing — the
+      // closed-loop property through the table-backed stores (only the
+      // ledger row is added)
+      Curate.ingestBatch(b0.select(($"doc_id" + 100L).as("doc_id"), $"text"),
+        1L, "doc_id", "text", s"${p}_fp", s"${p}_sig",
+        s"${p}_idx", B, ledgerTable = Some(s"${p}_led"), threshold = 0.5)
+      assert(counts() == after.init :+ (after.last + 1L))
+    } finally dropTables(p)
+  }
+
+  test("streamingIngest fails at wiring time: missing store table, wrong manifest scheme") {
+    val p = "gstr_w"
+    mkTables(p)
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val sdf = input.toDF().toDF("doc_id", "text")
+      val e1 = intercept[IllegalArgumentException] {
+        Curate.streamingIngest(sdf, "doc_id", "text",
+          s"${p}_missing", s"${p}_sig", s"${p}_idx", buckets = B)
+      }
+      assert(e1.getMessage.contains("bootstrap"))
+      val e2 = intercept[IllegalArgumentException] {
+        Curate.streamingIngest(sdf, "doc_id", "text",
+          s"${p}_fp", s"${p}_sig", s"${p}_idx", buckets = B,
+          manifestTable = Some(s"${p}_man"), bands = 8)
+      }
+      assert(e2.getMessage.contains("bands"))
+    } finally dropTables(p)
+  }
+}
