@@ -219,6 +219,42 @@ object OperatorSlices {
       })
     }),
 
+    // operator = the STREAMING foreachBatch body ×3 (Curate.ingestBatch:
+    // ledger check + curate against the tables + the three
+    // appendBucketed writes + ledger append — the per-trigger cost of
+    // streamingIngest); q131's in-session parity twin, replay probes
+    // and ledger-completeness assertions are verification. Bootstrap
+    // (empty bucketed writes + manifest/ledger tables) is part of the
+    // durable lifecycle, inside the thunk like q129's.
+    "q131_streaming_ingest_replay" -> ((s, dir) => {
+      val d = docs(s, dir).persist(ML)
+      d.count()
+      val B = 4
+      val Bk = graft.ops.Bucketed
+      val tabs = Seq("g131s_fp", "g131s_sig", "g131s_idx")
+      (() => {
+        val (fp0, sig0, idx0) = graft.llm.Curate.emptyStores(d, "doc_id", "text")
+        tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
+          .foreach { case (tn, (df0, keys)) => Bk.writeBucketed(df0, tn, keys, B) }
+        s.sql("DROP TABLE IF EXISTS g131s_man")
+        Dedup.lshManifest(s).write.format("parquet").saveAsTable("g131s_man")
+        s.sql("DROP TABLE IF EXISTS g131s_led")
+        var total = 0L
+        for (i <- 0 until 3) {
+          val batch = d.filter(pmod(col("doc_id"), lit(3)) === i)
+          graft.llm.Curate.ingestBatch(batch, i.toLong, "doc_id", "text",
+            "g131s_fp", "g131s_sig", "g131s_idx", B,
+            manifestTable = Some("g131s_man"), ledgerTable = Some("g131s_led"),
+            onAdmitted = (df, _) => total += df.count())
+        }
+        total
+      }, () => {
+        (tabs ++ Seq("g131s_man", "g131s_led"))
+          .foreach(tn => s.sql(s"DROP TABLE IF EXISTS $tn"))
+        d.unpersist(); ()
+      })
+    }),
+
     // operator = ONE split-invariant 3-batch ingest pass (q130 also
     // runs the one-batch twin, the equality exceptAll, and the
     // default-mode contrast pass — verification). Chain planting is

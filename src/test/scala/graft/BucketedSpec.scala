@@ -307,6 +307,30 @@ class BucketedSpec extends SparkSuite {
     spark.sql("DROP TABLE cmp_t")
   }
 
+  test("compact refuses a non-parquet bucketed table (r19 ADVICE: provider check)") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS cmp_orc")
+    val loc = new java.io.File("spark-warehouse/cmp_orc")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    // an externally-written ORC table whose bucket/sort spec mimics a
+    // graft-managed store — pre-fix, compact silently rewrote it as
+    // parquet, changing the table's format
+    Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .limit(10).write.bucketBy(2, "l_orderkey").sortBy("l_orderkey")
+      .format("orc").saveAsTable("cmp_orc")
+    val e = intercept[IllegalArgumentException](Bucketed.compact(spark, "cmp_orc"))
+    assert(e.getMessage.contains("not parquet"), e.getMessage)
+    // untouched: still readable, still ORC
+    assert(spark.table("cmp_orc").count() == 10)
+    assert(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("cmp_orc"))
+      .provider.exists(_.equalsIgnoreCase("orc")))
+    spark.sql("DROP TABLE cmp_orc")
+  }
+
   test("collectedGroup refuses a table not bucketed by the group key") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS li_flat")

@@ -66,6 +66,23 @@ class OperatorSlicesSpec extends SparkSuite {
     }
   }
 
+  test("chainCorpus fails diagnosably on a too-small sub-corpus (r19 ADVICE: tercile guard)") {
+    import spark.implicits._
+    // maxId after the ×10 shift = 20 < 60: the -9-shifted chain ids
+    // would collide / go negative — pre-guard the fixture corrupted
+    // SILENTLY instead of failing
+    val tiny = Seq((0L, "aa bb"), (1L, "cc dd"), (2L, "ee ff"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("chain_tiny").toString
+    tiny.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val e = intercept[IllegalArgumentException](QCommon.chainCorpus(spark, tmp))
+      assert(e.getMessage.contains("too small"), e.getMessage)
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("q109/q119/q126/q127 derive their copy-id base — invariants hold when real ids straddle 1e6 (r19 queries deep-dive)") {
     import spark.implicits._
     // the salted shape: real ids straddle the old hardcoded 1000000L
