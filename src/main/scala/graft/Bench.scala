@@ -432,10 +432,24 @@ object Bench {
     // window can't fit a second per-query map): per-query sec_norm =
     // sec × norm_factor, one multiplication for any reader.
     // calibration_ref itself is omitted here (it is the FIXED 0.44
-    // documented in BASELINE.md and carried by the full artifact) —
-    // the 130-query map already puts this line near the window
-    val compact =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"steady_total":${f(steadyTotal)},"adjudication":"$adjShort"$failedShort$opShort,"calibration_sec":${f2(calibMed)},"calibration_end_sec":${f2(calibEnd)},"norm_factor":${f2(normFactor)},"norm_total":${f2(normTotal)},"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}","detail":"bench_out.json"$onlyMark}"""
+    // documented in BASELINE.md and carried by the full artifact).
+    // r20 trim: steady_total / calibration_end_sec / norm_total moved
+    // to the full artifact ONLY — the r19 compact line measured 1976 of
+    // the ~2000-char window, so q131's two new map entries would have
+    // head-truncated the driver artifact (the exact failure this line
+    // exists to prevent); those three scalars are derivable (norm_total
+    // = value × norm_factor) or adjudication-covered (steady).
+    def mkCompact(ops: String) =
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"adjudication":"$adjShort"$failedShort$ops,"calibration_sec":${f2(calibMed)},"norm_factor":${f2(normFactor)},"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}","detail":"bench_out.json"$onlyMark}"""
+    // last-resort fallback: a line still past the window drops the
+    // operator_sec map (it lives in full in bench_out.json) rather
+    // than arriving truncated — an unparseable artifact zeroes the
+    // round's perf signal, a map-less one only loses stdout redundancy
+    val compact = {
+      val full = mkCompact(opShort)
+      if (full.length <= 1950) full
+      else mkCompact(""","operator_sec":"see bench_out.json"""")
+    }
     if (compact.length > 1950)
       System.err.println(s"[bench] WARNING: compact line ${compact.length} chars — near the launcher's ~2000-char tail window")
     println(compact)

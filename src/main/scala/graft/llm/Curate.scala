@@ -313,9 +313,15 @@ object Curate {
       ledgerTable.foreach(lt => Seq(batchId).toDF("batch_id")
         .write.mode("append").format("parquet").saveAsTable(lt))
     } finally {
-      graft.dsl.Rel.releaseTracked()
+      // BLOCKING release + sweep: a non-blocking drain here would empty
+      // the tracked queue, so an outer measurement loop's blocking
+      // barrier has nothing left to wait on while the async removals
+      // pile up behind the next batch (the bench_r18_run1 fixture-
+      // eviction mode). The blocks are batch-sized; the barrier is
+      // cheap relative to a trigger.
+      graft.dsl.Rel.releaseTracked(blocking = true)
       s.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
-        if (!rddsBefore.contains(id)) r.unpersist(false)
+        if (!rddsBefore.contains(id)) r.unpersist(true)
       }
     }
   }

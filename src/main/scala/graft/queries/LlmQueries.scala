@@ -1714,12 +1714,17 @@ object LlmQueries {
       var sigMem = sig0.localCheckpoint()
       var prevAdmittedDocs = d.limit(0).select(col("doc_id").as("id"), col("text"))
       var lastBatch: DataFrame = null
+      val batchPersists = scala.collection.mutable.ArrayBuffer[DataFrame]()
       for (i <- 0 until 3) {
-        val batch = graft.dsl.Rel.track(
-          d.filter(pmod(col("doc_id"), lit(3)) === i)
-            .unionByName(prevAdmittedDocs.select(
-              (col("id") + copyBase * (i + 1)).as("doc_id"), col("text")))
-            .persist(ML))
+        // plain persist, NOT Rel.track: ingestBatch's finally releases
+        // every tracked frame (its own per-batch hygiene), which would
+        // silently unpersist this batch before the in-session twin
+        // consumes it — unpersisted explicitly at the end instead
+        val batch = d.filter(pmod(col("doc_id"), lit(3)) === i)
+          .unionByName(prevAdmittedDocs.select(
+            (col("id") + copyBase * (i + 1)).as("doc_id"), col("text")))
+          .persist(ML)
+        batchPersists += batch
         batch.count()
         C.ingestBatch(batch, i.toLong, "doc_id", "text",
           "g131_fp", "g131_sig", "g131_idx", B,
@@ -1770,6 +1775,7 @@ object LlmQueries {
       val ledgerComplete = s.table("g131_led").select(col("batch_id"))
         .as[Long].collect().toSet == Set(0L, 1L, 2L, 3L)
       val admitsBounded = nAdmitted <= nQualityPass
+      batchPersists.foreach(_.unpersist(false))
       Seq("g131_fp", "g131_sig", "g131_idx", "g131_man", "g131_led")
         .foreach(tn => s.sql(s"DROP TABLE IF EXISTS $tn"))
       Seq((nDocs, nQualityPass, 3, parity, noCopyAdmitted, deliveredMatches,

@@ -308,6 +308,70 @@ object ScaleCurve {
         }
       inSessionLoopCurve("q128_ingest_loop", splitInv = false)
 
+      // ---- shared durable-loop round driver (q129 + the r20 cadence
+      // variants — ONE body, the single-definition rule): bootstrap
+      // empty bucketed TABLES, then R rounds of curate-against-tables +
+      // three appendBucketed writes; `compactEvery > 0` additionally
+      // compacts ALL THREE stores after every such round (timed
+      // separately from the ingest). Emits per-round stage rows:
+      //   (roundN, ingest sec, admits)
+      //   (filesN, compact sec — 0 when uncadenced, TOTAL store
+      //    parquet files at round end)
+      // Admit frames are localCheckpoint'd (the appendBucketed RMW
+      // hazard); callers sweep their blocks per iteration like q128's.
+      def durableLoop(tabs: Seq[String], b: Int, r: Int, compactEvery: Int,
+                      rounds: scala.collection.mutable.Builder[
+                        (String, Double, Long), Seq[(String, Double, Long)]]): Long = {
+        val Seq(fpT, sigT, idxT) = tabs
+        // a crash inside a previous run's compact leaves the
+        // _compacting sibling behind; unlike the main tables (which
+        // writeBucketed drops) nothing below recreates it, so every
+        // rerun of the sweep would fail loudly inside compact until
+        // someone drops it by hand (r19 review — the q129 driver
+        // query already carries this pre-drop)
+        tabs.foreach(tn => spark.sql(s"DROP TABLE IF EXISTS ${tn}_compacting"))
+        val (fp0, sig0, idx0) = Curate.emptyStores(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text")
+        tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
+          .foreach { case (tn, (df0, keys)) =>
+            graft.ops.Bucketed.writeBucketed(df0, tn, keys, b) }
+        def nFiles: Long = tabs.map { tn =>
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.sessionState.catalog.getTableMetadata(
+              spark.sessionState.sqlParser.parseTableIdentifier(tn)).location)
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.listStatus(loc).count(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet")).toLong
+        }.sum
+        var total = 0L
+        for (i <- 0 until r) {
+          val batch = docs.select(col("doc_id"), col("text"))
+            .filter(pmod(col("doc_id"), lit(r)) === i)
+          val (dt, n) = time {
+            val adm = Curate.incrementalCurate(batch, "doc_id", "text",
+                spark.table(fpT), spark.table(sigT),
+                bandIndex = Some(spark.table(idxT)))
+              .localCheckpoint()
+            val n0 = adm.count()
+            graft.ops.Bucketed.appendBucketed(
+              adm.select(col("fp_a"), col("fp_b")), fpT, Seq("fp_a"), b)
+            graft.ops.Bucketed.appendBucketed(
+              adm.select(col("id"), col("sig")), sigT, Seq("id"), b)
+            graft.ops.Bucketed.appendBucketed(
+              Dedup.lshBandIndex(adm.select(col("id"), col("sig"))),
+              idxT, Seq("band", "key"), b)
+            n0
+          }
+          val ct = if (compactEvery > 0 && (i + 1) % compactEvery == 0)
+            time(tabs.foreach(graft.ops.Bucketed.compact(spark, _)))._1
+          else 0.0
+          rounds += ((s"round$i", dt, n))
+          rounds += ((s"files$i", ct, nFiles))
+          total += n
+        }
+        total
+      }
+
       // ---- q129: the DURABLE-table twin of the q128 loop (r19) ----
       // same 3 rounds, but the stores live as bucketed TABLES appended
       // via appendBucketed — the per-round stage timings additionally
@@ -315,49 +379,13 @@ object ScaleCurve {
       // (round i reads a store holding i file sets per bucket); the
       // final stage times Bucketed.compact on the appended index — the
       // scheduled-maintenance cost as a function of store size.
-      // Admit frames are localCheckpoint'd (the appendBucketed RMW
-      // hazard); their blocks are swept per iteration like q128's.
       if (only.forall(_.exists("q129_ingest_loop_tables".startsWith))) {
         val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet
         var lastRounds: Seq[(String, Double, Long)] = Nil
-        val B = 4
         val tabs = Seq("zsc129_fp", "zsc129_sig", "zsc129_idx")
         report("q129_ingest_loop_tables", () => {
-          // a crash inside a previous run's compact leaves the
-          // _compacting sibling behind; unlike the main tables (which
-          // writeBucketed drops) nothing below recreates it, so every
-          // rerun of the sweep would fail loudly inside compact until
-          // someone drops it by hand (r19 review — the q129 driver
-          // query already carries this pre-drop)
-          spark.sql("DROP TABLE IF EXISTS zsc129_idx_compacting")
-          val (fp0, sig0, idx0) = Curate.emptyStores(
-            docs.select(col("doc_id"), col("text")), "doc_id", "text")
-          tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
-            .foreach { case (tn, (df0, keys)) =>
-              graft.ops.Bucketed.writeBucketed(df0, tn, keys, B) }
-          var total = 0L
           val rounds = Seq.newBuilder[(String, Double, Long)]
-          for (i <- 0 until 3) {
-            val batch = docs.select(col("doc_id"), col("text"))
-              .filter(pmod(col("doc_id"), lit(3)) === i)
-            val (dt, n) = time {
-              val adm = Curate.incrementalCurate(batch, "doc_id", "text",
-                  spark.table("zsc129_fp"), spark.table("zsc129_sig"),
-                  bandIndex = Some(spark.table("zsc129_idx")))
-                .localCheckpoint()
-              val n0 = adm.count()
-              graft.ops.Bucketed.appendBucketed(
-                adm.select(col("fp_a"), col("fp_b")), "zsc129_fp", Seq("fp_a"), B)
-              graft.ops.Bucketed.appendBucketed(
-                adm.select(col("id"), col("sig")), "zsc129_sig", Seq("id"), B)
-              graft.ops.Bucketed.appendBucketed(
-                Dedup.lshBandIndex(adm.select(col("id"), col("sig"))),
-                "zsc129_idx", Seq("band", "key"), B)
-              n0
-            }
-            rounds += ((s"round$i", dt, n))
-            total += n
-          }
+          val total = durableLoop(tabs, 4, 3, compactEvery = 0, rounds)
           val (ct, cRows) = time {
             graft.ops.Bucketed.compact(spark, "zsc129_idx")
             spark.table("zsc129_idx").count()
@@ -372,6 +400,38 @@ object ScaleCurve {
             })
         tabs.foreach(tn => spark.sql(s"DROP TABLE IF EXISTS $tn"))
       }
+
+      // ---- q129 compaction-cadence experiment (r20, VERDICT task 3):
+      // the file-accumulation cost the 3-round curve can't see. R
+      // rounds (default 12, SPARK_GRAFT_CADENCE_ROUNDS) of the durable
+      // loop, as TWO opt-in variants — never compact vs compact all
+      // three stores every round. The never variant's round i reads i
+      // file sets per bucket (i sorted runs to merge per bucket); the
+      // cadenced variant pays compact (one read + one write of each
+      // store) to keep every round reading one. Per-round ingest sec,
+      // compact sec and total store file count all land in the stage
+      // rows — the signal is the round-over-round TREND within one
+      // run, so these are meaningful at SPARK_GRAFT_SCALE_ITERS=1.
+      // Opt-in (only.exists, not forall): 2×R rounds at 256× is too
+      // expensive for the default sweep.
+      for ((q, every) <- Seq(("q129_cadence_never", 0), ("q129_cadence_every", 1)))
+        if (only.exists(_.exists(q.startsWith))) {
+          val r = sys.env.getOrElse("SPARK_GRAFT_CADENCE_ROUNDS", "12").toInt
+          val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet
+          var lastRounds: Seq[(String, Double, Long)] = Nil
+          val tabs = Seq("zscad_fp", "zscad_sig", "zscad_idx")
+          report(q, () => {
+            val rounds = Seq.newBuilder[(String, Double, Long)]
+            val total = durableLoop(tabs, 4, r, compactEvery = every, rounds)
+            lastRounds = rounds.result()
+            total
+          }, stages = () => lastRounds,
+            postIter = () =>
+              spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+                if (!fixtureIds.contains(id)) rdd.unpersist(false)
+              })
+          tabs.foreach(tn => spark.sql(s"DROP TABLE IF EXISTS $tn"))
+        }
 
       // ---- q130: the SPLIT-INVARIANT-mode twin of the q128 loop (r19)
       // same 3 batches and scheme, the shared loop body above with the
