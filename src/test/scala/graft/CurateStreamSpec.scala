@@ -157,6 +157,80 @@ class CurateStreamSpec extends SparkSuite {
     } finally dropTables(p)
   }
 
+  test("crash window after idx append: replay admits the SAME set; only the index duplicates") {
+    // simulate ingestBatch dying between its idx append and sig append,
+    // then the foreachBatch replay re-running the whole batch — the
+    // scaladoc's decision-equivalence claim for the widest window
+    val p = "gstr_c1"
+    mkTables(p)
+    try {
+      val batch = batches(1).toDF("doc_id", "text")
+      // partial first attempt: idx rows land, sig/fp never do
+      val res0 = Curate.incrementalCurate(batch, "doc_id", "text",
+          spark.table(s"${p}_fp"), spark.table(s"${p}_sig"), threshold = 0.5)
+        .localCheckpoint()
+      val firstAdmits = res0.select("id").as[Long].collect().toSet
+      Bucketed.appendBucketed(
+        Dedup.lshBandIndex(res0.select($"id", $"sig")),
+        s"${p}_idx", Seq("band", "key"), B)
+      graft.dsl.Rel.releaseTracked(blocking = true)
+      // replay: the full batch function, fresh
+      var replayed = Set.empty[Long]
+      Curate.ingestBatch(batch, 0L, "doc_id", "text", s"${p}_fp", s"${p}_sig",
+        s"${p}_idx", B, ledgerTable = Some(s"${p}_led"), threshold = 0.5,
+        onAdmitted = (df, _) => replayed = df.select("id").as[Long].collect().toSet)
+      assert(replayed == firstAdmits, s"replay $replayed vs first $firstAdmits")
+      // stores correct; index holds duplicate rows (each exactly twice)
+      assert(spark.table(s"${p}_sig").select("id").as[Long].collect().toSet
+        == firstAdmits)
+      assert(spark.table(s"${p}_fp").count() == firstAdmits.size.toLong)
+      val idx = spark.table(s"${p}_idx")
+      assert(idx.count() == 2L * firstAdmits.size * 16)
+      assert(idx.distinct().count() == firstAdmits.size.toLong * 16)
+      // decisions unchanged downstream: a later batch resending the
+      // docs under new ids admits nothing despite the dup index rows
+      Curate.ingestBatch(batch.select(($"doc_id" + 100L).as("doc_id"), $"text"),
+        1L, "doc_id", "text", s"${p}_fp", s"${p}_sig",
+        s"${p}_idx", B, ledgerTable = Some(s"${p}_led"), threshold = 0.5)
+      assert(spark.table(s"${p}_sig").select("id").as[Long].collect().toSet
+        == firstAdmits)
+    } finally dropTables(p)
+  }
+
+  test("crash window after sig append: replay admits nothing; exact copies drop one stage later") {
+    // the other documented window — sig (and idx) landed, fp did not:
+    // the replay's own docs est-Jaccard 1 against their stored sigs
+    val p = "gstr_c2"
+    mkTables(p)
+    try {
+      val batch = batches(1).toDF("doc_id", "text")
+      val res0 = Curate.incrementalCurate(batch, "doc_id", "text",
+          spark.table(s"${p}_fp"), spark.table(s"${p}_sig"), threshold = 0.5)
+        .localCheckpoint()
+      val firstAdmits = res0.select("id").as[Long].collect().toSet
+      Bucketed.appendBucketed(
+        Dedup.lshBandIndex(res0.select($"id", $"sig")),
+        s"${p}_idx", Seq("band", "key"), B)
+      Bucketed.appendBucketed(res0.select($"id", $"sig"),
+        s"${p}_sig", Seq("id"), B)
+      graft.dsl.Rel.releaseTracked(blocking = true)
+      var replayed = Set(-1L)
+      Curate.ingestBatch(batch, 0L, "doc_id", "text", s"${p}_fp", s"${p}_sig",
+        s"${p}_idx", B, ledgerTable = Some(s"${p}_led"), threshold = 0.5,
+        onAdmitted = (df, _) => replayed = df.select("id").as[Long].collect().toSet)
+      assert(replayed.isEmpty, s"replay admitted $replayed")
+      // fp rows are MISSING for this batch (the documented degradation)
+      assert(spark.table(s"${p}_fp").count() == 0L)
+      // ...but an exact copy is still rejected — by the near stage at
+      // est 1 instead of the exact stage (decision-equivalent)
+      Curate.ingestBatch(batch.select(($"doc_id" + 100L).as("doc_id"), $"text"),
+        1L, "doc_id", "text", s"${p}_fp", s"${p}_sig",
+        s"${p}_idx", B, ledgerTable = Some(s"${p}_led"), threshold = 0.5)
+      assert(spark.table(s"${p}_sig").select("id").as[Long].collect().toSet
+        == firstAdmits)
+    } finally dropTables(p)
+  }
+
   test("streamingIngest fails at wiring time: missing store table, wrong manifest scheme") {
     val p = "gstr_w"
     mkTables(p)
