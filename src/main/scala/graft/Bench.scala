@@ -447,7 +447,10 @@ object Bench {
     // round's perf signal, a map-less one only loses stdout redundancy
     val compact = {
       val full = mkCompact(opShort)
-      if (full.length <= 1950) full
+      // opShort.isEmpty guard: with no operator slices the fallback
+      // marker would REPLACE an empty string with a ~38-char one —
+      // strictly longer, the exact failure this branch exists to stop
+      if (full.length <= 1950 || opShort.isEmpty) full
       else mkCompact(""","operator_sec":"see bench_out.json"""")
     }
     if (compact.length > 1950)

@@ -256,7 +256,13 @@ object Curate {
     *    never appended — exact copies are then dropped one stage later
     *    by the near stage at est 1 instead of by the exact stage (the
     *    [[Dedup.lshIncremental]] splitInvariant edge-(2) semantics);
-    *    admit decisions unchanged.
+    *    admit decisions unchanged. In split-invariant mode the result
+    *    frame holds every SEEN rep, not admits only, so the sig/idx
+    *    appends are additionally anti-joined by id against the sig
+    *    table (batch-sized lookup, zero-Exchange on the bucketed store
+    *    side) — without it this window would re-append a full copy of
+    *    the batch's (id, sig) and index rows on replay; with it the
+    *    replay appends nothing and both invariants survive.
     * `onAdmitted` fires with the checkpointed result frame BEFORE any
     * append, so delivery is at-least-once in every window (a replay
     * may re-invoke it with the same or an empty frame) — the downstream
@@ -301,8 +307,21 @@ object Curate {
       onAdmitted(res, batchId)
       // sig + index rows: every returned rep (= every SEEN rep in
       // split-invariant mode, admits only in default mode); fp rows:
-      // admitted docs only — the incrementalCurate append contract
-      val sigRows = res.select(col("id"), col("sig"))
+      // admitted docs only — the incrementalCurate append contract.
+      // Split-invariant replay idempotency: the result frame holds
+      // every seen rep, so a crash-replay whose sig rows already
+      // landed would re-append them all — anti-join by id against the
+      // store (default mode needs none: a replay admits nothing, so
+      // its sig rows are already empty). localCheckpoint: the
+      // anti-join's lineage reads the sig table this loop mutates
+      // (the RECACHE rule), and the frame feeds both the idx and sig
+      // appends.
+      val sigRows =
+        if (splitInvariant)
+          res.select(col("id"), col("sig"))
+            .join(s.table(sigTable).select(col("id")), Seq("id"), "left_anti")
+            .localCheckpoint()
+        else res.select(col("id"), col("sig"))
       val fpRows = (if (splitInvariant) res.filter(col("admitted")) else res)
         .select(col("fp_a"), col("fp_b"))
       graft.ops.Bucketed.appendBucketed(
@@ -348,7 +367,10 @@ object Curate {
     * entry). Crash/replay semantics are [[ingestBatch]]'s.
     *
     * Fails at WIRING time (not first batch) if any store table is
-    * missing or the manifest scheme mismatches — bootstrap with
+    * missing or carries the wrong bucket spec (keys/bucket count/sort
+    * — the same catalog check `appendBucketed` makes, hoisted so a
+    * `buckets` mismatch can't burn a full micro-batch of curate work
+    * first), or the manifest scheme mismatches — bootstrap with
     * [[emptyStores]] + `Bucketed.writeBucketed` first.
     *
     * @return the configured `DataStreamWriter` — caller sets
@@ -371,6 +393,13 @@ object Curate {
           s.sessionState.sqlParser.parseTableIdentifier(t)),
         s"streamingIngest: store table '$t' does not exist — bootstrap the " +
           "stores with Curate.emptyStores + Bucketed.writeBucketed first")
+    }
+    // full spec too, not just existence: the appendBucketed check run
+    // NOW (catalog metadata only) instead of mid-trigger after a full
+    // micro-batch of curate work
+    Seq((fpTable, Seq("fp_a")), (sigTable, Seq("id")),
+        (idxTable, Seq("band", "key"))).foreach { case (t, keys) =>
+      graft.ops.Bucketed.requireSpec(s, t, keys, buckets, "streamingIngest")
     }
     manifestTable.foreach(mt => Dedup.requireManifest(s.table(mt),
       "streamingIngest", Some(shingleK), numHashes, bands))

@@ -142,10 +142,24 @@ object Bucketed {
     */
   def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
                      buckets: Int): Unit = {
-    val spark = df.sparkSession
+    requireSpec(df.sparkSession, table, keys, buckets, "appendBucketed")
+    df.write.mode("append")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Validate that `table` exists under exactly the (keys, buckets,
+    * sortBy=keys) spec a graft-managed store carries — the append-time
+    * check, factored out so a wiring-time caller (e.g.
+    * `Curate.streamingIngest`) can fail BEFORE the first batch runs
+    * its corpus-sized work. Catalog metadata only; no data touched. */
+  def requireSpec(spark: SparkSession, table: String, keys: Seq[String],
+                  buckets: Int, who: String): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     require(spark.sessionState.catalog.tableExists(ident),
-      s"appendBucketed: table '$table' does not exist — bootstrap the store " +
+      s"$who: table '$table' does not exist — bootstrap the store " +
         "with Bucketed.writeBucketed first")
     val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
     // sortColumnNames too (r18 ADVICE): a table bootstrapped by an
@@ -156,15 +170,10 @@ object Bucketed {
     require(spec.exists(s => s.numBuckets == buckets &&
         s.bucketColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase) &&
         s.sortColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase)),
-      s"appendBucketed: table '$table' bucket spec $spec does not match " +
+      s"$who: table '$table' bucket spec $spec does not match " +
         s"(keys=$keys, buckets=$buckets, sortBy=$keys) — appending under a " +
         "different spec would silently break the zero-Exchange co-location " +
         "contract (or fail mid-write on a sort mismatch)")
-    df.write.mode("append")
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .format("parquet")
-      .saveAsTable(table)
   }
 
   /** COMPACT an appended bucketed table — the scheduled-maintenance
@@ -216,7 +225,8 @@ object Bucketed {
             s"content — ALTER TABLE ${quoted(tmpIdent)} RENAME TO " +
             s"${quoted(ident)} finishes the swap"
         else ""))
-    val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec
     require(spec.isDefined, s"compact: table '$table' is not bucketed — " +
       "compaction is the bucketed-store maintenance path (writeBucketed first)")
     val s = spec.get
@@ -231,8 +241,7 @@ object Bucketed {
     // sortBy == bucket keys passes the spec check but writeBucketed
     // always writes parquet — compacting it would silently CHANGE the
     // table's format, not just its layout
-    val provider = spark.sessionState.catalog.getTableMetadata(ident)
-      .provider.map(_.toLowerCase)
+    val provider = meta.provider.map(_.toLowerCase)
     require(provider.contains("parquet"),
       s"compact: table '$table' provider $provider is not parquet — " +
         "not a graft-managed bucketed store (compacting would rewrite it " +

@@ -413,9 +413,13 @@ object ScaleCurve {
       // rows — the signal is the round-over-round TREND within one
       // run, so these are meaningful at SPARK_GRAFT_SCALE_ITERS=1.
       // Opt-in (only.exists, not forall): 2×R rounds at 256× is too
-      // expensive for the default sweep.
+      // expensive for the default sweep. The prefix must name the
+      // cadence family UNAMBIGUOUSLY — "q129" alone selects the plain
+      // loop, not hours of cadence rounds too (r20 review): a prefix
+      // that also matches q129_ingest_loop_tables is rejected here.
       for ((q, every) <- Seq(("q129_cadence_never", 0), ("q129_cadence_every", 1)))
-        if (only.exists(_.exists(q.startsWith))) {
+        if (only.exists(_.exists(p =>
+            q.startsWith(p) && !"q129_ingest_loop_tables".startsWith(p)))) {
           val r = sys.env.getOrElse("SPARK_GRAFT_CADENCE_ROUNDS", "12").toInt
           val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet
           var lastRounds: Seq[(String, Double, Long)] = Nil

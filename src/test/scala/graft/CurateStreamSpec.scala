@@ -231,6 +231,51 @@ class CurateStreamSpec extends SparkSuite {
     } finally dropTables(p)
   }
 
+  test("split-invariant crash window after sig append: replay re-appends nothing — sig/idx stay duplicate-free") {
+    // in split-invariant mode the result frame holds every SEEN rep,
+    // so pre-fix this window's replay re-appended a FULL copy of the
+    // batch's (id, sig) and index rows; ingestBatch's anti-join by id
+    // against the sig store makes the replay a no-op for both tables
+    val p = "gstr_c3"
+    mkTables(p)
+    try {
+      val batch = batches(1).toDF("doc_id", "text")
+      val res0 = Curate.incrementalCurate(batch, "doc_id", "text",
+          spark.table(s"${p}_fp"), spark.table(s"${p}_sig"), threshold = 0.5,
+          splitInvariant = true)
+        .localCheckpoint()
+      val seen0 = res0.select("id").as[Long].collect().toSet
+      assert(seen0 == Set(11L, 13L, 17L)) // 19 = within-batch exact dup of 17
+      Bucketed.appendBucketed(
+        Dedup.lshBandIndex(res0.select($"id", $"sig")),
+        s"${p}_idx", Seq("band", "key"), B)
+      Bucketed.appendBucketed(res0.select($"id", $"sig"),
+        s"${p}_sig", Seq("id"), B)
+      graft.dsl.Rel.releaseTracked(blocking = true)
+      Curate.ingestBatch(batch, 0L, "doc_id", "text", s"${p}_fp", s"${p}_sig",
+        s"${p}_idx", B, ledgerTable = Some(s"${p}_led"), threshold = 0.5,
+        splitInvariant = true)
+      val sig = spark.table(s"${p}_sig")
+      assert(sig.count() == seen0.size.toLong, "sig rows duplicated on replay")
+      assert(sig.select("id").as[Long].collect().toSet == seen0)
+      // index ≡ lshBandIndex(sig) SURVIVES this window in this mode
+      val full = Dedup.lshBandIndex(sig)
+      assert(spark.table(s"${p}_idx").exceptAll(full).count() == 0L &&
+        full.exceptAll(spark.table(s"${p}_idx")).count() == 0L)
+      // the same fp degradation as default mode (documented)
+      assert(spark.table(s"${p}_fp").count() == 0L)
+      // a later batch re-sending a seen rep's text under a new id still
+      // appends exactly one seen-rep row (edge (2) — the anti-join is
+      // by id, so cross-batch copies keep their documented semantics)
+      Curate.ingestBatch(Seq((117L, other)).toDF("doc_id", "text"),
+        1L, "doc_id", "text", s"${p}_fp", s"${p}_sig",
+        s"${p}_idx", B, ledgerTable = Some(s"${p}_led"), threshold = 0.5,
+        splitInvariant = true)
+      assert(spark.table(s"${p}_sig").select("id").as[Long].collect().toSet
+        == seen0 + 117L)
+    } finally dropTables(p)
+  }
+
   test("streamingIngest fails at wiring time: missing store table, wrong manifest scheme") {
     val p = "gstr_w"
     mkTables(p)
@@ -249,6 +294,14 @@ class CurateStreamSpec extends SparkSuite {
           manifestTable = Some(s"${p}_man"), bands = 8)
       }
       assert(e2.getMessage.contains("bands"))
+      // bucket-spec mismatch fails at wiring too (r20 review: existence
+      // alone let a buckets mismatch burn a full micro-batch of curate
+      // work before appendBucketed's own check fired mid-trigger)
+      val e3 = intercept[IllegalArgumentException] {
+        Curate.streamingIngest(sdf, "doc_id", "text",
+          s"${p}_fp", s"${p}_sig", s"${p}_idx", buckets = B + 1)
+      }
+      assert(e3.getMessage.contains("bucket spec"), e3.getMessage)
     } finally dropTables(p)
   }
 }
