@@ -401,6 +401,56 @@ object ScaleCurve {
         tabs.foreach(tn => spark.sql(s"DROP TABLE IF EXISTS $tn"))
       }
 
+      // ---- q131: the STREAMING foreachBatch body (r20) — the q129
+      // durable loop driven through Curate.ingestBatch, i.e. with the
+      // per-trigger extras streamingIngest adds on top of the bare
+      // loop: the ledger no-op probe and ledger append (one-row table
+      // ops) and per-batch manifest validation. The delta vs the q129
+      // rows at the same factor IS the streaming machinery's cost —
+      // measured, not asserted. Per-round admits counted through the
+      // onAdmitted callback (the realistic delivery path).
+      if (only.forall(_.exists("q131_streaming_body".startsWith))) {
+        val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet
+        var lastRounds: Seq[(String, Double, Long)] = Nil
+        val tabs = Seq("zsc131_fp", "zsc131_sig", "zsc131_idx")
+        report("q131_streaming_body", () => {
+          tabs.foreach(tn => spark.sql(s"DROP TABLE IF EXISTS ${tn}_compacting"))
+          val (fp0, sig0, idx0) = Curate.emptyStores(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text")
+          tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
+            .foreach { case (tn, (df0, keys)) =>
+              graft.ops.Bucketed.writeBucketed(df0, tn, keys, 4) }
+          spark.sql("DROP TABLE IF EXISTS zsc131_man")
+          Dedup.lshManifest(spark).write.format("parquet").saveAsTable("zsc131_man")
+          spark.sql("DROP TABLE IF EXISTS zsc131_led")
+          val rounds = Seq.newBuilder[(String, Double, Long)]
+          var total = 0L
+          for (i <- 0 until 3) {
+            val batch = docs.select(col("doc_id"), col("text"))
+              .filter(pmod(col("doc_id"), lit(3)) === i)
+            var n = 0L
+            val (dt, _) = time {
+              Curate.ingestBatch(batch, i.toLong, "doc_id", "text",
+                "zsc131_fp", "zsc131_sig", "zsc131_idx", 4,
+                manifestTable = Some("zsc131_man"),
+                ledgerTable = Some("zsc131_led"),
+                onAdmitted = (df, _) => n = df.count())
+              n
+            }
+            rounds += ((s"round$i", dt, n))
+            total += n
+          }
+          lastRounds = rounds.result()
+          total
+        }, stages = () => lastRounds,
+          postIter = () =>
+            spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+              if (!fixtureIds.contains(id)) rdd.unpersist(false)
+            })
+        (tabs ++ Seq("zsc131_man", "zsc131_led"))
+          .foreach(tn => spark.sql(s"DROP TABLE IF EXISTS $tn"))
+      }
+
       // ---- q129 compaction-cadence experiment (r20, VERDICT task 3):
       // the file-accumulation cost the 3-round curve can't see. R
       // rounds (default 12, SPARK_GRAFT_CADENCE_ROUNDS) of the durable
