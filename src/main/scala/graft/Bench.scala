@@ -447,11 +447,12 @@ object Bench {
     // round's perf signal, a map-less one only loses stdout redundancy
     val compact = {
       val full = mkCompact(opShort)
-      // opShort.isEmpty guard: with no operator slices the fallback
-      // marker would REPLACE an empty string with a ~38-char one —
-      // strictly longer, the exact failure this branch exists to stop
-      if (full.length <= 1950 || opShort.isEmpty) full
-      else mkCompact(""","operator_sec":"see bench_out.json"""")
+      val marker = ""","operator_sec":"see bench_out.json""""
+      // length guard on the MAP ITSELF, not emptiness: substituting the
+      // marker for an operator map no longer than the marker makes the
+      // line LONGER — the exact failure this branch exists to stop
+      if (full.length <= 1950 || opShort.length <= marker.length) full
+      else mkCompact(marker)
     }
     if (compact.length > 1950)
       System.err.println(s"[bench] WARNING: compact line ${compact.length} chars — near the launcher's ~2000-char tail window")

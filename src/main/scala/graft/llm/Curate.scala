@@ -259,8 +259,9 @@ object Curate {
     *    admit decisions unchanged. In split-invariant mode the result
     *    frame holds every SEEN rep, not admits only, so the sig/idx
     *    appends are additionally anti-joined by id against the sig
-    *    table (batch-sized lookup, zero-Exchange on the bucketed store
-    *    side) — without it this window would re-append a full copy of
+    *    table (one id-column store scan per trigger, Exchange-free on
+    *    the bucketed store side — the fp-anti-join cost class, paid as
+    *    replay insurance) — without it this window would re-append a full copy of
     *    the batch's (id, sig) and index rows on replay; with it the
     *    replay appends nothing and both invariants survive.
     * `onAdmitted` fires with the checkpointed result frame BEFORE any
@@ -312,7 +313,12 @@ object Curate {
       // every seen rep, so a crash-replay whose sig rows already
       // landed would re-append them all — anti-join by id against the
       // store (default mode needs none: a replay admits nothing, so
-      // its sig rows are already empty). localCheckpoint: the
+      // its sig rows are already empty). Cost, stated honestly: on a
+      // NORMAL batch the anti-join removes nothing and its price is
+      // one id-column scan of the sig table per trigger (no Exchange
+      // on the bucketed store side) — the same cost class as the
+      // fp-store anti-join every batch already pays in the exact
+      // stage, bought here as replay insurance. localCheckpoint: the
       // anti-join's lineage reads the sig table this loop mutates
       // (the RECACHE rule), and the frame feeds both the idx and sig
       // appends.
@@ -388,15 +394,9 @@ object Curate {
                       onAdmitted: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val s = stream.sparkSession
-    Seq(fpTable, sigTable, idxTable).foreach { t =>
-      require(s.sessionState.catalog.tableExists(
-          s.sessionState.sqlParser.parseTableIdentifier(t)),
-        s"streamingIngest: store table '$t' does not exist — bootstrap the " +
-          "stores with Curate.emptyStores + Bucketed.writeBucketed first")
-    }
-    // full spec too, not just existence: the appendBucketed check run
-    // NOW (catalog metadata only) instead of mid-trigger after a full
-    // micro-batch of curate work
+    // existence + full spec in one check per table: the appendBucketed
+    // validation run NOW (catalog metadata only) instead of mid-trigger
+    // after a full micro-batch of curate work
     Seq((fpTable, Seq("fp_a")), (sigTable, Seq("id")),
         (idxTable, Seq("band", "key"))).foreach { case (t, keys) =>
       graft.ops.Bucketed.requireSpec(s, t, keys, buckets, "streamingIngest")

@@ -319,6 +319,17 @@ object ScaleCurve {
       //    parquet files at round end)
       // Admit frames are localCheckpoint'd (the appendBucketed RMW
       // hazard); callers sweep their blocks per iteration like q128's.
+      // bootstrapStores: ONE (fp, sig, idx) bucketed-table bootstrap
+      // for every durable block (durableLoop + the q131 streaming-body
+      // block) — schemas derive through Curate.emptyStores, never
+      // hand-typed (the r19 single-definition rule).
+      def bootstrapStores(tabs: Seq[String], b: Int): Unit = {
+        val (fp0, sig0, idx0) = Curate.emptyStores(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text")
+        tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
+          .foreach { case (tn, (df0, keys)) =>
+            graft.ops.Bucketed.writeBucketed(df0, tn, keys, b) }
+      }
       def durableLoop(tabs: Seq[String], b: Int, r: Int, compactEvery: Int,
                       rounds: scala.collection.mutable.Builder[
                         (String, Double, Long), Seq[(String, Double, Long)]]): Long = {
@@ -330,11 +341,7 @@ object ScaleCurve {
         // someone drops it by hand (r19 review — the q129 driver
         // query already carries this pre-drop)
         tabs.foreach(tn => spark.sql(s"DROP TABLE IF EXISTS ${tn}_compacting"))
-        val (fp0, sig0, idx0) = Curate.emptyStores(
-          docs.select(col("doc_id"), col("text")), "doc_id", "text")
-        tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
-          .foreach { case (tn, (df0, keys)) =>
-            graft.ops.Bucketed.writeBucketed(df0, tn, keys, b) }
+        bootstrapStores(tabs, b)
         def nFiles: Long = tabs.map { tn =>
           val loc = new org.apache.hadoop.fs.Path(
             spark.sessionState.catalog.getTableMetadata(
@@ -414,12 +421,8 @@ object ScaleCurve {
         var lastRounds: Seq[(String, Double, Long)] = Nil
         val tabs = Seq("zsc131_fp", "zsc131_sig", "zsc131_idx")
         report("q131_streaming_body", () => {
-          tabs.foreach(tn => spark.sql(s"DROP TABLE IF EXISTS ${tn}_compacting"))
-          val (fp0, sig0, idx0) = Curate.emptyStores(
-            docs.select(col("doc_id"), col("text")), "doc_id", "text")
-          tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
-            .foreach { case (tn, (df0, keys)) =>
-              graft.ops.Bucketed.writeBucketed(df0, tn, keys, 4) }
+          // no _compacting pre-drop: this block never calls compact
+          bootstrapStores(tabs, 4)
           spark.sql("DROP TABLE IF EXISTS zsc131_man")
           Dedup.lshManifest(spark).write.format("parquet").saveAsTable("zsc131_man")
           spark.sql("DROP TABLE IF EXISTS zsc131_led")
