@@ -126,7 +126,7 @@ object Similarity {
     * of the scored pairs through a window exchange. Output matches the
     * window row_number formulation exactly (score desc, id asc ties).
     */
-  private def topKSelect(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+  private[graft] def topKSelect(scored: org.apache.spark.sql.DataFrame, k: Int) = {
     // TopKAgg's buffer carries ids as primitive longs — a clear error
     // at the API boundary beats the encoder's "Cannot up cast" (r17
     // review; string/UUID ids need a surrogate long key first)

@@ -1785,6 +1785,80 @@ object LlmQueries {
           "delivered_equals_admitted", "ledgered_replay_noop",
           "new_batch_reingest_admits_nothing", "ledger_complete",
           "admits_bounded_by_gate")
+    }),
+
+    // Persisted IVF vector index (r20) — the similarity-search twin of
+    // the q129/q131 durable stores: codebook trained ONCE at build and
+    // persisted in a one-row manifest table, corpus laid out as a
+    // bucketed (id, cell, vec) TABLE co-located by cell, appends
+    // batch-sized against the MANIFEST centroids (no retraining, no
+    // corpus re-assignment), probes read the table. Oracled invariants:
+    //  * q42-style ANN shape (k rows/query, rk-ordered, cosine EXACT
+    //    vs a recompute from the raw vectors)
+    //  * index content ≡ assigning the FULL corpus under the manifest
+    //    centroids — the append-parity that makes appends safe
+    //  * indexed probe ≡ the in-session flat twin on the same codebook
+    //    (the table round-trip preserves vectors and cells exactly)
+    //  * per-cell maintenance aggregation Exchange-free (plan-asserted)
+    //  * a wrong-dim query fails loudly BEFORE corpus-sized work
+    "q132_ivf_index" -> ((s, dir) => {
+      import s.implicits._
+      val ML = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val VI = graft.llm.VectorIndex
+      val v = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val nCorpus = v.count()
+      Seq("g132_idx", "g132_man").foreach(tn =>
+        s.sql(s"DROP TABLE IF EXISTS $tn"))
+      VI.build(v.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+        "embedding", nCells = 16, "g132_idx", "g132_man", buckets = 4)
+      VI.append(v.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id",
+        "embedding", "g132_idx", "g132_man")
+      val queries = v.filter(col("vec_id") < 10)
+      val res = graft.dsl.Rel.track(
+        VI.query(queries, "vec_id", "embedding", "g132_idx", "g132_man",
+          k = 5, nprobe = 3, excludeSelf = true).persist(ML))
+      res.count()
+      val shape = annShapeCheck(s, v, res, k = 5).collect()(0)
+      // append parity: the table holds exactly what assigning the FULL
+      // corpus under the manifest codebook yields
+      val cents = VI.loadManifest(s, "g132_man", "q132")
+      val full = VI.assign(v, "vec_id", "embedding", cents)
+      val idx = s.table("g132_idx")
+      val idxParity = idx.exceptAll(full).count() == 0L &&
+        full.exceptAll(idx).count() == 0L
+      // flat-scan twin on the same codebook, same kernels
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        explode(Similarity.nearestCellsExpr(cents, 3)(col("embedding"))).as("cell"))
+      val twin = Similarity.topKSelect(
+        q.join(full.select(col("cell"), col("id").as("neighbor_id"),
+            col("vec").as("cv")), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            Similarity.cosineExpr(col("qv"), col("cv")).as("cosine")), 5)
+      val flatParity = res.exceptAll(twin).count() == 0L &&
+        twin.exceptAll(res).count() == 0L
+      val aggPlan = idx.groupBy(col("cell")).agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      val zeroExchange = !aggPlan.contains("Exchange")
+      val wrongDimFails =
+        try {
+          VI.query(queries.select(col("vec_id"),
+              slice(col("embedding"), 1, 8).as("embedding")),
+            "vec_id", "embedding", "g132_idx", "g132_man", k = 2)
+          false
+        } catch {
+          case e: IllegalArgumentException => e.getMessage.contains("dim")
+        }
+      Seq("g132_idx", "g132_man").foreach(tn =>
+        s.sql(s"DROP TABLE IF EXISTS $tn"))
+      Seq((nCorpus, shape.getLong(0), shape.getBoolean(1),
+          shape.getBoolean(2), shape.getBoolean(3), idxParity, flatParity,
+          zeroExchange, wrongDimFails))
+        .toDF("n_corpus", "n_queries", "k_rows_each", "rk_ordered",
+          "cosine_exact", "index_matches_manifest_assign",
+          "flat_scan_parity", "maintenance_zero_exchange",
+          "wrong_dim_fails")
     })
   )
 
@@ -2399,6 +2473,15 @@ object LlmQueries {
            TRUE AS new_batch_reingest_admits_nothing,
            TRUE AS ledger_complete,
            TRUE AS admits_bounded_by_gate""",
+    // q132: SQL-derivable corpus/query counts + the persisted-index
+    // invariants (Spark-checked: parity twins, plan assert, fail-loud
+    // probe — the q42/q129 oracle pattern composed)
+    "q132_ivf_index" ->
+      """SELECT (SELECT COUNT(*) FROM embeddings) AS n_corpus,
+           (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS n_queries,
+           TRUE AS k_rows_each, TRUE AS rk_ordered, TRUE AS cosine_exact,
+           TRUE AS index_matches_manifest_assign, TRUE AS flat_scan_parity,
+           TRUE AS maintenance_zero_exchange, TRUE AS wrong_dim_fails""",
     // q130: SQL-derivable corpus size (+3 planted chain docs) + the
     // split-invariance booleans the mode guarantees (Spark-checked,
     // hash-deterministic under the fixed kernels — the LlmSpec fixture)

@@ -286,6 +286,30 @@ object OperatorSlices {
         }
         total
       }, () => { corpus.unpersist(); () })
+    }),
+
+    // operator = the persisted-index LIFECYCLE (VectorIndex.build on
+    // half the embeddings + append of the other half + one k=5/nprobe=3
+    // probe over the vec_id<10 queries); q132's parity twins,
+    // annShapeCheck recompute and wrong-dim probe are verification.
+    "q132_ivf_index" -> ((s, dir) => {
+      val v = QCommon.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).persist(ML)
+      v.count()
+      val VI = graft.llm.VectorIndex
+      val tabs = Seq("g132s_idx", "g132s_man")
+      (() => {
+        VI.build(v.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+          "embedding", nCells = 16, "g132s_idx", "g132s_man", buckets = 4)
+        VI.append(v.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id",
+          "embedding", "g132s_idx", "g132s_man")
+        VI.query(v.filter(col("vec_id") < 10), "vec_id", "embedding",
+          "g132s_idx", "g132s_man", k = 5, nprobe = 3,
+          excludeSelf = true).count()
+      }, () => {
+        tabs.foreach(tn => s.sql(s"DROP TABLE IF EXISTS $tn"))
+        v.unpersist(); ()
+      })
     })
   )
 }

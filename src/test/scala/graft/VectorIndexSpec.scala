@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Similarity, VectorIndex}
+
+/** Persisted IVF vector index (r20): build → append → query lifecycle
+  * against the bucketed index TABLE + one-row codebook manifest. The
+  * load-bearing assertions: append assigns under the MANIFEST
+  * centroids (bit-identical to what build would have assigned — the
+  * parity that makes appends safe without retraining), the indexed
+  * query equals the in-session flat twin on the same codebook (the
+  * table round-trip preserves vectors and cells exactly), per-cell
+  * maintenance aggregation is Exchange-free on the bucketed index, and
+  * every wrong-wiring shape fails loudly before corpus-sized work. */
+class VectorIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+  private def drop(pre: String): Unit =
+    Seq("idx", "man").foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${pre}_$s"))
+
+  test("build/append/query: append assigns under manifest centroids; indexed query == flat twin") {
+    val p = "gvi_a"
+    drop(p)
+    try {
+      val all = corpus(80, 16, seed = 7).persist()
+      all.count()
+      val first = all.filter($"vec_id" % 2 === 0)
+      val rest = all.filter($"vec_id" % 2 === 1)
+      VectorIndex.build(first, "vec_id", "embedding", nCells = 4,
+        s"${p}_idx", s"${p}_man", buckets = 2, iters = 2)
+      VectorIndex.append(rest, "vec_id", "embedding", s"${p}_idx", s"${p}_man")
+      // index == assign(full corpus) under the MANIFEST centroids —
+      // the append path used the same codebook the build persisted
+      val cents = VectorIndex.loadManifest(spark, s"${p}_man", "spec")
+      val expect = VectorIndex.assign(all, "vec_id", "embedding", cents)
+      val idx = spark.table(s"${p}_idx")
+      assert(idx.exceptAll(expect).count() == 0L &&
+        expect.exceptAll(idx).count() == 0L)
+      // indexed probe == the same probe run in-session on the same
+      // codebook (table round-trip exact for float vectors + int cells)
+      val queries = all.filter($"vec_id" < 5)
+      val got = VectorIndex.query(queries, "vec_id", "embedding",
+        s"${p}_idx", s"${p}_man", k = 3, nprobe = 2, excludeSelf = true)
+      val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        explode(Similarity.nearestCellsExpr(cents, 2)($"embedding")).as("cell"))
+      val flat = expect.select($"cell", $"id".as("neighbor_id"), $"vec".as("cv"))
+      val twin = Similarity.topKSelect(
+        q.join(flat, Seq("cell"))
+          .filter($"query_id" =!= $"neighbor_id")
+          .select($"query_id", $"neighbor_id",
+            Similarity.cosineExpr($"qv", $"cv").as("cosine")), 3)
+      assert(got.exceptAll(twin).count() == 0L &&
+        twin.exceptAll(got).count() == 0L)
+      // shape: 5 queries × k rows, rk 1..3
+      assert(got.count() == 15L &&
+        got.groupBy($"query_id").agg(countDistinct($"rk").as("n"))
+          .filter($"n" =!= 3).count() == 0L)
+      all.unpersist()
+    } finally drop(p)
+  }
+
+  test("per-cell maintenance aggregation on the index table is Exchange-free") {
+    val p = "gvi_z"
+    drop(p)
+    try {
+      VectorIndex.build(corpus(40, 8, seed = 3), "vec_id", "embedding",
+        nCells = 4, s"${p}_idx", s"${p}_man", buckets = 2, iters = 1)
+      val plan = spark.table(s"${p}_idx").groupBy($"cell")
+        .agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(1500))
+    } finally drop(p)
+  }
+
+  test("wrong wiring fails loudly before corpus-sized work") {
+    val p = "gvi_w"
+    drop(p)
+    try {
+      val d = corpus(40, 8, seed = 9)
+      VectorIndex.build(d, "vec_id", "embedding", nCells = 4,
+        s"${p}_idx", s"${p}_man", buckets = 2, iters = 1)
+      // dim mismatch: embedded under a different model
+      val e1 = intercept[IllegalArgumentException](VectorIndex.append(
+        corpus(4, 16, seed = 1), "vec_id", "embedding", s"${p}_idx", s"${p}_man"))
+      assert(e1.getMessage.contains("dim"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](VectorIndex.query(
+        corpus(2, 16, seed = 2), "vec_id", "embedding",
+        s"${p}_idx", s"${p}_man", k = 2))
+      assert(e2.getMessage.contains("dim"), e2.getMessage)
+      // missing index table
+      val e3 = intercept[IllegalArgumentException](VectorIndex.append(
+        d, "vec_id", "embedding", s"${p}_missing", s"${p}_man"))
+      assert(e3.getMessage.contains("does not exist"), e3.getMessage)
+      // manifest with two rows: the one-row invariant
+      spark.table(s"${p}_man").unionAll(spark.table(s"${p}_man"))
+        .write.format("parquet").saveAsTable(s"${p}_man2")
+      val e4 = intercept[IllegalArgumentException](VectorIndex.query(
+        d, "vec_id", "embedding", s"${p}_idx", s"${p}_man2", k = 2))
+      assert(e4.getMessage.contains("exactly one row"), e4.getMessage)
+      spark.sql(s"DROP TABLE IF EXISTS ${p}_man2")
+      // string ids refused at index time, not silently nulled
+      val e5 = intercept[IllegalArgumentException](VectorIndex.build(
+        d.select($"vec_id".cast("string").as("vec_id"), $"embedding"),
+        "vec_id", "embedding", 4, s"${p}_idx2", s"${p}_man3", 2))
+      assert(e5.getMessage.contains("integral"), e5.getMessage)
+      Seq(s"${p}_idx2", s"${p}_man3").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally drop(p)
+  }
+}
