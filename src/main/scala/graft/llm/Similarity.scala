@@ -118,8 +118,22 @@ object Similarity {
     * id spaces are INDEPENDENT — with the filter on, a corpus row that
     * merely shares a query's id value would silently never be returned
     * (r17 review). */
-  private def dropSelf(df: DataFrame, excludeSelf: Boolean): DataFrame =
+  private[graft] def dropSelf(df: DataFrame, excludeSelf: Boolean): DataFrame =
     if (excludeSelf) df.filter(col("query_id") =!= col("neighbor_id")) else df
+
+  /** ONE integral-id whitelist for every top-k/index surface
+    * ([[topKSelect]], [[graft.llm.VectorIndex]]): a silent
+    * cast("long") on a string id column stores/groups NULLs —
+    * corruption, not an error — so the type is validated where the id
+    * enters, with one shared list that cannot drift between copies. */
+  private[graft] def requireIntegralId(idType: org.apache.spark.sql.types.DataType,
+                                       who: String): Unit =
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+        .contains(idType),
+      s"$who: integral id columns required (got $idType) — map string ids " +
+        "to a surrogate long (e.g. xxhash64) first")
 
   /** Per-query top-k via the bounded [[graft.ops.TopKAgg]] aggregator:
     * partial/final aggregation keeps k rows per map task — no full sort
@@ -130,13 +144,7 @@ object Similarity {
     // TopKAgg's buffer carries ids as primitive longs — a clear error
     // at the API boundary beats the encoder's "Cannot up cast" (r17
     // review; string/UUID ids need a surrogate long key first)
-    val idType = scored.schema("neighbor_id").dataType
-    require(Seq[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
-        .contains(idType),
-      s"top-k requires integral id columns (got $idType) — map string ids " +
-        "to a surrogate long (e.g. xxhash64) before calling")
+    requireIntegralId(scored.schema("neighbor_id").dataType, "top-k")
     val agg = TopKAgg.topK(k)
     scored.filter(col("cosine").isNotNull)
       .groupBy("query_id")

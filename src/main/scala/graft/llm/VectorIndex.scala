@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *    later append/query loads the centroids FROM the manifest, so
   *    batch and query assignment can never drift from the build);
   *  - the "inverted lists" are one bucketed parquet TABLE
-  *    (id, cell, vec) bucketed+sorted by `cell`
+  *    (id, cell, vec, ver) bucketed+sorted by `cell`
   *    ([[graft.ops.Bucketed]]), so the probe equi-join and any
   *    per-cell maintenance aggregate are Exchange-free on the corpus
   *    side, and [[graft.ops.Bucketed.compact]] serves as the same
@@ -30,15 +30,26 @@ import org.apache.spark.sql.functions._
   *    arithmetic to [[Similarity.ivfKmeansTopK]] (same kernels), the
   *    index table replacing the per-call corpus assignment.
   *
+  * VERSION CROSS-CHECK (r20 review): a rebuild has two table writes
+  * and EITHER write order leaves a crash window where manifest and
+  * index disagree on the codebook — silently wrong probes with no
+  * row-local symptom. So every index row carries the codebook version
+  * (`ver`, a constant column — RLE-compressed to ~nothing in parquet)
+  * and [[append]]/[[query]] require it to equal the manifest's version
+  * via a one-row probe BEFORE corpus-sized work (one row suffices:
+  * appends validate first, so a table can never hold mixed versions).
+  * [[build]] writes the index FIRST and the manifest LAST; a crash
+  * between them fails the next call loudly instead of mis-probing.
+  *
   * 100 TB shape: centroids are model-sized (nCells × dim doubles;
   * 4096 × 768 ≈ 25 MB) — read once per wiring, shipped as a foldable
   * plan literal; the index table is the corpus, touched only by
   * bucket-pruned scans; appends never touch corpus-sized data.
-  * Re-train on distribution drift = [[build]] under a bumped manifest
-  * `version` (rewrites manifest + index) — the LSH store's rebuild
-  * contract, applied to vectors. Dim mismatches (THE operational
-  * vector-store bug) fail loudly before any corpus-sized work via a
-  * one-row dim probe in both [[append]] and [[query]].
+  * Re-train on distribution drift = [[build]] again (auto-bumps the
+  * manifest version) — the LSH store's rebuild contract, applied to
+  * vectors. Dim mismatches (THE operational vector-store bug) fail
+  * loudly before any corpus-sized work via a one-row dim probe in
+  * both [[append]] and [[query]].
   */
 object VectorIndex {
 
@@ -53,18 +64,19 @@ object VectorIndex {
 
   /** Fail-loud manifest load — driver-side, limit(2)-bounded like
     * [[Dedup.requireManifest]]: one row, internally consistent
-    * (n_cells/dim match the centroid payload). Returns the codebook. */
+    * (n_cells/dim match the centroid payload). Returns (codebook,
+    * version). */
   private[graft] def loadManifest(spark: SparkSession, manifestTable: String,
-                                  op: String): Array[Array[Double]] = {
+                                  op: String): (Array[Array[Double]], Long) = {
     val rows = spark.table(manifestTable)
       .select(col("n_cells").cast("int"), col("dim").cast("int"),
-        col("centroids"))
+        col("version").cast("long"), col("centroids"))
       .limit(2).collect()
     require(rows.length == 1,
       s"$op: index manifest '$manifestTable' must have exactly one row, got " +
         s"${if (rows.length > 1) ">1" else "0"} — one manifest row per index")
     val r = rows(0)
-    val cents = r.getSeq[scala.collection.Seq[Double]](2)
+    val cents = r.getSeq[scala.collection.Seq[Double]](3)
       .map(_.toArray).toArray
     require(cents.length == r.getInt(0) &&
         cents.forall(_.length == r.getInt(1)),
@@ -72,7 +84,7 @@ object VectorIndex {
         s"(n_cells=${r.getInt(0)}, dim=${r.getInt(1)} vs centroid payload " +
         s"${cents.length}×${cents.headOption.map(_.length).getOrElse(0)}) — " +
         "rebuild the index (VectorIndex.build)")
-    cents
+    (cents, r.getLong(2))
   }
 
   /** Dim probe: ONE row of the frame (bounded) against the manifest
@@ -88,41 +100,61 @@ object VectorIndex {
         "every vector in garbage cells)")
   }
 
-  /** (id, cell, vec) assignment under a fixed codebook — the one
+  /** Version probe: ONE index row (bounded — appends validate before
+    * writing, so the table never holds mixed versions) against the
+    * manifest version. An empty index passes (the first append under
+    * any manifest is consistent by construction). */
+  private def requireVersion(spark: SparkSession, indexTable: String,
+                             manifestVersion: Long, op: String): Unit = {
+    val r = spark.table(indexTable).select(col("ver").cast("long"))
+      .limit(1).collect()
+    require(r.isEmpty || r(0).getLong(0) == manifestVersion,
+      s"$op: index table '$indexTable' holds codebook version " +
+        s"${r(0).getLong(0)} but the manifest says $manifestVersion — a " +
+        "rebuild crashed between its index and manifest writes; rebuild " +
+        "the index (VectorIndex.build) before appending or querying")
+  }
+
+  /** (id, cell, vec, ver) assignment under a fixed codebook — the one
     * shared definition [[build]] and [[append]] (and the spec's parity
     * twin) all use, so index layout can never drift from the kernel. */
   private[graft] def assign(df: DataFrame, idCol: String, vecCol: String,
-                            cents: Array[Array[Double]]): DataFrame = {
+                            cents: Array[Array[Double]],
+                            version: Long): DataFrame = {
     // integral ids required UP FRONT (the topKSelect contract, enforced
     // at index-build time, not first query): a silent cast("long") on a
     // string id column would store NULL ids — corruption, not an error
-    val idType = df.schema(idCol).dataType
-    require(Seq[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
-        .contains(idType),
-      s"VectorIndex: integral id column required (got $idType) — map string " +
-        "ids to a surrogate long (e.g. xxhash64) before indexing")
+    Similarity.requireIntegralId(df.schema(idCol).dataType, "VectorIndex")
     df.select(col(idCol).cast("long").as("id"),
       Similarity.nearestCellsExpr(cents, 1)(col(vecCol))(0).as("cell"),
-      col(vecCol).as("vec"))
+      col(vecCol).as("vec"), lit(version).as("ver"))
   }
 
-  /** Build the persisted index: train the codebook, write the one-row
-    * manifest table, assign the corpus and write it as the bucketed
-    * index table. Overwrites both tables (a rebuild bumps `version`). */
+  /** Build the persisted index: train the codebook, write the bucketed
+    * index table, then the one-row manifest LAST (see the version
+    * cross-check note above). Overwrites both tables.
+    * @param version 0 (default) = auto: previous manifest version + 1
+    *        (1 on first build) — rebuild-on-drift bumps it without the
+    *        caller tracking state; pass an explicit value to pin. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
             indexTable: String, manifestTable: String, buckets: Int,
             iters: Int = 3, maxTrain: Long = 100000L,
-            version: Long = 1L): Unit = {
+            version: Long = 0L): Unit = {
     val spark = corpus.sparkSession
+    // schema-only check first — fail before any corpus-sized work
+    Similarity.requireIntegralId(corpus.schema(idCol).dataType, "VectorIndex")
+    val ver =
+      if (version != 0L) version
+      else if (spark.sessionState.catalog.tableExists(
+          spark.sessionState.sqlParser.parseTableIdentifier(manifestTable)))
+        loadManifest(spark, manifestTable, "VectorIndex.build")._2 + 1L
+      else 1L
     val cents = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCells,
       iters, maxTrain)
-    spark.sql(s"DROP TABLE IF EXISTS $manifestTable")
-    manifestDf(spark, cents, version).write.format("parquet")
-      .saveAsTable(manifestTable)
     graft.ops.Bucketed.writeBucketed(
-      assign(corpus, idCol, vecCol, cents), indexTable, Seq("cell"), buckets)
+      assign(corpus, idCol, vecCol, cents, ver), indexTable, Seq("cell"),
+      buckets)
+    graft.ops.Bucketed.writePlain(manifestDf(spark, cents, ver), manifestTable)
   }
 
   /** Append a batch: assign against the MANIFEST centroids (batch-sized
@@ -132,11 +164,13 @@ object VectorIndex {
   def append(batch: DataFrame, idCol: String, vecCol: String,
              indexTable: String, manifestTable: String): Unit = {
     val spark = batch.sparkSession
-    val cents = loadManifest(spark, manifestTable, "VectorIndex.append")
+    val (cents, ver) = loadManifest(spark, manifestTable, "VectorIndex.append")
     requireDim(batch, vecCol, cents.head.length, "VectorIndex.append")
     val buckets = bucketCount(spark, indexTable, "VectorIndex.append")
+    requireVersion(spark, indexTable, ver, "VectorIndex.append")
     graft.ops.Bucketed.appendBucketed(
-      assign(batch, idCol, vecCol, cents), indexTable, Seq("cell"), buckets)
+      assign(batch, idCol, vecCol, cents, ver), indexTable, Seq("cell"),
+      buckets)
   }
 
   private def bucketCount(spark: SparkSession, table: String,
@@ -154,15 +188,22 @@ object VectorIndex {
   /** Probe the persisted index: each query scores against its `nprobe`
     * nearest cells' vectors, bounded top-k per query. Identical
     * arithmetic to [[Similarity.ivfKmeansTopK]] — only the corpus
-    * assignment is read from the table instead of recomputed.
+    * assignment is read from the table instead of recomputed; defaults
+    * match the family convention (excludeSelf = true, the self-query
+    * shape).
     * @return (query_id, neighbor_id, cosine, rk 1-based) per query ×
     *         min(k, probed rows) */
   def query(queries: DataFrame, queryId: String, vecCol: String,
             indexTable: String, manifestTable: String, k: Int,
-            nprobe: Int = 3, excludeSelf: Boolean = false): DataFrame = {
+            nprobe: Int = 3, excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
-    val cents = loadManifest(spark, manifestTable, "VectorIndex.query")
+    val (cents, ver) = loadManifest(spark, manifestTable, "VectorIndex.query")
     requireDim(queries, vecCol, cents.head.length, "VectorIndex.query")
+    requireVersion(spark, indexTable, ver, "VectorIndex.query")
+    // query ids go through the SAME integral gate as indexed ids — a
+    // silent cast would group every string-id query under NULL
+    Similarity.requireIntegralId(queries.schema(queryId).dataType,
+      "VectorIndex.query")
     val q = queries.select(col(queryId).cast("long").as("query_id"),
       col(vecCol).as("qv"),
       explode(Similarity.nearestCellsExpr(cents, nprobe)(col(vecCol))).as("cell"))
@@ -170,10 +211,7 @@ object VectorIndex {
       .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("cv"))
     // no distinct (the ivfKmeansTopK reasoning): nprobe DISTINCT cells
     // per query × one cell per neighbor → unique pairs by construction
-    val scored = q.join(idx, Seq("cell"))
-      .transform(df =>
-        if (excludeSelf) df.filter(col("query_id") =!= col("neighbor_id"))
-        else df)
+    val scored = Similarity.dropSelf(q.join(idx, Seq("cell")), excludeSelf)
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosineExpr(col("qv"), col("cv")).as("cosine"))
     Similarity.topKSelect(scored, k)

@@ -55,6 +55,28 @@ object Bucketed {
       .saveAsTable(table)
   }
 
+  /** Persist a small UNBUCKETED table (a manifest, a ledger) with the
+    * same stale-location recovery and per-part name quoting as
+    * [[writeBucketed]] — a killed JVM leaves the warehouse directory
+    * populated with the catalog entry gone, and a bare
+    * `DROP + saveAsTable` then fails "location is not empty" (the r17
+    * hazard, re-found on the VectorIndex manifest in the r20 review).
+    * Like any overwrite, `df` must not derive from a scan of `table`
+    * itself — the target's files are deleted before the write; sever
+    * with `localCheckpoint()` first (the writeBucketed rule). */
+  def writePlain(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val quoted = (ident.database.toSeq :+ ident.table)
+      .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+    spark.sql(s"DROP TABLE IF EXISTS $quoted")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
   /** Join two same-bucketed tables on their bucket key — planned
     * without any Exchange when bucket counts match.
     */

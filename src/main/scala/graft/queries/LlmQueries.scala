@@ -1821,8 +1821,8 @@ object LlmQueries {
       val shape = annShapeCheck(s, v, res, k = 5).collect()(0)
       // append parity: the table holds exactly what assigning the FULL
       // corpus under the manifest codebook yields
-      val cents = VI.loadManifest(s, "g132_man", "q132")
-      val full = VI.assign(v, "vec_id", "embedding", cents)
+      val (cents, ver) = VI.loadManifest(s, "g132_man", "q132")
+      val full = VI.assign(v, "vec_id", "embedding", cents, ver)
       val idx = s.table("g132_idx")
       val idxParity = idx.exceptAll(full).count() == 0L &&
         full.exceptAll(idx).count() == 0L

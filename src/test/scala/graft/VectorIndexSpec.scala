@@ -10,8 +10,10 @@ import graft.llm.{Similarity, VectorIndex}
   * parity that makes appends safe without retraining), the indexed
   * query equals the in-session flat twin on the same codebook (the
   * table round-trip preserves vectors and cells exactly), per-cell
-  * maintenance aggregation is Exchange-free on the bucketed index, and
-  * every wrong-wiring shape fails loudly before corpus-sized work. */
+  * maintenance aggregation is Exchange-free on the bucketed index,
+  * the manifest/index version cross-check turns the rebuild crash
+  * window into a loud failure, and every wrong-wiring shape fails
+  * before corpus-sized work. */
 class VectorIndexSpec extends SparkSuite {
   import spark.implicits._
 
@@ -20,8 +22,9 @@ class VectorIndexSpec extends SparkSuite {
     (0L until n.toLong).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
       .toDF("vec_id", "embedding")
   }
-  private def drop(pre: String): Unit =
-    Seq("idx", "man").foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${pre}_$s"))
+  private def drop(pre: String, extra: String*): Unit =
+    (Seq("idx", "man").map(s => s"${pre}_$s") ++ extra)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   test("build/append/query: append assigns under manifest centroids; indexed query == flat twin") {
     val p = "gvi_a"
@@ -36,8 +39,9 @@ class VectorIndexSpec extends SparkSuite {
       VectorIndex.append(rest, "vec_id", "embedding", s"${p}_idx", s"${p}_man")
       // index == assign(full corpus) under the MANIFEST centroids —
       // the append path used the same codebook the build persisted
-      val cents = VectorIndex.loadManifest(spark, s"${p}_man", "spec")
-      val expect = VectorIndex.assign(all, "vec_id", "embedding", cents)
+      val (cents, ver) = VectorIndex.loadManifest(spark, s"${p}_man", "spec")
+      assert(ver == 1L) // first auto-versioned build
+      val expect = VectorIndex.assign(all, "vec_id", "embedding", cents, ver)
       val idx = spark.table(s"${p}_idx")
       assert(idx.exceptAll(expect).count() == 0L &&
         expect.exceptAll(idx).count() == 0L)
@@ -45,7 +49,7 @@ class VectorIndexSpec extends SparkSuite {
       // codebook (table round-trip exact for float vectors + int cells)
       val queries = all.filter($"vec_id" < 5)
       val got = VectorIndex.query(queries, "vec_id", "embedding",
-        s"${p}_idx", s"${p}_man", k = 3, nprobe = 2, excludeSelf = true)
+        s"${p}_idx", s"${p}_man", k = 3, nprobe = 2)
       val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"),
         explode(Similarity.nearestCellsExpr(cents, 2)($"embedding")).as("cell"))
       val flat = expect.select($"cell", $"id".as("neighbor_id"), $"vec".as("cv"))
@@ -76,9 +80,42 @@ class VectorIndexSpec extends SparkSuite {
     } finally drop(p)
   }
 
+  test("rebuild auto-bumps the version; a manifest/index version split fails loudly") {
+    val p = "gvi_v"
+    drop(p)
+    try {
+      val d = corpus(40, 8, seed = 5)
+      VectorIndex.build(d, "vec_id", "embedding", nCells = 4,
+        s"${p}_idx", s"${p}_man", buckets = 2, iters = 1)
+      VectorIndex.build(d, "vec_id", "embedding", nCells = 4,
+        s"${p}_idx", s"${p}_man", buckets = 2, iters = 1)
+      val (_, ver2) = VectorIndex.loadManifest(spark, s"${p}_man", "spec")
+      assert(ver2 == 2L) // rebuild-on-drift without caller state
+      // simulate the crash window: a rebuild that died between its
+      // index write and manifest write — here faked by doctoring the
+      // manifest's version (the index still carries ver2)
+      graft.ops.Bucketed.writePlain(
+        // localCheckpoint: writePlain deletes the target before writing,
+        // so a frame whose lineage SCANS the target must be severed first
+        spark.table(s"${p}_man").withColumn("version", lit(3L))
+          .localCheckpoint(), s"${p}_man")
+      val e1 = intercept[IllegalArgumentException](VectorIndex.query(
+        d.limit(2), "vec_id", "embedding", s"${p}_idx", s"${p}_man", k = 2))
+      assert(e1.getMessage.contains("codebook version"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](VectorIndex.append(
+        d.limit(2), "vec_id", "embedding", s"${p}_idx", s"${p}_man"))
+      assert(e2.getMessage.contains("codebook version"), e2.getMessage)
+      // recovery is the documented one: rebuild — and it heals
+      VectorIndex.build(d, "vec_id", "embedding", nCells = 4,
+        s"${p}_idx", s"${p}_man", buckets = 2, iters = 1)
+      assert(VectorIndex.query(d.limit(2), "vec_id", "embedding",
+        s"${p}_idx", s"${p}_man", k = 2).count() > 0L)
+    } finally drop(p)
+  }
+
   test("wrong wiring fails loudly before corpus-sized work") {
     val p = "gvi_w"
-    drop(p)
+    drop(p, s"${p}_man2", s"${p}_idx2", s"${p}_man3")
     try {
       val d = corpus(40, 8, seed = 9)
       VectorIndex.build(d, "vec_id", "embedding", nCells = 4,
@@ -101,14 +138,20 @@ class VectorIndexSpec extends SparkSuite {
       val e4 = intercept[IllegalArgumentException](VectorIndex.query(
         d, "vec_id", "embedding", s"${p}_idx", s"${p}_man2", k = 2))
       assert(e4.getMessage.contains("exactly one row"), e4.getMessage)
-      spark.sql(s"DROP TABLE IF EXISTS ${p}_man2")
-      // string ids refused at index time, not silently nulled
+      // string ids refused at build time — BEFORE training or any
+      // table mutation (the old index/manifest pair must be intact)
       val e5 = intercept[IllegalArgumentException](VectorIndex.build(
         d.select($"vec_id".cast("string").as("vec_id"), $"embedding"),
         "vec_id", "embedding", 4, s"${p}_idx2", s"${p}_man3", 2))
       assert(e5.getMessage.contains("integral"), e5.getMessage)
-      Seq(s"${p}_idx2", s"${p}_man3").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t"))
-    } finally drop(p)
+      assert(!spark.sessionState.catalog.tableExists(
+        spark.sessionState.sqlParser.parseTableIdentifier(s"${p}_man3")))
+      // ...and at query time for string QUERY ids (a silent cast would
+      // group every query under NULL)
+      val e6 = intercept[IllegalArgumentException](VectorIndex.query(
+        d.select($"vec_id".cast("string").as("vec_id"), $"embedding"),
+        "vec_id", "embedding", s"${p}_idx", s"${p}_man", k = 2))
+      assert(e6.getMessage.contains("integral"), e6.getMessage)
+    } finally drop(p, s"${p}_man2", s"${p}_idx2", s"${p}_man3")
   }
 }
