@@ -207,7 +207,22 @@ object VectorIndex {
     val q = queries.select(col(queryId).cast("long").as("query_id"),
       col(vecCol).as("qv"),
       explode(Similarity.nearestCellsExpr(cents, nprobe)(col(vecCol))).as("cell"))
+    // BUCKET PRUNING: the distinct probe-cell set is bounded by nCells
+    // (model-sized — safe to collect at ANY query-batch size), and as a
+    // literal In filter on the bucket column it lets the scan read ONLY
+    // the buckets holding probed cells (SelectedBucketsCount in the
+    // plan, spec-asserted) instead of the whole corpus — at production
+    // shape (thousands of cells/buckets, tens of probe cells) that is
+    // the difference between a bounded read and a full index scan per
+    // query batch. Cost: one extra batch-sized pass over the queries
+    // (the assignment expression runs again in the join) — the scan it
+    // prunes is corpus-sized, the pass it adds is not.
+    val probeCells = q.select(col("cell")).distinct().collect()
+      .map(r => r.get(0) match {
+        case i: Int => i; case l: Long => l.toInt
+      })
     val idx = spark.table(indexTable)
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
       .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("cv"))
     // no distinct (the ivfKmeansTopK reasoning): nprobe DISTINCT cells
     // per query × one cell per neighbor → unique pairs by construction

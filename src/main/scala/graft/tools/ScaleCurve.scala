@@ -906,6 +906,58 @@ object ScaleCurve {
         emb.unpersist(blocking = false)
       }
 
+      // ---- q132 (r20): persisted IVF index lifecycle — sign-flip
+      // multiplied embeddings, nCells = 16·m (the q98 discipline:
+      // constant cell population, so the per-query probed volume is
+      // constant and the curve's linear terms are build's corpus
+      // assignment + append's batch assignment + table I/O). Stage
+      // rows split the lifecycle: build (train + assign + write half
+      // the corpus), append (assign + append the other half), query
+      // (10 queries, k=5, nprobe=3 — must stay ~FLAT: probed volume
+      // is nprobe × cell population, independent of corpus size).
+      // buckets stays FIXED at 4: a buckets=4·m variant was measured
+      // (build 52 s / append 45 s / query 4.7 s at 64× vs 11/9/3 at
+      // 4 buckets) — at this corpus-per-bucket ratio the per-file
+      // write/scan overhead of 256 buckets swamps everything, so the
+      // probe's bucket pruning is asserted structurally (the
+      // SelectedBucketsCount plan check in VectorIndexSpec) rather
+      // than demonstrated at a scale where it cannot win. Production
+      // sizing: buckets grow with the corpus only once a bucket holds
+      // file-sized data (≥ hundreds of MB per bucket), never before.
+      if (only.forall(_.exists(p => "q132_ivf_index".startsWith(p)))) {
+        val emb = (1 until m).map { c =>
+          embBase.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
+              .as("embedding"))
+        }.foldLeft(embBase)(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nEmb = emb.count()
+        var lastStages: Seq[(String, Double, Long)] = Nil
+        val VI = graft.llm.VectorIndex
+        report("q132_ivf_index", () => {
+          val st = Seq.newBuilder[(String, Double, Long)]
+          val (tBuild, _) = time(
+            VI.build(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+              "vec_id", "embedding", nCells = 16 * m,
+              "zsc132_idx", "zsc132_man", buckets = 4))
+          st += (("build", tBuild, spark.table("zsc132_idx").count()))
+          val (tAppend, _) = time(
+            VI.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+              "vec_id", "embedding", "zsc132_idx", "zsc132_man"))
+          st += (("append", tAppend, spark.table("zsc132_idx").count()))
+          val (tQuery, nRes) = time(
+            VI.query(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+              "zsc132_idx", "zsc132_man", k = 5, nprobe = 3).count())
+          st += (("query", tQuery, nRes))
+          lastStages = st.result()
+          nRes
+        }, stages = () => lastStages)
+        Seq("zsc132_idx", "zsc132_man").foreach(tn =>
+          spark.sql(s"DROP TABLE IF EXISTS $tn"))
+        emb.unpersist(blocking = false)
+      }
+
       // ---- q86/q87: as-of + range join over multiplied events (r13) ----
       // copy c offsets user_id (disjoint key spaces → per-user as-of
       // structure preserved), event_id (uniqueness), and shifts ts by

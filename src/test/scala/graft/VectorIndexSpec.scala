@@ -68,15 +68,23 @@ class VectorIndexSpec extends SparkSuite {
     } finally drop(p)
   }
 
-  test("per-cell maintenance aggregation on the index table is Exchange-free") {
+  test("per-cell maintenance aggregation is Exchange-free; probes bucket-prune the scan") {
     val p = "gvi_z"
     drop(p)
     try {
       VectorIndex.build(corpus(40, 8, seed = 3), "vec_id", "embedding",
-        nCells = 4, s"${p}_idx", s"${p}_man", buckets = 2, iters = 1)
+        nCells = 4, s"${p}_idx", s"${p}_man", buckets = 4, iters = 1)
       val plan = spark.table(s"${p}_idx").groupBy($"cell")
         .agg(count(lit(1))).queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan.take(1500))
+      // the probe's index scan reads ONLY the buckets holding probed
+      // cells (the collected-cells In filter → bucket pruning): one
+      // query at nprobe=1 probes 1 of 4 cells
+      val pruned = VectorIndex.query(corpus(1, 8, seed = 4), "vec_id",
+        "embedding", s"${p}_idx", s"${p}_man", k = 2, nprobe = 1)
+      val qplan = pruned.queryExecution.executedPlan.toString
+      assert(qplan.contains("SelectedBucketsCount: 1 out of 4"),
+        qplan.take(2000))
     } finally drop(p)
   }
 
