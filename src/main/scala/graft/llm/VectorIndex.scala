@@ -204,9 +204,18 @@ object VectorIndex {
     // silent cast would group every string-id query under NULL
     Similarity.requireIntegralId(queries.schema(queryId).dataType,
       "VectorIndex.query")
-    val q = queries.select(col(queryId).cast("long").as("query_id"),
-      col(vecCol).as("qv"),
-      explode(Similarity.nearestCellsExpr(cents, nprobe)(col(vecCol))).as("cell"))
+    // persisted + tracked (the incrementalCurate discipline): the
+    // probe-cell collect below and the join both consume q — without
+    // the cache the query lineage runs twice, and a NONDETERMINISTIC
+    // source (sample, multi-partition limit, table appended mid-plan)
+    // could produce join rows whose cell the collected In filter never
+    // saw, silently pruning their buckets away. The caller's next
+    // releaseTracked frees it.
+    val q = graft.dsl.Rel.track(
+      queries.select(col(queryId).cast("long").as("query_id"),
+        col(vecCol).as("qv"),
+        explode(Similarity.nearestCellsExpr(cents, nprobe)(col(vecCol))).as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // BUCKET PRUNING: the distinct probe-cell set is bounded by nCells
     // (model-sized — safe to collect at ANY query-batch size), and as a
     // literal In filter on the bucket column it lets the scan read ONLY
@@ -214,9 +223,9 @@ object VectorIndex {
     // plan, spec-asserted) instead of the whole corpus — at production
     // shape (thousands of cells/buckets, tens of probe cells) that is
     // the difference between a bounded read and a full index scan per
-    // query batch. Cost: one extra batch-sized pass over the queries
-    // (the assignment expression runs again in the join) — the scan it
-    // prunes is corpus-sized, the pass it adds is not.
+    // query batch. The collect makes query() EAGER: it runs (and
+    // caches) the query-side assignment at call time — one batch-sized
+    // job, buying a corpus-sized scan prune.
     val probeCells = q.select(col("cell")).distinct().collect()
       .map(r => r.get(0) match {
         case i: Int => i; case l: Long => l.toInt

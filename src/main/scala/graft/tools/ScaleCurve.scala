@@ -76,6 +76,23 @@ object ScaleCurve {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nDocs = docs.count()
 
+      // ONE multiplied-embeddings definition (r20 review: five blocks
+      // — q79/q80/q92-93/q98/q132 — hand-copied the same id-offset +
+      // xxhash64 sign-flip + union + persist; a formula fix must land
+      // once). Returns the persisted, materialized frame; each block
+      // unpersists its own copy when done.
+      def multiplyEmb(): org.apache.spark.sql.DataFrame = {
+        val emb = (1 until m).map { c =>
+          embBase.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
+              .as("embedding"))
+        }.foldLeft(embBase)(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        emb.count()
+        emb
+      }
+
       def report(q: String, run: () => Long,
                  stages: () => Seq[(String, Double, Long)] = () => Nil,
                  postIter: () => Unit = () => ()): Unit = {
@@ -657,14 +674,7 @@ object ScaleCurve {
       //    `planes` is a function of corpus size.
       //  * the real operator end-to-end at scaled planes (tables=3).
       if (only.forall(_.exists(p => p.startsWith("q79") || "q79".startsWith(p)))) {
-        val emb = (1 until m).map { c =>
-          embBase.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
-            transform(col("embedding"), (x, i) =>
-              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
-              .as("embedding"))
-        }.foldLeft(embBase)(_ union _)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        emb.count()
+        val emb = multiplyEmb()
         // floor(log2(m)) — numberOfTrailingZeros would silently return 0
         // for any odd user-supplied factor and mislabel the scaled curves
         val log2m = 31 - Integer.numberOfLeadingZeros(math.max(m, 1))
@@ -692,14 +702,7 @@ object ScaleCurve {
       //  * the operator end-to-end at tables=1/2/3, planes scaled with
       //    the corpus like q79 (+1 per 4× step)
       if (only.forall(_.exists(p => p.startsWith("q80") || "q80".startsWith(p)))) {
-        val emb = (1 until m).map { c =>
-          embBase.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
-            transform(col("embedding"), (x, i) =>
-              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
-              .as("embedding"))
-        }.foldLeft(embBase)(_ union _)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        emb.count()
+        val emb = multiplyEmb()
         val queries = emb.filter(col("vec_id") < 20)
         val log2m = 31 - Integer.numberOfLeadingZeros(math.max(m, 1))
         val scaledPlanes = 8 + log2m
@@ -864,14 +867,7 @@ object ScaleCurve {
       // nprobe/nCells (~25%) of the inverted lists, so q93's advantage
       // should hold or widen as m grows.
       if (only.forall(_.exists(p => "q92_pq".startsWith(p) || "q93_ivfpq".startsWith(p)))) {
-        val emb = (1 until m).map { c =>
-          embBase.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
-            transform(col("embedding"), (x, i) =>
-              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
-              .as("embedding"))
-        }.foldLeft(embBase)(_ union _)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        emb.count()
+        val emb = multiplyEmb()
         val queries = emb.filter(col("vec_id") < 10)
         report("q92_pq", () =>
           graft.llm.Similarity.pqTopK(queries, emb, "vec_id", "vec_id",
@@ -889,14 +885,7 @@ object ScaleCurve {
       // the paper's own scaling discipline — the curve must then be
       // linear; a fixed nCells would grow m² by construction.
       if (only.forall(_.exists(p => "q98_semdedup".startsWith(p)))) {
-        val emb = (1 until m).map { c =>
-          embBase.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
-            transform(col("embedding"), (x, i) =>
-              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
-              .as("embedding"))
-        }.foldLeft(embBase)(_ union _)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        emb.count()
+        val emb = multiplyEmb()
         // smallGraph=0: the curve pins the DISTRIBUTED components path
         // (the driver shortcut would absorb the graph at every factor)
         report("q98_semdedup", () =>
@@ -925,27 +914,27 @@ object ScaleCurve {
       // sizing: buckets grow with the corpus only once a bucket holds
       // file-sized data (≥ hundreds of MB per bucket), never before.
       if (only.forall(_.exists(p => "q132_ivf_index".startsWith(p)))) {
-        val emb = (1 until m).map { c =>
-          embBase.select((col("vec_id") + c.toLong * 10000000L).as("vec_id"),
-            transform(col("embedding"), (x, i) =>
-              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
-              .as("embedding"))
-        }.foldLeft(embBase)(_ union _)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nEmb = emb.count()
+        val emb = multiplyEmb()
         var lastStages: Seq[(String, Double, Long)] = Nil
         val VI = graft.llm.VectorIndex
         report("q132_ivf_index", () => {
           val st = Seq.newBuilder[(String, Double, Long)]
-          val (tBuild, _) = time(
+          // the row-count probes live INSIDE their stage timers so
+          // total ≈ sum(stages) — an untimed count between stages is
+          // run time attributed to no stage (r20 review)
+          val (tBuild, nBuilt) = time {
             VI.build(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
               "vec_id", "embedding", nCells = 16 * m,
-              "zsc132_idx", "zsc132_man", buckets = 4))
-          st += (("build", tBuild, spark.table("zsc132_idx").count()))
-          val (tAppend, _) = time(
+              "zsc132_idx", "zsc132_man", buckets = 4)
+            spark.table("zsc132_idx").count()
+          }
+          st += (("build", tBuild, nBuilt))
+          val (tAppend, nTotal) = time {
             VI.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1),
-              "vec_id", "embedding", "zsc132_idx", "zsc132_man"))
-          st += (("append", tAppend, spark.table("zsc132_idx").count()))
+              "vec_id", "embedding", "zsc132_idx", "zsc132_man")
+            spark.table("zsc132_idx").count()
+          }
+          st += (("append", tAppend, nTotal))
           val (tQuery, nRes) = time(
             VI.query(emb.filter(col("vec_id") < 10), "vec_id", "embedding",
               "zsc132_idx", "zsc132_man", k = 5, nprobe = 3).count())
