@@ -88,6 +88,44 @@ class VectorIndexSpec extends SparkSuite {
     } finally drop(p)
   }
 
+  test("Bucketed.compact is the index's file-count maintenance: files collapse, probes unchanged") {
+    val p = "gvi_c"
+    drop(p)
+    try {
+      val all = corpus(60, 8, seed = 11).persist()
+      all.count()
+      VectorIndex.build(all.filter($"vec_id" % 3 === 0), "vec_id", "embedding",
+        nCells = 4, s"${p}_idx", s"${p}_man", buckets = 2, iters = 1)
+      VectorIndex.append(all.filter($"vec_id" % 3 === 1), "vec_id",
+        "embedding", s"${p}_idx", s"${p}_man")
+      VectorIndex.append(all.filter($"vec_id" % 3 === 2), "vec_id",
+        "embedding", s"${p}_idx", s"${p}_man")
+      def files(): Long = {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(s"${p}_idx")).location)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(loc).count(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")).toLong
+      }
+      val queries = all.filter($"vec_id" < 4)
+      val before = VectorIndex.query(queries, "vec_id", "embedding",
+        s"${p}_idx", s"${p}_man", k = 3, nprobe = 2).localCheckpoint()
+      // each write emits (tasks × touched buckets) files, so the count
+      // accumulates well past the bucket count — the condition compact
+      // exists to repair
+      assert(files() > 2L, s"files=${files()}")
+      graft.ops.Bucketed.compact(spark, s"${p}_idx")
+      assert(files() == 2L) // one file per bucket restored
+      // version column survives the rewrite; probes identical
+      val after = VectorIndex.query(queries, "vec_id", "embedding",
+        s"${p}_idx", s"${p}_man", k = 3, nprobe = 2)
+      assert(after.exceptAll(before).count() == 0L &&
+        before.exceptAll(after).count() == 0L)
+      all.unpersist()
+    } finally drop(p)
+  }
+
   test("rebuild auto-bumps the version; a manifest/index version split fails loudly") {
     val p = "gvi_v"
     drop(p)
