@@ -246,24 +246,27 @@ object Curate {
     *  - crash before the idx append: clean re-run (nothing mutated);
     *  - after idx, before sig: the re-run admits the SAME set (index
     *    candidates verify against the sig table, which has no rows for
-    *    them yet) and re-appends the same idx rows — the index gains
-    *    duplicate rows, which candidate discovery dedupes (`distinct`
-    *    after the bucket explode) but which count against `maxBucket`
-    *    caps and break index≡lshBandIndex(sig) multiset equality until
-    *    a rebuild; admit decisions unchanged;
+    *    them yet) and re-derives the same idx rows — which the
+    *    (band, key, id) anti-join against the idx table then removes,
+    *    so NOTHING is re-appended and index ≡ lshBandIndex(sig)
+    *    survives this window too (r21; previously the replay appended
+    *    duplicate band rows that broke the multiset equality until a
+    *    rebuild). Cost on a normal batch: one Exchange-free scan of
+    *    the bucketed idx table per trigger — the fp-anti-join class;
     *  - after sig, before fp: the re-run admits nothing (est Jaccard 1
     *    vs the docs' own stored signatures), so the batch's fp rows are
     *    never appended — exact copies are then dropped one stage later
     *    by the near stage at est 1 instead of by the exact stage (the
     *    [[Dedup.lshIncremental]] splitInvariant edge-(2) semantics);
     *    admit decisions unchanged. In split-invariant mode the result
-    *    frame holds every SEEN rep, not admits only, so the sig/idx
-    *    appends are additionally anti-joined by id against the sig
-    *    table (one id-column store scan per trigger, Exchange-free on
-    *    the bucketed store side — the fp-anti-join cost class, paid as
-    *    replay insurance) — without it this window would re-append a full copy of
-    *    the batch's (id, sig) and index rows on replay; with it the
-    *    replay appends nothing and both invariants survive.
+    *    frame holds every SEEN rep, not admits only, so the sig append
+    *    is additionally anti-joined by id against the sig table (one
+    *    id-column store scan per trigger, Exchange-free on the
+    *    bucketed store side — the fp-anti-join cost class, paid as
+    *    replay insurance) — without it this window would re-append a
+    *    full copy of the batch's (id, sig) rows on replay; with it
+    *    (and the idx-table anti-join above) the replay appends nothing
+    *    and both invariants survive.
     * `onAdmitted` fires with the checkpointed result frame BEFORE any
     * append, so delivery is at-least-once in every window (a replay
     * may re-invoke it with the same or an empty frame) — the downstream
@@ -330,9 +333,27 @@ object Curate {
         else res.select(col("id"), col("sig"))
       val fpRows = (if (splitInvariant) res.filter(col("admitted")) else res)
         .select(col("fp_a"), col("fp_b"))
+      // idx-append replay idempotency (r20 ADVICE, the remaining
+      // idx-before-sig crash window — BOTH modes): a crash after the
+      // idx append but before the sig append leaves idx rows landed
+      // with sig empty; the replay then admits the SAME set (its
+      // candidates verify against the sig table, which has no rows for
+      // them) and would re-append every band row — duplicates that
+      // break the idx ≡ lshBandIndex(sig) invariant until a rebuild.
+      // Anti-join the batch's band rows against the idx table on
+      // (band, key, id): on a normal batch it removes nothing and costs
+      // one Exchange-free scan of the bucketed idx table per trigger
+      // (the (band, key) bucketing satisfies the join's clustering —
+      // the fp-anti-join cost class, paid as replay insurance); on the
+      // crash replay it removes exactly the already-landed rows.
+      // localCheckpoint: the anti-join reads the very table the append
+      // below mutates — sever before writing (the RECACHE rule)
+      val idxRows = Dedup.lshBandIndex(sigRows, numHashes, bands)
+        .join(s.table(idxTable).select(col("band"), col("key"), col("id")),
+          Seq("band", "key", "id"), "left_anti")
+        .localCheckpoint()
       graft.ops.Bucketed.appendBucketed(
-        Dedup.lshBandIndex(sigRows, numHashes, bands),
-        idxTable, Seq("band", "key"), buckets)
+        idxRows, idxTable, Seq("band", "key"), buckets)
       graft.ops.Bucketed.appendBucketed(sigRows, sigTable, Seq("id"), buckets)
       graft.ops.Bucketed.appendBucketed(fpRows, fpTable, Seq("fp_a"), buckets)
       ledgerTable.foreach(lt => Seq(batchId).toDF("batch_id")

@@ -940,10 +940,14 @@ object Dedup {
       .filter(estJaccard(col("sig"), col("ssig"), numHashes) >= threshold)
       .select(col("id"))
 
-    val dropped = withinDropped.union(crossDropped).distinct()
+    // default path: LEFT ANTI is duplicate-insensitive, so the union
+    // needs no distinct (r21 — one shuffle less per ingest); the
+    // split-invariant OUTER join would duplicate reps rows on a
+    // multiply-dropped id, so only that path pays the dedup
+    val dropped = withinDropped.union(crossDropped)
     if (!splitInvariant) reps.join(dropped, Seq("id"), "left_anti")
     else reps
-      .join(dropped.select(col("id"), lit(true).as("graft_si_dropped")),
+      .join(dropped.distinct().select(col("id"), lit(true).as("graft_si_dropped")),
         Seq("id"), "left_outer")
       .select(col("id"), col("sig"),
         col("graft_si_dropped").isNull.as("admitted"))

@@ -93,8 +93,15 @@ object VectorIndex {
   private def requireDim(df: DataFrame, vecCol: String, dim: Int,
                          op: String): Unit = {
     val d = df.select(size(col(vecCol)).cast("int")).limit(1).collect()
-    require(d.isEmpty || d(0).getInt(0) == dim,
-      s"$op: vector dim ${d(0).getInt(0)} != index dim $dim — " +
+    // a NULL probed vector must get the same loud diagnosis, never an
+    // NPE or a cryptic "-1": size(null) is -1 under the engine's
+    // legacy (ANSI-off) sizeOfNull and null under ANSI — cover both
+    // (r20 ADVICE)
+    val probed = if (d.isEmpty || d(0).isNullAt(0) || d(0).getInt(0) < 0) None
+                 else Some(d(0).getInt(0))
+    require(d.isEmpty || probed.contains(dim),
+      s"$op: vector dim ${probed.map(_.toString).getOrElse("NULL (null vector)")} " +
+        s"!= index dim $dim — " +
         "this frame was embedded under a different model; rebuild the " +
         "index or fix the pipeline (assigning it would silently place " +
         "every vector in garbage cells)")
@@ -204,18 +211,22 @@ object VectorIndex {
     // silent cast would group every string-id query under NULL
     Similarity.requireIntegralId(queries.schema(queryId).dataType,
       "VectorIndex.query")
-    // persisted + tracked (the incrementalCurate discipline): the
-    // probe-cell collect below and the join both consume q — without
-    // the cache the query lineage runs twice, and a NONDETERMINISTIC
-    // source (sample, multi-partition limit, table appended mid-plan)
-    // could produce join rows whose cell the collected In filter never
-    // saw, silently pruning their buckets away. The caller's next
-    // releaseTracked frees it.
-    val q = graft.dsl.Rel.track(
-      queries.select(col(queryId).cast("long").as("query_id"),
+    // localCheckpoint, not persist+track (r20 ADVICE): the probe-cell
+    // collect below and the join both consume q — without a
+    // materialization the query lineage runs twice, and a
+    // NONDETERMINISTIC source (sample, multi-partition limit, table
+    // appended mid-plan) could produce join rows whose cell the
+    // collected In filter never saw, silently pruning their buckets
+    // away. A persist+track relied on the CALLER releasing in the
+    // right order — a releaseTracked before consuming the result
+    // re-opened exactly that hazard; the checkpoint severs the lineage
+    // so filter and join provably read ONE materialization regardless
+    // of caller release order. The frame is batch-sized (queries ×
+    // nprobe rows).
+    val q = queries.select(col(queryId).cast("long").as("query_id"),
         col(vecCol).as("qv"),
         explode(Similarity.nearestCellsExpr(cents, nprobe)(col(vecCol))).as("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .localCheckpoint()
     // BUCKET PRUNING: the distinct probe-cell set is bounded by nCells
     // (model-sized — safe to collect at ANY query-batch size), and as a
     // literal In filter on the bucket column it lets the scan read ONLY

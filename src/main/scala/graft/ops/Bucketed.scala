@@ -165,7 +165,20 @@ object Bucketed {
   def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
                      buckets: Int): Unit = {
     requireSpec(df.sparkSession, table, keys, buckets, "appendBucketed")
-    df.write.mode("append")
+    // ONE file per bucket per append (r21, guide §6 small files): a
+    // bucketed write with no pre-partitioning makes EVERY input task
+    // write its own file per bucket it touches — tasks × buckets small
+    // files per batch, the exact accumulation the compaction-cadence
+    // experiment priced (file-count control is the value). Hash-
+    // repartitioning by the bucket keys into `buckets` partitions uses
+    // the same hash family as the bucket-id assignment, so each write
+    // task holds exactly one bucket's rows and emits exactly one file.
+    // Cost: one batch-sized shuffle per append (the appended delta is
+    // batch-sized by the ingest contract — never the corpus); at
+    // production scale `buckets` is sized to the cluster (thousands),
+    // so write parallelism is preserved.
+    df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("append")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")

@@ -48,8 +48,12 @@ import org.apache.spark.storage.StorageLevel
   *     (sum by dst) — the canonical two-shuffle PR round;
   *   - edges+degree are persisted pre-partitioned by `src`, so only
   *     the (much smaller) rank table moves each round;
-  *   - each new rank table is persisted and the previous unpersisted —
-  *     lineage stays one iteration deep, no exponential replay;
+  *   - each new rank table is persisted, so lineage is one CACHED level
+  *     deep, no exponential replay. check/leak materialize the whole
+  *     chain in ONE action at the end (no per-round driver barrier —
+  *     r21: 5 count() jobs replaced by 1); redistribute materializes
+  *     per round (its dangling-mass scalar reads the previous table)
+  *     and unpersists eagerly, keeping ≤ 2 rank tables cached;
   *   - `redistribute` adds one scan of the persisted rank table per
   *     round (the dangling flag rides the node table — no extra join).
   */
@@ -102,12 +106,24 @@ object PageRank {
     var ranks = nodes.select(col("node"), col("dang"), lit(scale / n).as("r"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: Option[DataFrame] = Some(ranks)
+    // check/leak need NO per-round driver scalar, so the whole chain can
+    // materialize in ONE action at the end instead of one count() per
+    // round (guide §1.2: fewer passes/actions first) — each round's
+    // frame is still persisted, so the single pass caches every level
+    // as it computes (no recomputation), and the intermediates are
+    // dropped right after. Memory trade, stated: iterations+1 rank
+    // tables are cached at the barrier instead of 2 — rank tables are
+    // NODE-sized (model-class next to the edge table), MEMORY_AND_DISK
+    // spillable. redistribute keeps the per-round barrier: its dangling
+    // mass is a driver scalar read from the previous round's table.
+    val lazyChain = dangling != "redistribute"
+    var intermediates: List[DataFrame] = Nil
     for (_ <- 1 to iterations) {
       // redistribute: the round's dangling mass, one model-sized
       // driver scalar off the persisted rank table (doubles as the
       // materialization barrier the count() otherwise provides)
       val dmPerNode =
-        if (dangling != "redistribute") 0L
+        if (lazyChain) 0L
         else {
           val dm = ranks.filter(col("dang"))
             .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
@@ -122,10 +138,17 @@ object PageRank {
             (lit(teleport) +
               expr(s"(coalesce(insum, 0L) + ${dmPerNode}L) * 85 div 100")).as("r"))
           .persist(StorageLevel.MEMORY_AND_DISK))
-      next.count() // materialize before dropping the parent
-      prev.foreach(_.unpersist())
-      prev = Some(next)
+      if (lazyChain) intermediates ::= ranks
+      else {
+        next.count() // materialize before dropping the parent
+        prev.foreach(_.unpersist())
+        prev = Some(next)
+      }
       ranks = next
+    }
+    if (lazyChain) {
+      ranks.count() // ONE materializing pass caches every level
+      intermediates.foreach(_.unpersist())
     }
     nodes.unpersist()
     eod.unpersist()

@@ -151,27 +151,27 @@ object OperatorSlices {
       d.count()
       (() => {
         // empty stores derived through the operators (Curate.emptyStores
-        // — one schema definition with the q128 query; r19 review)
+        // — one schema definition with the q128 query; r19 review).
+        // r21 store discipline (mirrors the query): ONE localCheckpoint
+        // per round — the admit frame — with the three stores as lazy
+        // unions of its flat delta projections, instead of three
+        // full-store re-materializations per round
         val (fp0, sig0, idx0) = graft.llm.Curate.emptyStores(d, "doc_id", "text")
-        var fpStore = fp0.localCheckpoint()
-        var sigStore = sig0.localCheckpoint()
-        var bandIdx = idx0.localCheckpoint()
+        var fpStore: DataFrame = fp0
+        var sigStore: DataFrame = sig0
+        var bandIdx: DataFrame = idx0
         var total = 0L
         for (i <- 0 until 3) {
           val batch = d.filter(pmod(col("doc_id"), lit(3)) === i)
           val admitted = graft.llm.Curate.incrementalCurate(
               batch, "doc_id", "text", fpStore, sigStore,
               bandIndex = Some(bandIdx))
-            .persist(ML)
-          total += admitted.count()
-          fpStore = fpStore
-            .unionByName(admitted.select(col("fp_a"), col("fp_b"))).localCheckpoint()
-          sigStore = sigStore
-            .unionByName(admitted.select(col("id"), col("sig"))).localCheckpoint()
-          bandIdx = bandIdx.unionByName(
-              Dedup.lshBandIndex(admitted.select(col("id"), col("sig"))))
             .localCheckpoint()
-          admitted.unpersist()
+          total += admitted.count()
+          fpStore = fpStore.unionByName(admitted.select(col("fp_a"), col("fp_b")))
+          sigStore = sigStore.unionByName(admitted.select(col("id"), col("sig")))
+          bandIdx = bandIdx.unionByName(
+            Dedup.lshBandIndex(admitted.select(col("id"), col("sig"))))
         }
         total
       }, () => { d.unpersist(); () })
@@ -268,21 +268,22 @@ object OperatorSlices {
       val corpus = corpus0.persist(ML)
       corpus.count()
       (() => {
+        // r21 store discipline (mirrors the query): one localCheckpoint
+        // per batch, stores as lazy delta unions
         val (fpE, sigE, _) = graft.llm.Curate.emptyStores(corpus, "doc_id", "text")
-        var fp = fpE.localCheckpoint()
-        var sig = sigE.localCheckpoint()
+        var fp: DataFrame = fpE
+        var sig: DataFrame = sigE
         var total = 0L
         Seq((Long.MinValue, t1), (t1, t2), (t2, Long.MaxValue)).foreach {
           case (lo, hi) =>
             val batch = corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
             val res = graft.llm.Curate.incrementalCurate(batch, "doc_id", "text",
                 fp, sig, bands = 32, threshold = 0.45, splitInvariant = true)
-              .persist(ML)
+              .localCheckpoint()
             total += res.filter(col("admitted")).count()
             fp = fp.unionByName(res.filter(col("admitted"))
-              .select(col("fp_a"), col("fp_b"))).localCheckpoint()
-            sig = sig.unionByName(res.select(col("id"), col("sig"))).localCheckpoint()
-            res.unpersist()
+              .select(col("fp_a"), col("fp_b")))
+            sig = sig.unionByName(res.select(col("id"), col("sig")))
         }
         total
       }, () => { corpus.unpersist(); () })

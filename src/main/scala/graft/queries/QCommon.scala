@@ -18,6 +18,34 @@ private[graft] object QCommon {
     * double only at the end — bit-identical across engines. */
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Multiset difference of two same-schema frames: rows whose
+    * per-side multiplicities differ, ONE aggregation over the tagged
+    * union (guide §2.4 "remove shuffles outright"). The capstone
+    * parity booleans previously ran `a.exceptAll(b).count() == 0 &&
+    * b.exceptAll(a).count() == 0` — TWO actions, each rewritten by
+    * Catalyst into its own union+aggregate over both inputs (4 scans
+    * of each side, 2 shuffles) — to decide exactly this predicate.
+    * One tagged union + one hash aggregation + `isEmpty` (limit-1)
+    * computes the same multiset equality with half the scans and one
+    * shuffle; at 100 TB store sizes the saving is a full extra pass
+    * over both stores per parity check. Null/NaN grouping semantics
+    * match exceptAll's (both normalize via the aggregation path). */
+  def multisetDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val cols = a.columns.toSeq
+    a.withColumn("graft_mse_side", lit(1L))
+      .unionByName(b.select(cols.map(col): _*)
+        .withColumn("graft_mse_side", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("graft_mse_side")).as("graft_mse_delta"))
+      .filter(col("graft_mse_delta") =!= 0L)
+  }
+
+  /** Multiset equality in ONE job ([[multisetDiff]] + limit-1 probe) —
+    * semantically identical to the two-sided exceptAll emptiness pair. */
+  def multisetEqual(a: DataFrame, b: DataFrame): Boolean =
+    multisetDiff(a, b).isEmpty
+
   /** Copy-id base for the re-ingest fixtures (q109/q119/q126–q129 and
     * the bench slices): `max(id) + 1`, DERIVED from the data — a
     * hardcoded constant aliases copy ids with real ids on a

@@ -433,7 +433,13 @@ object ScaleCurve {
       // rows at the same factor IS the streaming machinery's cost —
       // measured, not asserted. Per-round admits counted through the
       // onAdmitted callback (the realistic delivery path).
-      if (only.forall(_.exists("q131_streaming_body".startsWith))) {
+      // Opt-in (only.exists, the cadence-block gating — r20 ADVICE): 3
+      // ingest rounds with full store bootstrap per iteration
+      // measurably lengthen every DEFAULT sweep at high factors, and
+      // the machinery-vs-bare-loop delta only needs measuring when
+      // asked for.
+      if (only.exists(_.exists(p =>
+          p.startsWith("q131") || "q131_streaming_body".startsWith(p)))) {
         val fixtureIds = spark.sparkContext.getPersistentRDDs.keySet
         var lastRounds: Seq[(String, Double, Long)] = Nil
         val tabs = Seq("zsc131_fp", "zsc131_sig", "zsc131_idx")

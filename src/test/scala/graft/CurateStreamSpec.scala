@@ -157,10 +157,12 @@ class CurateStreamSpec extends SparkSuite {
     } finally dropTables(p)
   }
 
-  test("crash window after idx append: replay admits the SAME set; only the index duplicates") {
+  test("crash window after idx append: replay admits the SAME set and re-appends NO index rows") {
     // simulate ingestBatch dying between its idx append and sig append,
-    // then the foreachBatch replay re-running the whole batch — the
-    // scaladoc's decision-equivalence claim for the widest window
+    // then the foreachBatch replay re-running the whole batch. r21: the
+    // (band, key, id) anti-join against the idx table makes the replay
+    // append NOTHING there, so index ≡ lshBandIndex(sig) survives this
+    // window too (pre-fix the replay doubled every band row)
     val p = "gstr_c1"
     mkTables(p)
     try {
@@ -180,13 +182,16 @@ class CurateStreamSpec extends SparkSuite {
         s"${p}_idx", B, ledgerTable = Some(s"${p}_led"), threshold = 0.5,
         onAdmitted = (df, _) => replayed = df.select("id").as[Long].collect().toSet)
       assert(replayed == firstAdmits, s"replay $replayed vs first $firstAdmits")
-      // stores correct; index holds duplicate rows (each exactly twice)
+      // stores correct; the index is duplicate-free and still ≡ the
+      // index of the sig table (the invariant the anti-join preserves)
       assert(spark.table(s"${p}_sig").select("id").as[Long].collect().toSet
         == firstAdmits)
       assert(spark.table(s"${p}_fp").count() == firstAdmits.size.toLong)
       val idx = spark.table(s"${p}_idx")
-      assert(idx.count() == 2L * firstAdmits.size * 16)
-      assert(idx.distinct().count() == firstAdmits.size.toLong * 16)
+      assert(idx.count() == firstAdmits.size.toLong * 16)
+      val full = Dedup.lshBandIndex(spark.table(s"${p}_sig"))
+      assert(idx.exceptAll(full).count() == 0L &&
+        full.exceptAll(idx).count() == 0L)
       // decisions unchanged downstream: a later batch resending the
       // docs under new ids admits nothing despite the dup index rows
       Curate.ingestBatch(batch.select(($"doc_id" + 100L).as("doc_id"), $"text"),

@@ -174,6 +174,13 @@ class VectorIndexSpec extends SparkSuite {
         corpus(2, 16, seed = 2), "vec_id", "embedding",
         s"${p}_idx", s"${p}_man", k = 2))
       assert(e2.getMessage.contains("dim"), e2.getMessage)
+      // a NULL probed vector gets the same loud diagnosis, not an NPE
+      // (r20 ADVICE: size(null) is null and the unguarded getInt threw)
+      val nullVec = Seq((0L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding")
+      val e2b = intercept[IllegalArgumentException](VectorIndex.query(
+        nullVec, "vec_id", "embedding", s"${p}_idx", s"${p}_man", k = 2))
+      assert(e2b.getMessage.contains("null vector"), e2b.getMessage)
       // missing index table
       val e3 = intercept[IllegalArgumentException](VectorIndex.append(
         d, "vec_id", "embedding", s"${p}_missing", s"${p}_man"))
