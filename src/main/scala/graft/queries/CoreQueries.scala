@@ -414,8 +414,13 @@ object CoreQueries {
       // other's bucketed files mid-read. Stale-location recovery lives
       // inside writeBucketed now (r17 review).
       val tbl = s"graft_q96_li_b_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // pre-partition by the bucket key (the r21 appendBucketed shape):
+      // an unpartitioned bucketed write makes every scan task write its
+      // own file per bucket — tasks × 8 small files; hash-partitioned,
+      // each task holds exactly one bucket and writes exactly one file
       graft.ops.Bucketed.writeBucketed(
-        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+          .repartition(8, col("l_orderkey")),
         tbl, "l_orderkey", buckets = 8)
       graft.ops.Bucketed.collectedGroup(s, tbl, "l_orderkey", Seq(
           count(lit(1)).as("n"),

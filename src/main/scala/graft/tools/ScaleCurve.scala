@@ -286,9 +286,14 @@ object ScaleCurve {
           report(q, () => {
             val (fp0, sig0, idx0) = Curate.emptyStores(
               docs.select(col("doc_id"), col("text")), "doc_id", "text")
-            var fpStore = fp0.localCheckpoint()
-            var sigStore = sig0.localCheckpoint()
-            var bandIdx = idx0.localCheckpoint()
+            // r21 store discipline (mirrors the driver query + bench
+            // slice): ONE localCheckpoint per round — the result frame
+            // — with the stores as lazy unions of its flat delta
+            // projections, instead of three full-store
+            // re-materializations per round
+            var fpStore: org.apache.spark.sql.DataFrame = fp0
+            var sigStore: org.apache.spark.sql.DataFrame = sig0
+            var bandIdx: org.apache.spark.sql.DataFrame = idx0
             var total = 0L
             val rounds = Seq.newBuilder[(String, Double, Long)]
             for (i <- 0 until 3) {
@@ -298,18 +303,16 @@ object ScaleCurve {
                 val res = Curate.incrementalCurate(batch, "doc_id", "text",
                     fpStore, sigStore, bandIndex = Some(bandIdx),
                     splitInvariant = splitInv)
-                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                  .localCheckpoint()
                 val adm = if (splitInv) res.filter(col("admitted")) else res
                 val n0 = adm.count()
                 val sigSrc = if (splitInv) res else adm
                 fpStore = fpStore
-                  .unionByName(adm.select(col("fp_a"), col("fp_b"))).localCheckpoint()
+                  .unionByName(adm.select(col("fp_a"), col("fp_b")))
                 sigStore = sigStore
-                  .unionByName(sigSrc.select(col("id"), col("sig"))).localCheckpoint()
+                  .unionByName(sigSrc.select(col("id"), col("sig")))
                 bandIdx = bandIdx.unionByName(
-                    Dedup.lshBandIndex(sigSrc.select(col("id"), col("sig"))))
-                  .localCheckpoint()
-                res.unpersist()
+                  Dedup.lshBandIndex(sigSrc.select(col("id"), col("sig"))))
                 n0
               }
               rounds += ((s"round$i", dt, n))
