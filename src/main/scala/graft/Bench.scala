@@ -439,20 +439,35 @@ object Bench {
     // head-truncated the driver artifact (the exact failure this line
     // exists to prevent); those three scalars are derivable (norm_total
     // = value × norm_factor) or adjudication-covered (steady).
-    def mkCompact(ops: String) =
-      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"adjudication":"$adjShort"$failedShort$ops,"calibration_sec":${f2(calibMed)},"norm_factor":${f2(normFactor)},"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}","detail":"bench_out.json"$onlyMark}"""
-    // last-resort fallback: a line still past the window drops the
-    // operator_sec map (it lives in full in bench_out.json) rather
-    // than arriving truncated — an unparseable artifact zeroes the
-    // round's perf signal, a map-less one only loses stdout redundancy
+    def mkCompact(ops: String, norm: String) =
+      s"""{"metric":"$metric","value":${f(total)},"unit":"sec","queries":$qsShort,"adjudication":"$adjShort"$failedShort$ops,"calibration_sec":${f2(calibMed)},"norm_factor":${f2(normFactor)}$norm,"sf":"${jq(sfDir)}","heap_gb":$heapGb,"comparable_to":"${jq(comparableTo)}","detail":"bench_out.json"$onlyMark}"""
+    // calibration-normalized per-query map in the compact line too
+    // (r21 VERDICT task 7: the round-over-round comparison reads the
+    // stdout artifact, and r21's 94 phantom "regressions" were pure
+    // ambient that queries_norm would have shown through) — but ONLY
+    // when it fits: the launcher keeps the LAST ~2000 stdout chars, and
+    // a full-suite line cannot carry two 132-entry maps. Subset runs
+    // (the A/B workflow) get the map inline; full runs get the marker —
+    // the full map always lives in bench_out.json, and per-query
+    // sec_norm = sec × norm_factor is one multiplication either way.
+    val qsNormShort = medians.map { case (k, v) =>
+      s"\"${short(k)}\":${f2(v * normFactor)}" }
+      .mkString(""","queries_norm":{""", ",", "}")
+    // last-resort fallback: a line still past the window drops first
+    // the queries_norm map, then the operator_sec map (both live in
+    // full in bench_out.json) rather than arriving truncated — an
+    // unparseable artifact zeroes the round's perf signal; a full-suite
+    // line therefore stays BYTE-CONSERVATIVE with the r21 shape
     val compact = {
-      val full = mkCompact(opShort)
+      val withNorm = mkCompact(opShort, qsNormShort)
+      val base = mkCompact(opShort, "")
       val marker = ""","operator_sec":"see bench_out.json""""
+      if (withNorm.length <= 1950) withNorm
       // length guard on the MAP ITSELF, not emptiness: substituting the
       // marker for an operator map no longer than the marker makes the
       // line LONGER — the exact failure this branch exists to stop
-      if (full.length <= 1950 || opShort.length <= marker.length) full
-      else mkCompact(marker)
+      else if (base.length <= 1950 || opShort.length <= marker.length) base
+      else mkCompact(marker, "")
     }
     if (compact.length > 1950)
       System.err.println(s"[bench] WARNING: compact line ${compact.length} chars — near the launcher's ~2000-char tail window")

@@ -113,9 +113,26 @@ object Curate {
     // un-persisted pipeline paid it twice). The q78 lesson does not
     // apply: what persists is counts + chunk text already materialized
     // by the explode, not an avoidable extra corpus scan.
+    // PARALLELIZE THE KERNEL (r22, guide §2.5 input parallelism): the
+    // encode is the pipeline's dominant compute (TokenPackProbe 1×:
+    // encode 3.0 s warm of q125's ~4.2 s total — and the r21 scaling
+    // block read q125 at ratio 1.03, i.e. the SAME time at 8 and 32
+    // cores: serial). Chunk rows inherit the docs scan's partitioning,
+    // so a corpus arriving as few/unsplittable files runs the expensive
+    // per-chunk kernel on that few cores. When the scan under-
+    // partitions the session's parallelism, round-robin the chunk rows
+    // first — one batch shuffle of chunk text buys a fully parallel
+    // encode. Results unchanged: n_tokens is per-row, and the prefix
+    // sum orders by the (doc, chunk_id) total order, not by partition.
+    // At production scale the input has more splits than cores and the
+    // condition is false — no shuffle is added where none is needed.
+    val raw = Text.chunk(docs.filter(col(textCol).isNotNull),
+      idCol, textCol, chunkWords, stride)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val rebalanced =
+      if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
     val chunks = graft.dsl.Rel.track(
-      Text.chunk(docs.filter(col(textCol).isNotNull),
-          idCol, textCol, chunkWords, stride)
+      rebalanced
         .select(col("doc"), col("chunk_id"), col("n_words"), col("chunk_text"),
           Bpe.tokenCount(col("chunk_text"), merges).as("n_tokens"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -387,7 +404,9 @@ object Curate {
     * the corpus and a trigger can be minutes or hours without watermark
     * tuning. Trigger cadence trades per-batch overhead (three appends
     * ≥ 3 × buckets files) against admit latency; file accumulation is
-    * the cost, paid down by [[graft.ops.Bucketed.compact]] as a
+    * the cost, paid down by [[graft.ops.Bucketed.compactIfNeeded]] —
+    * the file-count-budget cadence (metadata-only check per call, a
+    * rewrite only past the budget) — as a
     * SCHEDULED job between triggers (pause the stream or accept the
     * crash-recovery semantics in compact's scaladoc — never compact
     * concurrently with an in-flight batch, both mutate the catalog

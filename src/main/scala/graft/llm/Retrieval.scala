@@ -46,21 +46,42 @@ object Retrieval {
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
-        explode(split(col(textCol), " ")).as("term"))
-      .filter(col("term") =!= "")
-    // tf feeds four plan branches (dl, dfreq, stats, the scoring join):
-    // persist it so the one-tokenize-scan contract is structural, not
-    // a bet on ReuseExchange unifying the subtrees (released by the
-    // caller's Rel.releaseTracked(), the trainLogReg discipline)
+    // document length computed NARROWLY at tokenize time (r22, guide
+    // §2.3/§2.4): dl = the size of the non-empty token list, a per-row
+    // projection on the scan — identical by construction to the old
+    // sum(tf)-per-doc (both count the doc's non-empty terms). It rides
+    // the (doc, term) aggregation as max(dl) (constant within a doc),
+    // which removes BOTH corpus-scale doc-keyed exchanges the old shape
+    // paid: the tf→groupBy(doc) re-shuffle that derived dl AND the
+    // tf⋈dl shuffle join that re-attached it (tf, the largest frame in
+    // the pipeline, was shuffled by doc for nothing). At 32 local
+    // cores that join's tiny-partition stages were the worst scaling
+    // pathology in the suite (BENCH_r21 scaling ratio 0.34).
+    val terms = filter(split(col(textCol), " "), t => t =!= "")
+    val toks = docs
+      .select(col(idCol).as("doc"), terms.as("graft_terms"))
+      .filter(size(col("graft_terms")) > 0)
+      .select(col("doc"), size(col("graft_terms")).cast("long").as("dl"),
+        explode(col("graft_terms")).as("term"))
+    // tf feeds three plan branches (dfreq, stats via dl, the scoring
+    // join): persist it so the one-tokenize-scan contract is
+    // structural, not a bet on ReuseExchange unifying the subtrees
+    // (released by the caller's Rel.releaseTracked(), the trainLogReg
+    // discipline)
     val tf = graft.dsl.Rel.track(
-      toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+      toks.groupBy(col("doc"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
-    // N and avgdl over tokenized docs; exact int inputs → the double
-    // division is bit-identical across engines
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // N and avgdl over tokenized docs (docs with ≥ 1 non-empty term —
+    // the same set the old dl-from-tf derivation covered); one narrow
+    // aggregation over the docs scan, no shuffle of anything
+    // corpus-sized. Exact long inputs → the double division is
+    // bit-identical across engines (sum of longs is order-free).
+    val stats = docs
+      .select(size(terms).cast("long").as("graft_dl"))
+      .filter(col("graft_dl") > 0)
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("graft_dl")).cast("double") / count(lit(1))).as("avgdl"))
     val qterms = queries.select(col("qid"), col("term")).distinct()
     // document frequency of the query terms only
     val dfreq = tf.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
@@ -71,7 +92,6 @@ object Retrieval {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
     tf.join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
-      .join(dl, Seq("doc"))
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc"),
         floor(contrib * lit(1e9) + lit(0.5)).as("contrib_nano"))

@@ -300,7 +300,20 @@ object Similarity {
       .filter(col("v").isNotNull && !exists(col("v"), _.isNull))
     val total = v0.count()
     val s = if (total > maxTrain) v0.sample(maxTrain.toDouble / total, 42L) else v0
-    s.orderBy("id").collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // the id sort happens DRIVER-side on the collected sample (r22):
+    // the old cluster-side orderBy paid a range-sampling job plus a
+    // full sort exchange to order a MODEL-SIZED array the driver holds
+    // anyway. Same order (integral ids, sort by value; unique ids make
+    // it total), so the trained codebooks are bit-identical. Non-
+    // integral id types keep the cluster sort — a driver longValue
+    // would reorder them.
+    val integral = Seq[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+      .contains(corpus.schema(idCol).dataType)
+    val rows = if (integral) s.collect().sortBy(_.getAs[Number](0).longValue)
+               else s.orderBy("id").collect()
+    rows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
   }
 
   /** Nearest centroid by L2 for a driver-side double vector — same

@@ -223,6 +223,15 @@ object VectorIndex {
     // so filter and join provably read ONE materialization regardless
     // of caller release order. The frame is batch-sized (queries ×
     // nprobe rows).
+    // RETENTION (r21 ADVICE): the checkpointed block is NOT released
+    // here — the returned frame's lineage reads it, so query() cannot
+    // sweep it without severing its own result; localCheckpoint blocks
+    // are also invisible to clearCache/releaseTracked (the repo's
+    // cache-hygiene notes). A long-lived session issuing many query
+    // batches must sweep between batches with the getPersistentRDDs
+    // snapshot-diff discipline (as ingestBatch and the Bench loop do)
+    // AFTER consuming each result; otherwise blocks accumulate
+    // batch-sized × batches.
     val q = queries.select(col(queryId).cast("long").as("query_id"),
         col(vecCol).as("qv"),
         explode(Similarity.nearestCellsExpr(cents, nprobe)(col(vecCol))).as("cell"))

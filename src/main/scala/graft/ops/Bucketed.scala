@@ -244,6 +244,38 @@ object Bucketed {
     * That is the 100 TB shape: compaction cost = one read + one write
     * of the table, per-bucket parallel, no network movement.
     */
+  /** File-count-budget compaction CADENCE (r22, the r20 deferred item;
+    * guide §6 small files): compact only when some bucket has
+    * accumulated more than `maxRunsPerBucket` sorted runs — the
+    * maintenance policy [[graft.llm.Curate.streamingIngest]]'s scaladoc
+    * prescribes, made mechanical. The check is metadata-only (one
+    * filesystem listing of the table directory, no data read, no Spark
+    * job): since [[appendBucketed]] pre-partitions to exactly ONE file
+    * per bucket per append, parquet files ÷ buckets = sorted runs per
+    * bucket, so the listing decides the budget exactly. A compact is a
+    * full read+write of the table — running it on every trigger would
+    * make maintenance cost O(triggers × table) instead of amortized
+    * O(table × log); past the budget the rewrite restores
+    * one-file-per-bucket and the counter resets.
+    *
+    * @return true iff a compact ran. */
+  def compactIfNeeded(spark: SparkSession, table: String,
+                      maxRunsPerBucket: Int = 8): Boolean = {
+    require(maxRunsPerBucket >= 1,
+      s"compactIfNeeded: maxRunsPerBucket must be >= 1, got $maxRunsPerBucket")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactIfNeeded: table '$table' is not bucketed"))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(loc)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (nFiles > maxRunsPerBucket.toLong * buckets) { compact(spark, table); true }
+    else false
+  }
+
   def compact(spark: SparkSession, table: String): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     def quoted(i: org.apache.spark.sql.catalyst.TableIdentifier) =

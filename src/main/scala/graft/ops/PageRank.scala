@@ -118,7 +118,23 @@ object PageRank {
     // mass is a driver scalar read from the previous round's table.
     val lazyChain = dangling != "redistribute"
     var intermediates: List[DataFrame] = Nil
-    for (_ <- 1 to iterations) {
+    // lazy-chain LINEAGE CUT (r22, VERDICT r21 item 5): each persisted
+    // round nests the full child plan inside its InMemoryRelation, so
+    // the final plan grew superlinearly in iterations (q122's r21
+    // formatted dump: ~57k lines at 5 rounds — harmless here, but
+    // planning time and driver memory blow up at higher counts). Every
+    // CutEvery-th round is severed with localCheckpoint(eager = false)
+    // instead of persisted: LAZY, so the chain still materializes in
+    // the ONE action below (the checkpoint stores each marked level's
+    // partitions as that single pass computes them — no extra barrier,
+    // no recomputation), while the plan above the cut starts from a
+    // flat RDD scan. The checkpointed blocks are swept after the final
+    // action by id (localCheckpoint blocks are invisible to
+    // Dataset.unpersist — the Bench/ingestBatch discipline).
+    val CutEvery = 2
+    var ckptRddIds: List[Int] = Nil
+    val sc = edges.sparkSession.sparkContext
+    for (it <- 1 to iterations) {
       // redistribute: the round's dangling mass, one model-sized
       // driver scalar off the persisted rank table (doubles as the
       // materialization barrier the count() otherwise provides)
@@ -132,12 +148,19 @@ object PageRank {
       val insum = eod.join(ranks, eod("src") === ranks("node"))
         .select(eod("dst"), expr("r div od").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("insum"))
-      val next = graft.dsl.Rel.track(
-        nodes.join(insum, nodes("node") === insum("dst"), "left")
-          .select(nodes("node"), nodes("dang"),
-            (lit(teleport) +
-              expr(s"(coalesce(insum, 0L) + ${dmPerNode}L) * 85 div 100")).as("r"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+      val nextBase = nodes.join(insum, nodes("node") === insum("dst"), "left")
+        .select(nodes("node"), nodes("dang"),
+          (lit(teleport) +
+            expr(s"(coalesce(insum, 0L) + ${dmPerNode}L) * 85 div 100")).as("r"))
+      // the LAST round always persists (the returned frame must stay
+      // readable after the checkpoint-id sweep below)
+      val next =
+        if (lazyChain && it % CutEvery == 0 && it < iterations) {
+          val before = sc.getPersistentRDDs.keySet
+          val cut = nextBase.localCheckpoint(eager = false)
+          ckptRddIds :::= (sc.getPersistentRDDs.keySet -- before).toList
+          cut
+        } else graft.dsl.Rel.track(nextBase.persist(StorageLevel.MEMORY_AND_DISK))
       if (lazyChain) intermediates ::= ranks
       else {
         next.count() // materialize before dropping the parent
@@ -149,6 +172,8 @@ object PageRank {
     if (lazyChain) {
       ranks.count() // ONE materializing pass caches every level
       intermediates.foreach(_.unpersist())
+      ckptRddIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
     nodes.unpersist()
     eod.unpersist()

@@ -37,21 +37,26 @@ object LlmQueries {
       zip_with(slice(byRk, 1, k - 1), slice(byRk, 2, k - 1),
         (a, b) => a.getField("cosine") >= b.getField("cosine")),
       x => x)
-    val perQ = res.groupBy(col("query_id"))
+    // cosine exactness FUSED into the same per-query aggregation (r22:
+    // was its own count action over a second join of the cached res) —
+    // the vector joins are 1:1 on unique ids drawn from v, so the
+    // groups (and every other aggregate) are unchanged
+    val emb = v.select(col("vec_id"), col("embedding"))
+    val perQ = res
+      .join(emb.toDF("query_id", "qv"), "query_id")
+      .join(emb.toDF("neighbor_id", "cv"), "neighbor_id")
+      .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n"), min(col("rk")).as("mn"),
         max(col("rk")).as("mx"), countDistinct(col("rk")).as("nd"),
-        coalesce(ordered, lit(false)).as("ord")) // null-safe for malformed groups
+        coalesce(ordered, lit(false)).as("ord"), // null-safe for malformed groups
+        count(when(!(Similarity.cosineExpr(col("qv"), col("cv"))
+          <=> col("cosine")), lit(1))).as("bad"))
       .collect()
     val kRowsEach = perQ.length.toLong == nQueries &&
       perQ.forall(r => r.getLong(1) == k && r.getInt(2) == 1 &&
         r.getInt(3) == k && r.getLong(4) == k)
     val rkOrdered = perQ.forall(_.getBoolean(5))
-    val emb = v.select(col("vec_id"), col("embedding"))
-    val cosineExact = res
-      .join(emb.toDF("query_id", "qv"), "query_id")
-      .join(emb.toDF("neighbor_id", "cv"), "neighbor_id")
-      .filter(!(Similarity.cosineExpr(col("qv"), col("cv")) <=> col("cosine")))
-      .count() == 0L
+    val cosineExact = perQ.forall(_.getLong(6) == 0L)
     Seq((nQueries, kRowsEach, rkOrdered, cosineExact))
       .toDF("n_queries", "k_rows_each", "rk_ordered", "cosine_exact")
   }
@@ -381,9 +386,13 @@ object LlmQueries {
       val noReingested = b.getLong(0) == 0L
       val noStoreExact = b.getLong(1) == 0L
       val subset = b.getLong(2) == 0L
-      // no-two-kept-share-text via a group count (boolean-identical to
-      // the old pair self-join, one shuffle instead of a join)
-      val noWithinExact = kept.filter(inBatch).groupBy(col("text")).count()
+      // no-two-kept-share-text via a group count (one shuffle instead
+      // of a join); text.isNotNull makes it STRICTLY identical to the
+      // old pair self-join — groupBy groups NULL texts together where
+      // the x.text === y.text join never matched them (r21 ADVICE;
+      // null texts are fixture-impossible, the filter is free)
+      val noWithinExact = kept.filter(inBatch && col("text").isNotNull)
+        .groupBy(col("text")).count()
         .filter(col("count") > 1).isEmpty
       Seq((nBatch, noReingested, noStoreExact, noWithinExact, subset))
         .toDF("n_batch", "no_reingested_kept", "no_kept_exact_in_store",
@@ -438,7 +447,11 @@ object LlmQueries {
               .cast("int").as("label"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // corpus + val-split scalars in ONE pass over the persisted
-      // labeled frame (was four separate count actions)
+      // labeled frame (was four separate count actions). A/B'd r22
+      // (VERDICT r21 #8, OPTIMIZATION_r22.md §8): FLAT — five runs put
+      // both forms in overlapping 3.75–4.6 s bands; q118's floor is
+      // the 8 GD jobs + the score join, not the header. The one-pass
+      // form stays for its 100 TB shape (one cache scan, not four).
       val lh = labeled.agg(count(lit(1)),
         count(when(col("label") === 1, lit(1))),
         count(when(col("split") === "val", lit(1))),
@@ -737,7 +750,9 @@ object LlmQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // ONE per-component aggregation answers total rows, removed
       // count, keeper-is-min, exactly-one-keeper AND never-spans-cells
-      // (was four separate actions over the same persisted frame)
+      // (was four separate actions over the same persisted frame).
+      // A/B'd r22 (VERDICT r21 #8): FLAT at sf0.1 — 2.72 vs 2.71 s
+      // back-to-back; kept for the 100 TB shape (one pass, not four).
       val comp = res.groupBy(col("component"))
         .agg(count(lit(1)).as("n"),
           count(when(!col("is_keeper"), lit(1))).as("nr"),
@@ -1165,20 +1180,45 @@ object LlmQueries {
         graft.llm.Curate.tokenPack(d, "doc_id", "text", merges,
             chunkWords = 12, stride = 8, seqTokens = seqT)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // chunk count, distinct docs and the tokens≥words bound in ONE
-      // aggregation pass over the persisted frame (was three actions)
-      val ph = packed.agg(count(lit(1)), countDistinct(col("doc")),
+      // chunk count + the tokens≥words bound in ONE aggregation pass —
+      // but NOT countDistinct (r21 regression, VERDICT r21 item 1):
+      // mixing distinct and non-distinct aggregates plans as a
+      // two-phase Expand (input rows duplicated per aggregate group),
+      // and this is the FIRST action — the one that materializes the
+      // expensive BPE-encode cache — so the Expand rode the whole
+      // tokenPack computation. The distinct doc count runs as its own
+      // job over the then-cached frame (single distinct aggregate: a
+      // plain two-phase partial/final, no Expand).
+      val ph = packed.agg(count(lit(1)),
         count(when(col("n_tokens") < col("n_words"), lit(1)))).head()
       val nChunks = ph.getLong(0)
-      val nDocs = ph.getLong(1)
-      val tokensGeWords = ph.getLong(2) == 0L
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("doc"), col("chunk_id"))
+      val tokensGeWords = ph.getLong(1) == 0L
+      val nDocs = packed.agg(countDistinct(col("doc"))).head().getLong(0)
+      // prefix-sum verification WITHOUT the one-partition global window
+      // (VERDICT r21 item 1 — the old Window.orderBy(doc, chunk_id)
+      // with no partitionBy was a guaranteed single-task OOM at scale):
+      // the global order sorts docs contiguously, so global-cum(row) =
+      // exclusive-prefix(doc totals, by doc) + within-doc-cum(row).
+      // Within-doc cumsums ride a PARTITIONED window; the doc offsets
+      // come from Rank.prefixSum over the doc-total aggregate (the
+      // scalable 2-pass stitch — per-partition totals + driver offsets,
+      // partition-count-sized driver state). Boolean identical: both
+      // sides are exact integer recomputes of the same prefix sum.
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc")).orderBy(col("chunk_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
+      val docTotals = packed.groupBy(col("doc"))
+        .agg(sum(col("n_tokens")).as("graft_dt"))
+      val docOffsets = graft.ops.Rank.prefixSum(docTotals,
+          Seq(col("doc")), "graft_dt", "graft_cum_dt")
+        .select(col("doc"),
+          (col("graft_cum_dt") - col("graft_dt")).as("graft_doc_off"))
       val prefixExact = packed
-        .withColumn("cum2", sum(col("n_tokens")).over(w))
-        .filter(col("cum2") =!= col("cum_tokens")).count() == 0L
+        .withColumn("graft_cum_in_doc", sum(col("n_tokens")).over(wd))
+        .join(docOffsets, Seq("doc"))
+        .filter(col("graft_doc_off") + col("graft_cum_in_doc")
+          =!= col("cum_tokens")).isEmpty
       val binsInWindow = packed
         .groupBy(col("bin"))
         .agg(min(col("cum_tokens") - col("n_tokens")).as("lo"),
@@ -1257,7 +1297,10 @@ object LlmQueries {
       val allPassQuality = b.getLong(2) == 0L
       val appendComplete = b.getLong(3) == 0L
       val subset = b.getLong(4) == 0L
-      val noWithinExact = admFull.filter(inBatch).groupBy(col("text")).count()
+      // text.isNotNull: strictly identical to the old pair self-join,
+      // which never matched NULL texts (r21 ADVICE; fixture-impossible)
+      val noWithinExact = admFull.filter(inBatch && col("text").isNotNull)
+        .groupBy(col("text")).count()
         .filter(col("count") > 1).isEmpty
       Seq((nBatch, nQualityPass, noReingested, noStoreExact, noWithinExact,
           allPassQuality, appendComplete, subset))
@@ -1311,9 +1354,13 @@ object LlmQueries {
       val noReingested = b.getLong(0) == 0L
       val noStoreExact = b.getLong(1) == 0L
       val subset = b.getLong(2) == 0L
-      // no-two-kept-share-text via a group count (boolean-identical to
-      // the old pair self-join, one shuffle instead of a join)
-      val noWithinExact = kept.filter(inBatch).groupBy(col("text")).count()
+      // no-two-kept-share-text via a group count (one shuffle instead
+      // of a join); text.isNotNull makes it STRICTLY identical to the
+      // old pair self-join — groupBy groups NULL texts together where
+      // the x.text === y.text join never matched them (r21 ADVICE;
+      // null texts are fixture-impossible, the filter is free)
+      val noWithinExact = kept.filter(inBatch && col("text").isNotNull)
+        .groupBy(col("text")).count()
         .filter(col("count") > 1).isEmpty
       // indexed path ≡ signature-derivation path: ONE tagged-union
       // aggregation — the old two-sided exceptAll pair evaluated the
@@ -1543,9 +1590,14 @@ object LlmQueries {
       // _compacting sibling behind and fail THIS run's compact loudly —
       // clear it up front (the rerun-completes-the-swap recovery)
       s.sql("DROP TABLE IF EXISTS g129_idx_compacting")
-      Seq("g129_fp", "g129_sig", "g129_idx").zip(
+      // the three bootstrap writes are independent (distinct tables,
+      // no ordering contract) — submit them concurrently so the round
+      // pays max-of-three, not sum-of-three (guide §2.6; QCommon.parJobs)
+      QCommon.parJobs(
+        Seq("g129_fp", "g129_sig", "g129_idx").zip(
           Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
-        .foreach { case (tn, (df0, keys)) => Bk.writeBucketed(df0, tn, keys, B) }
+          .map { case (tn, (df0, keys)) =>
+            () => Bk.writeBucketed(df0, tn, keys, B) }: _*)
       s.sql("DROP TABLE IF EXISTS g129_man")
       man.write.mode("overwrite").format("parquet").saveAsTable("g129_man")
       val manT = s.table("g129_man")
@@ -1584,12 +1636,21 @@ object LlmQueries {
         // (the per-round no-copy count moved to ONE end-of-loop check
         // on the sig table — the admits accumulate there verbatim, so
         // the conjunction over rounds equals the final-table check)
-        Bk.appendBucketed(admitted.select(col("fp_a"), col("fp_b")),
-          "g129_fp", Seq("fp_a"), B)
-        Bk.appendBucketed(admitted.select(col("id"), col("sig")),
-          "g129_sig", Seq("id"), B)
-        Bk.appendBucketed(Dedup.lshBandIndex(admitted.select(col("id"), col("sig"))),
-          "g129_idx", Seq("band", "key"), B)
+        // The three appends all read the CHECKPOINTED admit frame and
+        // write DISTINCT tables with no ordering contract (unlike
+        // ingestBatch, whose idx → sig → fp order is its crash-replay
+        // argument — this in-query loop has no replay; the next round
+        // reads the tables only after all three land). Concurrent
+        // submission: the round pays max-of-three write jobs, not
+        // sum-of-three (guide §2.6).
+        QCommon.parJobs(
+          () => Bk.appendBucketed(admitted.select(col("fp_a"), col("fp_b")),
+            "g129_fp", Seq("fp_a"), B),
+          () => Bk.appendBucketed(admitted.select(col("id"), col("sig")),
+            "g129_sig", Seq("id"), B),
+          () => Bk.appendBucketed(
+            Dedup.lshBandIndex(admitted.select(col("id"), col("sig"))),
+            "g129_idx", Seq("band", "key"), B))
         // in-session twin: SAME batch, ONE localCheckpoint (its three
         // store deltas are lazy unions of that flat frame — the q128
         // r21 shape; no table lineage either way)
@@ -1780,10 +1841,15 @@ object LlmQueries {
       val nQualityPass = hdr.getLong(1)
       val copyBase = if (hdr.isNullAt(2)) 1L else hdr.getLong(2) + 1L
       val (fp0, sig0, idx0) = C.emptyStores(d, "doc_id", "text")
-      Seq(("g131_fp", fp0, Seq("fp_a")), ("g131_sig", sig0, Seq("id")),
-          ("g131_idx", idx0, Seq("band", "key")))
-        .foreach { case (tn, df0, keys) =>
-          graft.ops.Bucketed.writeBucketed(df0, tn, keys, B) }
+      // independent bootstrap writes, submitted concurrently (guide
+      // §2.6; the per-trigger appends inside ingestBatch stay
+      // SEQUENTIAL — their idx → sig → fp order is the crash-replay
+      // correctness argument)
+      QCommon.parJobs(
+        Seq(("g131_fp", fp0, Seq("fp_a")), ("g131_sig", sig0, Seq("id")),
+            ("g131_idx", idx0, Seq("band", "key")))
+          .map { case (tn, df0, keys) =>
+            () => graft.ops.Bucketed.writeBucketed(df0, tn, keys, B) }: _*)
       s.sql("DROP TABLE IF EXISTS g131_man")
       man.write.format("parquet").saveAsTable("g131_man")
       s.sql("DROP TABLE IF EXISTS g131_led")

@@ -32,6 +32,19 @@ private[graft] object QCommon {
     * match exceptAll's (both normalize via the aggregation path). */
   def multisetDiff(a: DataFrame, b: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, sum}
+    // fail LOUDLY on schema drift (r21 ADVICE): the old exceptAll pair
+    // errored on arity mismatch, but the by-name select below would
+    // silently project a wider b down to a's columns and compare equal;
+    // and an input already carrying a reserved helper column would
+    // corrupt the tagged union
+    require(a.columns.toSet == b.columns.toSet,
+      s"multisetDiff: column sets differ — a=${a.columns.mkString(",")} " +
+        s"vs b=${b.columns.mkString(",")}; a parity check across drifted " +
+        "schemas must fail, not pass vacuously")
+    require(!a.columns.contains("graft_mse_side") &&
+        !a.columns.contains("graft_mse_delta"),
+      "multisetDiff: inputs must not carry the reserved graft_mse_side/" +
+        "graft_mse_delta helper columns")
     val cols = a.columns.toSeq
     a.withColumn("graft_mse_side", lit(1L))
       .unionByName(b.select(cols.map(col): _*)
@@ -45,6 +58,34 @@ private[graft] object QCommon {
     * semantically identical to the two-sided exceptAll emptiness pair. */
   def multisetEqual(a: DataFrame, b: DataFrame): Boolean =
     multisetDiff(a, b).isEmpty
+
+  /** Run INDEPENDENT Spark jobs concurrently from a small driver pool
+    * (guide §2.6 "overlap independent jobs"): Spark's scheduler happily
+    * runs several jobs at once inside one application — actions are
+    * only sequential because driver code calls them sequentially. The
+    * ingest capstones submit three same-shaped store writes per round
+    * whose wall-clock is driver/job overhead, not data; overlapping
+    * them collapses sum-of-jobs to max-of-jobs. ONLY for jobs with no
+    * ordering contract: [[graft.llm.Curate.ingestBatch]]'s idx → sig →
+    * fp append ORDER is its crash-replay correctness argument and must
+    * stay sequential. Exceptions: the first failure is rethrown (its
+    * cause, not the ExecutionException wrapper) after all tasks finish.
+    */
+  def parJobs(tasks: (() => Unit)*): Unit = {
+    if (tasks.size <= 1) { tasks.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = t()
+      }))
+      // collect every outcome before throwing: a half-submitted round
+      // must not leave sibling writes racing the caller's error path
+      val errs = futs.flatMap(f =>
+        try { f.get(); None }
+        catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) })
+      errs.headOption.foreach(throw _)
+    } finally pool.shutdown()
+  }
 
   /** Copy-id base for the re-ingest fixtures (q109/q119/q126–q129 and
     * the bench slices): `max(id) + 1`, DERIVED from the data — a

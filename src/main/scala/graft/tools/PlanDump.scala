@@ -69,8 +69,66 @@ object PlanDump {
         val b = Dedup.minhashSignatures(
           d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
         a.select(col("id")).exceptAll(b.select(col("id")))
+      }),
+      // r22: the q125 prefix-sum verification, old ONE-PARTITION form —
+      // Window.orderBy with no partitionBy (the VERDICT r21 scale-killer:
+      // a single task sorts and scans every chunk row at 100 TB)
+      "token_pack_prefix_oldform" -> (() => {
+        val packed = tokenPacked(s, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc"), col("chunk_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        packed.withColumn("cum2", sum(col("n_tokens")).over(w))
+          .filter(col("cum2") =!= col("cum_tokens"))
+      }),
+      // r22: the shipped replacement — per-doc PARTITIONED window plus
+      // doc offsets from Rank.prefixSum over the doc totals (the 2-pass
+      // stitch); boolean-identical, no single-partition Window anywhere
+      "token_pack_prefix_check" -> (() => {
+        val packed = tokenPacked(s, dir)
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc")).orderBy(col("chunk_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val docTotals = packed.groupBy(col("doc"))
+          .agg(sum(col("n_tokens")).as("graft_dt"))
+        val docOffsets = graft.ops.Rank.prefixSum(docTotals,
+            Seq(col("doc")), "graft_dt", "graft_cum_dt")
+          .select(col("doc"),
+            (col("graft_cum_dt") - col("graft_dt")).as("graft_doc_off"))
+        packed.withColumn("graft_cum_in_doc", sum(col("n_tokens")).over(wd))
+          .join(docOffsets, Seq("doc"))
+          .filter(col("graft_doc_off") + col("graft_cum_in_doc")
+            =!= col("cum_tokens"))
+      }),
+      // r22: the q92/q93 ANN pipelines (their declared queries return
+      // one-row LocalRelations; the real plan is the shortlist+re-rank
+      // frame). Training actions run while BUILDING the frame — the
+      // dump prices the distributed shape only.
+      "pq_topk_pipeline" -> (() => {
+        val v = graft.Tables.load(s, dir, "embeddings")
+        graft.llm.Similarity.pqTopK(v.filter(col("vec_id") < 10), v,
+          "vec_id", "vec_id", "embedding", k = 5,
+          m = 16, codewords = 16, rerank = 8)
+      }),
+      "ivfpq_topk_pipeline" -> (() => {
+        val v = graft.Tables.load(s, dir, "embeddings")
+        graft.llm.Similarity.ivfPqTopK(v.filter(col("vec_id") < 10), v,
+          "vec_id", "vec_id", "embedding", k = 5,
+          nCells = 16, nprobe = 4, m = 16, codewords = 16, rerank = 8)
       })
     )
+  }
+
+  /** The q125 packed frame (persisted, as the query builds it) — shared
+    * by the two prefix-check shape dumps above. */
+  private def tokenPacked(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.load(s, dir, "documents")
+    val merges = graft.llm.Bpe.train(d, "text", numMerges = 200)
+    graft.llm.Curate.tokenPack(d, "doc_id", "text", merges,
+        chunkWords = 12, stride = 8, seqTokens = 256L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   def main(args: Array[String]): Unit = {

@@ -307,6 +307,48 @@ class BucketedSpec extends SparkSuite {
     spark.sql("DROP TABLE cmp_t")
   }
 
+  test("compactIfNeeded: metadata-only under budget, rewrites past it (r22)") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS cin_t")
+    val loc = new java.io.File("spark-warehouse/cin_t")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    def dataFiles(): Int =
+      new java.io.File("spark-warehouse/cin_t").listFiles().toSeq
+        .count(_.getName.endsWith(".parquet"))
+    // bootstrap + 3 appends accumulate sorted runs (appendBucketed
+    // writes ONE file per NON-EMPTY bucket per append — which buckets
+    // a row hashes to is murmur3's business, so the thresholds below
+    // derive from the OBSERVED file count rather than assuming it)
+    Bucketed.writeBucketed(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      "cin_t", Seq("k"), 2)
+    (1 to 3).foreach(i => Bucketed.appendBucketed(
+      Seq((i * 10L, "x"), (i * 10L + 1L, "y")).toDF("k", "v"),
+      "cin_t", Seq("k"), 2))
+    val nBefore = dataFiles()
+    assert(nBefore > 2, s"appends should have left >buckets files, got $nBefore")
+    // under budget (files <= budget × buckets): no rewrite
+    assert(!Bucketed.compactIfNeeded(spark, "cin_t", maxRunsPerBucket = nBefore))
+    assert(dataFiles() == nBefore)
+    // past the budget → compact runs, one file per bucket, content kept
+    val before = rowsOf(spark.table("cin_t").orderBy($"k"))
+    assert(Bucketed.compactIfNeeded(spark, "cin_t", maxRunsPerBucket = 1))
+    assert(dataFiles() == 2)
+    assert(rowsOf(spark.table("cin_t").orderBy($"k")) == before)
+    // immediately after a compact the budget is satisfied again
+    assert(!Bucketed.compactIfNeeded(spark, "cin_t", maxRunsPerBucket = 1))
+    spark.sql("DROP TABLE cin_t")
+    // non-bucketed tables fail loudly
+    spark.sql("DROP TABLE IF EXISTS cin_flat")
+    Seq(1L).toDF("k").write.mode("overwrite").format("parquet").saveAsTable("cin_flat")
+    val e = intercept[IllegalArgumentException](
+      Bucketed.compactIfNeeded(spark, "cin_flat"))
+    assert(e.getMessage.contains("not bucketed"))
+    spark.sql("DROP TABLE cin_flat")
+  }
+
   test("compact refuses a non-parquet bucketed table (r19 ADVICE: provider check)") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS cmp_orc")

@@ -193,7 +193,9 @@ class CurateStreamSpec extends SparkSuite {
       assert(idx.exceptAll(full).count() == 0L &&
         full.exceptAll(idx).count() == 0L)
       // decisions unchanged downstream: a later batch resending the
-      // docs under new ids admits nothing despite the dup index rows
+      // docs under new ids admits nothing against the now-duplicate-
+      // free index (the r21 (band, key, id) anti-join means the replay
+      // left no dup rows for this batch to tolerate)
       Curate.ingestBatch(batch.select(($"doc_id" + 100L).as("doc_id"), $"text"),
         1L, "doc_id", "text", s"${p}_fp", s"${p}_sig",
         s"${p}_idx", B, ledgerTable = Some(s"${p}_led"), threshold = 0.5)

@@ -49,6 +49,33 @@ class PageRankSpec extends SparkSuite {
     assert(a == reference(edges, 4))
   }
 
+  test("lazy-chain lineage cut: exact ranks, bounded plan, checkpoint blocks swept (r22)") {
+    // 6 iterations crosses two localCheckpoint cuts (it = 2, 4); ranks
+    // must stay bit-equal to the recurrence ACROSS the cuts
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = PageRank.ranks(diamond.toDF("src", "dst"), iterations = 6)
+    assert(res.as[(Long, Long)].collect().toMap == reference(diamond, 6))
+    // the returned frame's plan starts from the last cut, not from six
+    // nested InMemoryRelations (the r21 q122 57k-line dump): the cut
+    // shows as a flat RDD scan and the nesting is bounded by CutEvery
+    val plan = res.queryExecution.optimizedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"expected a localCheckpoint cut (ExistingRDD) in the plan:\n$plan")
+    // bound is CutEvery-proportional, not iteration-proportional: at
+    // most CutEvery un-cut levels (plus the nodes/eod cache nesting)
+    // sit above the last ExistingRDD — ~500 lines here vs the r21
+    // uncut 5-iteration dump's ~57k
+    assert(plan.linesIterator.size < 800, s"plan not bounded: ${plan.linesIterator.size} lines")
+    // intermediate checkpoint blocks are swept after the final action;
+    // only the returned frame's own cache may remain
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked persisted RDDs: $leaked")
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+      if (!before.contains(id)) r.unpersist(true)
+    }
+    spark.catalog.clearCache()
+  }
+
   // node 4 is a sink (no out-edges): the r17 dangling-policy surface
   private val sinkGraph: Seq[(Long, Long)] =
     Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 4L))

@@ -61,4 +61,53 @@ class QCommonSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(d == Map(1L -> 1L, 2L -> 1L, 3L -> -1L))
   }
+
+  test("multisetDiff fails loudly on schema drift and reserved columns (r21 ADVICE)") {
+    val a = Seq(1L, 2L).toDF("id")
+    // b carries an EXTRA column: the old exceptAll pair errored on the
+    // arity mismatch; the by-name form must not silently project it
+    // away and compare equal
+    val wide = Seq((1L, "x"), (2L, "y")).toDF("id", "extra")
+    val e1 = intercept[IllegalArgumentException](QCommon.multisetDiff(a, wide))
+    assert(e1.getMessage.contains("column sets differ"))
+    val e2 = intercept[IllegalArgumentException](QCommon.multisetDiff(wide, a))
+    assert(e2.getMessage.contains("column sets differ"))
+    // reserved helper names in an input would corrupt the tagged union
+    val clash = Seq((1L, 1L)).toDF("id", "graft_mse_side")
+    val e3 = intercept[IllegalArgumentException](QCommon.multisetDiff(clash, clash))
+    assert(e3.getMessage.contains("graft_mse_side"))
+  }
+
+  test("parJobs runs independent Spark jobs concurrently and rethrows the cause (r22)") {
+    // three independent writes land correctly when submitted in parallel
+    Seq("pj_a", "pj_b", "pj_c").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    QCommon.parJobs(
+      () => graft.ops.Bucketed.writeBucketed(
+        Seq(1L, 2L).toDF("k"), "pj_a", Seq("k"), 2),
+      () => graft.ops.Bucketed.writeBucketed(
+        Seq(3L).toDF("k"), "pj_b", Seq("k"), 2),
+      () => graft.ops.Bucketed.writeBucketed(
+        Seq(4L, 5L, 6L).toDF("k"), "pj_c", Seq("k"), 2))
+    assert(spark.table("pj_a").count() == 2)
+    assert(spark.table("pj_b").count() == 1)
+    assert(spark.table("pj_c").count() == 3)
+    // parallel APPENDS to distinct tables preserve contents
+    QCommon.parJobs(
+      () => graft.ops.Bucketed.appendBucketed(
+        Seq(10L).toDF("k"), "pj_a", Seq("k"), 2),
+      () => graft.ops.Bucketed.appendBucketed(
+        Seq(20L).toDF("k"), "pj_b", Seq("k"), 2),
+      () => graft.ops.Bucketed.appendBucketed(
+        Seq(30L).toDF("k"), "pj_c", Seq("k"), 2))
+    assert(spark.table("pj_a").as[Long].collect().toSet == Set(1L, 2L, 10L))
+    assert(spark.table("pj_b").as[Long].collect().toSet == Set(3L, 20L))
+    assert(spark.table("pj_c").as[Long].collect().toSet == Set(4L, 5L, 6L, 30L))
+    Seq("pj_a", "pj_b", "pj_c").foreach(t => spark.sql(s"DROP TABLE $t"))
+    // a failing task surfaces its CAUSE, not the ExecutionException
+    val boom = intercept[IllegalArgumentException](
+      QCommon.parJobs(
+        () => (),
+        () => throw new IllegalArgumentException("pj-boom")))
+    assert(boom.getMessage == "pj-boom")
+  }
 }

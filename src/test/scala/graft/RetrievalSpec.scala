@@ -72,14 +72,23 @@ class RetrievalSpec extends SparkSuite with org.scalatest.BeforeAndAfterEach {
     assert(!plan.contains("Window"), plan)
   }
 
-  test("tf is persisted: one tokenize scan feeds all four branches (r17 review)") {
+  test("tf is persisted: one tokenize scan feeds both remaining branches (r22 shape)") {
     val plan = Retrieval.bm25(docs, "doc_id", "text", query)
       .queryExecution.executedPlan.toString
-    // dl, dfreq, stats and the scoring join must ALL read the cached
-    // tf, not re-run the explode — structural, not ReuseExchange luck.
-    // Four consumers → four InMemoryTableScans (a partial rewire back
-    // to raw toks would drop the count and fail here).
+    // r22: dl rides the tf aggregation itself (a narrow size() on the
+    // scan) and stats derives narrowly from the docs scan, so exactly
+    // TWO branches read the cached tf — dfreq and the scoring join —
+    // and NO doc-keyed exchange of tf remains. Structural, not
+    // ReuseExchange luck (a partial rewire back to raw toks would drop
+    // the count and fail here).
     val scans = "InMemoryTableScan".r.findAllIn(plan).length
-    assert(scans >= 4, s"expected >=4 InMemoryTableScans, got $scans:\n$plan")
+    assert(scans >= 2, s"expected >=2 InMemoryTableScans, got $scans:\n$plan")
+    // the r21 shape's corpus-scale waste must be GONE: no exchange
+    // hash-partitioned by doc alone (the old dl groupBy + tf⋈dl join
+    // both shuffled by doc; the remaining exchanges key on (doc, term)
+    // and (qid, doc))
+    val docExchange = "Exchange hashpartitioning\\(doc#\\d+L?, \\d+\\)".r
+    assert(docExchange.findFirstIn(plan).isEmpty,
+      s"doc-keyed exchange should be gone:\n$plan")
   }
 }
