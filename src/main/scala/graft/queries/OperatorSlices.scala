@@ -193,8 +193,12 @@ object OperatorSlices {
       val tabs = Seq("g129s_fp", "g129s_sig", "g129s_idx")
       (() => {
         val (fp0, sig0, idx0) = graft.llm.Curate.emptyStores(d, "doc_id", "text")
-        tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
-          .foreach { case (tn, (df0, keys)) => Bk.writeBucketed(df0, tn, keys, B) }
+        // concurrent bootstraps/appends — the shipped q129 shape (r22
+        // single-definition rule: the slice prices what the query runs)
+        QCommon.parJobs(
+          tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
+            .map { case (tn, (df0, keys)) =>
+              () => Bk.writeBucketed(df0, tn, keys, B) }: _*)
         var total = 0L
         for (i <- 0 until 3) {
           val batch = d.filter(pmod(col("doc_id"), lit(3)) === i)
@@ -205,12 +209,14 @@ object OperatorSlices {
               bandIndex = Some(s.table("g129s_idx")))
             .localCheckpoint()
           total += admitted.count()
-          Bk.appendBucketed(admitted.select(col("fp_a"), col("fp_b")),
-            "g129s_fp", Seq("fp_a"), B)
-          Bk.appendBucketed(admitted.select(col("id"), col("sig")),
-            "g129s_sig", Seq("id"), B)
-          Bk.appendBucketed(Dedup.lshBandIndex(admitted.select(col("id"), col("sig"))),
-            "g129s_idx", Seq("band", "key"), B)
+          QCommon.parJobs(
+            () => Bk.appendBucketed(admitted.select(col("fp_a"), col("fp_b")),
+              "g129s_fp", Seq("fp_a"), B),
+            () => Bk.appendBucketed(admitted.select(col("id"), col("sig")),
+              "g129s_sig", Seq("id"), B),
+            () => Bk.appendBucketed(
+              Dedup.lshBandIndex(admitted.select(col("id"), col("sig"))),
+              "g129s_idx", Seq("band", "key"), B))
         }
         total
       }, () => {
@@ -234,8 +240,12 @@ object OperatorSlices {
       val tabs = Seq("g131s_fp", "g131s_sig", "g131s_idx")
       (() => {
         val (fp0, sig0, idx0) = graft.llm.Curate.emptyStores(d, "doc_id", "text")
-        tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
-          .foreach { case (tn, (df0, keys)) => Bk.writeBucketed(df0, tn, keys, B) }
+        // concurrent bootstraps — the shipped q131 shape (the trigger's
+        // own appends stay sequential inside ingestBatch: replay order)
+        QCommon.parJobs(
+          tabs.zip(Seq((fp0, Seq("fp_a")), (sig0, Seq("id")), (idx0, Seq("band", "key"))))
+            .map { case (tn, (df0, keys)) =>
+              () => Bk.writeBucketed(df0, tn, keys, B) }: _*)
         s.sql("DROP TABLE IF EXISTS g131s_man")
         Dedup.lshManifest(s).write.format("parquet").saveAsTable("g131s_man")
         s.sql("DROP TABLE IF EXISTS g131s_led")
